@@ -1,0 +1,762 @@
+"""Vectorized geometry kernels — the GeoSeries operator surface.
+
+Each function here implements the semantics of one reference op (authoritative
+docs: ``/root/reference/geopolars/geopolars-geo/src/geoseries.rs:10-181`` and
+the Python wrappers in
+``/root/reference/py-geopolars/python/geopolars/internals/georust/geoseries.py``)
+as a whole-column NumPy computation over a :class:`GeometryArray` — no
+per-row Python in the numeric paths; ragged reductions use cumulative-sum
+range differences (`_range_sums`).
+
+Stage wrappers in :mod:`geopolars_ray.stages.geo` lift these to
+``Dataset.map_batches`` transforms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geopolars_ray.geom.array import (
+    GeometryArray,
+    MISSING,
+    POINT,
+    LINESTRING,
+    LINEARRING,
+    POLYGON,
+    MULTIPOINT,
+    MULTILINESTRING,
+    MULTIPOLYGON,
+    _expand_ranges,
+)
+
+_LINE_TYPES = (LINESTRING, LINEARRING, MULTILINESTRING)
+_POLY_TYPES = (POLYGON, MULTIPOLYGON)
+
+WGS84_A = 6378137.0  # semi-major axis, meters
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1.0 - WGS84_F)
+EARTH_RADIUS_M = 6371008.8  # mean radius (haversine)
+
+
+# --------------------------------------------------------------------------
+# ragged helpers
+# --------------------------------------------------------------------------
+
+
+def _range_sums(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Sum ``values[starts[i]:ends[i]]`` per i, via cumsum differences."""
+    csum = np.zeros(len(values) + 1, dtype=np.float64)
+    np.cumsum(values, out=csum[1:])
+    return csum[ends] - csum[starts]
+
+
+def _per_ring_to_per_geom(ga: GeometryArray, ring_vals: np.ndarray) -> np.ndarray:
+    """Sum a per-ring quantity up to per-geometry (compose offset levels)."""
+    ring_of_geom = ga.part_offsets[ga.geom_offsets]  # ring ranges per geom
+    return _range_sums(ring_vals, ring_of_geom[:-1], ring_of_geom[1:])
+
+
+def _segment_cross(ga: GeometryArray) -> np.ndarray:
+    """Per-ring signed shoelace sum 2*A_r (handles open and closed rings)."""
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+    if len(x) < 2:
+        return np.zeros(ga.n_rings)
+    cr = x[:-1] * y[1:] - x[1:] * y[:-1]
+    starts = ga.ring_offsets[:-1]
+    ends = np.maximum(ga.ring_offsets[1:] - 1, starts)  # exclude cross-ring segment
+    ring_sum = _range_sums(cr, starts, ends)
+    # wraparound term last->first (zero when the ring is explicitly closed)
+    last = np.maximum(ga.ring_offsets[1:] - 1, starts)
+    wrap = x[last] * y[starts] - x[starts] * y[last]
+    empty = ga.ring_offsets[1:] == starts
+    wrap[empty] = 0.0
+    return ring_sum + wrap
+
+
+def _segment_lengths_per_ring(ga: GeometryArray) -> np.ndarray:
+    """Per-ring sum of euclidean segment lengths."""
+    d = np.diff(ga.coords, axis=0)
+    seg = np.hypot(d[:, 0], d[:, 1]) if len(d) else np.empty(0)
+    starts = ga.ring_offsets[:-1]
+    ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
+    return _range_sums(seg, starts, ends)
+
+
+# --------------------------------------------------------------------------
+# predicates / accessors
+# --------------------------------------------------------------------------
+
+
+def geom_type(ga: GeometryArray) -> np.ndarray:
+    """pygeos-style type id per row (`geoseries.rs:60-73`). -1 for missing."""
+    return ga.types.astype(np.int8)
+
+
+def is_empty(ga: GeometryArray) -> np.ndarray:
+    """True when the geometry has no coordinates (`geoseries.rs:75-76`)."""
+    return ga.coords_per_geom() == 0
+
+
+def is_ring(ga: GeometryArray) -> np.ndarray:
+    """True for closed LineString/LinearRing rows (`geoseries.rs:78-83`).
+
+    Closedness (first coord == last coord, >= 4 coords) is checked; full
+    simplicity testing (self-intersection) is not — same practical contract
+    as ring checks on well-formed data.
+    """
+    co = ga.coord_offsets()
+    starts, ends = co[:-1], co[1:]
+    n = ends - starts
+    out = np.zeros(len(ga), dtype=bool)
+    line = np.isin(ga.types, (LINESTRING, LINEARRING)) & (n >= 4)
+    idx = np.nonzero(line)[0]
+    if len(idx):
+        first = ga.coords[starts[idx]]
+        last = ga.coords[ends[idx] - 1]
+        out[idx] = (first == last).all(axis=1)
+    return out
+
+
+def get_x(ga: GeometryArray) -> np.ndarray:
+    """x of Point rows, NaN otherwise (`geoseries.rs:176-180`)."""
+    out = np.full(len(ga), np.nan)
+    pts = ga.types == POINT
+    out[pts] = ga.coords[ga.coord_offsets()[:-1][pts], 0]
+    return out
+
+
+def get_y(ga: GeometryArray) -> np.ndarray:
+    out = np.full(len(ga), np.nan)
+    pts = ga.types == POINT
+    out[pts] = ga.coords[ga.coord_offsets()[:-1][pts], 1]
+    return out
+
+
+def bounds(ga: GeometryArray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(xmin, ymin, xmax, ymax) per geometry; NaN for empty/missing."""
+    n = len(ga)
+    xmin = np.full(n, np.nan)
+    ymin = np.full(n, np.nan)
+    xmax = np.full(n, np.nan)
+    ymax = np.full(n, np.nan)
+    cpg = ga.coords_per_geom()
+    nz = cpg > 0
+    if not nz.any():
+        return xmin, ymin, xmax, ymax
+    co = ga.coord_offsets()
+    starts = co[:-1][nz]
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+    xmin[nz] = np.minimum.reduceat(x, starts)
+    ymin[nz] = np.minimum.reduceat(y, starts)
+    xmax[nz] = np.maximum.reduceat(x, starts)
+    ymax[nz] = np.maximum.reduceat(y, starts)
+    # reduceat reduces to the next start *in the passed index list*, which is
+    # exactly the next non-empty geometry's start — correct because empty
+    # geometries contribute no coordinate gap.
+    return xmin, ymin, xmax, ymax
+
+
+def envelope(ga: GeometryArray) -> GeometryArray:
+    """Axis-aligned bounding Polygon per geometry (`geoseries.rs:28-33`).
+
+    Points map to themselves; degenerate (zero-extent) inputs still produce
+    the 5-coordinate closed rectangle ring, matching bounding-rect semantics.
+    """
+    xmin, ymin, xmax, ymax = bounds(ga)
+    n = len(ga)
+    types = np.full(n, POLYGON, dtype=np.int8)
+    keep_point = ga.types == POINT
+    types[keep_point] = POINT
+    types[ga.is_missing() | np.isnan(xmin)] = MISSING
+
+    coords_list = []
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    part_off = [0]
+    ring_off = [0]
+    n_parts = 0
+    n_coords = 0
+    for i in range(n):
+        t = types[i]
+        if t == MISSING:
+            geom_off[i + 1] = n_parts
+            continue
+        if t == POINT:
+            coords_list.append([[xmin[i], ymin[i]]])
+            n_coords += 1
+        else:
+            coords_list.append(
+                [
+                    [xmin[i], ymin[i]],
+                    [xmax[i], ymin[i]],
+                    [xmax[i], ymax[i]],
+                    [xmin[i], ymax[i]],
+                    [xmin[i], ymin[i]],
+                ]
+            )
+            n_coords += 5
+        ring_off.append(n_coords)
+        part_off.append(len(ring_off) - 1)
+        n_parts += 1
+        geom_off[i + 1] = n_parts
+    coords = (
+        np.concatenate([np.asarray(c, dtype=np.float64) for c in coords_list])
+        if coords_list
+        else np.empty((0, 2))
+    )
+    return GeometryArray(types, geom_off, np.array(part_off, np.int64), np.array(ring_off, np.int64), coords)
+
+
+# --------------------------------------------------------------------------
+# measures
+# --------------------------------------------------------------------------
+
+
+def area(ga: GeometryArray) -> np.ndarray:
+    """Unsigned planar area in CRS units² (`geoseries.rs:14-16`).
+
+    Shoelace per ring; ring signed areas summed per geometry then abs'd, so
+    conventionally-wound holes subtract. Non-areal types yield 0.
+    """
+    ring_a = 0.5 * _segment_cross(ga)
+    per_geom = _per_ring_to_per_geom(ga, ring_a)
+    out = np.abs(per_geom)
+    out[~np.isin(ga.types, _POLY_TYPES)] = 0.0
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+def euclidean_length(ga: GeometryArray) -> np.ndarray:
+    """Planar length (`geoseries.rs:35-41`); polygons: exterior-ring length.
+
+    Points contribute 0; for polygons only each part's first (exterior) ring
+    counts, matching the reference doc.
+    """
+    ring_len = _segment_lengths_per_ring(ga)
+    n = len(ga)
+    out = np.zeros(n)
+    line = np.isin(ga.types, _LINE_TYPES)
+    if line.any():
+        out[line] = _per_ring_to_per_geom(ga, ring_len)[line]
+    poly = np.isin(ga.types, _POLY_TYPES)
+    if poly.any():
+        exterior_ring = np.zeros(ga.n_rings, dtype=bool)
+        exterior_ring[ga.part_offsets[:-1]] = True  # first ring of every part
+        masked = np.where(exterior_ring, ring_len, 0.0)
+        out[poly] = _per_ring_to_per_geom(ga, masked)[poly]
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+def _haversine_m(lon1, lat1, lon2, lat2) -> np.ndarray:
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dp = p2 - p1
+    dl = np.radians(lon2 - lon1)
+    a = np.sin(dp / 2.0) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dl / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def _vincenty_m(lon1, lat1, lon2, lat2, iterations: int = 20) -> np.ndarray:
+    """Vincenty inverse geodesic distance on WGS84, vectorized (meters)."""
+    a, b, f = WGS84_A, WGS84_B, WGS84_F
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    for _ in range(iterations):
+        sinLam, cosLam = np.sin(lam), np.cos(lam)
+        sinSigma = np.sqrt(
+            (cosU2 * sinLam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) ** 2
+        )
+        cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+        sigma = np.arctan2(sinSigma, cosSigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinAlpha = np.where(sinSigma != 0, cosU1 * cosU2 * sinLam / np.where(sinSigma == 0, 1, sinSigma), 0.0)
+            cos2Alpha = 1.0 - sinAlpha**2
+            cos2SigmaM = np.where(
+                cos2Alpha != 0, cosSigma - 2.0 * sinU1 * sinU2 / np.where(cos2Alpha == 0, 1, cos2Alpha), 0.0
+            )
+        C = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+        lam = L + (1.0 - C) * f * sinAlpha * (
+            sigma + C * sinSigma * (cos2SigmaM + C * cosSigma * (-1.0 + 2.0 * cos2SigmaM**2))
+        )
+    u2 = cos2Alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    deltaSigma = B * sinSigma * (
+        cos2SigmaM
+        + B
+        / 4.0
+        * (
+            cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)
+            - B / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma**2) * (-3.0 + 4.0 * cos2SigmaM**2)
+        )
+    )
+    dist = b * A * (sigma - deltaSigma)
+    return np.where(sinSigma == 0, 0.0, dist)
+
+
+def geodesic_length(ga: GeometryArray, method: str = "geodesic") -> np.ndarray:
+    """Length in meters on WGS84 (`geoseries.rs:52-58`); coords are lon/lat.
+
+    ``haversine`` uses the mean-radius great-circle formula; ``vincenty`` and
+    ``geodesic`` use Vincenty's inverse on the WGS84 ellipsoid (the reference
+    delegates ``geodesic`` to Karney's algorithm — Vincenty agrees to < 0.5 mm
+    except near-antipodal pairs, documented deviation).
+    """
+    if method not in ("geodesic", "haversine", "vincenty"):
+        raise ValueError(f"unknown geodesic method {method!r}")
+    c = ga.coords
+    if len(c) < 2:
+        return np.zeros(len(ga))
+    lon1, lat1 = c[:-1, 0], c[:-1, 1]
+    lon2, lat2 = c[1:, 0], c[1:, 1]
+    if method == "haversine":
+        seg = _haversine_m(lon1, lat1, lon2, lat2)
+    else:
+        seg = _vincenty_m(lon1, lat1, lon2, lat2)
+    starts = ga.ring_offsets[:-1]
+    ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
+    ring_len = _range_sums(seg, starts, ends)
+    out = _per_ring_to_per_geom(ga, ring_len)
+    out[~np.isin(ga.types, _LINE_TYPES)] = 0.0
+    out[ga.is_missing()] = np.nan
+    return out
+
+
+# --------------------------------------------------------------------------
+# centroid
+# --------------------------------------------------------------------------
+
+
+def centroid(ga: GeometryArray) -> GeometryArray:
+    """Centroid Point per geometry (`geoseries.rs:18-21`).
+
+    Points: identity. MultiPoint: coordinate mean. Lines: length-weighted
+    segment-midpoint mean (degenerate zero-length: coordinate mean).
+    Polygons: area-weighted shoelace centroid with hole rings forced to
+    subtract regardless of stored winding (robust to loosely-wound WKB);
+    zero-area polygons fall back to the coordinate mean.
+    """
+    n = len(ga)
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    co = ga.coord_offsets()
+    cpg = ga.coords_per_geom()
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+
+    # point-ish and fallback mean
+    nz = cpg > 0
+    if nz.any():
+        mean_x = _range_sums(x, co[:-1], co[1:]) / np.maximum(cpg, 1)
+        mean_y = _range_sums(y, co[:-1], co[1:]) / np.maximum(cpg, 1)
+    else:
+        mean_x = np.full(n, np.nan)
+        mean_y = np.full(n, np.nan)
+    pointish = np.isin(ga.types, (POINT, MULTIPOINT)) & nz
+    cx[pointish], cy[pointish] = mean_x[pointish], mean_y[pointish]
+
+    # lines: weighted segment midpoints
+    line = np.isin(ga.types, _LINE_TYPES) & nz
+    if line.any():
+        d = np.diff(ga.coords, axis=0)
+        seg_len = np.hypot(d[:, 0], d[:, 1]) if len(d) else np.empty(0)
+        mid_x = (x[:-1] + x[1:]) / 2.0
+        mid_y = (y[:-1] + y[1:]) / 2.0
+        starts = ga.ring_offsets[:-1]
+        ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
+        ring_L = _range_sums(seg_len, starts, ends)
+        ring_Mx = _range_sums(seg_len * mid_x, starts, ends)
+        ring_My = _range_sums(seg_len * mid_y, starts, ends)
+        L = _per_ring_to_per_geom(ga, ring_L)
+        Mx = _per_ring_to_per_geom(ga, ring_Mx)
+        My = _per_ring_to_per_geom(ga, ring_My)
+        ok = line & (L > 0)
+        cx[ok], cy[ok] = Mx[ok] / L[ok], My[ok] / L[ok]
+        deg = line & (L == 0)
+        cx[deg], cy[deg] = mean_x[deg], mean_y[deg]
+
+    # polygons: shoelace moments, holes subtract
+    poly = np.isin(ga.types, _POLY_TYPES) & nz
+    if poly.any():
+        cr = x[:-1] * y[1:] - x[1:] * y[:-1] if len(x) > 1 else np.empty(0)
+        sx = (x[:-1] + x[1:]) * cr if len(cr) else cr
+        sy = (y[:-1] + y[1:]) * cr if len(cr) else cr
+        starts = ga.ring_offsets[:-1]
+        ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
+        last = ends
+        wrap_cr = x[last] * y[starts] - x[starts] * y[last]
+        wrap_sx = (x[last] + x[starts]) * wrap_cr
+        wrap_sy = (y[last] + y[starts]) * wrap_cr
+        empty_ring = ga.ring_offsets[1:] == starts
+        wrap_cr[empty_ring] = 0.0
+        wrap_sx[empty_ring] = 0.0
+        wrap_sy[empty_ring] = 0.0
+        ring_a = 0.5 * (_range_sums(cr, starts, ends) + wrap_cr)
+        ring_mx = (_range_sums(sx, starts, ends) + wrap_sx) / 6.0
+        ring_my = (_range_sums(sy, starts, ends) + wrap_sy) / 6.0
+        # force exterior rings positive, holes negative
+        is_exterior = np.zeros(ga.n_rings, dtype=bool)
+        is_exterior[ga.part_offsets[:-1]] = True
+        sign = np.where(ring_a >= 0, 1.0, -1.0)
+        want = np.where(is_exterior, 1.0, -1.0)
+        factor = want * sign
+        A = _per_ring_to_per_geom(ga, factor * ring_a)
+        Mx = _per_ring_to_per_geom(ga, factor * ring_mx)
+        My = _per_ring_to_per_geom(ga, factor * ring_my)
+        ok = poly & (A != 0)
+        cx[ok], cy[ok] = Mx[ok] / A[ok], My[ok] / A[ok]
+        deg = poly & (A == 0)
+        cx[deg], cy[deg] = mean_x[deg], mean_y[deg]
+
+    out = GeometryArray.from_points(cx, cy)
+    miss = ~nz | ga.is_missing()
+    if miss.any():
+        out.types = out.types.copy()
+        out.types[miss] = MISSING
+    return out
+
+
+# --------------------------------------------------------------------------
+# affine family
+# --------------------------------------------------------------------------
+
+
+def affine_transform(ga: GeometryArray, matrix) -> GeometryArray:
+    """Apply 6-parameter affine [a, b, d, e, xoff, yoff] (`geoseries.rs:11-12`).
+
+    x' = a*x + b*y + xoff ; y' = d*x + e*y + yoff — shapely parameter order,
+    as documented in the reference wrapper (`georust/geoseries.py:22-41`).
+    """
+    a, b, d, e, xoff, yoff = (float(v) for v in matrix)
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+    return ga.with_coords(np.column_stack([a * x + b * y + xoff, d * x + e * y + yoff]))
+
+
+def translate(ga: GeometryArray, x: float = 0.0, y: float = 0.0) -> GeometryArray:
+    """Shift all coordinates (`geoseries.rs:163-174`)."""
+    return ga.with_coords(ga.coords + np.array([x, y]))
+
+
+def _origin_per_coord(ga: GeometryArray, origin) -> tuple[np.ndarray, np.ndarray]:
+    """Resolve TransformOrigin (`py-geopolars/src/utils.rs:6-25`) to per-coord x0, y0."""
+    if isinstance(origin, (tuple, list)):
+        ox = np.full(len(ga.coords), float(origin[0]))
+        oy = np.full(len(ga.coords), float(origin[1]))
+        return ox, oy
+    if origin == "centroid":
+        cen = centroid(ga)
+        gx, gy = cen.coords[:, 0], cen.coords[:, 1]
+    elif origin == "center":
+        xmin, ymin, xmax, ymax = bounds(ga)
+        gx, gy = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    else:
+        raise ValueError(f"unknown origin {origin!r}")
+    reps = ga.coords_per_geom()
+    return np.repeat(gx, reps), np.repeat(gy, reps)
+
+
+def rotate(ga: GeometryArray, angle_deg: float, origin="center") -> GeometryArray:
+    """Rotate CCW by degrees about origin (`geoseries.rs:85-93`)."""
+    ox, oy = _origin_per_coord(ga, origin)
+    th = np.radians(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    x = ga.coords[:, 0] - ox
+    y = ga.coords[:, 1] - oy
+    return ga.with_coords(np.column_stack([c * x - s * y + ox, s * x + c * y + oy]))
+
+
+def scale(ga: GeometryArray, xfact: float = 1.0, yfact: float = 1.0, origin="center") -> GeometryArray:
+    """Scale about origin; negative factors mirror (`geoseries.rs:95-107`)."""
+    ox, oy = _origin_per_coord(ga, origin)
+    x = (ga.coords[:, 0] - ox) * xfact + ox
+    y = (ga.coords[:, 1] - oy) * yfact + oy
+    return ga.with_coords(np.column_stack([x, y]))
+
+
+def skew(ga: GeometryArray, xs: float = 0.0, ys: float = 0.0, origin="center") -> GeometryArray:
+    """Shear by angles in degrees (`geoseries.rs:118-139`): x' = x + tan(xs)·y."""
+    ox, oy = _origin_per_coord(ga, origin)
+    tx, ty = np.tan(np.radians(xs)), np.tan(np.radians(ys))
+    x = ga.coords[:, 0] - ox
+    y = ga.coords[:, 1] - oy
+    return ga.with_coords(np.column_stack([x + tx * y + ox, ty * x + y + oy]))
+
+
+# --------------------------------------------------------------------------
+# structure ops
+# --------------------------------------------------------------------------
+
+
+def exterior(ga: GeometryArray) -> GeometryArray:
+    """Exterior ring of each Polygon as a LineString; missing otherwise
+    (`geoseries.rs:43-47`)."""
+    n = len(ga)
+    types = np.full(n, MISSING, dtype=np.int8)
+    geom_off = np.zeros(n + 1, dtype=np.int64)
+    part_off = [0]
+    ring_off = [0]
+    coord_idx_parts = []
+    n_parts = 0
+    n_coords = 0
+    for i in range(n):
+        if ga.types[i] == POLYGON and ga.geom_offsets[i + 1] > ga.geom_offsets[i]:
+            p = ga.geom_offsets[i]
+            r = ga.part_offsets[p]
+            s, e = ga.ring_offsets[r], ga.ring_offsets[r + 1]
+            coord_idx_parts.append(np.arange(s, e, dtype=np.int64))
+            n_coords += e - s
+            ring_off.append(n_coords)
+            part_off.append(len(ring_off) - 1)
+            n_parts += 1
+            types[i] = LINESTRING
+        geom_off[i + 1] = n_parts
+    coords = ga.coords[np.concatenate(coord_idx_parts)] if coord_idx_parts else np.empty((0, 2))
+    return GeometryArray(types, geom_off, np.array(part_off, np.int64), np.array(ring_off, np.int64), coords)
+
+
+def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
+    """Flatten multi-part geometries to one row per part (`geoseries.rs:49-50`).
+
+    Returns (exploded GeometryArray, int64 parent-row index per output row) —
+    the parent index lets a batch kernel replicate the other columns
+    (``pa.Table.take``). Single-part and missing rows pass through unchanged.
+    """
+    parts_per = ga.geom_offsets[1:] - ga.geom_offsets[:-1]
+    multi = np.isin(ga.types, (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON))
+    out_per = np.where(multi, parts_per, 1)
+    parent = np.repeat(np.arange(len(ga), dtype=np.int64), out_per)
+
+    out_types = []
+    geom_off = [0]
+    part_idx = []
+    n_parts = 0
+    single_of = {MULTIPOINT: POINT, MULTILINESTRING: LINESTRING, MULTIPOLYGON: POLYGON}
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        ps, pe = int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])
+        if t in single_of:
+            for p in range(ps, pe):
+                out_types.append(single_of[t])
+                part_idx.append(p)
+                n_parts += 1
+                geom_off.append(n_parts)
+            if ps == pe:  # empty multi -> one missing row
+                out_types.append(MISSING)
+                geom_off.append(n_parts)
+        else:
+            out_types.append(t)
+            for p in range(ps, pe):
+                part_idx.append(p)
+                n_parts += 1
+            geom_off.append(n_parts)
+
+    part_idx = np.array(part_idx, dtype=np.int64)
+    rings_per = ga.part_offsets[part_idx + 1] - ga.part_offsets[part_idx]
+    new_part_off = np.zeros(len(part_idx) + 1, dtype=np.int64)
+    np.cumsum(rings_per, out=new_part_off[1:])
+    ring_idx = _expand_ranges(ga.part_offsets[part_idx], ga.part_offsets[part_idx + 1])
+    coords_per = ga.ring_offsets[ring_idx + 1] - ga.ring_offsets[ring_idx]
+    new_ring_off = np.zeros(len(ring_idx) + 1, dtype=np.int64)
+    np.cumsum(coords_per, out=new_ring_off[1:])
+    coord_idx = _expand_ranges(ga.ring_offsets[ring_idx], ga.ring_offsets[ring_idx + 1])
+    out = GeometryArray(
+        types=np.array(out_types, dtype=np.int8),
+        geom_offsets=np.array(geom_off, dtype=np.int64),
+        part_offsets=new_part_off,
+        ring_offsets=new_ring_off,
+        coords=ga.coords[coord_idx],
+    )
+    return out, parent
+
+
+def convex_hull(ga: GeometryArray) -> GeometryArray:
+    """Convex hull per geometry via Andrew's monotone chain (`geoseries.rs:23-26`).
+
+    >= 3 non-collinear points -> closed CCW Polygon ring; 2 distinct points ->
+    LineString; 1 point -> Point (the collapse behavior the reference doc
+    describes).
+    """
+    out_geoms = []
+    co = ga.coord_offsets()
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            out_geoms.append(None)
+            continue
+        pts = ga.coords[co[i] : co[i + 1]]
+        if len(pts) == 0:
+            out_geoms.append(None)
+            continue
+        uniq = np.unique(pts, axis=0)
+        if len(uniq) == 1:
+            out_geoms.append(("point", tuple(uniq[0])))
+            continue
+        if len(uniq) == 2:
+            out_geoms.append(("linestring", [tuple(uniq[0]), tuple(uniq[1])]))
+            continue
+        hull = _monotone_chain(uniq)
+        if len(hull) == 2:
+            out_geoms.append(("linestring", [tuple(p) for p in hull]))
+        else:
+            ring = [tuple(p) for p in hull] + [tuple(hull[0])]
+            out_geoms.append(("polygon", [ring]))
+    return GeometryArray.from_pylist(out_geoms)
+
+
+def _monotone_chain(pts: np.ndarray) -> np.ndarray:
+    """CCW hull vertices (no closing repeat) of unique lexicographically-sorted pts."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(points):
+        h: list[np.ndarray] = []
+        for pt in points:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], pt - h[-2]) <= 0:
+                h.pop()
+            h.append(pt)
+        return h
+
+    lower = half(p)
+    upper = half(p[::-1])
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # collinear input
+        return np.array([p[0], p[-1]])
+    return np.array(hull)
+
+
+def simplify(ga: GeometryArray, tolerance: float) -> GeometryArray:
+    """Douglas-Peucker per ring, endpoints preserved, no new points
+    (`geoseries.rs:109-116`)."""
+    keep = np.zeros(len(ga.coords), dtype=bool)
+    for r in range(ga.n_rings):
+        s, e = int(ga.ring_offsets[r]), int(ga.ring_offsets[r + 1])
+        if e - s <= 2:
+            keep[s:e] = True
+            continue
+        keep[s] = True
+        keep[e - 1] = True
+        _dp_mark(ga.coords, s, e - 1, tolerance, keep)
+    # rebuild offsets with only kept coords
+    kept_per_ring = _range_sums(keep.astype(np.float64), ga.ring_offsets[:-1], ga.ring_offsets[1:]).astype(np.int64)
+    new_ring_off = np.zeros(ga.n_rings + 1, dtype=np.int64)
+    np.cumsum(kept_per_ring, out=new_ring_off[1:])
+    return GeometryArray(
+        types=ga.types,
+        geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=new_ring_off,
+        coords=ga.coords[keep],
+    )
+
+
+def _dp_mark(coords: np.ndarray, i0: int, i1: int, tol: float, keep: np.ndarray) -> None:
+    """Iterative Douglas-Peucker: mark kept indices in [i0, i1]."""
+    stack = [(i0, i1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        seg = coords[b] - coords[a]
+        pts = coords[a + 1 : b] - coords[a]
+        seg_len = np.hypot(seg[0], seg[1])
+        if seg_len == 0:
+            d = np.hypot(pts[:, 0], pts[:, 1])
+        else:
+            d = np.abs(pts[:, 0] * seg[1] - pts[:, 1] * seg[0]) / seg_len
+        j = int(np.argmax(d))
+        if d[j] > tol:
+            m = a + 1 + j
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+
+
+# --------------------------------------------------------------------------
+# distance
+# --------------------------------------------------------------------------
+
+
+def distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
+    """Row-wise aligned euclidean distance (`geoseries.rs:141-146`).
+
+    Point⊗Point rows are fully vectorized; other type pairs compute the exact
+    min distance between the two coordinate structures per row (segment-to-
+    segment with containment checks for polygons).
+    """
+    if len(lhs) != len(rhs):
+        raise ValueError("distance requires equal-length series")
+    n = len(lhs)
+    out = np.full(n, np.nan)
+    lp = lhs.types == POINT
+    rp = rhs.types == POINT
+    both = lp & rp
+    if both.any():
+        lco = lhs.coord_offsets()[:-1]
+        rco = rhs.coord_offsets()[:-1]
+        dx = lhs.coords[lco[both], 0] - rhs.coords[rco[both], 0]
+        dy = lhs.coords[lco[both], 1] - rhs.coords[rco[both], 1]
+        out[both] = np.hypot(dx, dy)
+    rest = ~both & ~lhs.is_missing() & ~rhs.is_missing()
+    if rest.any():
+        lco = lhs.coord_offsets()
+        rco = rhs.coord_offsets()
+        for i in np.nonzero(rest)[0]:
+            out[i] = _geom_pair_distance(lhs, rhs, int(i))
+    return out
+
+
+def _geom_pair_distance(lhs: GeometryArray, rhs: GeometryArray, i: int) -> float:
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+
+    lco = lhs.coord_offsets()
+    rco = rhs.coord_offsets()
+    a = lhs.coords[lco[i] : lco[i + 1]]
+    b = rhs.coords[rco[i] : rco[i + 1]]
+    if len(a) == 0 or len(b) == 0:
+        return np.nan
+    # containment -> 0 for polygon operands
+    for poly, pts in ((lhs, b), (rhs, a)):
+        side = lhs if poly is lhs else rhs
+        if side.types[i] in _POLY_TYPES:
+            rings = _rings_of(side, i)
+            if points_in_polygon_single(pts[:, 0], pts[:, 1], rings).any():
+                return 0.0
+    da = _min_point_to_segments(a, _segments_of(rhs, i)) if _segments_of(rhs, i) is not None else np.inf
+    db = _min_point_to_segments(b, _segments_of(lhs, i)) if _segments_of(lhs, i) is not None else np.inf
+    dpt = np.min(
+        np.hypot(a[:, None, 0] - b[None, :, 0], a[:, None, 1] - b[None, :, 1])
+    )
+    return float(min(da, db, dpt))
+
+
+def _rings_of(ga: GeometryArray, i: int) -> list[np.ndarray]:
+    rings = []
+    for p in range(ga.geom_offsets[i], ga.geom_offsets[i + 1]):
+        for r in range(ga.part_offsets[p], ga.part_offsets[p + 1]):
+            rings.append(ga.coords[ga.ring_offsets[r] : ga.ring_offsets[r + 1]])
+    return rings
+
+
+def _segments_of(ga: GeometryArray, i: int):
+    """(m,2,2) array of segments of geometry i, or None if it has no segments."""
+    segs = []
+    for p in range(ga.geom_offsets[i], ga.geom_offsets[i + 1]):
+        for r in range(ga.part_offsets[p], ga.part_offsets[p + 1]):
+            c = ga.coords[ga.ring_offsets[r] : ga.ring_offsets[r + 1]]
+            if len(c) >= 2:
+                segs.append(np.stack([c[:-1], c[1:]], axis=1))
+    if not segs:
+        return None
+    return np.concatenate(segs, axis=0)
+
+
+def _min_point_to_segments(pts: np.ndarray, segs: np.ndarray) -> float:
+    a = segs[:, 0]  # (m,2)
+    d = segs[:, 1] - segs[:, 0]
+    L2 = (d**2).sum(axis=1)
+    ap = pts[:, None, :] - a[None, :, :]  # (n,m,2)
+    t = np.clip((ap * d[None, :, :]).sum(axis=2) / np.where(L2 == 0, 1, L2)[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+    dd = pts[:, None, :] - proj
+    return float(np.sqrt((dd**2).sum(axis=2)).min())

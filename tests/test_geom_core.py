@@ -1,0 +1,360 @@
+"""Unit tests for the vectorized geometry core (no Ray involved).
+
+Golden values transcribed from the reference's unit tests where they exist
+(FIXTURES.md F5/F6 <- /root/reference/geopolars/src/spatial_index.rs:352-625);
+otherwise hand-computed.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+from geopolars_ray.geom import kernels as K
+from geopolars_ray.geom.array import _expand_ranges, MISSING, POINT, LINESTRING, POLYGON
+from geopolars_ray.geom.strtree import (
+    STRTree,
+    GridIndex,
+    PreparedPolygons,
+    points_in_polygon_single,
+)
+
+
+def test_expand_ranges():
+    out = _expand_ranges(np.array([2, 7, 5]), np.array([4, 9, 5]))
+    assert out.tolist() == [2, 3, 7, 8]
+    assert _expand_ranges(np.array([], dtype=np.int64), np.array([], dtype=np.int64)).tolist() == []
+    assert _expand_ranges(np.array([0]), np.array([3])).tolist() == [0, 1, 2]
+
+
+SAMPLE = [
+    ("point", (1.0, 2.0)),
+    ("linestring", [(0.0, 0.0), (3.0, 4.0), (3.0, 8.0)]),
+    ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+    ("multipoint", [(0.0, 0.0), (1.0, 1.0)]),
+    None,
+    (
+        "multipolygon",
+        [
+            [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]],
+            [[(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)]],
+        ],
+    ),
+    ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)], [(5.0, 5.0), (5.0, 7.0)]]),
+]
+
+
+def test_pylist_round_trip():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    assert ga.to_pylist() == SAMPLE
+
+
+def test_wkb_round_trip_mixed():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    arr = encode_wkb(ga)
+    back = decode_wkb(arr)
+    assert back.to_pylist() == SAMPLE
+
+
+def test_wkb_point_fast_path():
+    x = np.arange(5, dtype=np.float64)
+    y = x * 2 - 1
+    ga = GeometryArray.from_points(x, y)
+    arr = encode_wkb(ga)
+    assert arr.type == pa.binary()
+    back = decode_wkb(arr)
+    np.testing.assert_array_equal(back.coords[:, 0], x)
+    np.testing.assert_array_equal(back.coords[:, 1], y)
+    assert (back.types == POINT).all()
+
+
+def test_wkb_big_endian_points():
+    import struct
+
+    blobs = [struct.pack(">BI2d", 0, 1, 3.5, -7.25)]
+    back = decode_wkb(pa.array(blobs, type=pa.binary()))
+    assert back.to_pylist() == [("point", (3.5, -7.25))]
+
+
+def test_wkb_nulls():
+    ga = GeometryArray.from_pylist([("point", (1.0, 2.0)), None])
+    arr = encode_wkb(ga)
+    assert arr.null_count == 1
+    back = decode_wkb(arr)
+    assert back.to_pylist() == [("point", (1.0, 2.0)), None]
+
+
+def test_area():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    a = K.area(ga)
+    np.testing.assert_allclose(a[:4], [0.0, 0.0, 16.0, 0.0])
+    assert np.isnan(a[4])
+    np.testing.assert_allclose(a[5], 8.0)  # 4 + 4
+
+
+def test_area_with_hole():
+    ga = GeometryArray.from_pylist(
+        [
+            (
+                "polygon",
+                [
+                    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                    [(2.0, 2.0), (2.0, 4.0), (4.0, 4.0), (4.0, 2.0), (2.0, 2.0)],  # CW hole
+                ],
+            )
+        ]
+    )
+    np.testing.assert_allclose(K.area(ga), [96.0])
+
+
+def test_length():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    ln = K.euclidean_length(ga)
+    np.testing.assert_allclose(ln[0], 0.0)
+    np.testing.assert_allclose(ln[1], 9.0)  # 5 + 4
+    np.testing.assert_allclose(ln[2], 16.0)  # exterior perimeter
+    np.testing.assert_allclose(ln[6], 3.0)  # 1 + 2
+
+
+def test_bounds_envelope():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    xmin, ymin, xmax, ymax = K.bounds(ga)
+    assert xmin[2] == 0.0 and xmax[2] == 4.0 and ymax[2] == 4.0
+    assert xmin[5] == 0.0 and xmax[5] == 12.0
+    env = K.envelope(ga)
+    lst = env.to_pylist()
+    assert lst[0] == ("point", (1.0, 2.0))
+    assert lst[1] == (
+        "polygon",
+        [[(0.0, 0.0), (3.0, 0.0), (3.0, 8.0), (0.0, 8.0), (0.0, 0.0)]],
+    )
+    assert lst[4] is None
+
+
+def test_centroid():
+    ga = GeometryArray.from_pylist(
+        [
+            ("point", (3.0, 4.0)),
+            ("multipoint", [(0.0, 0.0), (2.0, 2.0)]),
+            ("linestring", [(0.0, 0.0), (2.0, 0.0)]),
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+        ]
+    )
+    c = K.centroid(ga)
+    np.testing.assert_allclose(c.coords, [[3, 4], [1, 1], [1, 0], [2, 2]])
+
+
+def test_centroid_polygon_with_hole():
+    # 10x10 square with off-center 2x2 hole: centroid shifts away from hole
+    ga = GeometryArray.from_pylist(
+        [
+            (
+                "polygon",
+                [
+                    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                    [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)],  # same winding as exterior
+                ],
+            )
+        ]
+    )
+    c = K.centroid(ga)
+    # exact: (100*5 - 4*2) / 96
+    np.testing.assert_allclose(c.coords[0], [(500 - 8) / 96.0, (500 - 8) / 96.0])
+
+
+def test_xy_type_flags():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    assert K.geom_type(ga).tolist() == [0, 1, 3, 4, -1, 6, 5]
+    x = K.get_x(ga)
+    assert x[0] == 1.0 and np.isnan(x[1])
+    closed = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]),
+            ("linestring", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]),
+        ]
+    )
+    assert K.is_ring(closed).tolist() == [True, False]
+    assert K.is_empty(ga).tolist() == [False] * 4 + [True] + [False] * 2
+
+
+def test_affine_family():
+    ga = GeometryArray.from_pylist([("point", (1.0, 2.0))])
+    t = K.translate(ga, 10, -1)
+    np.testing.assert_allclose(t.coords, [[11, 1]])
+    s = K.scale(ga, 2, 3, origin=(0, 0))
+    np.testing.assert_allclose(s.coords, [[2, 6]])
+    r = K.rotate(ga, 90, origin=(0, 0))
+    np.testing.assert_allclose(r.coords, [[-2, 1]], atol=1e-12)
+    a = K.affine_transform(ga, [2, 0, 0, 2, 5, 5])
+    np.testing.assert_allclose(a.coords, [[7, 9]])
+    sq = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])]
+    )
+    # scale about bbox center keeps the center fixed
+    s2 = K.scale(sq, 2, 2, origin="center")
+    xmin, ymin, xmax, ymax = K.bounds(s2)
+    assert (xmin[0], ymin[0], xmax[0], ymax[0]) == (-1.0, -1.0, 3.0, 3.0)
+    sk = K.skew(ga, xs=45.0, origin=(0, 0))
+    np.testing.assert_allclose(sk.coords, [[3.0, 2.0]])
+
+
+def test_exterior():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    ext = K.exterior(ga)
+    lst = ext.to_pylist()
+    assert lst[0] is None
+    assert lst[2] == ("linestring", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])
+
+
+def test_explode():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    out, parent = K.explode(ga)
+    assert parent.tolist() == [0, 1, 2, 3, 3, 4, 5, 5, 6, 6]
+    lst = out.to_pylist()
+    assert lst[3] == ("point", (0.0, 0.0)) and lst[4] == ("point", (1.0, 1.0))
+    assert lst[6][0] == "polygon" and lst[7][0] == "polygon"
+    assert lst[8][0] == "linestring"
+
+
+def test_convex_hull():
+    ga = GeometryArray.from_pylist(
+        [
+            ("multipoint", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (2.0, 2.0)]),
+            ("point", (1.0, 1.0)),
+            ("multipoint", [(0.0, 0.0), (1.0, 1.0)]),
+            ("multipoint", [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]),  # collinear
+        ]
+    )
+    h = K.convex_hull(ga)
+    assert np.isclose(K.area(h)[0], 16.0)
+    lst = h.to_pylist()
+    assert lst[1] == ("point", (1.0, 1.0))
+    assert lst[2][0] == "linestring"
+    assert lst[3][0] == "linestring"  # collinear collapses
+
+
+def test_simplify():
+    ga = GeometryArray.from_pylist(
+        [("linestring", [(0.0, 0.0), (1.0, 0.05), (2.0, 0.0), (3.0, 5.0), (4.0, 0.0)])]
+    )
+    s = K.simplify(ga, tolerance=0.5)
+    # (3,5) kept (dist 5 from chord), then (2,0) kept (dist ~1.71 from (0,0)-(3,5)),
+    # (1,0.05) dropped (dist 0.05 from (0,0)-(2,0))
+    assert s.to_pylist() == [("linestring", [(0.0, 0.0), (2.0, 0.0), (3.0, 5.0), (4.0, 0.0)])]
+
+
+def test_distance():
+    a = GeometryArray.from_pylist([("point", (0.0, 0.0)), ("point", (0.0, 0.0)), ("point", (5.0, 5.0))])
+    b = GeometryArray.from_pylist(
+        [
+            ("point", (3.0, 4.0)),
+            ("polygon", [[(1.0, -1.0), (2.0, -1.0), (2.0, 1.0), (1.0, 1.0), (1.0, -1.0)]]),
+            ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]),
+        ]
+    )
+    d = K.distance(a, b)
+    np.testing.assert_allclose(d, [5.0, 1.0, 0.0])
+
+
+def test_geodesic_length():
+    # 1 degree of longitude at the equator
+    ga = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (1.0, 0.0)])])
+    hav = K.geodesic_length(ga, "haversine")[0]
+    vin = K.geodesic_length(ga, "vincenty")[0]
+    geo = K.geodesic_length(ga, "geodesic")[0]
+    assert abs(hav - 111195) < 50  # mean-radius great circle
+    assert abs(vin - 111319.49) < 1  # WGS84 equatorial arc
+    assert geo == vin
+    with pytest.raises(ValueError):
+        K.geodesic_length(ga, "nope")
+
+
+# ----------------------------------------------------------- spatial index
+
+F6_POINTS = [(0.0, 10.0), (1.0, 1.0), (10.0, 0.0), (1.0, -1.0), (0.0, -10.0),
+             (-1.0, -1.0), (-10.0, 0.0), (-1.0, 1.0), (0.0, 10.0)]
+
+
+def test_strtree_envelope_query_f6():
+    ga = GeometryArray.from_points(
+        np.array([p[0] for p in F6_POINTS]), np.array([p[1] for p in F6_POINTS])
+    )
+    xmin, ymin, xmax, ymax = K.bounds(ga)
+    tree = STRTree(np.column_stack([xmin, ymin, xmax, ymax]))
+    hits = tree.query_box(0.0, 0.0, 20.0, 20.0)
+    assert set(hits.tolist()) == {0, 1, 2, 8}
+
+
+def test_strtree_polygon_variant_f6():
+    polys = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]),
+            ("polygon", [[(-10.0, -10.0), (0.0, -10.0), (0.0, 0.0), (-10.0, 0.0), (-10.0, -10.0)]]),
+        ]
+    )
+    xmin, ymin, xmax, ymax = K.bounds(polys)
+    tree = STRTree(np.column_stack([xmin, ymin, xmax, ymax]))
+    hits = tree.query_box(0.5, 0.5, 20.0, 20.0)
+    assert set(hits.tolist()) == {0}
+
+
+def test_strtree_large_random():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 100, size=(5000, 2))
+    boxes = np.column_stack([pts[:, 0], pts[:, 1], pts[:, 0], pts[:, 1]])
+    tree = STRTree(boxes)
+    q = (25.0, 25.0, 75.0, 75.0)
+    expected = np.nonzero(
+        (pts[:, 0] >= q[0]) & (pts[:, 0] <= q[2]) & (pts[:, 1] >= q[1]) & (pts[:, 1] <= q[3])
+    )[0]
+    got = tree.query_box(*q)
+    assert set(got.tolist()) == set(expected.tolist())
+
+
+def test_pip_boundary_exclusive_f5():
+    """The reference's golden join semantics: boundary points do NOT match."""
+    ring = np.array([(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)])
+    px = np.array([p[0] for p in F6_POINTS[:9]])
+    py = np.array([p[1] for p in F6_POINTS[:9]])
+    px[2], py[2] = 10.0, 1.0  # F5 uses (10, 1) instead of (10, 0)
+    inside = points_in_polygon_single(px, py, [ring])
+    # only (1,1) and (10,1) are strictly inside; (0,10) twice is on the boundary
+    assert inside.tolist() == [False, True, True, False, False, False, False, False, False]
+
+
+def test_pip_hole():
+    rings = [
+        np.array([(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]),
+        np.array([(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]),
+    ]
+    px = np.array([5.0, 2.0, 11.0])
+    py = np.array([5.0, 2.0, 5.0])
+    assert points_in_polygon_single(px, py, rings).tolist() == [False, True, False]
+
+
+def test_grid_index_matches_brute_force():
+    rng = np.random.default_rng(1)
+    polys = []
+    for i in range(30):
+        x0, y0 = rng.uniform(0, 90, 2)
+        w, h = rng.uniform(2, 10, 2)
+        polys.append(
+            ("polygon", [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]])
+        )
+    ga = GeometryArray.from_pylist(polys)
+    prep = PreparedPolygons.from_geometry_array(ga)
+    grid = GridIndex(prep.bounds)
+    px = rng.uniform(-5, 105, 2000)
+    py = rng.uniform(-5, 105, 2000)
+    pidx, items = grid.candidates_for_points(px, py)
+    got = set()
+    for i in range(len(pidx)):
+        p, it = int(pidx[i]), int(items[i])
+        if prep.contains_points(it, px[p : p + 1], py[p : p + 1])[0]:
+            got.add((p, it))
+    expect = set()
+    for it in range(len(ga)):
+        ins = prep.contains_points(it, px, py)
+        for p in np.nonzero(ins)[0]:
+            expect.add((int(p), it))
+    assert got == expect
