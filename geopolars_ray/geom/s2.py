@@ -1,0 +1,215 @@
+"""S2 cell ids from scratch, vectorized (public S2 geometry algorithm).
+
+Implements the standard S2 curve: lat/lon -> unit sphere XYZ -> cube face
+(u,v) -> quadratic (s,t) -> 30-bit (i,j) -> Hilbert-curve position -> 64-bit
+cell id ``face(3b) | curve_pos(2*30b) | 1``; level-L ids truncate the curve
+position to 2L bits with the trailing-1 marker. This is the published
+algorithm of the s2geometry library (s2.h / s2cell_id docs), reimplemented
+with NumPy lookup tables so a whole batch of points encodes with 8 table
+gathers — the north star's "H3 res-7/S2 level-12 tile assignment" kernel
+(BASELINE.json north_star) uses level 12 by default.
+
+The reference has no tiling; this is part of the engine's partitioning layer
+(SURVEY.md §7 M4): cell ids are the shuffle/rollup key for per-tile
+aggregation and partitioned spatial joins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+LOOKUP_BITS = 4
+SWAP_MASK = 1
+INVERT_MASK = 2
+MAX_LEVEL = 30
+POS_BITS = 2 * MAX_LEVEL + 1  # 61
+
+_POS_TO_IJ = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENTATION = (SWAP_MASK, 0, 0, INVERT_MASK | SWAP_MASK)
+
+_LOOKUP_POS = np.zeros(1 << (2 * LOOKUP_BITS + 2), dtype=np.uint64)
+_LOOKUP_IJ = np.zeros(1 << (2 * LOOKUP_BITS + 2), dtype=np.uint64)
+
+
+def _init_lookup(level: int, i: int, j: int, orig_orientation: int, pos: int, orientation: int) -> None:
+    if level == LOOKUP_BITS:
+        ij = (i << LOOKUP_BITS) + j
+        _LOOKUP_POS[(ij << 2) + orig_orientation] = (pos << 2) + orientation
+        _LOOKUP_IJ[(pos << 2) + orig_orientation] = (ij << 2) + orientation
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _POS_TO_IJ[orientation]
+    for index in range(4):
+        ij = r[index]
+        _init_lookup(
+            level,
+            i + (ij >> 1),
+            j + (ij & 1),
+            orig_orientation,
+            pos + index,
+            orientation ^ _POS_TO_ORIENTATION[index],
+        )
+
+
+for _orientation in range(4):
+    _init_lookup(0, 0, 0, _orientation, 0, _orientation)
+
+
+# ------------------------------------------------------------------ projection
+
+
+def lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    cos_lat = np.cos(lat)
+    return cos_lat * np.cos(lon), cos_lat * np.sin(lon), np.sin(lat)
+
+
+def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2)).astype(np.int64)
+    major = np.choose(face, [x, y, z])
+    face = np.where(major < 0, face + 3, face)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        u = np.empty_like(x)
+        v = np.empty_like(x)
+        for f, (ue, ve, de) in enumerate(
+            [
+                (y, z, x),  # face 0: +x
+                (-x, z, y),  # face 1: +y
+                (-x, -y, z),  # face 2: +z
+                (z, y, x),  # face 3: -x  (u = z/x, v = y/x with x<0)
+                (z, -x, y),  # face 4: -y
+                (-y, -x, z),  # face 5: -z
+            ]
+        ):
+            m = face == f
+            u[m] = (ue / de)[m]
+            v[m] = (ve / de)[m]
+    return face, u, v
+
+
+def _uv_to_st(u: np.ndarray) -> np.ndarray:
+    """S2's quadratic projection (the library default)."""
+    u = np.clip(u, -1.0, 1.0)  # guard fp overshoot at face edges
+    return np.where(
+        u >= 0,
+        0.5 * np.sqrt(1.0 + 3.0 * np.maximum(u, 0.0)),
+        1.0 - 0.5 * np.sqrt(1.0 - 3.0 * np.minimum(u, 0.0)),
+    )
+
+
+def _st_to_uv(s: np.ndarray) -> np.ndarray:
+    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0), (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
+
+
+def _st_to_ij(s: np.ndarray) -> np.ndarray:
+    return np.clip((np.floor((1 << MAX_LEVEL) * s)).astype(np.int64), 0, (1 << MAX_LEVEL) - 1)
+
+
+# ------------------------------------------------------------------ cell ids
+
+
+def cellid_from_face_ij(face: np.ndarray, i: np.ndarray, j: np.ndarray) -> np.ndarray:
+    """Leaf (level-30) cell id, vectorized Hilbert encoding (8 table gathers)."""
+    face = np.asarray(face, np.uint64)
+    i = np.asarray(i, np.uint64)
+    j = np.asarray(j, np.uint64)
+    n = face << np.uint64(POS_BITS - 1)
+    bits = face & np.uint64(SWAP_MASK)
+    mask = np.uint64((1 << LOOKUP_BITS) - 1)
+    for k in range(7, -1, -1):
+        shift = np.uint64(k * LOOKUP_BITS)
+        bits += ((i >> shift) & mask) << np.uint64(LOOKUP_BITS + 2)
+        bits += ((j >> shift) & mask) << np.uint64(2)
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * LOOKUP_BITS)
+        bits &= np.uint64(SWAP_MASK | INVERT_MASK)
+    return n * np.uint64(2) + np.uint64(1)
+
+
+def parent_at_level(cell_id: np.ndarray, level: int) -> np.ndarray:
+    """Truncate leaf (or finer) ids to the containing cell at ``level``."""
+    cell_id = np.asarray(cell_id, np.uint64)
+    lsb = np.uint64(1) << np.uint64(2 * (MAX_LEVEL - level))
+    return (cell_id & (~(lsb - np.uint64(1)))) | lsb
+
+
+def cell_level(cell_id: np.ndarray) -> np.ndarray:
+    """Level of each cell id (position of the lowest set bit)."""
+    cell_id = np.asarray(cell_id, np.uint64)
+    lsb = cell_id & (~cell_id + np.uint64(1))
+    # log2 of lsb via float conversion is exact for powers of two < 2^63
+    return (MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)).astype(np.int64)
+
+
+def s2_cell_id(lon_deg: np.ndarray, lat_deg: np.ndarray, level: int = 12) -> np.ndarray:
+    """S2 cell id at ``level`` for lon/lat degrees — the tiling kernel."""
+    if not 0 <= level <= MAX_LEVEL:
+        raise ValueError("level must be in [0, 30]")
+    x, y, z = lonlat_to_xyz(lon_deg, lat_deg)
+    face, u, v = xyz_to_face_uv(x, y, z)
+    i = _st_to_ij(_uv_to_st(u))
+    j = _st_to_ij(_uv_to_st(v))
+    leaf = cellid_from_face_ij(face, i, j)
+    if level == MAX_LEVEL:
+        return leaf
+    return parent_at_level(leaf, level)
+
+
+def cellid_to_face_ij(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode leaf cell ids back to (face, i, j) — inverse Hilbert, vectorized."""
+    cell_id = np.asarray(cell_id, np.uint64)
+    face = (cell_id >> np.uint64(POS_BITS)).astype(np.int64)
+    i = np.zeros(len(cell_id), dtype=np.uint64)
+    j = np.zeros(len(cell_id), dtype=np.uint64)
+    bits = (face.astype(np.uint64)) & np.uint64(SWAP_MASK)
+    pos = cell_id >> np.uint64(1)
+    for k in range(7, -1, -1):
+        # top chunk (k=7) holds only 2 bits of i and j — mask 4 position bits,
+        # not 8, or the face bits leak into the lookup
+        nbits = MAX_LEVEL - 7 * LOOKUP_BITS if k == 7 else LOOKUP_BITS
+        mask = np.uint64((1 << (2 * nbits)) - 1)
+        shift = np.uint64(k * 2 * LOOKUP_BITS)
+        bits += ((pos >> shift) & mask) << np.uint64(2)
+        bits = _LOOKUP_IJ[bits]
+        i |= (bits >> np.uint64(LOOKUP_BITS + 2)) << np.uint64(k * LOOKUP_BITS)
+        j |= ((bits >> np.uint64(2)) & np.uint64((1 << LOOKUP_BITS) - 1)) << np.uint64(k * LOOKUP_BITS)
+        bits &= np.uint64(SWAP_MASK | INVERT_MASK)
+    return face, i.astype(np.int64), j.astype(np.int64)
+
+
+def cell_center_lonlat(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Approximate center (lon, lat) degrees of cells at any level."""
+    cell_id = np.asarray(cell_id, np.uint64)
+    # decoding the id with its trailing 10...0 marker lands on a leaf inside
+    # the cell (the marker bits act as a center-ward child path) — adequate
+    # for a representative interior point at any level
+    face, i, j = cellid_to_face_ij(cell_id)
+    s = (i.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    t = (j.astype(np.float64) + 0.5) / (1 << MAX_LEVEL)
+    u = _st_to_uv(s)
+    v = _st_to_uv(t)
+    x = np.empty_like(u)
+    y = np.empty_like(u)
+    z = np.empty_like(u)
+    for f, fn in enumerate(
+        [
+            lambda u, v: (np.ones_like(u), u, v),
+            lambda u, v: (-u, np.ones_like(u), v),
+            lambda u, v: (-u, -v, np.ones_like(u)),
+            lambda u, v: (-np.ones_like(u), -v, -u),
+            lambda u, v: (v, -np.ones_like(u), -u),
+            lambda u, v: (v, u, -np.ones_like(u)),
+        ]
+    ):
+        m = face == f
+        if m.any():
+            xf, yf, zf = fn(u[m], v[m])
+            x[m], y[m], z[m] = xf, yf, zf
+    lon = np.degrees(np.arctan2(y, x))
+    lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat

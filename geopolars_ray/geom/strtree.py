@@ -280,9 +280,12 @@ class GridIndex:
         self.cell_items = item
 
     def point_cells(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        cx = ((px - self.x0) / self.dx).astype(np.int64)
-        cy = ((py - self.y0) / self.dy).astype(np.int64)
-        inside = (cx >= 0) & (cx < self.nx) & (cy >= 0) & (cy < self.ny)
+        finite = np.isfinite(px) & np.isfinite(py)
+        fx = np.where(finite, px, 0.0)
+        fy = np.where(finite, py, 0.0)
+        cx = np.floor((fx - self.x0) / self.dx).astype(np.int64)
+        cy = np.floor((fy - self.y0) / self.dy).astype(np.int64)
+        inside = finite & (cx >= 0) & (cx < self.nx) & (cy >= 0) & (cy < self.ny)
         cell = cx * self.ny + cy
         cell[~inside] = -1
         return cell

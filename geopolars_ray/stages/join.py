@@ -1,0 +1,465 @@
+"""Spatial joins: reference-parity local join, broadcast PIP join, partitioned join.
+
+Reimplements ``spatial_join(lhs, rhs, SpatialJoinArgs)``
+(``/root/reference/geopolars/src/spatial_index.rs:37-204``) in three forms:
+
+- :func:`spatial_join_table` — local (two Arrow tables), bit-for-bit parity
+  with the reference's semantics incl. its predicate dispatch table
+  (`spatial_index.rs:89-137`) and suffix naming (`:164-184`); reproduces the
+  golden fixture shapes (2,4)/(9,4) (FIXTURES.md F5).
+- :class:`BroadcastPIPJoin` — the scale path for the north-star shape:
+  small polygon side broadcast (``ray.put`` once), an actor pool holds the
+  prepared polygons + grid index (built once per actor in ``__init__``,
+  mirroring the reference's ``Arc<SpatialIndex>`` amortization,
+  `spatial_index.rs:15-35`) and streams point batches through with fully
+  vectorized candidate generation. Joined rows are emitted directly with the
+  point payload — no equi-join tail needed (SURVEY.md §3.3).
+- :func:`partitioned_spatial_join` — large-large: replicate each polygon to
+  the grid cells its bbox overlaps, assign each point its cell, then a native
+  hash ``Dataset.join`` on the cell id + exact refinement. A point lives in
+  exactly one cell so no output dedup is needed. Partitioning assumption:
+  polygon bboxes are small relative to the cell size (replication factor
+  stays O(1)); choose ``cell_deg`` accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+from geopolars_ray.geom import kernels as K
+from geopolars_ray.geom.array import (
+    POINT,
+    LINESTRING,
+    LINEARRING,
+    POLYGON,
+    MULTIPOINT,
+    MULTILINESTRING,
+    MULTIPOLYGON,
+)
+from geopolars_ray.geom.strtree import (
+    STRTree,
+    GridIndex,
+    PreparedPolygons,
+    points_in_polygon_single,
+)
+from geopolars_ray.geom import tiles as tiles_mod
+
+_POLYISH = (POLYGON, MULTIPOLYGON)
+_LINEISH = (LINESTRING, LINEARRING, MULTILINESTRING)
+
+
+# --------------------------------------------------------------------------
+# exact predicate refinement (reference dispatch table, spatial_index.rs:89-137)
+# --------------------------------------------------------------------------
+
+
+def _rings_of(ga: GeometryArray, i: int) -> list[np.ndarray]:
+    rings = []
+    for p in range(ga.geom_offsets[i], ga.geom_offsets[i + 1]):
+        for r in range(ga.part_offsets[p], ga.part_offsets[p + 1]):
+            rings.append(ga.coords[ga.ring_offsets[r] : ga.ring_offsets[r + 1]])
+    return rings
+
+
+def _segments_of_rings(rings: list[np.ndarray]) -> np.ndarray | None:
+    segs = []
+    for c in rings:
+        if len(c) >= 2:
+            segs.append(np.stack([c[:-1], c[1:]], axis=1))
+    if not segs:
+        return None
+    return np.concatenate(segs, axis=0)
+
+
+def _segments_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
+    """Any pair of segments from sa (m,2,2) and sb (k,2,2) intersect
+    (including endpoint touches and collinear overlap via orientation signs)."""
+    p1 = sa[:, None, 0]
+    p2 = sa[:, None, 1]
+    q1 = sb[None, :, 0]
+    q2 = sb[None, :, 1]
+
+    def orient(a, b, c):
+        return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (b[..., 1] - a[..., 1]) * (
+            c[..., 0] - a[..., 0]
+        )
+
+    d1 = orient(p1, p2, q1)
+    d2 = orient(p1, p2, q2)
+    d3 = orient(q1, q2, p1)
+    d4 = orient(q1, q2, p2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        return True
+
+    # collinear / endpoint-touch: zero orientation with bbox overlap
+    def on(a, b, c, d_):
+        within = (
+            (c[..., 0] >= np.minimum(a[..., 0], b[..., 0]))
+            & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
+            & (c[..., 1] >= np.minimum(a[..., 1], b[..., 1]))
+            & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]))
+        )
+        return (d_ == 0) & within
+
+    touch = on(p1, p2, q1, d1) | on(p1, p2, q2, d2) | on(q1, q2, p1, d3) | on(q1, q2, p2, d4)
+    return bool(touch.any())
+
+
+def _point_in_or_on(rings: list[np.ndarray], px: float, py: float) -> tuple[bool, bool]:
+    """(strictly inside, on boundary)."""
+    inside = points_in_polygon_single(np.array([px]), np.array([py]), rings)[0]
+    segs = _segments_of_rings(rings)
+    on_b = False
+    if segs is not None:
+        a = segs[:, 0]
+        b = segs[:, 1]
+        cross = (b[:, 0] - a[:, 0]) * (py - a[:, 1]) - (b[:, 1] - a[:, 1]) * (px - a[:, 0])
+        within = (
+            (px >= np.minimum(a[:, 0], b[:, 0]))
+            & (px <= np.maximum(a[:, 0], b[:, 0]))
+            & (py >= np.minimum(a[:, 1], b[:, 1]))
+            & (py <= np.maximum(a[:, 1], b[:, 1]))
+        )
+        on_b = bool(((cross == 0) & within).any())
+    return bool(inside), on_b
+
+
+def _poly_poly(l_rings, r_rings, want_contains: bool, l_contains_r: bool) -> bool:
+    """Polygon-polygon Intersects, or Contains (container side chosen by flag)."""
+    sl = _segments_of_rings(l_rings)
+    sr = _segments_of_rings(r_rings)
+    la = np.concatenate([r for r in l_rings if len(r)]) if l_rings else np.empty((0, 2))
+    ra = np.concatenate([r for r in r_rings if len(r)]) if r_rings else np.empty((0, 2))
+    if want_contains:
+        inner_rings, outer_rings = (r_rings, l_rings) if l_contains_r else (l_rings, r_rings)
+        inner_pts = ra if l_contains_r else la
+        outer = outer_rings
+        inside = points_in_polygon_single(inner_pts[:, 0], inner_pts[:, 1], outer)
+        # boundary-inclusive vertex test: a vertex on the outer boundary is ok
+        if not inside.all():
+            for k in np.nonzero(~inside)[0]:
+                _, on_b = _point_in_or_on(outer, float(inner_pts[k, 0]), float(inner_pts[k, 1]))
+                if not on_b:
+                    return False
+        # no proper edge crossing allowed beyond boundary touches — approximate
+        # with: every inner vertex in-or-on outer (above). Sufficient for
+        # simple synthetic regions; exact DE-9IM needs full overlay (future).
+        return True
+    # intersects
+    if sl is not None and sr is not None and _segments_cross(sl, sr):
+        return True
+    if len(ra) and points_in_polygon_single(ra[:, 0], ra[:, 1], l_rings).any():
+        return True
+    if len(la) and points_in_polygon_single(la[:, 0], la[:, 1], r_rings).any():
+        return True
+    return False
+
+
+def refine_pair(lhs: GeometryArray, rhs: GeometryArray, li: int, ri: int, predicate: str) -> bool:
+    """Exact test for one candidate pair, following the reference's dispatch
+    (`spatial_index.rs:89-137`) including its quirks:
+
+    - Point ⊗ (Multi)Polygon uses polygon-contains-point regardless of the
+      requested predicate (`:90-96`), boundary-exclusive;
+    - (Multi)Polygon ⊗ Polygon honors Contains vs Intersects (`:98-116`);
+    - Polygon ⊗ MultiPolygon supports only Intersects (`:118-123`);
+    - Line-ish ⊗ Point uses line-contains-point (`:125-135`);
+    - every other type pair is silently false (`:136`).
+    """
+    lt, rt = int(lhs.types[li]), int(rhs.types[ri])
+    co_l = lhs.coord_offsets()
+    co_r = rhs.coord_offsets()
+    if lt == POINT and rt in _POLYISH:
+        p = lhs.coords[co_l[li]]
+        return bool(points_in_polygon_single(np.array([p[0]]), np.array([p[1]]), _rings_of(rhs, ri))[0])
+    if lt in _POLYISH and rt == POLYGON:
+        return _poly_poly(
+            _rings_of(lhs, li), _rings_of(rhs, ri), want_contains=(predicate == "contains"), l_contains_r=True
+        )
+    if lt == POLYGON and rt == MULTIPOLYGON:
+        if predicate == "contains":
+            return False
+        return _poly_poly(_rings_of(lhs, li), _rings_of(rhs, ri), want_contains=False, l_contains_r=True)
+    if lt in _LINEISH and rt == POINT:
+        p = rhs.coords[co_r[ri]]
+        segs = _segments_of_rings(_rings_of(lhs, li))
+        if segs is None:
+            return False
+        a, b = segs[:, 0], segs[:, 1]
+        cross = (b[:, 0] - a[:, 0]) * (p[1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (p[0] - a[:, 0])
+        within = (
+            (p[0] >= np.minimum(a[:, 0], b[:, 0]))
+            & (p[0] <= np.maximum(a[:, 0], b[:, 0]))
+            & (p[1] >= np.minimum(a[:, 1], b[:, 1]))
+            & (p[1] <= np.maximum(a[:, 1], b[:, 1]))
+        )
+        return bool(((cross == 0) & within).any())
+    return False
+
+
+# --------------------------------------------------------------------------
+# local reference-parity join
+# --------------------------------------------------------------------------
+
+
+def spatial_join_table(
+    lhs: pa.Table,
+    rhs: pa.Table,
+    how: str = "inner",
+    predicate: str = "intersects",
+    l_suffix: str = "_left",
+    r_suffix: str = "_right",
+    geometry_col: str = "geometry",
+) -> pa.Table:
+    """Reference-parity spatial join of two Arrow tables.
+
+    Pipeline mirrors `spatial_index.rs:37-204`: envelope R-trees on both
+    sides -> bbox candidate pairs -> exact predicate refinement -> suffix
+    every column of both sides (`:164-184`) -> inner/left finish
+    (`:186-204`). Row identity is positional within the tables, which is
+    sound here because both tables are local (Ray blocks would not preserve a
+    global order — the Dataset-level joins below use key columns instead,
+    SURVEY.md §7 "hard" #3).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported join type {how!r}")  # `:200-203`
+    if predicate not in ("intersects", "contains"):
+        raise ValueError(f"unsupported predicate {predicate!r}")
+    for t, side in ((lhs, "lhs"), (rhs, "rhs")):
+        if geometry_col not in t.column_names:
+            raise ValueError(f"{side} table lacks required column {geometry_col!r}")  # `:44-45`
+
+    lg = decode_wkb(lhs[geometry_col])
+    rg = decode_wkb(rhs[geometry_col])
+    lb = np.column_stack(K.bounds(lg))
+    rb = np.column_stack(K.bounds(rg))
+    tree = STRTree(rb)
+    li_list: list[int] = []
+    ri_list: list[int] = []
+    for i in range(len(lg)):
+        if np.isnan(lb[i]).any():
+            continue
+        cand = tree.query_box(lb[i, 0], lb[i, 1], lb[i, 2], lb[i, 3])
+        for j in cand:
+            if refine_pair(lg, rg, i, int(j), predicate):
+                li_list.append(i)
+                ri_list.append(int(j))
+    li = np.array(li_list, dtype=np.int64)
+    ri = np.array(ri_list, dtype=np.int64)
+
+    lhs_sfx = lhs.rename_columns([c + l_suffix for c in lhs.column_names])
+    rhs_sfx = rhs.rename_columns([c + r_suffix for c in rhs.column_names])
+
+    if how == "inner":
+        out_l = lhs_sfx.take(pa.array(li))
+        out_r = rhs_sfx.take(pa.array(ri))
+    else:  # left: every lhs row, null-extended where unmatched (`:192-199`)
+        matched = np.zeros(len(lhs), dtype=bool)
+        matched[li] = True
+        unmatched = np.nonzero(~matched)[0]
+        all_l = np.concatenate([li, unmatched])
+        order = np.argsort(all_l, kind="stable")
+        take_l = all_l[order]
+        take_r = np.concatenate([ri, np.full(len(unmatched), -1, dtype=np.int64)])[order]
+        out_l = lhs_sfx.take(pa.array(take_l))
+        r_idx = pa.array([None if v < 0 else int(v) for v in take_r], pa.int64())
+        out_r = rhs_sfx.take(r_idx)
+    cols = list(out_l.columns) + list(out_r.columns)
+    names = out_l.column_names + out_r.column_names
+    return pa.table(dict(zip(names, cols)))
+
+
+# --------------------------------------------------------------------------
+# broadcast PIP join (the north-star hot path)
+# --------------------------------------------------------------------------
+
+
+class BroadcastPIPJoin:
+    """Actor-pool stage: stream point batches against broadcast polygons.
+
+    ``polygons`` is a ``ray.ObjectRef`` to (or the value of) an Arrow table
+    with a WKB ``geometry`` column plus payload columns. The prepared
+    polygon set + grid index are built ONCE per actor; every batch then runs
+    vectorized candidate generation + grouped-by-polygon PIP refinement.
+
+    ``how="inner"`` keeps only matched points; ``"left"`` keeps all points
+    with null payload for unmatched ones. Points matching k polygons emit k
+    rows (non-overlapping admin cells -> k<=1 in the flagship).
+    """
+
+    def __init__(
+        self,
+        polygons,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        how: str = "inner",
+        payload_cols: Iterable[str] | None = None,
+        geometry_col: str = "geometry",
+    ):
+        table = ray.get(polygons) if isinstance(polygons, ray.ObjectRef) else polygons
+        ga = decode_wkb(table[geometry_col])
+        self.prep = PreparedPolygons.from_geometry_array(ga)
+        self.grid = GridIndex(self.prep.bounds)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.how = how
+        names = payload_cols if payload_cols is not None else [c for c in table.column_names if c != geometry_col]
+        self.payload = table.select(list(names))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        pidx, items = self.grid.candidates_for_points(np.where(ok, lon, np.inf), np.where(ok, lat, np.inf))
+        # refine grouped by polygon so each polygon tests its points vectorized
+        m_points: list[np.ndarray] = []
+        m_items: list[np.ndarray] = []
+        if len(pidx):
+            order = np.argsort(items, kind="stable")
+            items_s = items[order]
+            pidx_s = pidx[order]
+            cut = np.nonzero(np.diff(items_s))[0] + 1
+            for grp_items, grp_pts in zip(np.split(items_s, cut), np.split(pidx_s, cut)):
+                poly = int(grp_items[0])
+                inside = self.prep.contains_points(poly, lon[grp_pts], lat[grp_pts])
+                sel = grp_pts[inside]
+                if len(sel):
+                    m_points.append(sel)
+                    m_items.append(np.full(len(sel), poly, dtype=np.int64))
+        if m_points:
+            mp = np.concatenate(m_points)
+            mi = np.concatenate(m_items)
+        else:
+            mp = np.empty(0, dtype=np.int64)
+            mi = np.empty(0, dtype=np.int64)
+
+        if self.how == "inner":
+            out = batch.take(pa.array(mp))
+            pay = self.payload.take(pa.array(mi))
+        else:
+            matched = np.zeros(len(batch), dtype=bool)
+            matched[mp] = True
+            unmatched = np.nonzero(~matched)[0]
+            all_p = np.concatenate([mp, unmatched])
+            order = np.argsort(all_p, kind="stable")
+            take_p = all_p[order]
+            take_i = np.concatenate([mi, np.full(len(unmatched), -1, dtype=np.int64)])[order]
+            out = batch.take(pa.array(take_p))
+            pay = self.payload.take(pa.array([None if v < 0 else int(v) for v in take_i], pa.int64()))
+        for name, col in zip(pay.column_names, pay.columns):
+            out = out.append_column(name, col)
+        return out
+
+
+def broadcast_spatial_join(
+    points_ds,
+    polygons: pa.Table,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    how: str = "inner",
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 65536,
+):
+    """points Dataset ⋈ broadcast polygon table (point-in-polygon).
+
+    The polygon table is ``ray.put`` ONCE; each actor reads the object ref in
+    ``__init__`` — never re-shipped per batch.
+    """
+    ref = ray.put(polygons)
+    return points_ds.map_batches(
+        BroadcastPIPJoin,
+        fn_constructor_kwargs=dict(polygons=ref, lon_col=lon_col, lat_col=lat_col, how=how),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------------
+# partitioned (large-large) spatial join
+# --------------------------------------------------------------------------
+
+
+def partitioned_spatial_join(
+    points_ds,
+    polygons_ds,
+    cell_deg: float = 5.0,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    geometry_col: str = "geometry",
+    num_partitions: int = 64,
+):
+    """Large-large PIP join: co-partition both sides by grid cell, hash-join,
+    refine exactly. Returns matched point rows + polygon payload columns.
+
+    Shuffle plan: polygons replicate to every cell their bbox overlaps
+    (flat_map-style batch kernel); points carry their single cell id; a
+    native hash ``Dataset.join`` on ``_cell`` co-locates them; a final
+    vectorized PIP refinement drops bbox-only false positives. Each point
+    has exactly one cell, so no pair dedup is needed. Hot cells can be split
+    further by salting the cell id on the polygon side and duplicating the
+    point-side lookup — not needed while polygon side per cell stays small.
+    """
+    ny = int(np.ceil(180.0 / cell_deg))
+
+    def poly_to_cells(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch[geometry_col])
+        xmin, ymin, xmax, ymax = K.bounds(ga)
+        rows = []
+        cells = []
+        for i in range(len(ga)):
+            if np.isnan(xmin[i]):
+                continue
+            ix0 = int(np.floor((xmin[i] + 180.0) / cell_deg))
+            ix1 = int(np.floor((xmax[i] + 180.0) / cell_deg))
+            iy0 = int(np.floor((ymin[i] + 90.0) / cell_deg))
+            iy1 = int(np.floor((ymax[i] + 90.0) / cell_deg))
+            for ix in range(ix0, ix1 + 1):
+                for iy in range(iy0, iy1 + 1):
+                    rows.append(i)
+                    cells.append(ix * ny + iy)
+        out = batch.take(pa.array(rows, pa.int64()))
+        return out.append_column("_cell", pa.array(cells, pa.int64()))
+
+    def point_cell(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        cell = tiles_mod.grid_tile_id(np.where(ok, lon, 0.0), np.where(ok, lat, 0.0), cell_deg)
+        batch = batch.append_column("_cell", pa.array(np.where(ok, cell, -1), type=pa.int64()))
+        return batch.filter(pa.array(ok))
+
+    pts = points_ds.map_batches(point_cell, batch_format="pyarrow")
+    polys = polygons_ds.map_batches(poly_to_cells, batch_format="pyarrow")
+    joined = pts.join(
+        polys,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("_cell",),
+        left_suffix="",
+        right_suffix="_r",
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        gcol = geometry_col if geometry_col in batch.column_names else geometry_col + "_r"
+        ga = decode_wkb(batch[gcol])
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(batch), dtype=bool)
+        for i in range(len(batch)):
+            keep[i] = bool(
+                points_in_polygon_single(
+                    np.array([lon[i]]), np.array([lat[i]]), _rings_of(ga, i)
+                )[0]
+            )
+        out = batch.filter(pa.array(keep))
+        return out.drop_columns([c for c in ("_cell", gcol) if c in out.column_names])
+
+    return joined.map_batches(refine, batch_format="pyarrow")

@@ -1,0 +1,112 @@
+"""Pages synthesizer determinism + flagship pipeline end-to-end."""
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.sources.pages import (
+    pages_batch,
+    generate_pages_parquet,
+    admin_polygons_table,
+    extract_text,
+    extract_geotag,
+    row_fields,
+    CITIES,
+)
+from geopolars_ray.geom import decode_wkb
+from geopolars_ray.geom import kernels as K
+
+
+def test_pages_deterministic_and_partition_independent():
+    a = pages_batch(np.arange(0, 200))
+    b1 = pages_batch(np.arange(0, 100))
+    b2 = pages_batch(np.arange(100, 200))
+    assert pa.concat_tables([b1, b2]).equals(a)
+    # same seed twice -> identical bytes
+    assert pages_batch(np.arange(0, 200)).equals(a)
+    # different seed -> different content
+    assert not pages_batch(np.arange(0, 200), seed=7).equals(a)
+
+
+def test_extraction_invariant_byte_identical():
+    """The north-star invariant: extract_text(html) == text for every row."""
+    t = pages_batch(np.arange(0, 500))
+    htmls = t["html"].to_pylist()
+    texts = t["text"].to_pylist()
+    for h, txt in zip(htmls, texts):
+        assert extract_text(h) == txt
+
+
+def test_geotag_extraction_matches_ground_truth():
+    ids = np.arange(0, 500)
+    t = pages_batch(ids)
+    f = row_fields(ids.astype(np.uint64))
+    for k in range(len(ids)):
+        tag = extract_geotag(t["text"][k].as_py())
+        if f["has_geo"][k]:
+            assert tag is not None
+            lat, lon = tag
+            assert lat == f["lat"][k] and lon == f["lon"][k]  # float-exact
+        else:
+            assert tag is None
+
+
+def test_skew_exists():
+    """Hot cities dominate (the deliberate skew for salt/combiner testing)."""
+    f = row_fields(np.arange(0, 20000, dtype=np.uint64))
+    counts = np.bincount(f["city_idx"], minlength=len(CITIES))
+    assert counts[0] > 5 * counts[-1]
+    assert counts.argmax() == 0  # tokyo has the highest weight
+
+
+def test_admin_polygons_tile_plane():
+    """Diamond cells are non-overlapping and cover the tested points."""
+    t = admin_polygons_table(cell_deg=30.0)
+    ga = decode_wkb(t["geometry"])
+    assert (K.area(ga) > 0).all()
+    from geopolars_ray.geom.strtree import PreparedPolygons, GridIndex
+
+    prep = PreparedPolygons.from_geometry_array(ga)
+    grid = GridIndex(prep.bounds)
+    rng = np.random.default_rng(2)
+    px = rng.uniform(-170, 170, 3000)
+    py = rng.uniform(-80, 80, 3000)
+    pidx, items = grid.candidates_for_points(px, py)
+    hits = np.zeros(len(px), dtype=np.int64)
+    for i in range(len(pidx)):
+        if prep.contains_points(int(items[i]), px[int(pidx[i])][None], py[int(pidx[i])][None])[0]:
+            hits[pidx[i]] += 1
+    # every random point lands in exactly one diamond (boundaries have measure ~0)
+    assert (hits == 1).all()
+
+
+def test_flagship_end_to_end(ray_session, tmp_path):
+    import ray
+    from geopolars_ray.pipelines.flagship import geotag_points, tile_rollup
+
+    n = 3000
+    generate_pages_parquet(str(tmp_path / "pages"), n, rows_per_file=1000)
+    # min-1 autoscaling pools: two pools with fixed min 2 each would reserve
+    # all 4 test CPUs and starve the read tasks (observed deadlock)
+    pts = geotag_points(
+        str(tmp_path / "pages"),
+        extract_concurrency=(1, 2),
+        join_concurrency=(1, 2),
+        batch_size=1024,
+    )
+    df = pts.to_pandas()
+    # expected: all rows with geo signal are joined to exactly one admin cell
+    f = row_fields(np.arange(n, dtype=np.uint64))
+    assert len(df) == int(f["has_geo"].sum())
+    assert df["admin_id"].notna().all()
+    assert {"url", "lat", "lon", "s2_l12", "grid_tile", "admin_id"} <= set(df.columns)
+    # ground truth lat/lon match
+    truth = {f"article-{i}": (f["lat"][i], f["lon"][i]) for i in range(n) if f["has_geo"][i]}
+    for _, row in df.sample(50, random_state=0).iterrows():
+        key = row["url"].rsplit("/", 1)[1]
+        tlat, tlon = truth[key]
+        assert row["lat"] == tlat and row["lon"] == tlon
+
+    rollup = tile_rollup(pts).to_pandas()
+    assert rollup["n_pages"].sum() == len(df)
+    # mean position of each tile is inside the tile-ish (sanity)
+    assert (rollup["n_pages"] > 0).all()

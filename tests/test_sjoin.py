@@ -1,0 +1,174 @@
+"""Spatial-join tests: reference golden fixture F5 + broadcast/partitioned joins."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geopolars_ray.geom import GeometryArray, encode_wkb
+from geopolars_ray.stages.join import spatial_join_table
+
+F5_POINTS = [(0.0, 10.0), (1.0, 1.0), (10.0, 1.0), (1.0, -1.0), (0.0, -10.0),
+             (-1.0, -1.0), (-10.0, 0.0), (-1.0, 1.0), (0.0, 10.0)]
+
+
+def _f5_tables():
+    pts = GeometryArray.from_points(
+        np.array([p[0] for p in F5_POINTS]), np.array([p[1] for p in F5_POINTS])
+    )
+    lhs = pa.table(
+        {"geometry": encode_wkb(pts), "point_values": pa.array([float(i + 1) for i in range(9)])}
+    )
+    poly = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]])]
+    )
+    rhs = pa.table({"geometry": encode_wkb(poly), "string_col": pa.array(["test"])})
+    return lhs, rhs
+
+
+def test_f5_inner_shape():
+    """Golden: inner join is exactly (2, 4); matches are (1,1) and (10,1)
+    (`spatial_index.rs:479`)."""
+    lhs, rhs = _f5_tables()
+    out = spatial_join_table(lhs, rhs, how="inner")
+    assert out.shape == (2, 4)
+    assert sorted(out["point_values_left"].to_pylist()) == [2.0, 3.0]
+    assert out["string_col_right"].to_pylist() == ["test", "test"]
+
+
+def test_f5_left_shape():
+    """Golden: left join keeps all 9 rows (`spatial_index.rs:480`)."""
+    lhs, rhs = _f5_tables()
+    out = spatial_join_table(lhs, rhs, how="left")
+    assert out.shape == (9, 4)
+    vals = out["point_values_left"].to_pylist()
+    assert sorted(vals) == [float(i + 1) for i in range(9)]
+    matched = [s for s in out["string_col_right"].to_pylist() if s is not None]
+    assert matched == ["test", "test"]
+
+
+def test_f5_suffixes():
+    """Golden column order/names with custom suffixes (`spatial_index.rs:544-552`)."""
+    lhs, rhs = _f5_tables()
+    out = spatial_join_table(lhs, rhs, how="inner", l_suffix="_left!", r_suffix="_right!")
+    assert out.column_names == [
+        "geometry_left!",
+        "point_values_left!",
+        "geometry_right!",
+        "string_col_right!",
+    ]
+
+
+def test_predicate_dispatch_quirks():
+    """point⊗polygon ignores the predicate; polygon⊗multipolygon contains=false."""
+    lhs, rhs = _f5_tables()
+    # contains behaves identically to intersects for point⊗polygon (`:90-96`)
+    inner_c = spatial_join_table(lhs, rhs, how="inner", predicate="contains")
+    assert inner_c.shape == (2, 4)
+
+    poly = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (30.0, 0.0), (30.0, 30.0), (0.0, 30.0), (0.0, 0.0)]])]
+    )
+    mpoly = GeometryArray.from_pylist(
+        [("multipolygon", [[[(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]]])]
+    )
+    lt = pa.table({"geometry": encode_wkb(poly), "a": pa.array([1])})
+    rt = pa.table({"geometry": encode_wkb(mpoly), "b": pa.array([2])})
+    # polygon⊗multipolygon supports only Intersects (`:118-123`)
+    assert spatial_join_table(lt, rt, predicate="intersects").num_rows == 1
+    assert spatial_join_table(lt, rt, predicate="contains").num_rows == 0
+
+
+def test_polygon_polygon_contains():
+    big = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])]
+    )
+    small = GeometryArray.from_pylist(
+        [("polygon", [[(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]])]
+    )
+    disjoint = GeometryArray.from_pylist(
+        [("polygon", [[(20.0, 20.0), (21.0, 20.0), (21.0, 21.0), (20.0, 21.0), (20.0, 20.0)]])]
+    )
+    lt = pa.table({"geometry": encode_wkb(big), "a": pa.array([1])})
+    assert spatial_join_table(lt, pa.table({"geometry": encode_wkb(small), "b": pa.array([2])}),
+                              predicate="contains").num_rows == 1
+    assert spatial_join_table(lt, pa.table({"geometry": encode_wkb(disjoint), "b": pa.array([2])}),
+                              predicate="contains").num_rows == 0
+    # overlapping-but-not-contained intersects
+    overlap = GeometryArray.from_pylist(
+        [("polygon", [[(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)]])]
+    )
+    rt = pa.table({"geometry": encode_wkb(overlap), "b": pa.array([2])})
+    assert spatial_join_table(lt, rt, predicate="intersects").num_rows == 1
+    assert spatial_join_table(lt, rt, predicate="contains").num_rows == 0
+
+
+def test_line_contains_point():
+    line = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (10.0, 0.0)])])
+    pts = GeometryArray.from_points(np.array([5.0, 5.0]), np.array([0.0, 1.0]))
+    lt = pa.table({"geometry": encode_wkb(line), "a": pa.array([1])})
+    rt = pa.table({"geometry": encode_wkb(pts), "b": pa.array([1, 2])})
+    out = spatial_join_table(lt, rt)
+    assert out.num_rows == 1
+    assert out["b_right"].to_pylist() == [1]
+
+
+def test_unsupported_join_type():
+    lhs, rhs = _f5_tables()
+    with pytest.raises(ValueError):
+        spatial_join_table(lhs, rhs, how="outer")  # `:200-203`
+
+
+def test_broadcast_join_dataset(ray_session):
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    lon = rng.uniform(-50, 50, n)
+    lat = rng.uniform(-50, 50, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    # two diamond polygons
+    polys = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(-10.0, 0.0), (0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0)]]),
+            ("polygon", [[(20.0, 30.0), (30.0, 20.0), (40.0, 30.0), (30.0, 40.0), (20.0, 30.0)]]),
+        ]
+    )
+    admin = pa.table({"admin_id": pa.array(["a", "b"]), "geometry": encode_wkb(polys)})
+    ds = ray.data.from_arrow(pts)
+    out = broadcast_spatial_join(ds, admin, how="inner", concurrency=2).to_pandas()
+    # brute-force expectation
+    in_a = (np.abs(lon) + np.abs(lat)) < 10.0
+    in_b = (np.abs(lon - 30.0) + np.abs(lat - 30.0)) < 10.0
+    expect = {(int(i), "a") for i in np.nonzero(in_a)[0]} | {(int(i), "b") for i in np.nonzero(in_b)[0]}
+    got = set(zip(out["pid"].astype(int), out["admin_id"]))
+    assert got == expect
+    # left join keeps all points
+    left = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="left", concurrency=2)
+    assert left.count() == n
+
+
+def test_partitioned_join_matches_broadcast(ray_session):
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join, partitioned_spatial_join
+
+    rng = np.random.default_rng(12)
+    n = 5000
+    lon = rng.uniform(-40, 40, n)
+    lat = rng.uniform(-40, 40, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    polys = []
+    ids = []
+    for k in range(25):
+        cx, cy = rng.uniform(-35, 35, 2)
+        r = rng.uniform(1, 4)
+        polys.append(("polygon", [[(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]]))
+        ids.append(f"p{k}")
+    admin = pa.table(
+        {"admin_id": pa.array(ids), "geometry": encode_wkb(GeometryArray.from_pylist(polys))}
+    )
+    b = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner", concurrency=2).to_pandas()
+    p = partitioned_spatial_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(admin), cell_deg=10.0, num_partitions=8
+    ).to_pandas()
+    assert set(zip(b["pid"].astype(int), b["admin_id"])) == set(zip(p["pid"].astype(int), p["admin_id"]))
