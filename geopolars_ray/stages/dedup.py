@@ -1,0 +1,247 @@
+"""Deduplication stages: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding.
+
+Scale shapes (per the standard web-corpus dedup pipeline structure —
+shingle -> minhash -> band -> bucket-groupby):
+
+- exact: vectorized content hash per batch (polars xxhash), then ONE
+  groupby(hash) aggregate — hash-partition + per-group-first; no full-row
+  shuffle of payloads when only ids are needed.
+- MinHash-LSH near-dup: per batch shingle+sign (stateful actor: permutation
+  coefficients built once), flat-map to (band, band_hash, doc_id) rows —
+  ~bands× small int rows, not text — groupby the band key, emit candidate
+  pairs per bucket, verify exact Jaccard on re-shingled pairs.
+- SimHash: 64-bit sketch; candidates via 4x16-bit chunk banding (hamming<=3
+  within buckets).
+- embedding cosine: random-hyperplane LSH buckets, exact cosine within
+  buckets.
+
+All randomized state is seeded -> byte-identical across retries and
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+import pyarrow as pa
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def content_hash(cols: Iterable[str], out_col: str = "content_hash") -> Callable[[pa.Table], pa.Table]:
+    """Vectorized 64-bit content hash of one or more columns (polars xxhash)."""
+    cols = list(cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(cols))
+        h = df.hash_rows(seed=0).to_numpy().view(np.int64)
+        return batch.append_column(out_col, pa.array(h))
+
+    return fn
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Distinct k-char-shingle hashes of a document (uint64, sorted)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        b = np.pad(b, (0, k - len(b)), constant_values=32)
+    with np.errstate(over="ignore"):
+        # polynomial rolling hash of each k-gram (2^64 ring)
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        for i in range(k):
+            h = h * np.uint64(1099511628211) + b[i : len(b) - k + 1 + i].astype(np.uint64)
+    return np.unique(h)
+
+
+class MinHasher:
+    """Stateful minhash stage: 64-permutation signatures, banded for LSH.
+
+    ``__init__`` draws the (a, b) permutation coefficients ONCE per actor
+    from a fixed seed; ``__call__`` emits ``bands`` rows per document:
+    (band, band_hash, doc_id) — the compact exchange that the band groupby
+    shuffles instead of document text.
+    """
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+    ):
+        if num_perm % bands:
+            raise ValueError("bands must divide num_perm")
+        rng = np.random.default_rng(1234)
+        self.a = rng.integers(1, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        with np.errstate(over="ignore"):
+            # universal hash family modulo the Mersenne prime 2^61-1
+            prod = (sh[:, None] * self.a[None, :] + self.b[None, :]) % _MERSENNE
+        return prod.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        n = len(ids)
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig[i] = self.signature(t or "")
+        # band hashes: mix each band's rows into one int64 key
+        band_ids = np.repeat(np.arange(self.bands, dtype=np.int64), n)
+        doc_ids = np.tile(np.asarray(ids, dtype=np.int64), self.bands)
+        bh = np.empty((self.bands, n), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for bnd in range(self.bands):
+                rows = sig[:, bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+                acc = np.uint64(1469598103934665603)
+                for r in range(self.rows_per_band):
+                    acc = (acc ^ rows[:, r]) * np.uint64(1099511628211)
+                bh[bnd] = acc
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(doc_ids),
+            }
+        )
+
+
+def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000):
+    """(band, band_hash) groupby -> unordered candidate (a, b) pairs, a < b.
+
+    Buckets larger than ``max_bucket`` are truncated (quadratic blowup guard)
+    — logged via the pair count; dedup of pairs across bands happens in the
+    subsequent exact-verify groupby.
+    """
+
+    def to_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))[:max_bucket]
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(to_pairs, batch_format="pyarrow")
+    # dedup pairs generated by multiple bands
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int = 5, threshold: float = 0.7,
+                   num_partitions: int = 16):
+    """Join candidate pairs back to texts and compute exact shingle Jaccard."""
+    docs = docs_ds.select_columns([id_col, text_col])
+    j1 = pairs_ds.join(
+        docs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,),
+        left_suffix="", right_suffix="_a",
+    )
+    j2 = j1.join(
+        docs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,),
+        left_suffix="", right_suffix="_b",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        # after two joins the two text columns carry the _a/_b (or bare+_b) names
+        names = [c for c in batch.column_names if c.startswith(text_col)]
+        ca, cb = names[0], names[1]
+        A = batch[ca].to_pylist()
+        B = batch[cb].to_pylist()
+        jac = np.zeros(len(A))
+        for i in range(len(A)):
+            sa = _shingle_hashes(A[i] or "", k)
+            sb = _shingle_hashes(B[i] or "", k)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 0.0
+        out = batch.select(["a", "b"]).append_column("jaccard", pa.array(jac))
+        return out.filter(pa.array(jac >= threshold))
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+class SimHasher:
+    """64-bit SimHash sketches + 16-bit chunk keys for near-dup banding."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        texts = batch[self.text_col].to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t or "", 4)
+            if not len(sh):
+                continue
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            votes = (2 * bits - 1).sum(axis=0)
+            with np.errstate(over="ignore"):
+                out[i] = np.sum((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        t = batch.append_column("simhash", pa.array(out.view(np.int64)))
+        for c in range(4):
+            chunk = ((out >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+            t = t.append_column(f"sim_chunk{c}", pa.array(chunk))
+        return t
+
+
+class EmbeddingLSH:
+    """Random-hyperplane LSH over an embedding list<float> column.
+
+    ``__init__`` draws the (seeded) hyperplane matrix once per actor;
+    ``__call__`` emits a bucket key (int64 sign pattern) per row for a
+    bucket-groupby + exact-cosine-within-bucket near-dup pass.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 16, id_col: str = "vec_id", emb_col: str = "embedding"):
+        rng = np.random.default_rng(99)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        proj = emb @ self.planes
+        bits = (proj > 0).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = np.zeros(len(emb), dtype=np.uint64)
+            for p in range(self.planes.shape[1]):
+                key |= bits[:, p] << np.uint64(p)
+        return batch.append_column("lsh_bucket", pa.array(key.view(np.int64)))
+
+
+def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding"):
+    """map_groups fn: exact pairwise cosine inside one LSH bucket."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        emb = np.asarray(group[emb_col].to_pylist(), dtype=np.float64)
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        u = emb / norm
+        sim = u @ u.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= threshold
+        order = np.argsort(ids)
+        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
+        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
+        return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(sim[ii, jj][keep])})
+
+    return fn

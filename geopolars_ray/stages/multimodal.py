@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) stage plumbing over opaque binary columns.
+
+The container ships no image/audio codecs, so the DECODE step is stubbed
+(per the build contract): :class:`DecodeImage` raises ``NotImplementedError``
+in ``codec='real'`` mode, and ships a deterministic fake codec (a tiny
+self-describing header format) so the Ray-side plumbing — schema, actor
+signature, batch sizing, output layout — is real and tested end-to-end.
+
+Media stages follow the actor-pool pattern: heavy codec/model init once per
+actor, small ``batch_size`` because rows are megabytes wide (the same
+wide-row guidance as the html stage, SURVEY.md §7 "hard" #4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+FAKE_MAGIC = b"FIMG"
+
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Deterministic fake image bytes: header + seeded uint8 payload."""
+    rng = np.random.default_rng(seed)
+    payload = rng.integers(0, 256, size=width * height * 3, dtype=np.uint8)
+    return FAKE_MAGIC + struct.pack("<II", width, height) + payload.tobytes()
+
+
+class DecodeImage:
+    """Actor-pool image decode: binary column -> (width, height, mean_rgb).
+
+    ``codec='fake'`` parses the deterministic FIMG format; ``codec='real'``
+    is the integration point for PIL/libjpeg etc. and raises
+    ``NotImplementedError`` here (no codecs in this container).
+    """
+
+    def __init__(self, codec: str = "fake", data_col: str = "image"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        if codec == "real":
+            raise NotImplementedError(
+                "real image codecs are not available in this environment; "
+                "use codec='fake' (deterministic stub) — plumbing is identical"
+            )
+        self.codec = codec
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.data_col].to_pylist()
+        w = np.zeros(len(blobs), dtype=np.int64)
+        h = np.zeros(len(blobs), dtype=np.int64)
+        mean = np.full(len(blobs), np.nan)
+        for i, b in enumerate(blobs):
+            if b is None or not b.startswith(FAKE_MAGIC):
+                continue
+            w[i], h[i] = struct.unpack_from("<II", b, 4)
+            px = np.frombuffer(b, dtype=np.uint8, offset=12)
+            mean[i] = float(px.mean()) if len(px) else np.nan
+        out = batch.drop_columns([self.data_col])
+        out = out.append_column("width", pa.array(w))
+        out = out.append_column("height", pa.array(h))
+        return out.append_column("mean_rgb", pa.array(mean))
+
+
+class ResizeImage:
+    """Fake-codec resize: nearest-neighbor downsample of the FIMG payload.
+
+    Demonstrates binary-in/binary-out media transforms with stable schema.
+    """
+
+    def __init__(self, out_w: int, out_h: int, data_col: str = "image"):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.data_col].to_pylist()
+        out = []
+        for b in blobs:
+            if b is None or not b.startswith(FAKE_MAGIC):
+                out.append(None)
+                continue
+            w, h = struct.unpack_from("<II", b, 4)
+            px = np.frombuffer(b, dtype=np.uint8, offset=12).reshape(h, w, 3)
+            yi = (np.arange(self.out_h) * h // self.out_h)
+            xi = (np.arange(self.out_w) * w // self.out_w)
+            small = px[yi][:, xi]
+            out.append(FAKE_MAGIC + struct.pack("<II", self.out_w, self.out_h) + small.tobytes())
+        idx = batch.column_names.index(self.data_col)
+        return batch.set_column(idx, self.data_col, pa.array(out, pa.binary()))
+
+
+class FrameSample:
+    """Fake 'video' frame sampling: a video is a sequence of FIMG blobs
+    length-prefixed; emit every Nth frame as an image row (flat-map shape)."""
+
+    def __init__(self, every: int = 2, data_col: str = "video"):
+        self.every = every
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = []
+        frames = []
+        frame_no = []
+        id_col = batch.column_names[0]
+        for row, blob in enumerate(batch[self.data_col].to_pylist()):
+            if blob is None:
+                continue
+            pos, n = 0, 0
+            while pos + 4 <= len(blob):
+                (ln,) = struct.unpack_from("<I", blob, pos)
+                frame = blob[pos + 4 : pos + 4 + ln]
+                if n % self.every == 0:
+                    ids.append(batch[id_col][row].as_py())
+                    frames.append(frame)
+                    frame_no.append(n)
+                pos += 4 + ln
+                n += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "frame_no": pa.array(frame_no, pa.int64()),
+                "image": pa.array(frames, pa.binary()),
+            }
+        )

@@ -1,0 +1,201 @@
+"""Tests for text analysis, dedup, ANN, and multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.stages.text import token_stats, quality_score, LangId, Fingerprint
+from geopolars_ray.stages.dedup import (
+    content_hash,
+    MinHasher,
+    SimHasher,
+    EmbeddingLSH,
+    _shingle_hashes,
+)
+from geopolars_ray.stages.multimodal import (
+    encode_fake_image,
+    DecodeImage,
+    ResizeImage,
+    FrameSample,
+    FAKE_MAGIC,
+)
+
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(
+            [
+                "The quick brown fox jumps over the lazy dog near the river bank.",
+                "The quick brown fox jumps over the lazy dog near the river bank!",
+                "Der schnelle braune Fuchs springt und das ist nicht ein Problem.",
+                "1234 5678 90",
+            ]
+        ),
+    }
+)
+
+
+def test_token_stats():
+    out = token_stats()(DOCS)
+    assert out["n_tokens"].to_pylist() == [13, 13, 11, 3]
+    assert out["n_chars_calc"].to_pylist() == [64, 64, 64, 12]
+
+
+def test_quality_score():
+    out = quality_score()(DOCS)
+    q = out["quality"].to_pylist()
+    assert q[0] > q[3]  # prose beats digit soup
+    assert out["digit_ratio"].to_pylist()[3] > 0.5
+
+
+def test_langid():
+    out = LangId()(DOCS)
+    preds = out["lang_pred"].to_pylist()
+    assert preds[0] == "en"
+    assert preds[2] == "de"
+    assert preds[3] == "und"
+
+
+def test_fingerprint_stability():
+    out1 = Fingerprint()(DOCS)
+    out2 = Fingerprint()(DOCS)
+    assert out1["fingerprint"].to_pylist() == out2["fingerprint"].to_pylist()
+    # near-identical docs share many winnowed hashes -> similar fingerprints,
+    # but the min-hash fingerprint of identical prefixes is equal
+    fp = out1["fingerprint"].to_pylist()
+    assert fp[0] != fp[2]
+
+
+def test_content_hash():
+    out = content_hash(["text"])(DOCS)
+    h = out["content_hash"].to_pylist()
+    assert h[0] != h[1] and h[0] != h[2]
+    again = content_hash(["text"])(DOCS)["content_hash"].to_pylist()
+    assert h == again
+
+
+def test_shingles_and_minhash_similarity():
+    a = _shingle_hashes(DOCS["text"][0].as_py(), 5)
+    b = _shingle_hashes(DOCS["text"][1].as_py(), 5)
+    inter = len(np.intersect1d(a, b))
+    jac = inter / (len(a) + len(b) - inter)
+    assert jac > 0.8  # near-dups by construction
+
+    mh = MinHasher(bands=16, num_perm=64)
+    sa = mh.signature(DOCS["text"][0].as_py())
+    sb = mh.signature(DOCS["text"][1].as_py())
+    sc = mh.signature(DOCS["text"][2].as_py())
+    est_ab = (sa == sb).mean()
+    est_ac = (sa == sc).mean()
+    assert est_ab > 0.6 and est_ac < 0.3
+
+    bands = mh(DOCS)
+    assert bands.column_names == ["band", "band_hash", "doc_id"]
+    assert bands.num_rows == 4 * 16
+    # near-dups share at least one band bucket; the german doc shares none
+    import collections
+
+    buckets = collections.defaultdict(set)
+    for band, bh, did in zip(*[bands[c].to_pylist() for c in bands.column_names]):
+        buckets[(band, bh)].add(did)
+    pairs = {frozenset(p) for s in buckets.values() if len(s) > 1 for p in [tuple(sorted(s))]}
+    assert frozenset((1, 2)) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash():
+    out = SimHasher()(DOCS)
+    h = np.array(out["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    ham_ab = bin(int(h[0] ^ h[1])).count("1")
+    ham_ac = bin(int(h[0] ^ h[2])).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 8
+
+
+def test_embedding_lsh_deterministic():
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0, 0.0], [0.99, 0.01, 0.0], [-1.0, 0.0, 0.0]]),
+        }
+    )
+    out1 = EmbeddingLSH(dim=3)(t)
+    out2 = EmbeddingLSH(dim=3)(t)
+    b = out1["lsh_bucket"].to_pylist()
+    assert b == out2["lsh_bucket"].to_pylist()
+    assert b[0] == b[1] and b[0] != b[2]  # parallel vectors bucket together
+
+
+def test_multimodal_fake_codec():
+    img1 = encode_fake_image(8, 4, seed=1)
+    img2 = encode_fake_image(16, 8, seed=2)
+    t = pa.table({"img_id": pa.array([1, 2, 3], pa.int64()),
+                  "image": pa.array([img1, img2, None], pa.binary())})
+    dec = DecodeImage(codec="fake", data_col="image")(t)
+    assert dec["width"].to_pylist() == [8, 16, 0]
+    assert dec["height"].to_pylist() == [4, 8, 0]
+    assert "image" not in dec.column_names
+
+    rs = ResizeImage(4, 2, data_col="image")(t)
+    dec2 = DecodeImage(codec="fake", data_col="image")(rs)
+    assert dec2["width"].to_pylist() == [4, 4, 0]
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        DecodeImage(codec="real")
+
+
+def test_frame_sample():
+    import struct
+
+    frames = [encode_fake_image(4, 4, seed=s) for s in range(5)]
+    video = b"".join(struct.pack("<I", len(f)) + f for f in frames)
+    t = pa.table({"vid": pa.array([7], pa.int64()), "video": pa.array([video], pa.binary())})
+    out = FrameSample(every=2, data_col="video")(t)
+    assert out["frame_no"].to_pylist() == [0, 2, 4]
+    assert all(f.startswith(FAKE_MAGIC) for f in out["image"].to_pylist())
+
+
+def test_ann_brute_force(ray_session):
+    import ray
+    from geopolars_ray.stages.ann import brute_force_knn
+
+    rng = np.random.default_rng(21)
+    n, d = 2000, 16
+    emb = rng.standard_normal((n, d))
+    t = pa.table({"vec_id": pa.array(np.arange(n)), "embedding": pa.array(emb.tolist())})
+    queries = {"qid": np.arange(3), "qvec": emb[[10, 500, 1500]]}
+    out = brute_force_knn(ray.data.from_arrow(t), queries, k=5, concurrency=2).to_pandas()
+    # numpy reference
+    u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    for qi, src in zip(range(3), [10, 500, 1500]):
+        sims = u @ u[src]
+        expect = set(np.argsort(-sims)[:5].tolist())
+        got = set(out[out.qid == qi]["vec_id"].tolist())
+        assert got == expect
+        top1 = out[(out.qid == qi) & (out["rank"] == 1)]["vec_id"].iloc[0]
+        assert top1 == src  # self is the nearest
+
+
+def test_minhash_lsh_pipeline(ray_session):
+    import ray
+    from geopolars_ray.stages.dedup import lsh_candidate_pairs, jaccard_verify
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away to the hills "
+    texts = []
+    for i in range(40):
+        if i % 4 == 0:
+            texts.append(base + f"variant {i % 2}")  # 20 near-dups in 2 clusters
+        else:
+            texts.append(f"document {i} " + " ".join(f"tok{i}_{j}" for j in range(12)))
+    docs = pa.table({"doc_id": pa.array(np.arange(40), pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(docs)
+    bands = ds.map_batches(MinHasher, batch_format="pyarrow", concurrency=1,
+                           fn_constructor_kwargs=dict())
+    cand = lsh_candidate_pairs(bands)
+    verified = jaccard_verify(cand, ray.data.from_arrow(docs), threshold=0.7, num_partitions=2).to_pandas()
+    got = set(zip(verified["a"].astype(int), verified["b"].astype(int)))
+    cluster = [i for i in range(40) if i % 4 == 0]
+    expect = {(a, b) for i, a in enumerate(cluster) for b in cluster[i + 1 :]}
+    assert got == expect
