@@ -44,10 +44,32 @@ EARTH_RADIUS_M = 6371008.8  # mean radius (haversine)
 
 
 def _range_sums(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """Sum ``values[starts[i]:ends[i]]`` per i, via cumsum differences."""
-    csum = np.zeros(len(values) + 1, dtype=np.float64)
-    np.cumsum(values, out=csum[1:])
-    return csum[ends] - csum[starts]
+    """Sum ``values[starts[i]:ends[i]]`` per i (ranges non-decreasing).
+
+    Uses ``np.add.reduceat`` over interleaved [start, end) boundaries rather
+    than global-cumsum differences: summation stays local to each range, so
+    float error does not grow with the prefix magnitude (and integer-valued
+    sums stay exact — the oracle comparisons rely on this).
+    """
+    n = len(starts)
+    out = np.zeros(n, dtype=np.float64)
+    nz = ends > starts
+    if len(values) == 0 or not nz.any():
+        return out
+    s = np.asarray(starts)[nz]
+    e = np.asarray(ends)[nz]
+    bounds = np.empty(2 * len(s), dtype=np.int64)
+    bounds[0::2] = s
+    bounds[1::2] = e
+    # reduceat sums [bounds[i], bounds[i+1]); even slots are our ranges, odd
+    # slots are the gaps (discarded). A trailing boundary == len(values) is
+    # illegal for reduceat — drop it, the final range then runs to the end.
+    if bounds[-1] == len(values):
+        sums = np.add.reduceat(np.asarray(values, dtype=np.float64), bounds[:-1])
+    else:
+        sums = np.add.reduceat(np.asarray(values, dtype=np.float64), bounds)
+    out[nz] = sums[0::2]
+    return out
 
 
 def _per_ring_to_per_geom(ga: GeometryArray, ring_vals: np.ndarray) -> np.ndarray:
@@ -76,7 +98,7 @@ def _segment_cross(ga: GeometryArray) -> np.ndarray:
 def _segment_lengths_per_ring(ga: GeometryArray) -> np.ndarray:
     """Per-ring sum of euclidean segment lengths."""
     d = np.diff(ga.coords, axis=0)
-    seg = np.hypot(d[:, 0], d[:, 1]) if len(d) else np.empty(0)
+    seg = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) if len(d) else np.empty(0)
     starts = ga.ring_offsets[:-1]
     ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
     return _range_sums(seg, starts, ends)
@@ -361,7 +383,7 @@ def centroid(ga: GeometryArray) -> GeometryArray:
     line = np.isin(ga.types, _LINE_TYPES) & nz
     if line.any():
         d = np.diff(ga.coords, axis=0)
-        seg_len = np.hypot(d[:, 0], d[:, 1]) if len(d) else np.empty(0)
+        seg_len = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]) if len(d) else np.empty(0)
         mid_x = (x[:-1] + x[1:]) / 2.0
         mid_y = (y[:-1] + y[1:]) / 2.0
         starts = ga.ring_offsets[:-1]
@@ -696,7 +718,7 @@ def distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
         rco = rhs.coord_offsets()[:-1]
         dx = lhs.coords[lco[both], 0] - rhs.coords[rco[both], 0]
         dy = lhs.coords[lco[both], 1] - rhs.coords[rco[both], 1]
-        out[both] = np.hypot(dx, dy)
+        out[both] = np.sqrt(dx * dx + dy * dy)
     rest = ~both & ~lhs.is_missing() & ~rhs.is_missing()
     if rest.any():
         lco = lhs.coord_offsets()
@@ -725,7 +747,7 @@ def _geom_pair_distance(lhs: GeometryArray, rhs: GeometryArray, i: int) -> float
     da = _min_point_to_segments(a, _segments_of(rhs, i)) if _segments_of(rhs, i) is not None else np.inf
     db = _min_point_to_segments(b, _segments_of(lhs, i)) if _segments_of(lhs, i) is not None else np.inf
     dpt = np.min(
-        np.hypot(a[:, None, 0] - b[None, :, 0], a[:, None, 1] - b[None, :, 1])
+        np.sqrt((a[:, None, 0] - b[None, :, 0]) ** 2 + (a[:, None, 1] - b[None, :, 1]) ** 2)
     )
     return float(min(da, db, dpt))
 

@@ -1,0 +1,801 @@
+"""The correctness-gate query surface: Ray pipelines + DuckDB oracle SQL.
+
+Every entry exercises engine operators (SURVEY.md §2) over the driver's
+testdata tables. Geometry inputs are DERIVED deterministically from integer
+keys with float-exact arithmetic (halves/quarters, integer-valued sums, cent
+casts), so the DuckDB oracle comparison is bit-exact — no tolerance needed.
+Where an op is not SQL-expressible (convex hull, S2, geodesic, minhash, ANN)
+the query ships without an oracle and is validated in pytest instead.
+
+Derivations (mirrored EXACTLY in the SQL strings):
+
+    customer point:  x = (c_custkey % 720)/2.0 - 179.75
+                     y = ((c_custkey*7) % 360)/2.0 - 89.75
+    supplier point:  sx = ((s_suppkey*37) % 720)/2.0 - 179.75
+                     sy = ((s_suppkey*53) % 360)/2.0 - 89.75
+    nation rect:     xmin = (n_nationkey % 12)*30.0 - 180.0
+                     ymin = ((n_nationkey*5) % 9)*20.0 - 90.0
+                     w    = 10.0 + (n_nationkey % 3)*10.0
+                     h    = 10.0 + (n_nationkey % 2)*10.0
+      (cell positions are unique mod 36 -> the 25 rects are disjoint)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+from geopolars_ray.geom import kernels as K
+from geopolars_ray.geom import crs as crs_mod
+from geopolars_ray.geom import s2 as s2_mod
+from geopolars_ray.geom import tiles as tiles_mod
+from geopolars_ray.stages.geo import geo_op, points_from_xy, geo_explode
+from geopolars_ray.stages.join import broadcast_spatial_join
+from geopolars_ray.stages.knn import euclidean_knn
+
+CELL = 15.0  # grid tile size for the rollup queries
+_NY = 12  # ceil(180/15)
+
+# shared SQL fragments (must mirror the numpy derivations above exactly)
+_CX = "(c_custkey % 720)/2.0 - 179.75"
+_CY = "((c_custkey*7) % 360)/2.0 - 89.75"
+_SX = "((s_suppkey*37) % 720)/2.0 - 179.75"
+_SY = "((s_suppkey*53) % 360)/2.0 - 89.75"
+_RECT = (
+    "SELECT n_nationkey, (n_nationkey % 12)*30.0 - 180.0 AS xmin, "
+    "((n_nationkey*5) % 9)*20.0 - 90.0 AS ymin, "
+    "10.0 + (n_nationkey % 3)*10.0 AS w, 10.0 + (n_nationkey % 2)*10.0 AS h FROM nation"
+)
+_CPTS = f"SELECT c_custkey, c_nationkey, {_CX} AS x, {_CY} AS y FROM customer"
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _customer_xy(batch: pa.Table) -> pa.Table:
+    k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = (k % 720) / 2.0 - 179.75
+    y = ((k * 7) % 360) / 2.0 - 89.75
+    batch = batch.append_column("x", pa.array(x))
+    return batch.append_column("y", pa.array(y))
+
+
+def customer_points(sf_dir: str, with_geometry: bool = True):
+    """customer -> (c_custkey, c_nationkey, x, y [, geometry WKB Point])."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    ds = ds.map_batches(_customer_xy, batch_format="pyarrow")
+    if with_geometry:
+        ds = ds.map_batches(points_from_xy("x", "y"), batch_format="pyarrow")
+    return ds
+
+
+def nation_rects(sf_dir: str) -> pa.Table:
+    """Small polygon table (driver-side; broadcast by the joins)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    n = t["n_nationkey"].to_numpy().astype(np.int64)
+    xmin = (n % 12) * 30.0 - 180.0
+    ymin = ((n * 5) % 9) * 20.0 - 90.0
+    w = 10.0 + (n % 3) * 10.0
+    h = 10.0 + (n % 2) * 10.0
+    geoms = [
+        (
+            "polygon",
+            [[(xmin[i], ymin[i]), (xmin[i] + w[i], ymin[i]), (xmin[i] + w[i], ymin[i] + h[i]),
+              (xmin[i], ymin[i] + h[i]), (xmin[i], ymin[i])]],
+        )
+        for i in range(len(n))
+    ]
+    return pa.table(
+        {
+            "n_nationkey": t["n_nationkey"],
+            "geometry": encode_wkb(GeometryArray.from_pylist(geoms)),
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# geo queries (oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def q_geo_xy(sf_dir: str):
+    """Point construction + x/y accessors through the WKB kernel path."""
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(geo_op("x", out_col="px"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("y", out_col="py"), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "px", "py"])
+
+
+def q_geo_translate(sf_dir: str):
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(geo_op("translate", x=1.25, y=-2.5), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("x", out_col="xt"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("y", out_col="yt"), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "xt", "yt"])
+
+
+def q_geo_affine(sf_dir: str):
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(
+        geo_op("affine_transform", matrix=[2.0, 0.0, 0.0, 0.5, 10.25, -3.5]),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(geo_op("x", out_col="xa"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("y", out_col="ya"), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "xa", "ya"])
+
+
+def q_geo_rect_stats(sf_dir: str):
+    """area / perimeter / centroid / envelope over the nation rect polygons."""
+    rects = nation_rects(sf_dir)
+    ds = ray.data.from_arrow(rects)
+    ds = ds.map_batches(geo_op("area"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("euclidean_length", out_col="perimeter"), batch_format="pyarrow")
+
+    def cen(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch["geometry"])
+        c = K.centroid(ga)
+        batch = batch.append_column("cx", pa.array(c.coords[:, 0]))
+        batch = batch.append_column("cy", pa.array(c.coords[:, 1]))
+        xmin, ymin, xmax, ymax = K.bounds(K.envelope(ga))
+        for nm, v in (("exmin", xmin), ("eymin", ymin), ("exmax", xmax), ("eymax", ymax)):
+            batch = batch.append_column(nm, pa.array(v))
+        return batch
+
+    ds = ds.map_batches(cen, batch_format="pyarrow")
+    return ds.select_columns(["n_nationkey", "area", "perimeter", "cx", "cy", "exmin", "eymin", "exmax", "eymax"])
+
+
+def _group_multipoint(g: pa.Table) -> GeometryArray:
+    order = np.argsort(g["c_custkey"].to_numpy(zero_copy_only=False))
+    x = g["x"].to_numpy(zero_copy_only=False)[order]
+    y = g["y"].to_numpy(zero_copy_only=False)[order]
+    return GeometryArray.from_pylist([("multipoint", list(zip(x, y)))])
+
+
+def q_geo_envelope_group(sf_dir: str):
+    """Per-nation MultiPoint -> envelope -> bounds (geometry construction +
+    envelope kernel; oracle is min/max aggregation)."""
+
+    def env(g: pa.Table) -> pa.Table:
+        ga = _group_multipoint(g)
+        xmin, ymin, xmax, ymax = K.bounds(K.envelope(ga))
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "xmin": pa.array(xmin),
+                "ymin": pa.array(ymin),
+                "xmax": pa.array(xmax),
+                "ymax": pa.array(ymax),
+            }
+        )
+
+    return customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(env, batch_format="pyarrow")
+
+
+def q_geo_length_path(sf_dir: str):
+    """Per-nation LineString through customer points (ordered by key) ->
+    euclidean_length, rounded to 6 decimals (sum order differs vs SQL)."""
+
+    def path(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["c_custkey"].to_numpy(zero_copy_only=False))
+        x = g["x"].to_numpy(zero_copy_only=False)[order]
+        y = g["y"].to_numpy(zero_copy_only=False)[order]
+        ga = GeometryArray.from_pylist([("linestring", list(zip(x, y)))])
+        ln = np.round(K.euclidean_length(ga), 6)
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "path_length": pa.array(ln),
+            }
+        )
+
+    return customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(path, batch_format="pyarrow")
+
+
+def q_geo_distance(sf_dir: str):
+    """Row-wise distance kernel: customer point ⊗ its nation's rect centroid."""
+    rects = nation_rects(sf_dir)
+    cen = K.centroid(decode_wkb(rects["geometry"]))
+    cen_by_key = {
+        int(k): (cen.coords[i, 0], cen.coords[i, 1])
+        for i, k in enumerate(rects["n_nationkey"].to_pylist())
+    }
+    ref = ray.put(cen_by_key)
+
+    class Dist:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            cx = np.array([self.lookup[int(k)][0] for k in keys])
+            cy = np.array([self.lookup[int(k)][1] for k in keys])
+            other = encode_wkb(GeometryArray.from_points(cx, cy))
+            batch = batch.append_column("geometry2", other)
+            ga1 = decode_wkb(batch["geometry"])
+            ga2 = decode_wkb(batch["geometry2"])
+            return batch.append_column("distance", pa.array(K.distance(ga1, ga2)))
+
+    ds = customer_points(sf_dir).map_batches(Dist, batch_format="pyarrow", concurrency=2)
+    return ds.select_columns(["c_custkey", "c_nationkey", "distance"])
+
+
+def q_geo_grid_tile(sf_dir: str):
+    """Grid tile assignment + per-tile count (floor-arithmetic oracle)."""
+
+    def tile(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        t = tiles_mod.grid_tile_id(x, y, cell_deg=CELL)
+        return batch.append_column("tile", pa.array(t))
+
+    ds = customer_points(sf_dir, with_geometry=False).map_batches(tile, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    return ds.groupby("tile").aggregate(Count(alias_name="n_pts"))
+
+
+def q_geo_sjoin_inner(sf_dir: str):
+    """Broadcast PIP join: customer points ⊗ nation rects (strict interior)."""
+    ds = customer_points(sf_dir, with_geometry=False)
+    out = broadcast_spatial_join(ds, nation_rects(sf_dir), lon_col="x", lat_col="y", how="inner", concurrency=2)
+    return out.select_columns(["c_custkey", "x", "y", "n_nationkey"])
+
+
+def q_geo_sjoin_left(sf_dir: str):
+    """Left PIP join; unmatched rect key encoded as -1 (avoids nullable ints)."""
+    ds = customer_points(sf_dir, with_geometry=False)
+    out = broadcast_spatial_join(ds, nation_rects(sf_dir), lon_col="x", lat_col="y", how="left", concurrency=2)
+
+    def fill(batch: pa.Table) -> pa.Table:
+        k = pc.fill_null(batch["n_nationkey"], pa.scalar(-1, batch["n_nationkey"].type))
+        batch = batch.drop_columns(["n_nationkey"]).append_column("rect_key", k)
+        return batch
+
+    return out.map_batches(fill, batch_format="pyarrow").select_columns(["c_custkey", "rect_key"])
+
+
+def q_geo_tile_rollup(sf_dir: str):
+    """Mini-flagship: tiles + PIP join + two-phase per-tile aggregation.
+
+    sum_x/sum_y are exact (all coords are quarter-multiples), so the oracle
+    comparison is bit-exact despite distributed summation order.
+    """
+    ds = customer_points(sf_dir, with_geometry=False)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        return batch.append_column("tile", pa.array(tiles_mod.grid_tile_id(x, y, cell_deg=CELL)))
+
+    ds = ds.map_batches(tile, batch_format="pyarrow")
+    ds = broadcast_spatial_join(ds, nation_rects(sf_dir), lon_col="x", lat_col="y", how="inner", concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            batch.select(["tile", "n_nationkey", "x", "y"])
+            .group_by(["tile", "n_nationkey"])
+            .aggregate([("x", "count"), ("x", "sum"), ("y", "sum")])
+        )
+        return g.rename_columns(["tile", "n_nationkey", "n", "sx", "sy"])
+
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["tile", "n_nationkey"]).aggregate(
+        Sum("n", alias_name="n_pts"), Sum("sx", alias_name="sum_x"), Sum("sy", alias_name="sum_y")
+    )
+
+
+def q_geo_knn(sf_dir: str):
+    """kNN: 3 nearest customer points per supplier point (exact distances)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+    queries = {
+        "qid": sk,
+        "qx": ((sk * 37) % 720) / 2.0 - 179.75,
+        "qy": ((sk * 53) % 360) / 2.0 - 89.75,
+    }
+    pts = customer_points(sf_dir, with_geometry=False)
+    out = euclidean_knn(pts, queries, k=3, x_col="x", y_col="y", id_col="c_custkey", concurrency=2)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("qid")
+        return batch.set_column(idx, "s_suppkey", batch["qid"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_geo_explode(sf_dir: str):
+    """Per-nation MultiPoint -> explode -> one Point row per part."""
+
+    def mp(g: pa.Table) -> pa.Table:
+        ga = _group_multipoint(g)
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "geometry": encode_wkb(ga),
+            }
+        )
+
+    grouped = customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(mp, batch_format="pyarrow")
+    exploded = grouped.map_batches(geo_explode(), batch_format="pyarrow")
+    exploded = exploded.map_batches(geo_op("x", out_col="x"), batch_format="pyarrow")
+    exploded = exploded.map_batches(geo_op("y", out_col="y"), batch_format="pyarrow")
+    return exploded.select_columns(["c_nationkey", "x", "y"])
+
+
+def q_geo_to_crs_x(sf_dir: str):
+    """WebMercator x through the to_crs kernel (float-exact vs SQL constant)."""
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(
+        geo_op("to_crs", from_crs="EPSG:4326", to_crs="EPSG:3857"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(geo_op("x", out_col="mercator_x"), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "mercator_x"])
+
+
+# --------------------------------------------------------------------------
+# geo queries (rows-only: not SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+def q_geo_convex_hull(sf_dir: str):
+    """Per-nation convex hull: vertex count + exact hull area."""
+
+    def hull(g: pa.Table) -> pa.Table:
+        ga = _group_multipoint(g)
+        h = K.convex_hull(ga)
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "hull_area": pa.array(K.area(h)),
+                "hull_points": pa.array(h.coords_per_geom().astype(np.int64)),
+            }
+        )
+
+    return customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(hull, batch_format="pyarrow")
+
+
+def q_geo_geodesic(sf_dir: str):
+    """Per-nation path geodesic lengths (haversine + vincenty), meters."""
+
+    def path(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["c_custkey"].to_numpy(zero_copy_only=False))
+        x = g["x"].to_numpy(zero_copy_only=False)[order]
+        y = g["y"].to_numpy(zero_copy_only=False)[order]
+        ga = GeometryArray.from_pylist([("linestring", list(zip(x, y)))])
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "hav_m": pa.array(K.geodesic_length(ga, "haversine")),
+                "vin_m": pa.array(K.geodesic_length(ga, "vincenty")),
+            }
+        )
+
+    return customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(path, batch_format="pyarrow")
+
+
+def q_geo_s2_tiles(sf_dir: str):
+    """S2 level-12 cells per customer point; count per nation + distinct cells."""
+
+    def s2c(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        ids = s2_mod.s2_cell_id(x, y, level=12).view(np.int64)
+        return batch.append_column("s2_l12", pa.array(ids))
+
+    ds = customer_points(sf_dir, with_geometry=False).map_batches(s2c, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    per_cell = ds.groupby(["c_nationkey", "s2_l12"]).aggregate(Count(alias_name="n"))
+    return per_cell.groupby("c_nationkey").aggregate(Count(alias_name="n_cells"))
+
+
+def q_geo_simplify(sf_dir: str):
+    """Douglas-Peucker on the per-nation path; point counts before/after."""
+
+    def simp(g: pa.Table) -> pa.Table:
+        order = np.argsort(g["c_custkey"].to_numpy(zero_copy_only=False))
+        x = g["x"].to_numpy(zero_copy_only=False)[order]
+        y = g["y"].to_numpy(zero_copy_only=False)[order]
+        ga = GeometryArray.from_pylist([("linestring", list(zip(x, y)))])
+        s = K.simplify(ga, tolerance=20.0)
+        return pa.table(
+            {
+                "c_nationkey": pa.array([g["c_nationkey"][0].as_py()], pa.int32()),
+                "n_before": pa.array(ga.coords_per_geom().astype(np.int64)),
+                "n_after": pa.array(s.coords_per_geom().astype(np.int64)),
+            }
+        )
+
+    return customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(simp, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# relational queries (native Ray Data primitives; oracle-checked)
+# --------------------------------------------------------------------------
+
+
+def q_rel_q1(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us")))
+        batch = batch.filter(keep)
+        cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents))
+
+    from ray.data.aggregate import Sum, Count, Min, Max
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n_rows"),
+        Sum("cents", alias_name="sum_base_cents"),
+        Min("l_extendedprice", alias_name="min_price"),
+        Max("l_extendedprice", alias_name="max_price"),
+    )
+
+
+def q_rel_topk(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_rel_join_agg(sf_dir: str):
+    """orders ⋈ customer (hash join) + broadcast nation lookup + rollup."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    ref = ray.put(lookup)
+
+    class AddName:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = [self.lookup[int(k)] for k in keys]
+            cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            batch = batch.append_column("n_name", pa.array(names, pa.string()))
+            return batch.append_column("cents", pa.array(cents))
+
+    from ray.data.aggregate import Sum, Count
+
+    ds = joined.map_batches(AddName, batch_format="pyarrow", concurrency=2)
+    return ds.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents")
+    )
+
+
+def q_rel_dedup_events(sf_dir: str):
+    """Exact dedup semantics: first (min) event per (user, type) + dup count."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    from ray.data.aggregate import Min, Count
+
+    return ds.groupby(["user_id", "event_type"]).aggregate(
+        Min("event_id", alias_name="first_event"), Count(alias_name="n_dups")
+    )
+
+
+def q_rel_user_hours(sf_dir: str):
+    """Tumbling 1h window per user (streaming-shaped; exact cent sums)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        batch = batch.append_column("hour_bucket", pa.array(hour))
+        return batch.append_column("cents", pa.array(cents))
+
+    from ray.data.aggregate import Sum, Count
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["user_id", "hour_bucket"]).aggregate(
+        Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents")
+    )
+
+
+def q_rel_distinct_types(sf_dir: str):
+    """count(DISTINCT event_type) per user via two-level groupby."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    from ray.data.aggregate import Count
+
+    lvl1 = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
+    return lvl1.groupby("user_id").aggregate(Count(alias_name="n_types"))
+
+
+# --------------------------------------------------------------------------
+# training-data queries
+# --------------------------------------------------------------------------
+
+
+def q_dd_exact_docs(sf_dir: str):
+    """Exact dedup over documents.text (hash-partition + per-group first)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from ray.data.aggregate import Min, Count
+
+    return ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="min_doc_id"), Count(alias_name="n_copies")
+    )
+
+
+def q_txt_tokens(sf_dir: str):
+    from geopolars_ray.stages.text import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_chars_calc"]
+    )
+
+
+def q_txt_alpha(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["text"]
+        batch = batch.append_column(
+            "n_alpha", pc.cast(pc.count_substring_regex(s, "[A-Za-z]"), pa.int64())
+        )
+        batch = batch.append_column(
+            "n_digit", pc.cast(pc.count_substring_regex(s, "[0-9]"), pa.int64())
+        )
+        return batch.drop_columns(["text"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_txt_quality(sf_dir: str):
+    from geopolars_ray.stages.text import quality_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score(), batch_format="pyarrow").select_columns(
+        ["doc_id", "alpha_ratio", "digit_ratio", "stop_ratio", "quality"]
+    )
+
+
+def q_txt_langid(sf_dir: str):
+    from geopolars_ray.stages.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_txt_fingerprint(sf_dir: str):
+    from geopolars_ray.stages.text import Fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "fingerprint", "fp_count"])
+
+
+def q_dd_minhash_docs(sf_dir: str):
+    """MinHash-LSH near-dup candidates over documents, Jaccard-verified."""
+    from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs, jaccard_verify
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2, fn_constructor_kwargs={})
+    cand = lsh_candidate_pairs(bands)
+    out = jaccard_verify(cand, docs, threshold=0.5, num_partitions=4)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        j = np.round(np.asarray(batch["jaccard"].to_pylist()), 6)
+        return batch.drop_columns(["jaccard"]).append_column("jaccard", pa.array(j))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_dd_simhash_docs(sf_dir: str):
+    from geopolars_ray.stages.dedup import SimHasher
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "simhash"])
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 embeddings as queries."""
+    import pyarrow.parquet as pq
+
+    from geopolars_ray.stages.ann import brute_force_knn
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = emb.slice(0, 5)
+    queries = {
+        "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
+        "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
+    }
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_knn(ds, queries, k=10, concurrency=2)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        c = np.round(np.asarray(batch["cosine"].to_pylist()), 6)
+        return batch.drop_columns(["cosine"]).append_column("cosine", pa.array(c))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_dd_embed_cosine(sf_dir: str):
+    """Embedding near-dup: LSH buckets + exact cosine >= 0.3 within buckets."""
+    from geopolars_ray.stages.dedup import EmbeddingLSH, cosine_pairs_within_bucket
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = ds.map_batches(
+        EmbeddingLSH, fn_constructor_kwargs=dict(dim=64, n_planes=4), batch_format="pyarrow", concurrency=2
+    )
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        cosine_pairs_within_bucket(threshold=0.3), batch_format="pyarrow"
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        c = np.round(np.asarray(batch["cosine"].to_pylist()), 6)
+        return batch.drop_columns(["cosine"]).append_column("cosine", pa.array(c))
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# registry + oracle SQL
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "geo_xy": q_geo_xy,
+    "geo_translate": q_geo_translate,
+    "geo_affine": q_geo_affine,
+    "geo_rect_stats": q_geo_rect_stats,
+    "geo_envelope_group": q_geo_envelope_group,
+    "geo_length_path": q_geo_length_path,
+    "geo_distance": q_geo_distance,
+    "geo_grid_tile": q_geo_grid_tile,
+    "geo_sjoin_inner": q_geo_sjoin_inner,
+    "geo_sjoin_left": q_geo_sjoin_left,
+    "geo_tile_rollup": q_geo_tile_rollup,
+    "geo_knn": q_geo_knn,
+    "geo_explode": q_geo_explode,
+    "geo_to_crs_x": q_geo_to_crs_x,
+    "geo_convex_hull": q_geo_convex_hull,
+    "geo_geodesic": q_geo_geodesic,
+    "geo_s2_tiles": q_geo_s2_tiles,
+    "geo_simplify": q_geo_simplify,
+    "rel_q1": q_rel_q1,
+    "rel_topk": q_rel_topk,
+    "rel_join_agg": q_rel_join_agg,
+    "rel_dedup_events": q_rel_dedup_events,
+    "rel_user_hours": q_rel_user_hours,
+    "rel_distinct_types": q_rel_distinct_types,
+    "dd_exact_docs": q_dd_exact_docs,
+    "txt_tokens": q_txt_tokens,
+    "txt_alpha": q_txt_alpha,
+    "txt_quality": q_txt_quality,
+    "txt_langid": q_txt_langid,
+    "txt_fingerprint": q_txt_fingerprint,
+    "dd_minhash_docs": q_dd_minhash_docs,
+    "dd_simhash_docs": q_dd_simhash_docs,
+    "ann_topk": q_ann_topk,
+    "dd_embed_cosine": q_dd_embed_cosine,
+}
+
+_PIP_COND = "c.x > r.xmin AND c.x < r.xmin + r.w AND c.y > r.ymin AND c.y < r.ymin + r.h"
+
+ORACLE_SQL = {
+    "geo_xy": f"SELECT c_custkey, {_CX} AS px, {_CY} AS py FROM customer",
+    "geo_translate": f"SELECT c_custkey, ({_CX}) + 1.25 AS xt, ({_CY}) - 2.5 AS yt FROM customer",
+    "geo_affine": f"SELECT c_custkey, 2.0*({_CX}) + 10.25 AS xa, 0.5*({_CY}) - 3.5 AS ya FROM customer",
+    "geo_rect_stats": (
+        f"SELECT n_nationkey, w*h AS area, 2.0*(w+h) AS perimeter, "
+        "xmin + w/2.0 AS cx, ymin + h/2.0 AS cy, "
+        "xmin AS exmin, ymin AS eymin, xmin + w AS exmax, ymin + h AS eymax "
+        f"FROM ({_RECT})"
+    ),
+    "geo_envelope_group": (
+        f"SELECT c_nationkey, min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax "
+        f"FROM ({_CPTS}) GROUP BY c_nationkey"
+    ),
+    "geo_length_path": (
+        f"WITH seg AS (SELECT c_nationkey, "
+        "sqrt((x - lag(x) OVER w)*(x - lag(x) OVER w) + (y - lag(y) OVER w)*(y - lag(y) OVER w)) AS d "
+        f"FROM ({_CPTS}) WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)) "
+        "SELECT c_nationkey, round(sum(d), 6) AS path_length FROM seg WHERE d IS NOT NULL GROUP BY c_nationkey"
+    ),
+    "geo_distance": (
+        f"SELECT c.c_custkey, c.c_nationkey, "
+        "sqrt((c.x - (r.xmin + r.w/2.0))*(c.x - (r.xmin + r.w/2.0)) + (c.y - (r.ymin + r.h/2.0))*(c.y - (r.ymin + r.h/2.0))) AS distance "
+        f"FROM ({_CPTS}) c JOIN ({_RECT}) r ON c.c_nationkey = r.n_nationkey"
+    ),
+    "geo_grid_tile": (
+        f"SELECT CAST(floor((x + 180.0)/15.0)*12 + floor((y + 90.0)/15.0) AS BIGINT) AS tile, "
+        f"count(*) AS n_pts FROM ({_CPTS}) GROUP BY 1"
+    ),
+    "geo_sjoin_inner": (
+        f"SELECT c.c_custkey, c.x, c.y, r.n_nationkey FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND}"
+    ),
+    "geo_sjoin_left": (
+        f"SELECT c.c_custkey, COALESCE(r.n_nationkey, -1) AS rect_key "
+        f"FROM ({_CPTS}) c LEFT JOIN ({_RECT}) r ON {_PIP_COND}"
+    ),
+    "geo_tile_rollup": (
+        f"SELECT CAST(floor((c.x + 180.0)/15.0)*12 + floor((c.y + 90.0)/15.0) AS BIGINT) AS tile, "
+        f"r.n_nationkey, count(*) AS n_pts, sum(c.x) AS sum_x, sum(c.y) AS sum_y "
+        f"FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND} GROUP BY 1, 2"
+    ),
+    "geo_knn": (
+        f"WITH s AS (SELECT s_suppkey, {_SX} AS sx, {_SY} AS sy FROM supplier), "
+        f"c AS ({_CPTS}), "
+        "d AS (SELECT s.s_suppkey, c.c_custkey, sqrt((c.x - s.sx)*(c.x - s.sx) + (c.y - s.sy)*(c.y - s.sy)) AS distance "
+        "FROM s CROSS JOIN c) "
+        'SELECT s_suppkey, c_custkey, distance, "rank" FROM ('
+        'SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY distance, c_custkey) AS "rank" FROM d) '
+        'WHERE "rank" <= 3'
+    ),
+    "geo_explode": f"SELECT c_nationkey, {_CX} AS x, {_CY} AS y FROM customer",
+    "geo_to_crs_x": (
+        f"SELECT c_custkey, 6378137.0 * (({_CX}) * 0.017453292519943295) AS mercator_x FROM customer"
+    ),
+    "rel_q1": (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows, "
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+        "min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price "
+        "FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-09-01' GROUP BY l_returnflag, l_linestatus"
+    ),
+    "rel_topk": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "rel_join_agg": (
+        "SELECT n_name, count(*) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name"
+    ),
+    "rel_dedup_events": (
+        "SELECT user_id, event_type, min(event_id) AS first_event, count(*) AS n_dups "
+        "FROM events GROUP BY user_id, event_type"
+    ),
+    "rel_user_hours": (
+        "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, count(*) AS n_events, "
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "rel_distinct_types": (
+        "SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"
+    ),
+    "dd_exact_docs": (
+        "SELECT text, min(doc_id) AS min_doc_id, count(*) AS n_copies FROM documents GROUP BY text"
+    ),
+    "txt_tokens": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens, "
+        "CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+    ),
+    "txt_alpha": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+        "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit FROM documents"
+    ),
+    # txt_quality, txt_langid, txt_fingerprint, dd_minhash_docs, dd_simhash_docs,
+    # ann_topk, dd_embed_cosine, geo_convex_hull, geo_geodesic, geo_s2_tiles,
+    # geo_simplify: intentionally no oracle (non-SQL-expressible or
+    # float-composition-sensitive); the driver records rows-only checks and
+    # pytest validates them against NumPy references.
+}
