@@ -35,63 +35,76 @@ def geotag_points(
     join_concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 8192,
     keep_text: bool = False,
+    use_actors: bool = False,
 ):
     """pages parquet -> geo-tagged, tiled, admin-joined point Dataset.
 
     ``batch_size`` stays small through the html-wide stages (SURVEY.md §7
     "hard" #4); after extraction drops html the blocks are narrow again.
+
+    Default mode is stateless TASKS with driver-prepared state captured in
+    the function closure (serialized once into the operator spec, cached per
+    worker): admin-polygon-scale state is tiny, and task pools schedule
+    instantly while actor pools pay a multi-second spin-up. Set
+    ``use_actors=True`` for genuinely heavy per-worker state (big polygon
+    sets, models), where the ``concurrency`` pool args apply.
     """
     if admin is None:
         admin = admin_polygons_table()
     ds = ray.data.read_parquet(pages_path, columns=["url", "warc_ts", "html", "lang"])
-    ds = ds.map_batches(
-        ExtractGeoTags,
-        fn_constructor_kwargs=dict(keep_text=keep_text),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=extract_concurrency,
-    )
+    if use_actors:
+        ds = ds.map_batches(
+            ExtractGeoTags,
+            fn_constructor_kwargs=dict(keep_text=keep_text),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=extract_concurrency,
+        )
+    else:
+        ds = ds.map_batches(
+            ExtractGeoTags(keep_text=keep_text), batch_format="pyarrow", batch_size=batch_size
+        )
     ds = ds.map_batches(
         assign_tiles(s2_level=s2_level, grid_cell_deg=grid_cell_deg),
         batch_format="pyarrow",
     )
-    admin_ref = ray.put(admin)
-    ds = ds.map_batches(
-        BroadcastPIPJoin,
-        fn_constructor_kwargs=dict(polygons=admin_ref, how="inner"),
-        batch_format="pyarrow",
-        concurrency=join_concurrency,
-    )
+    if use_actors:
+        admin_ref = ray.put(admin)
+        ds = ds.map_batches(
+            BroadcastPIPJoin,
+            fn_constructor_kwargs=dict(polygons=admin_ref, how="inner"),
+            batch_format="pyarrow",
+            concurrency=join_concurrency,
+        )
+    else:
+        ds = ds.map_batches(BroadcastPIPJoin(admin, how="inner"), batch_format="pyarrow")
     return ds
 
 
-def tile_rollup(ds, tile_col: str = "s2_l12"):
-    """Per-tile rollup with a batch-local combiner before the shuffle.
+def tile_rollup(ds, tile_col: str = "s2_l12", num_partitions: int = 32):
+    """Per-tile rollup via hash_aggregate (combiner + hash-partitioned
+    C++ hash-agg — the high-cardinality scale path; Ray's sort-based
+    aggregate costs ~200µs of Python per group and is avoided entirely).
+    A hot megacity tile contributes at most one partial row per block to
+    the shuffle (SURVEY.md §4 skew strategy)."""
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    Each batch pre-aggregates to one row per (tile, admin) — so the groupby
-    shuffles O(tiles x blocks) partial rows instead of every page row, and a
-    hot megacity tile costs the same as a cold one (two-phase aggregation;
-    the explicit skew strategy of SURVEY.md §4).
-    """
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # pure-Arrow combiner: keeps uint64 tile ids as uint64 (a pandas
-        # round-trip would object-ify nullable uint64 into pickled columns)
-        g = (
-            batch.select([tile_col, "admin_id", "lat", "lon"])
-            .group_by([tile_col, "admin_id"])
-            .aggregate([("lat", "count"), ("lat", "sum"), ("lon", "sum")])
-        )
-        return g.rename_columns(["tile", "admin_id", "n", "sum_lat", "sum_lon"])
-
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["tile", "admin_id"]).aggregate(
-        Sum("n", alias_name="n_pages"),
-        Sum("sum_lat", alias_name="sum_lat"),
-        Sum("sum_lon", alias_name="sum_lon"),
+    out = hash_aggregate(
+        ds.select_columns([tile_col, "admin_id", "lat", "lon"]),
+        keys=[tile_col, "admin_id"],
+        spec=[
+            ("lat", "count", "n_pages"),
+            ("lat", "sum", "sum_lat"),
+            ("lon", "sum", "sum_lon"),
+        ],
+        num_partitions=num_partitions,
     )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index(tile_col)
+        return batch.set_column(idx, "tile", batch[tile_col])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def run_flagship(

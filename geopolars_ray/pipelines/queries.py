@@ -238,9 +238,9 @@ def q_geo_grid_tile(sf_dir: str):
         return batch.append_column("tile", pa.array(t))
 
     ds = customer_points(sf_dir, with_geometry=False).map_batches(tile, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    return ds.groupby("tile").aggregate(Count(alias_name="n_pts"))
+    return hash_aggregate(ds, ["tile"], [("x", "count", "n_pts")], num_partitions=8)
 
 
 def q_geo_sjoin_inner(sf_dir: str):
@@ -279,19 +279,13 @@ def q_geo_tile_rollup(sf_dir: str):
     ds = ds.map_batches(tile, batch_format="pyarrow")
     ds = broadcast_spatial_join(ds, nation_rects(sf_dir), lon_col="x", lat_col="y", how="inner", concurrency=2)
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["tile", "n_nationkey", "x", "y"])
-            .group_by(["tile", "n_nationkey"])
-            .aggregate([("x", "count"), ("x", "sum"), ("y", "sum")])
-        )
-        return g.rename_columns(["tile", "n_nationkey", "n", "sx", "sy"])
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    from ray.data.aggregate import Sum
-
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["tile", "n_nationkey"]).aggregate(
-        Sum("n", alias_name="n_pts"), Sum("sx", alias_name="sum_x"), Sum("sy", alias_name="sum_y")
+    return hash_aggregate(
+        ds.select_columns(["tile", "n_nationkey", "x", "y"]),
+        keys=["tile", "n_nationkey"],
+        spec=[("x", "count", "n_pts"), ("x", "sum", "sum_x"), ("y", "sum", "sum_y")],
+        num_partitions=8,
     )
 
 
@@ -492,10 +486,13 @@ def q_rel_join_agg(sf_dir: str):
 def q_rel_dedup_events(sf_dir: str):
     """Exact dedup semantics: first (min) event per (user, type) + dup count."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
-    from ray.data.aggregate import Min, Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    return ds.groupby(["user_id", "event_type"]).aggregate(
-        Min("event_id", alias_name="first_event"), Count(alias_name="n_dups")
+    return hash_aggregate(
+        ds,
+        keys=["user_id", "event_type"],
+        spec=[("event_id", "min", "first_event"), ("event_id", "count", "n_dups")],
+        num_partitions=8,
     )
 
 
@@ -510,21 +507,24 @@ def q_rel_user_hours(sf_dir: str):
         batch = batch.append_column("hour_bucket", pa.array(hour))
         return batch.append_column("cents", pa.array(cents))
 
-    from ray.data.aggregate import Sum, Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby(["user_id", "hour_bucket"]).aggregate(
-        Count(alias_name="n_events"), Sum("cents", alias_name="sum_value_cents")
+    return hash_aggregate(
+        ds,
+        keys=["user_id", "hour_bucket"],
+        spec=[("cents", "count", "n_events"), ("cents", "sum", "sum_value_cents")],
+        num_partitions=16,
     )
 
 
 def q_rel_distinct_types(sf_dir: str):
     """count(DISTINCT event_type) per user via two-level groupby."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    from ray.data.aggregate import Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    lvl1 = ds.groupby(["user_id", "event_type"]).aggregate(Count(alias_name="_c"))
-    return lvl1.groupby("user_id").aggregate(Count(alias_name="n_types"))
+    lvl1 = hash_aggregate(ds, ["user_id", "event_type"], [("user_id", "count", "_c")], num_partitions=8)
+    return hash_aggregate(lvl1, ["user_id"], [("event_type", "count", "n_types")], num_partitions=8)
 
 
 # --------------------------------------------------------------------------
@@ -535,10 +535,13 @@ def q_rel_distinct_types(sf_dir: str):
 def q_dd_exact_docs(sf_dir: str):
     """Exact dedup over documents.text (hash-partition + per-group first)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    from ray.data.aggregate import Min, Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    return ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="min_doc_id"), Count(alias_name="n_copies")
+    return hash_aggregate(
+        ds,
+        keys=["text"],
+        spec=[("doc_id", "min", "min_doc_id"), ("doc_id", "count", "n_copies")],
+        num_partitions=8,
     )
 
 

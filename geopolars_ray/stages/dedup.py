@@ -119,26 +119,42 @@ class MinHasher:
         )
 
 
-def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000):
-    """(band, band_hash) groupby -> unordered candidate (a, b) pairs, a < b.
+def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, num_partitions: int = 16):
+    """(band, band_hash) buckets -> unordered candidate (a, b) pairs, a < b.
 
-    Buckets larger than ``max_bucket`` are truncated (quadratic blowup guard)
-    — logged via the pair count; dedup of pairs across bands happens in the
-    subsequent exact-verify groupby.
+    Bucket cardinality ~ n_docs x bands, so per-bucket ``map_groups`` (with
+    Ray's ~200µs/group Python overhead) would dominate at scale; instead
+    buckets are hash-partitioned (``hash_partitioned_map``) and each
+    partition emits pairs for ALL its buckets in one call. Buckets larger
+    than ``max_bucket`` are truncated (quadratic-blowup guard). Pair dedup
+    across bands is a hash_aggregate.
     """
+    from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
 
-    def to_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(np.asarray(group["doc_id"].to_pylist(), dtype=np.int64))[:max_bucket]
-        if len(ids) < 2:
+    def to_pairs(part: pa.Table) -> pa.Table:
+        band = np.asarray(part["band"].to_pylist(), dtype=np.int64)
+        bh = np.asarray(part["band_hash"].to_pylist(), dtype=np.int64)
+        did = np.asarray(part["doc_id"].to_pylist(), dtype=np.int64)
+        order = np.lexsort((did, bh, band))
+        band, bh, did = band[order], bh[order], did[order]
+        # bucket boundaries within this partition
+        cut = np.nonzero((np.diff(band) != 0) | (np.diff(bh) != 0))[0] + 1
+        a_out, b_out = [], []
+        for ids in np.split(did, cut):
+            ids = ids[:max_bucket]
+            if len(ids) < 2:
+                continue
+            ii, jj = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ii])
+            b_out.append(ids[jj])
+        if not a_out:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+        return pa.table(
+            {"a": pa.array(np.concatenate(a_out)), "b": pa.array(np.concatenate(b_out))}
+        )
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(to_pairs, batch_format="pyarrow")
-    # dedup pairs generated by multiple bands
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+    pairs = hash_partitioned_map(bands_ds, ["band", "band_hash"], to_pairs, num_partitions)
+    return hash_aggregate(pairs, ["a", "b"], [("a", "count", "n_bands")], num_partitions)
 
 
 def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int = 5, threshold: float = 0.7,

@@ -33,13 +33,14 @@ class ExtractGeoTags:
         self.geo_re = _GEO_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html_col = batch["html"]
+        # one bulk to_pylist (per-row .as_py() costs ~15x more than the
+        # extraction itself — measured 9k vs 147k rows/s/core)
+        blobs = batch["html"].to_pylist()
         n = len(batch)
         lats = np.full(n, np.nan)
         lons = np.full(n, np.nan)
         texts: list[str] | None = [] if self.keep_text else None
-        for i in range(n):
-            raw = html_col[i].as_py()
+        for i, raw in enumerate(blobs):
             text = extract_text(raw)
             if texts is not None:
                 texts.append(text)
