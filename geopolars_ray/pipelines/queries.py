@@ -664,6 +664,100 @@ def q_dd_embed_cosine(sf_dir: str):
 # registry + oracle SQL
 # --------------------------------------------------------------------------
 
+def q_geo_exterior_len(sf_dir: str):
+    """exterior kernel: rect polygon -> exterior LineString -> length."""
+    ds = ray.data.from_arrow(nation_rects(sf_dir))
+    ds = ds.map_batches(geo_op("exterior"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("euclidean_length", out_col="ext_len"), batch_format="pyarrow")
+    return ds.select_columns(["n_nationkey", "ext_len"])
+
+
+def q_geo_scale(sf_dir: str):
+    """scale kernel about a fixed origin (exact multiplication)."""
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(geo_op("scale", xfact=2.0, yfact=-0.5, origin=(0.0, 0.0)), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("x", out_col="xs"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_op("y", out_col="ys"), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "xs", "ys"])
+
+
+def q_geo_type_flags(sf_dir: str):
+    """geom_type / is_empty / is_ring accessors over point and ring rows."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch["geometry"])
+        batch = batch.append_column("type_id", pa.array(K.geom_type(ga).astype(np.int32)))
+        batch = batch.append_column("empty", pa.array(K.is_empty(ga)))
+        return batch.append_column("ring", pa.array(K.is_ring(ga)))
+
+    ds = customer_points(sf_dir).map_batches(flags, batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "type_id", "empty", "ring"])
+
+
+def q_geo_sjoin_part(sf_dir: str):
+    """Large-large partitioned spatial join (cell co-shuffle + Dataset.join)."""
+    from geopolars_ray.stages.join import partitioned_spatial_join
+
+    pts = customer_points(sf_dir, with_geometry=False)
+    polys = ray.data.from_arrow(nation_rects(sf_dir))
+    out = partitioned_spatial_join(
+        pts, polys, cell_deg=30.0, lon_col="x", lat_col="y", num_partitions=8
+    )
+    return out.select_columns(["c_custkey", "n_nationkey"])
+
+
+def q_rel_sessions(sf_dir: str):
+    """Gap-based sessionization per user (30-minute gap): streaming-shaped
+    map_groups over ts-sorted events; oracle via window functions."""
+    GAP_US = 30 * 60 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pa.Table) -> pa.Table:
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(us, kind="stable")
+        us = us[order]
+        new_sess = np.ones(len(us), dtype=np.int64)
+        new_sess[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        sess_id = np.cumsum(new_sess)
+        n_sessions = int(sess_id[-1]) if len(sess_id) else 0
+        ev_per = np.bincount(sess_id)[1:]
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "max_session_events": pa.array([int(ev_per.max()) if len(ev_per) else 0], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def q_mm_decode(sf_dir: str):
+    """Multimodal plumbing: deterministic fake images keyed by vec_id ->
+    actor decode -> (img_id, width, height). Rows-only (binary payloads)."""
+    import pyarrow.parquet as pq
+
+    from geopolars_ray.stages.multimodal import encode_fake_image, DecodeImage
+
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_numpy()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        imgs = [encode_fake_image(8 + int(v) % 8, 8, seed=int(v)) for v in vid]
+        return pa.table({"img_id": pa.array(vid.astype(np.int64)), "image": pa.array(imgs, pa.binary())})
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(gen, batch_format="pyarrow")
+    out = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
+        batch_format="pyarrow", concurrency=2, batch_size=256,
+    )
+    def rnd(batch: pa.Table) -> pa.Table:
+        m = np.round(np.asarray(batch["mean_rgb"].to_pylist()), 6)
+        return batch.drop_columns(["mean_rgb"]).append_column("mean_rgb", pa.array(m))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 QUERIES = {
     "geo_xy": q_geo_xy,
     "geo_translate": q_geo_translate,
@@ -679,6 +773,12 @@ QUERIES = {
     "geo_knn": q_geo_knn,
     "geo_explode": q_geo_explode,
     "geo_to_crs_x": q_geo_to_crs_x,
+    "geo_exterior_len": q_geo_exterior_len,
+    "geo_scale": q_geo_scale,
+    "geo_type_flags": q_geo_type_flags,
+    "geo_sjoin_part": q_geo_sjoin_part,
+    "rel_sessions": q_rel_sessions,
+    "mm_decode": q_mm_decode,
     "geo_convex_hull": q_geo_convex_hull,
     "geo_geodesic": q_geo_geodesic,
     "geo_s2_tiles": q_geo_s2_tiles,
@@ -756,6 +856,25 @@ ORACLE_SQL = {
     "geo_explode": f"SELECT c_nationkey, {_CX} AS x, {_CY} AS y FROM customer",
     "geo_to_crs_x": (
         f"SELECT c_custkey, 6378137.0 * (({_CX}) * 0.017453292519943295) AS mercator_x FROM customer"
+    ),
+    "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
+    "geo_scale": f"SELECT c_custkey, ({_CX})*2.0 AS xs, ({_CY})*-0.5 AS ys FROM customer",
+    "geo_type_flags": (
+        "SELECT c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring FROM customer"
+    ),
+    "geo_sjoin_part": (
+        f"SELECT c.c_custkey, r.n_nationkey FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND}"
+    ),
+    "rel_sessions": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+        "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL "
+        "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)), "
+        "s AS (SELECT user_id, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM m), "
+        "c AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess) "
+        "SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, "
+        "CAST(max(n) AS BIGINT) AS max_session_events FROM c GROUP BY user_id"
     ),
     "rel_q1": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows, "

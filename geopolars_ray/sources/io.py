@@ -1,0 +1,93 @@
+"""Geo-aware parquet IO: GeoParquet-style ``geo`` metadata + Dataset wrappers.
+
+The reference's bundled datasets carry
+``{"primary_column": "geometry", "columns": {"geometry": {"encoding": "WKB",
+"crs": <PROJJSON>}}}`` in file metadata (FIXTURES.md; SURVEY.md §1.3) —
+the CRS lives out-of-band because the array type can't hold it. Same
+convention here, on parquet key-value metadata.
+
+``read_geo_dataset`` is the engine's ``read_file`` analogue
+(`py-geopolars/python/geopolars/io/file.py:15-119`): column projection and
+bbox pushdown map to parquet column pruning + a vectorized envelope filter
+(with tile-partitioned layouts the bbox prunes whole partitions before the
+scan).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+GEO_KEY = b"geo"
+
+
+def geo_metadata(geometry_col: str = "geometry", crs: str = "EPSG:4326", encoding: str = "WKB") -> dict:
+    return {
+        "version": "1.0.0",
+        "primary_column": geometry_col,
+        "columns": {geometry_col: {"encoding": encoding, "crs": crs}},
+    }
+
+
+def write_geoparquet(
+    table: pa.Table, path: str, geometry_col: str = "geometry", crs: str = "EPSG:4326"
+) -> None:
+    """Write one parquet file with GeoParquet-style ``geo`` metadata."""
+    meta = dict(table.schema.metadata or {})
+    meta[GEO_KEY] = json.dumps(geo_metadata(geometry_col, crs)).encode()
+    pq.write_table(table.replace_schema_metadata(meta), path)
+
+
+def read_geo_metadata(path: str) -> dict | None:
+    """The parsed ``geo`` metadata dict of a parquet file, if present."""
+    meta = pq.read_schema(path).metadata or {}
+    if GEO_KEY not in meta:
+        return None
+    return json.loads(meta[GEO_KEY].decode())
+
+
+def read_geo_dataset(
+    paths,
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+):
+    """ray.data.read_parquet + optional bbox pushdown on the geometry column.
+
+    The bbox filter tests geometry ENVELOPE intersection (the candidate
+    semantics of the reference's ``read_file(bbox=...)`` OGR pushdown) as a
+    vectorized map_batches stage right after the scan.
+    """
+    ds = ray.data.read_parquet(paths, columns=columns)
+    if bbox is None:
+        return ds
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+
+    def bbox_filter(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import decode_wkb
+        from geopolars_ray.geom import kernels as K
+
+        ga = decode_wkb(batch[geometry_col])
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
+        keep = np.where(np.isnan(gx0), False, keep)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(bbox_filter, batch_format="pyarrow")
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    partition_col: str,
+    geometry_col: str | None = "geometry",
+    crs: str = "EPSG:4326",
+):
+    """Partitioned-by-key parquet layout (one dir per key) for resumable runs."""
+    ds.write_parquet(out_dir, partition_cols=[partition_col])
+    return out_dir

@@ -1,0 +1,38 @@
+"""Large-large kNN join: exactness vs brute force, incl. fallback path."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_knn_join_matches_brute_force(ray_session):
+    import ray
+    from geopolars_ray.stages.knn import knn_join
+
+    rng = np.random.default_rng(41)
+    n_pts, n_tgt, k = 1500, 1000, 3
+    # clustered points and targets, plus isolated points that force the
+    # broadcast fallback (no candidates in their 3x3 cell block)
+    px = np.concatenate([rng.uniform(0, 20, n_pts - 10), rng.uniform(60, 70, 10)])
+    py = np.concatenate([rng.uniform(0, 20, n_pts - 10), rng.uniform(60, 70, 10)])
+    tx = rng.uniform(0, 20, n_tgt)
+    ty = rng.uniform(0, 20, n_tgt)
+
+    pts = pa.table({"pid": pa.array(np.arange(n_pts)), "x": pa.array(px), "y": pa.array(py)})
+    tgt = pa.table({"tid": pa.array(np.arange(n_tgt)), "x": pa.array(tx), "y": pa.array(ty)})
+
+    out = knn_join(
+        ray.data.from_arrow(pts),
+        ray.data.from_arrow(tgt),
+        k=k,
+        cell_deg=2.0,
+        num_partitions=4,
+    ).to_pandas()
+
+    assert len(out) == n_pts * k
+    # brute-force reference with the same tie-break (distance, tid)
+    d = np.sqrt((px[:, None] - tx[None, :]) ** 2 + (py[:, None] - ty[None, :]) ** 2)
+    for pid in rng.choice(n_pts, 80, replace=False).tolist() + list(range(n_pts - 10, n_pts)):
+        order = np.lexsort((np.arange(n_tgt), d[pid]))[:k]
+        got = out[out.pid == pid].sort_values("rank")
+        assert got["tid"].tolist() == order.tolist(), pid
+        np.testing.assert_allclose(got["distance"].to_numpy(), d[pid][order])
