@@ -1,0 +1,173 @@
+"""User-facing API: ``GeoDataset`` — the GeoDataFrame/GeoSeries analogue.
+
+The reference exposes ops as ``GeoSeries.geo.<op>()`` on an eager frame
+(``py-geopolars/python/geopolars/internals/geoseries.py:48-54``); here the
+same surface chains lazily on a wrapped ``ray.data.Dataset`` whose
+``geometry`` column is WKB (``geodataframe.py:12-16`` uses the same default
+column name). Every method returns a new ``GeoDataset`` (scalar ops append
+a column; geometry ops replace the geometry), so a reference user's
+pipeline translates method-for-method::
+
+    gdf = GeoDataset.read_parquet(path)          # gpl.read_file
+    gdf = gdf.to_crs("EPSG:4326", "EPSG:3857")   # series.geo.to_crs
+    gdf = gdf.centroid().area()                  # series.geo.centroid / .area
+    out = gdf.sjoin(admin_table, how="inner")    # gpl.spatial_join
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+
+from geopolars_ray.stages.geo import geo_op, geo_bounds, geo_explode, geo_distance, points_from_xy, GEOMETRY
+
+
+class GeoDataset:
+    """A lazily-evaluated Dataset with a tagged geometry column."""
+
+    def __init__(self, ds, geometry_col: str = GEOMETRY):
+        self._ds = ds
+        self.geometry_col = geometry_col
+
+    # ------------------------------------------------------------ constructors
+
+    @classmethod
+    def read_parquet(cls, paths, columns=None, geometry_col: str = GEOMETRY, **kw) -> "GeoDataset":
+        return cls(ray.data.read_parquet(paths, columns=columns, **kw), geometry_col)
+
+    @classmethod
+    def from_arrow(cls, table: pa.Table, geometry_col: str = GEOMETRY) -> "GeoDataset":
+        return cls(ray.data.from_arrow(table), geometry_col)
+
+    @classmethod
+    def from_xy(cls, ds, x_col: str, y_col: str, geometry_col: str = GEOMETRY) -> "GeoDataset":
+        inner = ds.dataset if isinstance(ds, GeoDataset) else ds
+        return cls(
+            inner.map_batches(points_from_xy(x_col, y_col, geometry_col), batch_format="pyarrow"),
+            geometry_col,
+        )
+
+    # -------------------------------------------------------------- plumbing
+
+    @property
+    def dataset(self):
+        """The underlying ray.data.Dataset."""
+        return self._ds
+
+    def _wrap(self, ds) -> "GeoDataset":
+        return GeoDataset(ds, self.geometry_col)
+
+    def _apply(self, name: str, out_col: str | None = None, **kw) -> "GeoDataset":
+        return self._wrap(
+            self._ds.map_batches(
+                geo_op(name, geometry_col=self.geometry_col, out_col=out_col, **kw),
+                batch_format="pyarrow",
+            )
+        )
+
+    def __getattr__(self, item: str) -> Any:
+        # delegate everything else (count, take, to_pandas, write_parquet,
+        # groupby, sort, filter-as-dataset...) to the wrapped Dataset
+        return getattr(self._ds, item)
+
+    # ----------------------------------------------------- GeoSeries surface
+
+    def area(self, out_col: str = "area") -> "GeoDataset":
+        return self._apply("area", out_col)
+
+    def euclidean_length(self, out_col: str = "euclidean_length") -> "GeoDataset":
+        return self._apply("euclidean_length", out_col)
+
+    def geodesic_length(self, method: str = "geodesic", out_col: str = "geodesic_length") -> "GeoDataset":
+        return self._apply("geodesic_length", out_col, method=method)
+
+    def geom_type(self, out_col: str = "geom_type") -> "GeoDataset":
+        return self._apply("geom_type", out_col)
+
+    def is_empty(self, out_col: str = "is_empty") -> "GeoDataset":
+        return self._apply("is_empty", out_col)
+
+    def is_ring(self, out_col: str = "is_ring") -> "GeoDataset":
+        return self._apply("is_ring", out_col)
+
+    def x(self, out_col: str = "x") -> "GeoDataset":
+        return self._apply("x", out_col)
+
+    def y(self, out_col: str = "y") -> "GeoDataset":
+        return self._apply("y", out_col)
+
+    def bounds(self) -> "GeoDataset":
+        return self._wrap(self._ds.map_batches(geo_bounds(self.geometry_col), batch_format="pyarrow"))
+
+    def centroid(self) -> "GeoDataset":
+        return self._apply("centroid")
+
+    def envelope(self) -> "GeoDataset":
+        return self._apply("envelope")
+
+    def convex_hull(self) -> "GeoDataset":
+        return self._apply("convex_hull")
+
+    def exterior(self) -> "GeoDataset":
+        return self._apply("exterior")
+
+    def simplify(self, tolerance: float) -> "GeoDataset":
+        return self._apply("simplify", tolerance=tolerance)
+
+    def affine_transform(self, matrix) -> "GeoDataset":
+        return self._apply("affine_transform", matrix=matrix)
+
+    def translate(self, x: float = 0.0, y: float = 0.0) -> "GeoDataset":
+        return self._apply("translate", x=x, y=y)
+
+    def rotate(self, angle_deg: float, origin="center") -> "GeoDataset":
+        return self._apply("rotate", angle_deg=angle_deg, origin=origin)
+
+    def scale(self, xfact: float = 1.0, yfact: float = 1.0, origin="center") -> "GeoDataset":
+        return self._apply("scale", xfact=xfact, yfact=yfact, origin=origin)
+
+    def skew(self, xs: float = 0.0, ys: float = 0.0, origin="center") -> "GeoDataset":
+        return self._apply("skew", xs=xs, ys=ys, origin=origin)
+
+    def to_crs(self, from_crs: str, to_crs: str) -> "GeoDataset":
+        return self._apply("to_crs", from_crs=from_crs, to_crs=to_crs)
+
+    def explode(self) -> "GeoDataset":
+        return self._wrap(self._ds.map_batches(geo_explode(self.geometry_col), batch_format="pyarrow"))
+
+    def distance(self, other_col: str, out_col: str = "distance") -> "GeoDataset":
+        return self._wrap(
+            self._ds.map_batches(
+                geo_distance(self.geometry_col, other_col, out_col), batch_format="pyarrow"
+            )
+        )
+
+    # ------------------------------------------------------------- relational
+
+    def assign_tiles(self, lon_col="lon", lat_col="lat", s2_level=12, grid_cell_deg=1.0, hex_size_deg=None) -> "GeoDataset":
+        from geopolars_ray.stages.extract import assign_tiles
+
+        return self._wrap(
+            self._ds.map_batches(
+                assign_tiles(lon_col, lat_col, s2_level, grid_cell_deg, hex_size_deg),
+                batch_format="pyarrow",
+            )
+        )
+
+    def sjoin(
+        self,
+        polygons: pa.Table,
+        how: str = "inner",
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        **kw,
+    ) -> "GeoDataset":
+        """Broadcast point-in-polygon spatial join (gpl.spatial_join analogue)."""
+        from geopolars_ray.stages.join import broadcast_spatial_join
+
+        return self._wrap(
+            broadcast_spatial_join(self._ds, polygons, lon_col=lon_col, lat_col=lat_col, how=how, **kw)
+        )

@@ -122,6 +122,87 @@ def hash_aggregate(
     return stage1.groupby("_part").map_groups(final, batch_format="pyarrow")
 
 
+def salted_group_map(
+    ds,
+    keys: Sequence[str],
+    partial_fn: Callable[[pa.Table], pa.Table],
+    merge_fn: Callable[[pa.Table], pa.Table],
+    salt: int = 8,
+    num_partitions: int = 32,
+):
+    """Two-phase grouped compute with explicit hot-key salting.
+
+    For grouped logic whose per-group state can be computed on disjoint row
+    subsets and merged (top-k, reservoir samples, sketches) but is NOT a
+    plain aggregate: phase 1 splits every group into ``salt`` sub-groups
+    (``_salt = hash(row) % salt``) so a hot key's rows spread over ``salt``
+    parallel calls; phase 2 merges the per-sub-group partials per key.
+    Both phases run through :func:`hash_partitioned_map`, so neither pays
+    Ray's per-group overhead.
+
+    ``partial_fn``/``merge_fn`` are called once per sub-group / key-group
+    (whole-group tables, key columns included) and must return tables that
+    retain the key columns.
+    """
+    keys = list(keys)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # salt must be deterministic per ROW (not random) so retries and
+        # parallelism levels reproduce identical sub-group assignment
+        import polars as pl
+
+        h = pl.from_arrow(batch.select(keys)).hash_rows(seed=13).to_numpy()
+        row = np.arange(len(batch), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            s = (_splitmix(h + row) % np.uint64(salt)).astype(np.int64)
+        return batch.append_column("_salt", pa.array(s))
+
+    def per_group(cols, fn, drop_salt):
+        def run(part: pa.Table) -> pa.Table:
+            outs = []
+            for g in group_slices(part, cols):
+                if drop_salt and "_salt" in g.column_names:
+                    g = g.drop_columns(["_salt"])
+                outs.append(fn(g))
+            if not outs:
+                return part.slice(0, 0)
+            return pa.concat_tables(outs, promote_options="default")
+
+        return run
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = hash_partitioned_map(
+        salted, keys + ["_salt"], per_group(keys + ["_salt"], partial_fn, True), num_partitions
+    )
+    return hash_partitioned_map(
+        partials, keys, per_group(keys, merge_fn, False), max(4, num_partitions // 2)
+    )
+
+
+def group_slices(table: pa.Table, cols: Sequence[str]):
+    """Yield one sub-table per distinct value combination of ``cols``."""
+    import pyarrow.compute as pc
+
+    if table.num_rows == 0:
+        return
+    order = pc.sort_indices(table, sort_keys=[(c, "ascending") for c in cols])
+    t = table.take(order)
+    change = np.zeros(t.num_rows - 1, dtype=bool) if t.num_rows > 1 else np.zeros(0, dtype=bool)
+    for c in cols:
+        a = np.asarray(t[c].to_pylist(), dtype=object)
+        if len(a) > 1:
+            change |= a[1:] != a[:-1]
+    cuts = np.concatenate([[0], np.nonzero(change)[0] + 1, [t.num_rows]])
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        yield t.slice(s, e - s)
+
+
+def _splitmix(v: np.ndarray) -> np.ndarray:
+    v = (v + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    v = ((v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return v ^ (v >> np.uint64(31))
+
+
 def hash_partitioned_map(
     ds,
     keys: Sequence[str],

@@ -1,0 +1,87 @@
+"""hash_aggregate / salted_group_map unit tests vs pandas reference."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _skewed_table(n=40000, hot_frac=0.6, n_keys=200, seed=17):
+    rng = np.random.default_rng(seed)
+    n_hot = int(n * hot_frac)
+    keys = np.concatenate([
+        np.zeros(n_hot, dtype=np.int64),  # one very hot key
+        rng.integers(1, n_keys, n - n_hot),
+    ])
+    vals = rng.standard_normal(n)
+    ids = np.arange(n, dtype=np.int64)
+    return pa.table({"k": pa.array(keys), "v": pa.array(vals), "i": pa.array(ids)})
+
+
+def test_hash_aggregate_all_fns(ray_session):
+    import ray
+    from geopolars_ray.stages.agg import hash_aggregate
+
+    t = _skewed_table()
+    ds = ray.data.from_arrow(t)
+    out = hash_aggregate(
+        ds,
+        keys=["k"],
+        spec=[
+            ("v", "sum", "s"),
+            ("v", "count", "n"),
+            ("v", "min", "lo"),
+            ("v", "max", "hi"),
+            ("v", "mean", "m"),
+        ],
+        num_partitions=8,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    ref = (
+        t.to_pandas()
+        .groupby("k")["v"]
+        .agg(s="sum", n="count", lo="min", hi="max", m="mean")
+        .reset_index()
+    )
+    assert out["k"].tolist() == ref["k"].tolist()
+    assert out["n"].tolist() == ref["n"].tolist()
+    np.testing.assert_allclose(out["s"], ref["s"], rtol=1e-9)
+    np.testing.assert_allclose(out["lo"], ref["lo"])
+    np.testing.assert_allclose(out["hi"], ref["hi"])
+    np.testing.assert_allclose(out["m"], ref["m"], rtol=1e-9)
+    # no helper columns leak
+    assert set(out.columns) == {"k", "s", "n", "lo", "hi", "m"}
+
+
+def test_salted_group_map_topk(ray_session):
+    """Top-3 values per key via salted two-phase compute on a hot-key table."""
+    import ray
+    from geopolars_ray.stages.agg import salted_group_map
+
+    t = _skewed_table()
+
+    def partial_topk(g: pa.Table) -> pa.Table:
+        v = g["v"].to_numpy(zero_copy_only=False)
+        idx = np.argsort(-v)[:3]
+        return pa.table({"k": pa.array([g["k"][0].as_py()] * len(idx), pa.int64()),
+                         "v": pa.array(v[idx]),
+                         "i": pa.array(np.asarray(g["i"].to_pylist(), dtype=np.int64)[idx])})
+
+    merge_topk = partial_topk  # same logic over merged partials
+
+    out = salted_group_map(
+        ray.data.from_arrow(t), ["k"], partial_topk, merge_topk, salt=4, num_partitions=8
+    ).to_pandas()
+    ref = (
+        t.to_pandas().sort_values("v", ascending=False).groupby("k").head(3)
+    )
+    got = set(zip(out["k"].astype(int), out["i"].astype(int)))
+    expect = set(zip(ref["k"].astype(int), ref["i"].astype(int)))
+    assert got == expect
+
+
+def test_group_slices():
+    from geopolars_ray.stages.agg import group_slices
+
+    t = pa.table({"a": pa.array([2, 1, 2, 1, 3]), "b": pa.array(["x", "y", "x", "y", "z"]),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+    groups = {(g["a"][0].as_py(), g["b"][0].as_py()): g.num_rows for g in group_slices(t, ["a", "b"])}
+    assert groups == {(1, "y"): 2, (2, "x"): 2, (3, "z"): 1}

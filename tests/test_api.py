@@ -1,0 +1,51 @@
+"""GeoDataset API surface: chained reference-style pipelines."""
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.geom import GeometryArray, encode_wkb
+
+
+def test_geodataset_chaining(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from geopolars_ray.api import GeoDataset
+
+    ga = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+            ("polygon", [[(10.0, 10.0), (12.0, 10.0), (12.0, 14.0), (10.0, 14.0), (10.0, 10.0)]]),
+        ]
+    )
+    p = str(tmp_path / "polys.parquet")
+    pq.write_table(pa.table({"name": pa.array(["a", "b"]), "geometry": encode_wkb(ga)}), p)
+
+    gdf = GeoDataset.read_parquet(p)
+    out = gdf.area().euclidean_length(out_col="perim").centroid().x(out_col="cx").y(out_col="cy")
+    df = out.to_pandas().sort_values("name").reset_index(drop=True)
+    assert df["area"].tolist() == [16.0, 8.0]
+    assert df["perim"].tolist() == [16.0, 12.0]
+    assert df["cx"].tolist() == [2.0, 11.0]
+    assert df["cy"].tolist() == [2.0, 12.0]
+
+
+def test_geodataset_transform_and_sjoin(ray_session):
+    import ray
+    from geopolars_ray.api import GeoDataset
+
+    t = pa.table({"pid": pa.array([1, 2, 3], pa.int64()),
+                  "lon": pa.array([0.5, 5.0, -3.0]), "lat": pa.array([0.5, 5.0, -3.0])})
+    polys = GeometryArray.from_pylist(
+        [("polygon", [[(-1.0, -1.0), (1.0, -1.0), (1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0)]])]
+    )
+    admin = pa.table({"admin_id": pa.array(["center"]), "geometry": encode_wkb(polys)})
+
+    gdf = GeoDataset.from_xy(ray.data.from_arrow(t), "lon", "lat")
+    moved = gdf.translate(1.0, 1.0).x(out_col="nx")
+    assert moved.to_pandas()["nx"].tolist() == [1.5, 6.0, -2.0]
+
+    joined = gdf.assign_tiles().sjoin(admin, how="inner").to_pandas()
+    assert joined["pid"].tolist() == [1]
+    assert joined["admin_id"].tolist() == ["center"]
+    # crs round trip through the chain
+    m = gdf.to_crs("EPSG:4326", "EPSG:3857").x(out_col="mx").to_pandas()
+    assert abs(m["mx"][0] - 0.5 * 111319.49079327358) < 1e-6
