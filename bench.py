@@ -100,6 +100,60 @@ def run_headline(num_cpus: int) -> dict:
     return {"sec": dt, "pages_rows": n, "rows_per_s": n / dt, "out_dir": out_dir}
 
 
+def kernel_benchmarks() -> dict:
+    """Geometry-kernel micro-benchmarks (single process, NumPy-level).
+
+    Contrast with the reference's per-row WKB decode bottleneck
+    (`README.md:82-83`): these are whole-column rates on 2M points / 200k
+    16-vertex polygons.
+    """
+    import numpy as np
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb, decode_wkb
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom import s2 as s2_mod
+
+    rng = np.random.default_rng(0)
+    n = 2_000_000
+    x, y = rng.uniform(-180, 180, n), rng.uniform(-85, 85, n)
+    pts = GeometryArray.from_points(x, y)
+    out = {}
+    t0 = time.time()
+    wkb = encode_wkb(pts)
+    out["encode_wkb_points_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    t0 = time.time()
+    ga = decode_wkb(wkb)
+    out["decode_wkb_points_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    t0 = time.time()
+    K.translate(ga, 1.0, 2.0)
+    out["translate_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    t0 = time.time()
+    s2_mod.s2_cell_id(x, y, 12)
+    out["s2_cell_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    # polygons: 200k 16-gon rings
+    m, v = 200_000, 16
+    ang = np.linspace(0, 2 * np.pi, v + 1)
+    cx, cy = rng.uniform(-170, 170, m), rng.uniform(-80, 80, m)
+    coords = np.empty((m * (v + 1), 2))
+    coords[:, 0] = (cx[:, None] + np.cos(ang)[None, :]).ravel()
+    coords[:, 1] = (cy[:, None] + np.sin(ang)[None, :]).ravel()
+    seq = np.arange(m + 1, dtype=np.int64)
+    polys = GeometryArray(
+        types=np.full(m, 3, np.int8),
+        geom_offsets=seq,
+        part_offsets=seq,
+        ring_offsets=seq * (v + 1),
+        coords=coords,
+    )
+    t0 = time.time()
+    K.area(polys)
+    out["area_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
+    t0 = time.time()
+    K.centroid(polys)
+    out["centroid_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
+    return out
+
+
 def run_queries(num_cpus_already_init: bool = False) -> dict:
     """Representative operator benchmarks over the sf dir tables."""
     import ray
@@ -178,6 +232,7 @@ def main() -> None:
 
     headline = run_headline(NUM_CPUS)
     qtimes = {} if "--headline-only" in sys.argv else run_queries()
+    kernels = {} if "--headline-only" in sys.argv else kernel_benchmarks()
     import ray
 
     if ray.is_initialized():
@@ -193,6 +248,7 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "pages_rows": headline["pages_rows"],
                 "rows_per_s": round(headline["rows_per_s"], 1),
+                "kernels": kernels,
             }
         )
     )

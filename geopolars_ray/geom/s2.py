@@ -69,26 +69,23 @@ def lonlat_to_xyz(lon_deg: np.ndarray, lat_deg: np.ndarray):
 
 
 def xyz_to_face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
+    """Branch-free face + (u,v): choose-table numerators over the major axis.
+
+    Per-face formulas (standard S2):
+        0:+x u=y/x  v=z/x   1:+y u=-x/y v=z/y   2:+z u=-x/z v=-y/z
+        3:-x u=z/x  v=y/x   4:-y u=z/y  v=-x/y  5:-z u=-y/z v=-x/z
+    """
     ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
-    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2)).astype(np.int64)
-    major = np.choose(face, [x, y, z])
-    face = np.where(major < 0, face + 3, face)
+    axis = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    den = np.choose(axis, [x, y, z])
+    face = np.where(den < 0, axis + 3, axis).astype(np.int64)
+    nx = -x
+    nyv = -y
     with np.errstate(divide="ignore", invalid="ignore"):
-        u = np.empty_like(x)
-        v = np.empty_like(x)
-        for f, (ue, ve, de) in enumerate(
-            [
-                (y, z, x),  # face 0: +x
-                (-x, z, y),  # face 1: +y
-                (-x, -y, z),  # face 2: +z
-                (z, y, x),  # face 3: -x  (u = z/x, v = y/x with x<0)
-                (z, -x, y),  # face 4: -y
-                (-y, -x, z),  # face 5: -z
-            ]
-        ):
-            m = face == f
-            u[m] = (ue / de)[m]
-            v[m] = (ve / de)[m]
+        un = np.choose(face, [y, nx, nx, z, z, nyv])
+        vn = np.choose(face, [z, z, nyv, y, nx, nx])
+        u = un / den
+        v = vn / den
     return face, u, v
 
 

@@ -74,30 +74,23 @@ def decode_wkb(arr: pa.Array | pa.ChunkedArray) -> GeometryArray:
 
     # ---------------------------------------------------------- point fast path
     if n > 0 and bool(valid.all()) and bool((lens == _POINT_WKB_LEN).all()):
-        starts = offsets[:-1]
-        head = values[starts]  # byte order flags
-        # little-endian type code at bytes 1..5
-        type_le = (
-            values[starts + 1].astype(np.uint32)
-            | (values[starts + 2].astype(np.uint32) << 8)
-            | (values[starts + 3].astype(np.uint32) << 16)
-            | (values[starts + 4].astype(np.uint32) << 24)
-        )
-        is_le_point = (head == 1) & (type_le == 1)
-        type_be = (
-            values[starts + 4].astype(np.uint32)
-            | (values[starts + 3].astype(np.uint32) << 8)
-            | (values[starts + 2].astype(np.uint32) << 16)
-            | (values[starts + 1].astype(np.uint32) << 24)
-        )
-        is_be_point = (head == 0) & (type_be == 1)
+        # contiguous uniform records (fresh builds, parquet reads): a single
+        # reshape view — no per-record index math. Ragged-but-21-byte records
+        # (rare: sliced/filtered buffers) take a gather instead.
+        contiguous = offsets[-1] - offsets[0] == n * _POINT_WKB_LEN
+        if contiguous:
+            raw = values[offsets[0] : offsets[-1]].reshape(n, _POINT_WKB_LEN)
+        else:
+            raw = values[offsets[:-1, None] + np.arange(_POINT_WKB_LEN)]
+        head = raw[:, 0]
+        is_le_point = (head == 1) & (raw[:, 1] == 1) & (raw[:, 2] == 0) & (raw[:, 3] == 0) & (raw[:, 4] == 0)
+        is_be_point = (head == 0) & (raw[:, 4] == 1) & (raw[:, 3] == 0) & (raw[:, 2] == 0) & (raw[:, 1] == 0)
         if bool((is_le_point | is_be_point).all()):
-            idx = starts[:, None] + np.arange(5, 21)
-            raw = values[idx]  # (n, 16) uint8, C-contiguous
-            xy = raw.view(np.float64)  # (n, 2)
+            payload = np.ascontiguousarray(raw[:, 5:21])
+            xy = payload.view(np.float64)  # (n, 2)
             if is_be_point.any():
                 xy = xy.copy()
-                xy[is_be_point] = raw[is_be_point].view(">f8")
+                xy[is_be_point] = payload[is_be_point].view(">f8")
             return GeometryArray.from_points(xy[:, 0].copy(), xy[:, 1].copy())
 
     # ---------------------------------------------------------- general path
