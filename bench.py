@@ -169,9 +169,12 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
         "rel_q1",
         "rel_join_agg",
         "geo_sjoin_inner",
+        "geo_sjoin_part",
         "geo_tile_rollup",
         "geo_knn",
+        "rel_sessions",
         "dd_exact_docs",
+        "dd_minhash_docs",
         "ann_topk",
         "txt_tokens",
     ]

@@ -316,7 +316,14 @@ def _vincenty_m(lon1, lat1, lon2, lat2, iterations: int = 20) -> np.ndarray:
         )
     )
     dist = b * A * (sigma - deltaSigma)
-    return np.where(sinSigma == 0, 0.0, dist)
+    dist = np.where(sinSigma == 0, 0.0, dist)
+    # Vincenty's lambda iteration can fail to converge for near-antipodal
+    # pairs; guard with the haversine great-circle value there (sub-0.6%
+    # worst case on WGS84, only on that degenerate slice)
+    bad = ~np.isfinite(dist)
+    if bad.any():
+        dist = np.where(bad, _haversine_m(lon1, lat1, lon2, lat2), dist)
+    return dist
 
 
 def geodesic_length(ga: GeometryArray, method: str = "geodesic") -> np.ndarray:

@@ -422,13 +422,15 @@ def q_geo_simplify(sf_dir: str):
 
 
 def q_rel_q1(sf_dir: str):
-    ds = _read(
-        sf_dir,
-        "lineitem",
+    # predicate pushdown: the shipdate filter prunes row groups at the scan
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"],
+        filter=pc.field("l_shipdate") < pc.scalar(np.datetime64("1997-09-01", "us")),
     )
 
     def prep(batch: pa.Table) -> pa.Table:
+        # re-apply exactly (pushdown is row-group granular)
         keep = pc.less(batch["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us")))
         batch = batch.filter(keep)
         cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)

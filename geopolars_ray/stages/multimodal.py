@@ -64,6 +64,52 @@ class DecodeImage:
         return out.append_column("mean_rgb", pa.array(mean))
 
 
+FAKE_AUDIO_MAGIC = b"FAUD"
+
+
+def encode_fake_audio(n_samples: int, sample_rate: int, seed: int) -> bytes:
+    """Deterministic fake audio: header + seeded int16 PCM payload."""
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32767, size=n_samples, dtype=np.int16)
+    return FAKE_AUDIO_MAGIC + struct.pack("<II", n_samples, sample_rate) + pcm.tobytes()
+
+
+class DecodeAudio:
+    """Actor-pool audio decode: binary -> (duration_s, sample_rate, rms).
+
+    ``codec='fake'`` parses the FAUD stub; ``codec='real'`` is the
+    libsndfile/ffmpeg integration point and raises ``NotImplementedError``
+    here (no audio codecs in this container) — plumbing identical.
+    """
+
+    def __init__(self, codec: str = "fake", data_col: str = "audio"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        if codec == "real":
+            raise NotImplementedError(
+                "real audio codecs are not available in this environment; use codec='fake'"
+            )
+        self.data_col = data_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.data_col].to_pylist()
+        dur = np.full(len(blobs), np.nan)
+        sr = np.zeros(len(blobs), dtype=np.int64)
+        rms = np.full(len(blobs), np.nan)
+        for i, b in enumerate(blobs):
+            if b is None or not b.startswith(FAKE_AUDIO_MAGIC):
+                continue
+            n, rate = struct.unpack_from("<II", b, 4)
+            pcm = np.frombuffer(b, dtype=np.int16, offset=12, count=n)
+            sr[i] = rate
+            dur[i] = n / rate if rate else np.nan
+            rms[i] = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2))) if n else np.nan
+        out = batch.drop_columns([self.data_col])
+        out = out.append_column("duration_s", pa.array(dur))
+        out = out.append_column("sample_rate", pa.array(sr))
+        return out.append_column("rms", pa.array(rms))
+
+
 class ResizeImage:
     """Fake-codec resize: nearest-neighbor downsample of the FIMG payload.
 

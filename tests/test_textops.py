@@ -199,3 +199,21 @@ def test_minhash_lsh_pipeline(ray_session):
     cluster = [i for i in range(40) if i % 4 == 0]
     expect = {(a, b) for i, a in enumerate(cluster) for b in cluster[i + 1 :]}
     assert got == expect
+
+
+def test_fake_audio_codec():
+    from geopolars_ray.stages.multimodal import encode_fake_audio, DecodeAudio
+
+    a1 = encode_fake_audio(16000, 16000, seed=1)  # 1 second
+    a2 = encode_fake_audio(8000, 16000, seed=2)  # 0.5 seconds
+    t = pa.table({"aid": pa.array([1, 2, 3], pa.int64()),
+                  "audio": pa.array([a1, a2, None], pa.binary())})
+    out = DecodeAudio(codec="fake", data_col="audio")(t)
+    assert out["sample_rate"].to_pylist() == [16000, 16000, 0]
+    d = out["duration_s"].to_pylist()
+    assert d[0] == 1.0 and d[1] == 0.5 and np.isnan(d[2])
+    assert out["rms"].to_pylist()[0] > 0
+
+    import pytest
+    with pytest.raises(NotImplementedError):
+        DecodeAudio(codec="real")
