@@ -734,6 +734,36 @@ def q_rel_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def q_rel_union_distinct(sf_dir: str):
+    """Set ops: union of two filtered reads + distinct count per segment."""
+    a = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] in ("BUILDING", "MACHINERY")
+    )
+    b = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] in ("MACHINERY", "AUTOMOBILE")
+    )
+    u = a.union(b)
+    from geopolars_ray.stages.agg import hash_aggregate
+
+    # union keeps duplicates (MACHINERY rows appear twice) — count rows and
+    # distinct keys per segment
+    lvl = hash_aggregate(u, ["c_mktsegment", "c_custkey"], [("c_custkey", "count", "n_dup")], 8)
+
+    def agg(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["c_mktsegment"]).aggregate([("c_custkey", "count"), ("n_dup", "sum")])
+        return g.rename_columns(["c_mktsegment", "n_distinct", "n_rows"])
+
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
+    return hash_partitioned_map(lvl, ["c_mktsegment"], agg, 4)
+
+
+def q_rel_sample(sf_dir: str):
+    """Seeded deterministic sampling (rows-only oracle: no SQL equivalent)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.random_sample(0.1, seed=42)
+
+
 def q_mm_decode(sf_dir: str):
     """Multimodal plumbing: deterministic fake images keyed by vec_id ->
     actor decode -> (img_id, width, height). Rows-only (binary payloads)."""
@@ -780,6 +810,8 @@ QUERIES = {
     "geo_type_flags": q_geo_type_flags,
     "geo_sjoin_part": q_geo_sjoin_part,
     "rel_sessions": q_rel_sessions,
+    "rel_union_distinct": q_rel_union_distinct,
+    "rel_sample": q_rel_sample,
     "mm_decode": q_mm_decode,
     "geo_convex_hull": q_geo_convex_hull,
     "geo_geodesic": q_geo_geodesic,
@@ -877,6 +909,14 @@ ORACLE_SQL = {
         "c AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess) "
         "SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, "
         "CAST(max(n) AS BIGINT) AS max_session_events FROM c GROUP BY user_id"
+    ),
+    "rel_union_distinct": (
+        "WITH u AS ("
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY') "
+        "UNION ALL "
+        "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('MACHINERY','AUTOMOBILE')) "
+        "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_distinct, count(*) AS n_rows "
+        "FROM u GROUP BY c_mktsegment"
     ),
     "rel_q1": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows, "

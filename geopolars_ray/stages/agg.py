@@ -116,9 +116,23 @@ def hash_aggregate(
         batch_format="pyarrow",
     )
     if combine and tree_combine_batch_size:
+        # NOTE: this op FUSES with the upstream chain, which coarsens task
+        # granularity to ~tree_combine_batch_size rows per task. That is a
+        # deliberate trade: every attempt to break fusion (repartition,
+        # randomize_block_order, distinct num_cpus, actor pool) made the
+        # streaming executor serialize the upstream map on small clusters
+        # (8 CPUs: 46s fused vs 125-160s unfused for the same job). Pick the
+        # batch size to balance combine compression against stragglers.
         stage1 = stage1.map_batches(
             tree_combine, batch_format="pyarrow", batch_size=tree_combine_batch_size
         )
+    # Materialize the (combined, small) partials before the shuffle: the
+    # sort-based groupby is a barrier regardless, and keeping the AllToAll
+    # operator out of the map plan stops the executor's resource reservation
+    # from starving the map stage on small clusters (observed: map ran ~1
+    # task at a time at 4-8 CPUs with the sort attached — 4x wall time).
+    # Partials are a compressed stage boundary, so pinning them is cheap.
+    stage1 = stage1.materialize()
     return stage1.groupby("_part").map_groups(final, batch_format="pyarrow")
 
 

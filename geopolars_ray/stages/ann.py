@@ -91,6 +91,86 @@ def brute_force_knn(ds, queries: dict, k: int = 10, concurrency=2,
     return partials.groupby("qid").map_groups(merge_topk(k), batch_format="pyarrow")
 
 
+def train_ivf_centroids(
+    ds,
+    dim: int,
+    n_centroids: int = 64,
+    sample_size: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd k-means on a seeded sample.
+
+    The sample is collected on the driver (bounded by ``sample_size``); the
+    iterations are plain NumPy — at 100 TB the training set is still a tiny
+    seeded sample, so this stays a driver-side step by design.
+    """
+    n_total = ds.count()
+    frac = min(1.0, sample_size / max(n_total, 1))
+    sample_rows = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
+    X = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)]
+    for _ in range(iters):
+        sims = X @ C.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                c = X[m].mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+class IVFAssign:
+    """Stateless batch kernel: nearest-centroid list id per row."""
+
+    def __init__(self, centroids: np.ndarray, emb_col: str = "embedding"):
+        self.C = np.asarray(centroids, dtype=np.float64)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        norm = np.linalg.norm(emb, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        lists = np.argmax((emb / norm) @ self.C.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_list", pa.array(lists))
+
+
+def ivf_knn(
+    ds,
+    queries: dict,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    concurrency=2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """IVF approximate top-k: scan only rows in each query's nprobe nearest
+    lists. Recall < 1 by construction; nprobe trades recall for scan
+    fraction (~nprobe/n_centroids of the corpus)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    qm = np.asarray(queries["qvec"], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probe.reshape(-1))
+
+    assigned = ds.map_batches(
+        IVFAssign(C, emb_col=emb_col), batch_format="pyarrow", batch_size=4096
+    )
+    filtered = assigned.map_batches(
+        lambda t: t.filter(
+            pa.array(np.isin(np.asarray(t["ivf_list"].to_pylist(), dtype=np.int64), wanted))
+        ),
+        batch_format="pyarrow",
+    )
+    return brute_force_knn(filtered, queries, k=k, concurrency=concurrency, id_col=id_col, emb_col=emb_col)
+
+
 def lsh_knn(ds, queries: dict, dim: int, k: int = 10, n_planes: int = 8, concurrency=2,
             id_col: str = "vec_id", emb_col: str = "embedding"):
     """Approximate top-k: scan only rows whose LSH bucket matches a query's.

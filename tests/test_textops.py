@@ -217,3 +217,32 @@ def test_fake_audio_codec():
     import pytest
     with pytest.raises(NotImplementedError):
         DecodeAudio(codec="real")
+
+
+def test_ivf_knn_recall(ray_session):
+    import ray
+    from geopolars_ray.stages.ann import train_ivf_centroids, ivf_knn, brute_force_knn
+
+    rng = np.random.default_rng(77)
+    # clustered corpus so IVF lists are meaningful
+    n_clusters, per, d = 20, 150, 16
+    centers = rng.standard_normal((n_clusters, d)) * 4
+    emb = np.concatenate([centers[i] + rng.standard_normal((per, d)) * 0.5 for i in range(n_clusters)])
+    n = len(emb)
+    t = pa.table({"vec_id": pa.array(np.arange(n)), "embedding": pa.array(emb.tolist())})
+    ds = ray.data.from_arrow(t)
+
+    C = train_ivf_centroids(ds, dim=d, n_centroids=16, sample_size=n, iters=8)
+    C2 = train_ivf_centroids(ray.data.from_arrow(t), dim=d, n_centroids=16, sample_size=n, iters=8)
+    np.testing.assert_allclose(C, C2)  # deterministic training
+
+    qidx = [10, 500, 1500, 2500]
+    queries = {"qid": np.arange(len(qidx)), "qvec": emb[qidx]}
+    approx = ivf_knn(ds, queries, C, k=10, nprobe=4).to_pandas()
+    exact = brute_force_knn(ray.data.from_arrow(t), queries, k=10).to_pandas()
+    recalls = []
+    for q in range(len(qidx)):
+        a = set(approx[approx.qid == q]["vec_id"])
+        e = set(exact[exact.qid == q]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls
