@@ -329,10 +329,10 @@ def _vincenty_m(lon1, lat1, lon2, lat2, iterations: int = 20) -> np.ndarray:
 def geodesic_length(ga: GeometryArray, method: str = "geodesic") -> np.ndarray:
     """Length in meters on WGS84 (`geoseries.rs:52-58`); coords are lon/lat.
 
-    ``haversine`` uses the mean-radius great-circle formula; ``vincenty`` and
-    ``geodesic`` use Vincenty's inverse on the WGS84 ellipsoid (the reference
-    delegates ``geodesic`` to Karney's algorithm — Vincenty agrees to < 0.5 mm
-    except near-antipodal pairs, documented deviation).
+    ``haversine``: mean-radius great circle. ``vincenty``: Vincenty inverse.
+    ``geodesic``: Karney-series inverse (`geom/geodesic.py`) — the same
+    algorithm family the reference delegates to; the rare non-converged
+    near-antipodal segment falls back to Vincenty.
     """
     if method not in ("geodesic", "haversine", "vincenty"):
         raise ValueError(f"unknown geodesic method {method!r}")
@@ -343,6 +343,13 @@ def geodesic_length(ga: GeometryArray, method: str = "geodesic") -> np.ndarray:
     lon2, lat2 = c[1:, 0], c[1:, 1]
     if method == "haversine":
         seg = _haversine_m(lon1, lat1, lon2, lat2)
+    elif method == "geodesic":
+        from geopolars_ray.geom.geodesic import geodesic_inverse_m
+
+        seg = geodesic_inverse_m(lon1, lat1, lon2, lat2)
+        bad = ~np.isfinite(seg)
+        if bad.any():
+            seg = np.where(bad, _vincenty_m(lon1, lat1, lon2, lat2), seg)
     else:
         seg = _vincenty_m(lon1, lat1, lon2, lat2)
     starts = ga.ring_offsets[:-1]

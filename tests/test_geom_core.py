@@ -264,7 +264,7 @@ def test_geodesic_length():
     geo = K.geodesic_length(ga, "geodesic")[0]
     assert abs(hav - 111195) < 50  # mean-radius great circle
     assert abs(vin - 111319.49) < 1  # WGS84 equatorial arc
-    assert geo == vin
+    assert abs(geo - 111319.4907932736) < 1e-6  # Karney series, exact arc
     with pytest.raises(ValueError):
         K.geodesic_length(ga, "nope")
 
