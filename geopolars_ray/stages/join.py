@@ -77,9 +77,13 @@ def _segments_of_rings(rings: list[np.ndarray]) -> np.ndarray | None:
     return np.concatenate(segs, axis=0)
 
 
-def _segments_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
-    """Any pair of segments from sa (m,2,2) and sb (k,2,2) intersect
-    (including endpoint touches and collinear overlap via orientation signs)."""
+def _segments_cross(sa: np.ndarray, sb: np.ndarray, proper_only: bool = False) -> bool:
+    """Any pair of segments from sa (m,2,2) and sb (k,2,2) intersect.
+
+    ``proper_only=True`` counts only transversal crossings (interiors
+    intersect), excluding endpoint touches / collinear overlap — the test
+    that falsifies polygon containment without rejecting shared boundaries.
+    """
     p1 = sa[:, None, 0]
     p2 = sa[:, None, 1]
     q1 = sb[None, :, 0]
@@ -97,6 +101,8 @@ def _segments_cross(sa: np.ndarray, sb: np.ndarray) -> bool:
     proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
     if proper.any():
         return True
+    if proper_only:
+        return False
 
     # collinear / endpoint-touch: zero orientation with bbox overlap
     def on(a, b, c, d_):
@@ -138,9 +144,8 @@ def _poly_poly(l_rings, r_rings, want_contains: bool, l_contains_r: bool) -> boo
     la = np.concatenate([r for r in l_rings if len(r)]) if l_rings else np.empty((0, 2))
     ra = np.concatenate([r for r in r_rings if len(r)]) if r_rings else np.empty((0, 2))
     if want_contains:
-        inner_rings, outer_rings = (r_rings, l_rings) if l_contains_r else (l_rings, r_rings)
+        outer = l_rings if l_contains_r else r_rings
         inner_pts = ra if l_contains_r else la
-        outer = outer_rings
         inside = points_in_polygon_single(inner_pts[:, 0], inner_pts[:, 1], outer)
         # boundary-inclusive vertex test: a vertex on the outer boundary is ok
         if not inside.all():
@@ -148,9 +153,10 @@ def _poly_poly(l_rings, r_rings, want_contains: bool, l_contains_r: bool) -> boo
                 _, on_b = _point_in_or_on(outer, float(inner_pts[k, 0]), float(inner_pts[k, 1]))
                 if not on_b:
                     return False
-        # no proper edge crossing allowed beyond boundary touches — approximate
-        # with: every inner vertex in-or-on outer (above). Sufficient for
-        # simple synthetic regions; exact DE-9IM needs full overlay (future).
+        # a proper (transversal) edge crossing falsifies containment even
+        # with every vertex inside-or-on; boundary touches are allowed
+        if sl is not None and sr is not None and _segments_cross(sl, sr, proper_only=True):
+            return False
         return True
     # intersects
     if sl is not None and sr is not None and _segments_cross(sl, sr):

@@ -172,3 +172,20 @@ def test_partitioned_join_matches_broadcast(ray_session):
         ray.data.from_arrow(pts), ray.data.from_arrow(admin), cell_deg=10.0, num_partitions=8
     ).to_pandas()
     assert set(zip(b["pid"].astype(int), b["admin_id"])) == set(zip(p["pid"].astype(int), p["admin_id"]))
+
+
+def test_contains_rejects_proper_crossing():
+    """Vertices inside but edges crossing out -> NOT contained (plus-sign vs square)."""
+    outer = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])]
+    )
+    # thin cross whose 4 arms poke out of the square but whose VERTICES near
+    # the center are inside... use a bowtie-ish quad with vertices inside but
+    # an edge passing outside: concave "C" shape exceeding the boundary
+    spike = GeometryArray.from_pylist(
+        [("polygon", [[(2.0, 2.0), (15.0, 5.0), (2.0, 8.0), (2.0, 2.0)]])]
+    )
+    lt = pa.table({"geometry": encode_wkb(outer), "a": pa.array([1])})
+    rt = pa.table({"geometry": encode_wkb(spike), "b": pa.array([2])})
+    assert spatial_join_table(lt, rt, predicate="contains").num_rows == 0
+    assert spatial_join_table(lt, rt, predicate="intersects").num_rows == 1
