@@ -85,8 +85,13 @@ def run_headline(num_cpus: int) -> dict:
     # warm the OS page cache (untimed) so we measure compute + shuffle
     import pyarrow.parquet as pq
 
-    for f in sorted(Path(pdir).glob("*.parquet")):
+    shards = sorted(Path(pdir).glob("*.parquet"))
+    for f in shards:
         pq.read_table(f)
+    # warm the Ray workers (untimed): a mini run of the SAME pipeline forces
+    # worker start + package imports on every slot, so the timed section
+    # measures a long-running cluster, not a cold process ramp
+    tile_rollup(geotag_points(str(shards[0]), batch_size=8192), num_partitions=4).count()
 
     out_dir = f"/tmp/graft_bench_out_{num_cpus}"
     import shutil
