@@ -75,6 +75,21 @@ class GeoDataset:
 
     # ----------------------------------------------------- GeoSeries surface
 
+    @property
+    def geo(self) -> "GeoDataset":
+        """GeoRust-backend namespace alias (`internals/geoseries.py:48-50`):
+        reference code written as ``series.geo.centroid()`` works verbatim."""
+        return self
+
+    @property
+    def geos(self) -> "GeoDataset":
+        """GEOS-backend namespace — an intentionally empty extension point in
+        the reference (`internals/geos/geoseries.py:6-16`); same here."""
+        raise NotImplementedError(
+            "the GEOS backend is an extension point (empty in the reference too); "
+            "use .geo / the direct methods"
+        )
+
     def area(self, out_col: str = "area") -> "GeoDataset":
         return self._apply("area", out_col)
 

@@ -49,3 +49,16 @@ def test_geodataset_transform_and_sjoin(ray_session):
     # crs round trip through the chain
     m = gdf.to_crs("EPSG:4326", "EPSG:3857").x(out_col="mx").to_pandas()
     assert abs(m["mx"][0] - 0.5 * 111319.49079327358) < 1e-6
+
+
+def test_backend_namespaces(ray_session):
+    import ray, pytest
+    from geopolars_ray.api import GeoDataset
+
+    t = pa.table({"lon": pa.array([1.0]), "lat": pa.array([2.0])})
+    g = GeoDataset.from_xy(ray.data.from_arrow(t), "lon", "lat")
+    # reference-style `.geo.<op>()` chains work verbatim
+    out = g.geo.x(out_col="gx").to_pandas()
+    assert out["gx"].tolist() == [1.0]
+    with pytest.raises(NotImplementedError):
+        g.geos
