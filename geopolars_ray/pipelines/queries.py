@@ -602,7 +602,7 @@ def q_dd_minhash_docs(sf_dir: str):
     from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs, jaccard_verify
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=2, fn_constructor_kwargs={})
+    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8), batch_size=512, fn_constructor_kwargs={})
     cand = lsh_candidate_pairs(bands)
     out = jaccard_verify(cand, docs, threshold=0.5, num_partitions=4)
 
@@ -734,6 +734,28 @@ def q_rel_sessions(sf_dir: str):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
+def q_rel_asof(sf_dir: str):
+    """As-of join: each click event picks up the latest prior purchase value
+    of the same user (cents, -1 when none). Oracle via DuckDB ASOF JOIN."""
+    from geopolars_ray.stages.asof import asof_join
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).filter(
+        lambda r: r["event_type"] == "click"
+    )
+    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"]).filter(
+        lambda r: r["event_type"] == "purchase"
+    )
+    out = asof_join(clicks, purchases, key="user_id", ts_col="ts", right_cols=["value"], num_partitions=8)
+
+    def fin(batch: pa.Table) -> pa.Table:
+        v = batch["value_r"].to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), -1, np.rint(np.where(np.isnan(v), 0.0, v) * 100)).astype(np.int64)
+        out_t = batch.select(["event_id", "user_id"])
+        return out_t.append_column("last_purchase_cents", pa.array(cents))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_rel_union_distinct(sf_dir: str):
     """Set ops: union of two filtered reads + distinct count per segment."""
     a = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
@@ -810,6 +832,7 @@ QUERIES = {
     "geo_type_flags": q_geo_type_flags,
     "geo_sjoin_part": q_geo_sjoin_part,
     "rel_sessions": q_rel_sessions,
+    "rel_asof": q_rel_asof,
     "rel_union_distinct": q_rel_union_distinct,
     "rel_sample": q_rel_sample,
     "mm_decode": q_mm_decode,
@@ -909,6 +932,13 @@ ORACLE_SQL = {
         "c AS (SELECT user_id, sess, count(*) AS n FROM s GROUP BY user_id, sess) "
         "SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions, "
         "CAST(max(n) AS BIGINT) AS max_session_events FROM c GROUP BY user_id"
+    ),
+    "rel_asof": (
+        "SELECT c.event_id, c.user_id, "
+        "CAST(COALESCE(round(p.value*100), -1) AS BIGINT) AS last_purchase_cents "
+        "FROM (SELECT * FROM events WHERE event_type='click') c "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
     ),
     "rel_union_distinct": (
         "WITH u AS ("

@@ -158,9 +158,40 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, num_partitions: int = 
 
 
 def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int = 5, threshold: float = 0.7,
-                   num_partitions: int = 16):
-    """Join candidate pairs back to texts and compute exact shingle Jaccard."""
+                   num_partitions: int = 16, broadcast_max_docs: int = 100_000):
+    """Join candidate pairs back to texts and compute exact shingle Jaccard.
+
+    When the corpus fits ``broadcast_max_docs``, the id->text map is
+    broadcast (``ray.put`` once) and verification is a single map_batches
+    over the pairs — skipping two hash joins whose fixed cost dominates on
+    small inputs. Larger corpora take the partitioned join path.
+    """
+    import ray as _ray
+
     docs = docs_ds.select_columns([id_col, text_col])
+    n_docs = docs.count()
+    if n_docs <= broadcast_max_docs:
+        lookup = {r[id_col]: r[text_col] for r in docs.take_all()}
+        ref = _ray.put(lookup)
+
+        class VerifyBroadcast:
+            def __init__(self):
+                self.texts = _ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a_ids = np.asarray(batch["a"].to_pylist(), dtype=np.int64)
+                b_ids = np.asarray(batch["b"].to_pylist(), dtype=np.int64)
+                jac = np.zeros(len(a_ids))
+                for i in range(len(a_ids)):
+                    sa = _shingle_hashes(self.texts.get(int(a_ids[i])) or "", k)
+                    sb = _shingle_hashes(self.texts.get(int(b_ids[i])) or "", k)
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    union = len(sa) + len(sb) - inter
+                    jac[i] = inter / union if union else 0.0
+                out = batch.select(["a", "b"]).append_column("jaccard", pa.array(jac))
+                return out.filter(pa.array(jac >= threshold))
+
+        return pairs_ds.map_batches(VerifyBroadcast, batch_format="pyarrow", concurrency=2)
     j1 = pairs_ds.join(
         docs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,),
         left_suffix="", right_suffix="_a",

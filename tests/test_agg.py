@@ -85,3 +85,28 @@ def test_group_slices():
                   "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
     groups = {(g["a"][0].as_py(), g["b"][0].as_py()): g.num_rows for g in group_slices(t, ["a", "b"])}
     assert groups == {(1, "y"): 2, (2, "x"): 2, (3, "z"): 1}
+
+
+def test_asof_join(ray_session):
+    import ray
+    from geopolars_ray.stages.asof import asof_join
+
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 8, 8], pa.int64()),
+        "ts": pa.array(np.array([100, 250, 50, 300], dtype="datetime64[us]")),
+    })
+    right = pa.table({
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "ts": pa.array(np.array([90, 200, 299], dtype="datetime64[us]")),
+        "value": pa.array([1.5, 2.5, 9.0]),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="user_id", ts_col="ts", right_cols=["value"], num_partitions=2,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # event 1@100 -> 1.5 (90); event 2@250 -> 2.5 (200); event 3@50 -> none;
+    # event 4@300 -> 9.0 (299)
+    vals = out["value_r"].tolist()
+    assert vals[0] == 1.5 and vals[1] == 2.5 and np.isnan(vals[2]) and vals[3] == 9.0
+    assert out["event_id"].dtype == np.int64
