@@ -179,6 +179,7 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
         "geo_tile_rollup",
         "geo_knn",
         "rel_sessions",
+        "rel_asof",
         "dd_exact_docs",
         "dd_minhash_docs",
         "ann_topk",

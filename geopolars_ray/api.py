@@ -186,3 +186,19 @@ class GeoDataset:
         return self._wrap(
             broadcast_spatial_join(self._ds, polygons, lon_col=lon_col, lat_col=lat_col, how=how, **kw)
         )
+
+    def knn(self, queries: dict, k: int, x_col="lon", y_col="lat", id_col="id", **kw) -> "GeoDataset":
+        """Exact kNN of this point dataset against broadcast query points."""
+        from geopolars_ray.stages.knn import euclidean_knn
+
+        return self._wrap(euclidean_knn(self._ds, queries, k, x_col=x_col, y_col=y_col, id_col=id_col, **kw))
+
+    def rasterize(self, tile_deg: float = 15.0, resolution: int = 32, stat: str = "count",
+                  lon_col="lon", lat_col="lat", value_col=None, **kw) -> "GeoDataset":
+        """Per-tile raster grids from this point dataset (raster<->vector op)."""
+        from geopolars_ray.stages.raster import rasterize_points
+
+        return self._wrap(
+            rasterize_points(self._ds, lon_col=lon_col, lat_col=lat_col, value_col=value_col,
+                             tile_deg=tile_deg, resolution=resolution, stat=stat, **kw)
+        )
