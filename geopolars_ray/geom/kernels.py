@@ -87,9 +87,14 @@ def _segment_cross(ga: GeometryArray) -> np.ndarray:
     starts = ga.ring_offsets[:-1]
     ends = np.maximum(ga.ring_offsets[1:] - 1, starts)  # exclude cross-ring segment
     ring_sum = _range_sums(cr, starts, ends)
-    # wraparound term last->first (zero when the ring is explicitly closed)
+    # wraparound term last->first (zero when the ring is explicitly closed).
+    # Trailing empty rings have starts == last == len(coords): clamp the
+    # gather indices, then zero the empty-ring slots.
     last = np.maximum(ga.ring_offsets[1:] - 1, starts)
-    wrap = x[last] * y[starts] - x[starts] * y[last]
+    nmax = len(x) - 1
+    s_c = np.minimum(starts, nmax)
+    l_c = np.minimum(last, nmax)
+    wrap = x[l_c] * y[s_c] - x[s_c] * y[l_c]
     empty = ga.ring_offsets[1:] == starts
     wrap[empty] = 0.0
     return ring_sum + wrap
@@ -421,10 +426,14 @@ def centroid(ga: GeometryArray) -> GeometryArray:
         sy = (y[:-1] + y[1:]) * cr if len(cr) else cr
         starts = ga.ring_offsets[:-1]
         ends = np.maximum(ga.ring_offsets[1:] - 1, starts)
-        last = ends
-        wrap_cr = x[last] * y[starts] - x[starts] * y[last]
-        wrap_sx = (x[last] + x[starts]) * wrap_cr
-        wrap_sy = (y[last] + y[starts]) * wrap_cr
+        # clamp gathers for trailing empty rings (starts==len(coords)); the
+        # empty_ring mask below zeroes those slots
+        nmax = max(len(x) - 1, 0)
+        s_c = np.minimum(starts, nmax)
+        l_c = np.minimum(ends, nmax)
+        wrap_cr = x[l_c] * y[s_c] - x[s_c] * y[l_c]
+        wrap_sx = (x[l_c] + x[s_c]) * wrap_cr
+        wrap_sy = (y[l_c] + y[s_c]) * wrap_cr
         empty_ring = ga.ring_offsets[1:] == starts
         wrap_cr[empty_ring] = 0.0
         wrap_sx[empty_ring] = 0.0
@@ -713,6 +722,47 @@ def _dp_mark(coords: np.ndarray, i0: int, i1: int, tol: float, keep: np.ndarray)
 # --------------------------------------------------------------------------
 
 
+def segments_cross(sa: np.ndarray, sb: np.ndarray, proper_only: bool = False) -> bool:
+    """Any pair of segments from sa (m,2,2) and sb (k,2,2) intersect.
+
+    ``proper_only=True`` counts only transversal crossings (interiors
+    intersect), excluding endpoint touches / collinear overlap — the test
+    that falsifies polygon containment without rejecting shared boundaries.
+    """
+    p1 = sa[:, None, 0]
+    p2 = sa[:, None, 1]
+    q1 = sb[None, :, 0]
+    q2 = sb[None, :, 1]
+
+    def orient(a, b, c):
+        return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (b[..., 1] - a[..., 1]) * (
+            c[..., 0] - a[..., 0]
+        )
+
+    d1 = orient(p1, p2, q1)
+    d2 = orient(p1, p2, q2)
+    d3 = orient(q1, q2, p1)
+    d4 = orient(q1, q2, p2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        return True
+    if proper_only:
+        return False
+
+    # collinear / endpoint-touch: zero orientation with bbox overlap
+    def on(a, b, c, d_):
+        within = (
+            (c[..., 0] >= np.minimum(a[..., 0], b[..., 0]))
+            & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
+            & (c[..., 1] >= np.minimum(a[..., 1], b[..., 1]))
+            & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]))
+        )
+        return (d_ == 0) & within
+
+    touch = on(p1, p2, q1, d1) | on(p1, p2, q2, d2) | on(q1, q2, p1, d3) | on(q1, q2, p2, d4)
+    return bool(touch.any())
+
+
 def distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     """Row-wise aligned euclidean distance (`geoseries.rs:141-146`).
 
@@ -758,8 +808,14 @@ def _geom_pair_distance(lhs: GeometryArray, rhs: GeometryArray, i: int) -> float
             rings = _rings_of(side, i)
             if points_in_polygon_single(pts[:, 0], pts[:, 1], rings).any():
                 return 0.0
-    da = _min_point_to_segments(a, _segments_of(rhs, i)) if _segments_of(rhs, i) is not None else np.inf
-    db = _min_point_to_segments(b, _segments_of(lhs, i)) if _segments_of(lhs, i) is not None else np.inf
+    sl = _segments_of(lhs, i)
+    sr = _segments_of(rhs, i)
+    # any segment-segment intersection -> the geometries touch/cross -> 0
+    # (vertex-to-segment alone misses crossings between vertices)
+    if sl is not None and sr is not None and segments_cross(sl, sr):
+        return 0.0
+    da = _min_point_to_segments(a, sr) if sr is not None else np.inf
+    db = _min_point_to_segments(b, sl) if sl is not None else np.inf
     dpt = np.min(
         np.sqrt((a[:, None, 0] - b[None, :, 0]) ** 2 + (a[:, None, 1] - b[None, :, 1]) ** 2)
     )

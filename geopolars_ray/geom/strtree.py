@@ -155,12 +155,12 @@ class STRTree:
         cy = (b[:, 1] + b[:, 3]) / 2.0
         n = len(b)
         n_slices = max(1, int(np.ceil(np.sqrt(np.ceil(n / _NODE_CAP)))))
-        slice_size = int(np.ceil(n / n_slices)) * 1
+        slice_size = int(np.ceil(n / n_slices))  # items per vertical slice (standard STR)
         order_x = np.argsort(cx, kind="stable")
         order = np.empty(n, dtype=np.int64)
         pos = 0
         for s in range(n_slices):
-            sl = order_x[s * slice_size * _NODE_CAP : (s + 1) * slice_size * _NODE_CAP]
+            sl = order_x[s * slice_size : (s + 1) * slice_size]
             # sort the slice by center-y
             sl = sl[np.argsort(cy[sl], kind="stable")]
             order[pos : pos + len(sl)] = sl

@@ -66,19 +66,37 @@ def asof_join(
     )
 
     def per_partition(part: pa.Table) -> pa.Table:
-        df = part.to_pandas()
-        l = df[df["_side"] == 0][left_names].sort_values(ts_col, kind="mergesort")
-        r = (
-            df[df["_side"] == 1][[key, ts_col, *suff_cols]]
-            .sort_values(ts_col, kind="mergesort")
-        )
-        merged = pd.merge_asof(l, r, on=ts_col, by=key, direction="backward")
-        out = pa.Table.from_pandas(merged, preserve_index=False)
-        # the null-padded union upcast the other side's int columns to float64
-        # in pandas — cast left columns back to their original Arrow types
-        for i, name in enumerate(out.column_names):
-            if name in ltypes and out.schema.field(i).type != ltypes[name]:
-                out = out.set_column(i, name, out[name].cast(ltypes[name]))
+        import pyarrow.compute as pc
+
+        # merge_asof runs on (key, ts, positional index) ONLY; value columns
+        # never round-trip through pandas, so output types and values stay
+        # bit-exact (float64 NaN-padding would silently lose int64 precision
+        # above 2^53 and change the schema).
+        l_tab = part.filter(pc.equal(part["_side"], 0)).select(left_names)
+        r_tab = part.filter(pc.equal(part["_side"], 1)).select([key, ts_col, *suff_cols])
+        ldf = pd.DataFrame(
+            {
+                key: l_tab[key].to_numpy(zero_copy_only=False),
+                "_ts": l_tab[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "_lidx": np.arange(l_tab.num_rows, dtype=np.int64),
+            }
+        ).sort_values("_ts", kind="mergesort")
+        rdf = pd.DataFrame(
+            {
+                key: r_tab[key].to_numpy(zero_copy_only=False),
+                "_ts": r_tab[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "_ridx": np.arange(r_tab.num_rows, dtype=np.int64),
+            }
+        ).sort_values("_ts", kind="mergesort")
+        merged = pd.merge_asof(ldf, rdf, on="_ts", by=key, direction="backward")
+        lidx = merged["_lidx"].to_numpy(dtype=np.int64)
+        ridx = merged["_ridx"].to_numpy(dtype=np.float64)  # NaN = no match
+        out = l_tab.take(pa.array(lidx))
+        miss = np.isnan(ridx)
+        r_take = pa.array(np.where(miss, 0, ridx).astype(np.int64), mask=miss)
+        r_vals = r_tab.select(suff_cols).take(r_take)
+        for sc in suff_cols:
+            out = out.append_column(sc, r_vals[sc])
         return out
 
     return hash_partitioned_map(both, [key], per_partition, num_partitions)

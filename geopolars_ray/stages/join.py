@@ -77,45 +77,9 @@ def _segments_of_rings(rings: list[np.ndarray]) -> np.ndarray | None:
     return np.concatenate(segs, axis=0)
 
 
-def _segments_cross(sa: np.ndarray, sb: np.ndarray, proper_only: bool = False) -> bool:
-    """Any pair of segments from sa (m,2,2) and sb (k,2,2) intersect.
-
-    ``proper_only=True`` counts only transversal crossings (interiors
-    intersect), excluding endpoint touches / collinear overlap — the test
-    that falsifies polygon containment without rejecting shared boundaries.
-    """
-    p1 = sa[:, None, 0]
-    p2 = sa[:, None, 1]
-    q1 = sb[None, :, 0]
-    q2 = sb[None, :, 1]
-
-    def orient(a, b, c):
-        return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (b[..., 1] - a[..., 1]) * (
-            c[..., 0] - a[..., 0]
-        )
-
-    d1 = orient(p1, p2, q1)
-    d2 = orient(p1, p2, q2)
-    d3 = orient(q1, q2, p1)
-    d4 = orient(q1, q2, p2)
-    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
-    if proper.any():
-        return True
-    if proper_only:
-        return False
-
-    # collinear / endpoint-touch: zero orientation with bbox overlap
-    def on(a, b, c, d_):
-        within = (
-            (c[..., 0] >= np.minimum(a[..., 0], b[..., 0]))
-            & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
-            & (c[..., 1] >= np.minimum(a[..., 1], b[..., 1]))
-            & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]))
-        )
-        return (d_ == 0) & within
-
-    touch = on(p1, p2, q1, d1) | on(p1, p2, q2, d2) | on(q1, q2, p1, d3) | on(q1, q2, p2, d4)
-    return bool(touch.any())
+# segment-segment intersection lives in the kernel layer (shared with
+# distance()); keep the historical private alias for local callers
+_segments_cross = K.segments_cross
 
 
 def _point_in_or_on(rings: list[np.ndarray], px: float, py: float) -> tuple[bool, bool]:
@@ -168,15 +132,31 @@ def _poly_poly(l_rings, r_rings, want_contains: bool, l_contains_r: bool) -> boo
     return False
 
 
+def _line_contains_point(segs: np.ndarray | None, px: float, py: float) -> bool:
+    if segs is None:
+        return False
+    a, b = segs[:, 0], segs[:, 1]
+    cross = (b[:, 0] - a[:, 0]) * (py - a[:, 1]) - (b[:, 1] - a[:, 1]) * (px - a[:, 0])
+    within = (
+        (px >= np.minimum(a[:, 0], b[:, 0]))
+        & (px <= np.maximum(a[:, 0], b[:, 0]))
+        & (py >= np.minimum(a[:, 1], b[:, 1]))
+        & (py <= np.maximum(a[:, 1], b[:, 1]))
+    )
+    return bool(((cross == 0) & within).any())
+
+
 def refine_pair(lhs: GeometryArray, rhs: GeometryArray, li: int, ri: int, predicate: str) -> bool:
     """Exact test for one candidate pair, following the reference's dispatch
     (`spatial_index.rs:89-137`) including its quirks:
 
-    - Point ⊗ (Multi)Polygon uses polygon-contains-point regardless of the
-      requested predicate (`:90-96`), boundary-exclusive;
+    - Point ⊗ (Multi)Polygon — IN EITHER OPERAND ORDER (`:90-96`) — uses
+      polygon-contains-point regardless of the requested predicate,
+      boundary-exclusive;
     - (Multi)Polygon ⊗ Polygon honors Contains vs Intersects (`:98-116`);
     - Polygon ⊗ MultiPolygon supports only Intersects (`:118-123`);
-    - Line-ish ⊗ Point uses line-contains-point (`:125-135`);
+    - Line-ish ⊗ Point — in either order (`:125-135`) — uses
+      line-contains-point;
     - every other type pair is silently false (`:136`).
     """
     lt, rt = int(lhs.types[li]), int(rhs.types[ri])
@@ -185,6 +165,9 @@ def refine_pair(lhs: GeometryArray, rhs: GeometryArray, li: int, ri: int, predic
     if lt == POINT and rt in _POLYISH:
         p = lhs.coords[co_l[li]]
         return bool(points_in_polygon_single(np.array([p[0]]), np.array([p[1]]), _rings_of(rhs, ri))[0])
+    if lt in _POLYISH and rt == POINT:
+        p = rhs.coords[co_r[ri]]
+        return bool(points_in_polygon_single(np.array([p[0]]), np.array([p[1]]), _rings_of(lhs, li))[0])
     if lt in _POLYISH and rt == POLYGON:
         return _poly_poly(
             _rings_of(lhs, li), _rings_of(rhs, ri), want_contains=(predicate == "contains"), l_contains_r=True
@@ -195,18 +178,10 @@ def refine_pair(lhs: GeometryArray, rhs: GeometryArray, li: int, ri: int, predic
         return _poly_poly(_rings_of(lhs, li), _rings_of(rhs, ri), want_contains=False, l_contains_r=True)
     if lt in _LINEISH and rt == POINT:
         p = rhs.coords[co_r[ri]]
-        segs = _segments_of_rings(_rings_of(lhs, li))
-        if segs is None:
-            return False
-        a, b = segs[:, 0], segs[:, 1]
-        cross = (b[:, 0] - a[:, 0]) * (p[1] - a[:, 1]) - (b[:, 1] - a[:, 1]) * (p[0] - a[:, 0])
-        within = (
-            (p[0] >= np.minimum(a[:, 0], b[:, 0]))
-            & (p[0] <= np.maximum(a[:, 0], b[:, 0]))
-            & (p[1] >= np.minimum(a[:, 1], b[:, 1]))
-            & (p[1] <= np.maximum(a[:, 1], b[:, 1]))
-        )
-        return bool(((cross == 0) & within).any())
+        return _line_contains_point(_segments_of_rings(_rings_of(lhs, li)), p[0], p[1])
+    if lt == POINT and rt in _LINEISH:
+        p = lhs.coords[co_l[li]]
+        return _line_contains_point(_segments_of_rings(_rings_of(rhs, ri)), p[0], p[1])
     return False
 
 

@@ -110,3 +110,32 @@ def test_asof_join(ray_session):
     vals = out["value_r"].tolist()
     assert vals[0] == 1.5 and vals[1] == 2.5 and np.isnan(vals[2]) and vals[3] == 9.0
     assert out["event_id"].dtype == np.int64
+
+
+def test_asof_join_preserves_int64_precision(ray_session):
+    """Right value columns keep their Arrow type and exact values above 2^53
+    (no float64 NaN-padding round-trip) — ADVICE r1."""
+    import ray
+    from geopolars_ray.stages.asof import asof_join
+
+    big = (1 << 53) + 1  # not representable in float64
+    left = pa.table({
+        "eid": pa.array([1, 2], pa.int64()),
+        "uid": pa.array([7, 7], pa.int64()),
+        "ts": pa.array(np.array([100, 10], dtype="datetime64[us]")),
+    })
+    right = pa.table({
+        "uid": pa.array([7], pa.int64()),
+        "ts": pa.array(np.array([50], dtype="datetime64[us]")),
+        "big": pa.array([big], pa.int64()),
+    })
+    out = asof_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="uid", ts_col="ts", right_cols=["big"], num_partitions=2,
+    )
+    blocks = [ray.get(r) for r in out.to_arrow_refs()]
+    tab = pa.concat_tables([b for b in blocks if b.num_rows > 0])
+    assert tab.schema.field("big_r").type == pa.int64()
+    rows = {r["eid"]: r["big_r"] for r in tab.to_pylist()}
+    assert rows[1] == big        # exact, not 2^53
+    assert rows[2] is None       # no prior match -> null, not NaN

@@ -358,3 +358,49 @@ def test_grid_index_matches_brute_force():
         for p in np.nonzero(ins)[0]:
             expect.add((int(p), it))
     assert got == expect
+
+
+def test_area_centroid_trailing_empty_ring():
+    """Valid WKB with a trailing empty ring (LINESTRING EMPTY / empty-ring
+    polygon) must not crash the shoelace gathers (ADVICE r1)."""
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.array import GeometryArray
+
+    ga = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+            ("linestring", []),
+        ]
+    )
+    a = K.area(ga)
+    assert a[0] == 16.0 and a[1] == 0.0
+    c = K.centroid(ga)
+    assert c.coords[0, 0] == 2.0 and c.coords[0, 1] == 2.0
+    # empty linestring centroid is missing
+    assert c.types[1] == -1
+
+    # ONLY an empty geometry in the batch
+    ga2 = GeometryArray.from_pylist([("linestring", [])])
+    assert K.area(ga2)[0] == 0.0
+    K.centroid(ga2)  # must not raise
+
+
+def test_distance_crossing_segments_is_zero():
+    """Two linestrings crossing between vertices -> distance 0 (ADVICE r1)."""
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.array import GeometryArray
+
+    a = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (2.0, 2.0)])])
+    b = GeometryArray.from_pylist([("linestring", [(0.0, 2.0), (2.0, 0.0)])])
+    assert K.distance(a, b)[0] == 0.0
+    # overlapping polygons with no vertices inside each other
+    p1 = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 1.0), (0.0, 1.0), (0.0, 0.0)]])]
+    )
+    p2 = GeometryArray.from_pylist(
+        [("polygon", [[(1.0, -1.0), (2.0, -1.0), (2.0, 2.0), (1.0, 2.0), (1.0, -1.0)]])]
+    )
+    assert K.distance(p1, p2)[0] == 0.0
+    # disjoint stays positive and exact: (2,2) -> (10,0) = sqrt(68)
+    c = GeometryArray.from_pylist([("linestring", [(10.0, 0.0), (12.0, 0.0)])])
+    assert K.distance(a, c)[0] == np.sqrt(68.0)

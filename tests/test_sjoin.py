@@ -189,3 +189,56 @@ def test_contains_rejects_proper_crossing():
     rt = pa.table({"geometry": encode_wkb(spike), "b": pa.array([2])})
     assert spatial_join_table(lt, rt, predicate="contains").num_rows == 0
     assert spatial_join_table(lt, rt, predicate="intersects").num_rows == 1
+
+
+def test_reversed_operand_orders():
+    """Reference matches both operand orders (`spatial_index.rs:90-96,125-135`):
+    polygon-left x point-right -> contains; point-left x line-right -> contains."""
+    poly = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]])]
+    )
+    pts = GeometryArray.from_points(np.array([1.0, 30.0]), np.array([1.0, 1.0]))
+    lt = pa.table({"geometry": encode_wkb(poly), "a": pa.array([1])})
+    rt = pa.table({"geometry": encode_wkb(pts), "b": pa.array([1, 2])})
+    out = spatial_join_table(lt, rt)
+    assert out.num_rows == 1
+    assert out["b_right"].to_pylist() == [1]
+    # predicate is ignored for point/polygon pairs, either order
+    assert spatial_join_table(lt, rt, predicate="contains").num_rows == 1
+
+    # point-left x linestring-right
+    line = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (10.0, 0.0)])])
+    pl = GeometryArray.from_points(np.array([5.0, 5.0]), np.array([0.0, 1.0]))
+    lt2 = pa.table({"geometry": encode_wkb(pl), "a": pa.array([1, 2])})
+    rt2 = pa.table({"geometry": encode_wkb(line), "b": pa.array([9])})
+    out2 = spatial_join_table(lt2, rt2)
+    assert out2.num_rows == 1
+    assert out2["a_left"].to_pylist() == [1]
+
+
+def test_multipolygon_left_point_right():
+    mpoly = GeometryArray.from_pylist(
+        [("multipolygon", [[[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]]])]
+    )
+    pts = GeometryArray.from_points(np.array([1.0]), np.array([1.0]))
+    lt = pa.table({"geometry": encode_wkb(mpoly), "a": pa.array([1])})
+    rt = pa.table({"geometry": encode_wkb(pts), "b": pa.array([5])})
+    assert spatial_join_table(lt, rt).num_rows == 1
+
+
+def test_strtree_slices_are_compact():
+    """STR packing tiles items into ~sqrt slices in x THEN y: leaf groups of
+    consecutive items must stay spatially compact, not full-width y-bands."""
+    from geopolars_ray.geom.strtree import STRTree, _NODE_CAP
+
+    # 1024 unit boxes on a 32x32 grid
+    g = np.arange(1024)
+    x = (g % 32).astype(np.float64)
+    y = (g // 32).astype(np.float64)
+    boxes = np.column_stack([x, y, x + 1.0, y + 1.0])
+    tree = STRTree(boxes)
+    level1 = tree.levels[1]  # parents of leaf entries (groups of 16)
+    widths = level1[:, 2] - level1[:, 0]
+    # proper STR: each slice spans ~4 grid columns -> node width <= ~6;
+    # the degenerate single-slice packing would give full-width (32) bands
+    assert widths.max() <= 8.0
