@@ -310,6 +310,38 @@ def q_geo_knn(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_geo_knn_join(sf_dir: str):
+    """Large-large distributed kNN join (expanding-cell passes, no driver
+    materialization): 3 nearest suppliers per customer point."""
+    from geopolars_ray.stages.knn import knn_join
+
+    def sup_xy(batch: pa.Table) -> pa.Table:
+        k = batch["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = ((k * 37) % 720) / 2.0 - 179.75
+        y = ((k * 53) % 360) / 2.0 - 89.75
+        batch = batch.append_column("x", pa.array(x))
+        return batch.append_column("y", pa.array(y))
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(sup_xy, batch_format="pyarrow")
+    pts = customer_points(sf_dir, with_geometry=False)
+
+    def sel(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_custkey", "x", "y"])
+
+    out = knn_join(
+        pts.map_batches(sel, batch_format="pyarrow"),
+        sup,
+        k=3,
+        cell_deg=30.0,
+        x_col="x",
+        y_col="y",
+        point_id="c_custkey",
+        target_id="s_suppkey",
+        num_partitions=8,
+    )
+    return out
+
+
 def q_geo_explode(sf_dir: str):
     """Per-nation MultiPoint -> explode -> one Point row per part."""
 
@@ -825,6 +857,7 @@ QUERIES = {
     "geo_sjoin_left": q_geo_sjoin_left,
     "geo_tile_rollup": q_geo_tile_rollup,
     "geo_knn": q_geo_knn,
+    "geo_knn_join": q_geo_knn_join,
     "geo_explode": q_geo_explode,
     "geo_to_crs_x": q_geo_to_crs_x,
     "geo_exterior_len": q_geo_exterior_len,
@@ -908,6 +941,16 @@ ORACLE_SQL = {
         "FROM s CROSS JOIN c) "
         'SELECT s_suppkey, c_custkey, distance, "rank" FROM ('
         'SELECT *, ROW_NUMBER() OVER (PARTITION BY s_suppkey ORDER BY distance, c_custkey) AS "rank" FROM d) '
+        'WHERE "rank" <= 3'
+    ),
+    "geo_knn_join": (
+        f"WITH s AS (SELECT s_suppkey, {_SX} AS x, {_SY} AS y FROM supplier), "
+        f"c AS ({_CPTS}), "
+        "d AS (SELECT c.c_custkey, s.s_suppkey, "
+        "sqrt((c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y)) AS distance "
+        "FROM c CROSS JOIN s) "
+        'SELECT c_custkey, s_suppkey, distance, "rank" FROM ('
+        'SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY distance, s_suppkey) AS "rank" FROM d) '
         'WHERE "rank" <= 3'
     ),
     "geo_explode": f"SELECT c_nationkey, {_CX} AS x, {_CY} AS y FROM customer",

@@ -388,25 +388,30 @@ def partitioned_spatial_join(
     further by salting the cell id on the polygon side and duplicating the
     point-side lookup — not needed while polygon side per cell stays small.
     """
+    from geopolars_ray.geom.array import _expand_ranges
+
     ny = int(np.ceil(180.0 / cell_deg))
 
     def poly_to_cells(batch: pa.Table) -> pa.Table:
+        # vectorized cell-rectangle expansion: each polygon replicates to
+        # every grid cell its bbox overlaps (no per-polygon Python loop)
         ga = decode_wkb(batch[geometry_col])
         xmin, ymin, xmax, ymax = K.bounds(ga)
-        rows = []
-        cells = []
-        for i in range(len(ga)):
-            if np.isnan(xmin[i]):
-                continue
-            ix0 = int(np.floor((xmin[i] + 180.0) / cell_deg))
-            ix1 = int(np.floor((xmax[i] + 180.0) / cell_deg))
-            iy0 = int(np.floor((ymin[i] + 90.0) / cell_deg))
-            iy1 = int(np.floor((ymax[i] + 90.0) / cell_deg))
-            for ix in range(ix0, ix1 + 1):
-                for iy in range(iy0, iy1 + 1):
-                    rows.append(i)
-                    cells.append(ix * ny + iy)
-        out = batch.take(pa.array(rows, pa.int64()))
+        valid = ~np.isnan(xmin)
+        pidx = np.nonzero(valid)[0]
+        ix0 = np.floor((xmin[pidx] + 180.0) / cell_deg).astype(np.int64)
+        ix1 = np.floor((xmax[pidx] + 180.0) / cell_deg).astype(np.int64)
+        iy0 = np.floor((ymin[pidx] + 90.0) / cell_deg).astype(np.int64)
+        iy1 = np.floor((ymax[pidx] + 90.0) / cell_deg).astype(np.int64)
+        nxv = ix1 - ix0 + 1
+        nyv = iy1 - iy0 + 1
+        pair_v = np.repeat(np.arange(len(pidx), dtype=np.int64), nxv)  # (poly, col)
+        col_ix = _expand_ranges(ix0, ix1 + 1)
+        pair2 = np.repeat(np.arange(len(pair_v), dtype=np.int64), nyv[pair_v])
+        row_iy = _expand_ranges(iy0[pair_v], iy1[pair_v] + 1)
+        rows = pidx[pair_v[pair2]]
+        cells = col_ix[pair2] * ny + row_iy
+        out = batch.take(pa.array(rows))
         return out.append_column("_cell", pa.array(cells, pa.int64()))
 
     def point_cell(batch: pa.Table) -> pa.Table:
@@ -417,28 +422,40 @@ def partitioned_spatial_join(
         batch = batch.append_column("_cell", pa.array(np.where(ok, cell, -1), type=pa.int64()))
         return batch.filter(pa.array(ok))
 
+    from geopolars_ray.stages.hashjoin import hash_join
+
     pts = points_ds.map_batches(point_cell, batch_format="pyarrow")
     polys = polygons_ds.map_batches(poly_to_cells, batch_format="pyarrow")
-    joined = pts.join(
-        polys,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("_cell",),
-        left_suffix="",
-        right_suffix="_r",
+    # union-based hash_join, NOT Dataset.join: cell ids are sparse keys and
+    # Ray 2.49's native hash-shuffle join crashes when a hash partition
+    # receives no rows on one side (see stages/hashjoin.py)
+    joined = hash_join(
+        pts, polys, on=["_cell"], how="inner", num_partitions=num_partitions, r_suffix="_r"
     )
 
     def refine(batch: pa.Table) -> pa.Table:
+        # group candidate rows by polygon identity (exact, via Arrow
+        # dictionary-encode of the WKB blob) so each distinct polygon tests
+        # all of its candidate points in ONE vectorized PIP call — the same
+        # pattern as BroadcastPIPJoin; no per-row Python
+        import pyarrow.compute as pc
+
         gcol = geometry_col if geometry_col in batch.column_names else geometry_col + "_r"
-        ga = decode_wkb(batch[gcol])
-        lon = batch[lon_col].to_numpy(zero_copy_only=False)
-        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        if batch.num_rows == 0:
+            return batch.drop_columns([c for c in ("_cell", gcol) if c in batch.column_names])
+        enc = pc.dictionary_encode(batch[gcol].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uga = decode_wkb(enc.dictionary)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
         keep = np.zeros(len(batch), dtype=bool)
-        for i in range(len(batch)):
-            keep[i] = bool(
-                points_in_polygon_single(
-                    np.array([lon[i]]), np.array([lat[i]]), _rings_of(ga, i)
-                )[0]
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        cut = np.nonzero(np.diff(codes_s))[0] + 1
+        for grp_rows in np.split(order, cut):
+            poly = int(codes[grp_rows[0]])
+            keep[grp_rows] = points_in_polygon_single(
+                lon[grp_rows], lat[grp_rows], _rings_of(uga, poly)
             )
         out = batch.filter(pa.array(keep))
         return out.drop_columns([c for c in ("_cell", gcol) if c in out.column_names])

@@ -60,134 +60,161 @@ def knn_join(
 ):
     """Large-large exact kNN join: each left point's k nearest right points.
 
-    Scale path (SURVEY.md §7 M7): targets replicate to their grid cell plus
-    the 8 neighbors; points hash-join on their own cell, so every candidate
-    within ``cell_deg`` of a query is co-located (worst-case coverage radius
-    of the 3x3 block). Per-point top-k runs vectorized per hash partition.
-    Points whose k-th candidate is not provably within the coverage radius
-    (kth distance >= cell_deg, or fewer than k candidates) fall back to an
-    exact broadcast scan — a small remainder when ``cell_deg`` is chosen so
-    the expected k neighbors fit one cell.
+    Scale path (SURVEY.md §7 M7), fully distributed — NOTHING is ever
+    collected on the driver:
+
+    - Each pass keys targets to their grid cell plus the 8 neighbors and
+      points to their own cell, hash-joins on the cell id, and takes a
+      vectorized per-point top-k per hash partition. A point is *complete*
+      when its k-th candidate distance is provably inside the 3x3 coverage
+      radius (< cell_deg).
+    - Incomplete points (k-th not proven, or no candidates at all) go to the
+      next pass with the cell size grown 4x — the expanding-ring second pass.
+      The remainder is computed distributively with a native ``left_anti``
+      join against the completed point ids; only its (small) per-pass row
+      COUNT reaches the driver. Once the cell covers the whole domain the
+      3x3 block holds every target and the pass is exact by construction, so
+      the loop terminates in <= ~5 passes.
+
+    Partitioning assumption: ``cell_deg`` is chosen so most points find k
+    targets in their 3x3 block on the first pass; each extra pass re-keys the
+    full target set (one distributed scan) but only the remainder points.
 
     Returns (point_id, target_id, distance, rank); ties break on target id.
     """
     import pyarrow.compute as pc
 
     from geopolars_ray.geom import tiles as tiles_mod
-    from geopolars_ray.stages.agg import hash_partitioned_map
+    from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
+    from geopolars_ray.stages.hashjoin import hash_join
 
-    ny = int(np.ceil(180.0 / cell_deg))
+    p_schema = points_ds.schema()
+    t_schema = targets_ds.schema()
+    p_types = dict(zip(p_schema.names, p_schema.types))
+    t_types = dict(zip(t_schema.names, t_schema.types))
+    id_type = p_types[point_id]
+    tid_type = t_types[target_id]
+    xy_type = p_types[x_col]
 
-    def target_cells(batch: pa.Table) -> pa.Table:
-        x = batch[x_col].to_numpy(zero_copy_only=False)
-        y = batch[y_col].to_numpy(zero_copy_only=False)
-        cell = tiles_mod.grid_tile_id(x, y, cell_deg)
-        # replicate to the 3x3 neighborhood
-        reps = []
-        cells = []
-        for dx in (-ny, 0, ny):
-            for dy in (-1, 0, 1):
-                reps.append(np.arange(len(x)))
-                cells.append(cell + dx + dy)
-        rows = np.concatenate(reps)
-        out = batch.select([target_id, x_col, y_col]).take(pa.array(rows))
-        out = out.rename_columns([target_id, "_tx", "_ty"])
-        return out.append_column("_cell", pa.array(np.concatenate(cells)))
+    def one_pass(pts_in, cd: float, covers_all: bool):
+        ny = int(np.ceil(180.0 / cd))
 
-    def point_cells(batch: pa.Table) -> pa.Table:
-        x = batch[x_col].to_numpy(zero_copy_only=False)
-        y = batch[y_col].to_numpy(zero_copy_only=False)
-        cell = tiles_mod.grid_tile_id(x, y, cell_deg)
-        return batch.select([point_id, x_col, y_col]).append_column("_cell", pa.array(cell))
+        def target_cells(batch: pa.Table) -> pa.Table:
+            x = batch[x_col].to_numpy(zero_copy_only=False)
+            y = batch[y_col].to_numpy(zero_copy_only=False)
+            cell = tiles_mod.grid_tile_id(x, y, cd)
+            # replicate to the 3x3 neighborhood
+            reps = []
+            cells = []
+            for dx in (-ny, 0, ny):
+                for dy in (-1, 0, 1):
+                    reps.append(np.arange(len(x)))
+                    cells.append(cell + dx + dy)
+            rows = np.concatenate(reps)
+            out = batch.select([target_id, x_col, y_col]).take(pa.array(rows))
+            out = out.rename_columns([target_id, "_tx", "_ty"])
+            return out.append_column("_cell", pa.array(np.concatenate(cells)))
 
-    pts = points_ds.map_batches(point_cells, batch_format="pyarrow")
-    tgt = targets_ds.map_batches(target_cells, batch_format="pyarrow")
-    joined = pts.join(
-        tgt, join_type="inner", num_partitions=num_partitions, on=("_cell",)
-    )
+        def point_cells(batch: pa.Table) -> pa.Table:
+            x = batch[x_col].to_numpy(zero_copy_only=False)
+            y = batch[y_col].to_numpy(zero_copy_only=False)
+            cell = tiles_mod.grid_tile_id(x, y, cd)
+            return batch.select([point_id, x_col, y_col]).append_column("_cell", pa.array(cell))
 
-    def topk_per_point(part: pa.Table) -> pa.Table:
-        pid = np.asarray(part[point_id].to_pylist(), dtype=np.int64)
-        px = part[x_col].to_numpy(zero_copy_only=False)
-        py = part[y_col].to_numpy(zero_copy_only=False)
-        tid = np.asarray(part[target_id].to_pylist(), dtype=np.int64)
-        tx = part["_tx"].to_numpy(zero_copy_only=False)
-        ty = part["_ty"].to_numpy(zero_copy_only=False)
-        d = np.sqrt((px - tx) ** 2 + (py - ty) ** 2)
-        order = np.lexsort((tid, d, pid))
-        pid, tid, d = pid[order], tid[order], d[order]
-        cut = np.nonzero(np.diff(pid))[0] + 1
-        out_p, out_t, out_d, out_r, out_ok = [], [], [], [], []
-        for p_ids, t_ids, dists in zip(np.split(pid, cut), np.split(tid, cut), np.split(d, cut)):
-            kk = min(k, len(t_ids))
-            complete = len(t_ids) >= k and dists[k - 1] < cell_deg
-            out_p.append(p_ids[:kk])
-            out_t.append(t_ids[:kk])
-            out_d.append(dists[:kk])
-            out_r.append(np.arange(1, kk + 1, dtype=np.int64))
-            out_ok.append(np.full(kk, complete))
-        if not out_p:
-            return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
-                             "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
-                             "_complete": pa.array([], pa.bool_())})
-        return pa.table(
-            {
-                point_id: pa.array(np.concatenate(out_p)),
-                target_id: pa.array(np.concatenate(out_t)),
-                "distance": pa.array(np.concatenate(out_d)),
-                "rank": pa.array(np.concatenate(out_r)),
-                "_complete": pa.array(np.concatenate(out_ok)),
-            }
+        pts = pts_in.map_batches(point_cells, batch_format="pyarrow")
+        tgt = targets_ds.map_batches(target_cells, batch_format="pyarrow")
+        # union-based hash_join, NOT Dataset.join: grid cells are sparse keys
+        # and Ray's native hash-shuffle join crashes on empty partitions
+        joined = hash_join(
+            pts, tgt, on=["_cell"], how="inner", num_partitions=num_partitions,
+            left_schema=pa.schema(
+                [(point_id, id_type), (x_col, p_types[x_col]), (y_col, p_types[y_col]), ("_cell", pa.int64())]
+            ),
+            right_schema=pa.schema(
+                [(target_id, tid_type), ("_tx", t_types[x_col]), ("_ty", t_types[y_col]), ("_cell", pa.int64())]
+            ),
         )
 
-    ranked = hash_partitioned_map(joined, [point_id], topk_per_point, num_partitions)
-    ranked = ranked.materialize()
-    complete = ranked.map_batches(
-        lambda t: t.filter(pc.equal(t["_complete"], True)).drop_columns(["_complete"]),
-        batch_format="pyarrow",
-    )
+        def topk_per_point(part: pa.Table) -> pa.Table:
+            pid = np.asarray(part[point_id].to_pylist(), dtype=np.int64)
+            px = part[x_col].to_numpy(zero_copy_only=False)
+            py = part[y_col].to_numpy(zero_copy_only=False)
+            tid = np.asarray(part[target_id].to_pylist(), dtype=np.int64)
+            tx = part["_tx"].to_numpy(zero_copy_only=False)
+            ty = part["_ty"].to_numpy(zero_copy_only=False)
+            d = np.sqrt((px - tx) ** 2 + (py - ty) ** 2)
+            order = np.lexsort((tid, d, pid))
+            pid, tid, d = pid[order], tid[order], d[order]
+            # drop duplicate (pid, tid) candidates: on coarse passes the 3x3
+            # cell offsets can alias (ny <= 2) and replicate a target into
+            # the same joined cell more than once; duplicates sort adjacent
+            if len(pid) > 1:
+                keep = np.ones(len(pid), dtype=bool)
+                keep[1:] = ~((pid[1:] == pid[:-1]) & (tid[1:] == tid[:-1]))
+                pid, tid, d = pid[keep], tid[keep], d[keep]
+            cut = np.nonzero(np.diff(pid))[0] + 1
+            out_p, out_t, out_d, out_r, out_ok = [], [], [], [], []
+            for p_ids, t_ids, dists in zip(np.split(pid, cut), np.split(tid, cut), np.split(d, cut)):
+                kk = min(k, len(t_ids))
+                complete = covers_all or (len(t_ids) >= k and dists[k - 1] < cd)
+                out_p.append(p_ids[:kk])
+                out_t.append(t_ids[:kk])
+                out_d.append(dists[:kk])
+                out_r.append(np.arange(1, kk + 1, dtype=np.int64))
+                out_ok.append(np.full(kk, complete))
+            if not out_p:
+                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                                 "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
+                                 "_complete": pa.array([], pa.bool_())})
+            return pa.table(
+                {
+                    point_id: pa.array(np.concatenate(out_p)),
+                    target_id: pa.array(np.concatenate(out_t)),
+                    "distance": pa.array(np.concatenate(out_d)),
+                    "rank": pa.array(np.concatenate(out_r)),
+                    "_complete": pa.array(np.concatenate(out_ok)),
+                }
+            )
 
-    # Exact fallback for the incomplete remainder (k-th neighbor not provably
-    # inside the 3x3 coverage radius, or no candidates at all). The remainder
-    # id set is collected on the driver — fine while it is small (dense
-    # targets / well-chosen cell_deg); the fully-distributed alternative is
-    # an expanding-ring second pass keyed on the same cells.
-    incomplete_ids = set(
-        r[point_id]
-        for r in ranked.map_batches(
-            lambda t: t.filter(pc.equal(t["_complete"], False)).select([point_id]),
+        return hash_partitioned_map(joined, [point_id], topk_per_point, num_partitions)
+
+    remaining = points_ds.select_columns([point_id, x_col, y_col])
+    outs = []
+    cd = float(cell_deg)
+    while True:
+        covers_all = cd >= 360.0  # one cell spans the lon/lat domain -> exact
+        ranked = one_pass(remaining, cd, covers_all).materialize()
+        complete = ranked.map_batches(
+            lambda t: t.filter(pc.equal(t["_complete"], True)).drop_columns(["_complete"]),
             batch_format="pyarrow",
-        ).take_all()
-    )
-    all_pids = set(r[point_id] for r in pts.select_columns([point_id]).take_all())
-    seen_pids = set(r[point_id] for r in ranked.select_columns([point_id]).take_all())
-    incomplete_ids |= all_pids - seen_pids
-    if not incomplete_ids:
-        return complete
-
-    wanted = np.fromiter(incomplete_ids, dtype=np.int64)
-    fb_pts = pts.map_batches(
-        lambda t: t.filter(
-            pa.array(np.isin(np.asarray(t[point_id].to_pylist(), dtype=np.int64), wanted))
-        ),
-        batch_format="pyarrow",
-    )
-    fb = fb_pts.select_columns([point_id, x_col, y_col]).take_all()
-    queries = {
-        "qid": np.array([r[point_id] for r in fb], dtype=np.int64),
-        "qx": np.array([r[x_col] for r in fb]),
-        "qy": np.array([r[y_col] for r in fb]),
-    }
-    fallback = euclidean_knn(
-        targets_ds, queries, k, x_col=x_col, y_col=y_col, id_col=target_id
-    )
-
-    def rn(batch: pa.Table) -> pa.Table:
-        idx = batch.column_names.index("qid")
-        return batch.set_column(idx, point_id, batch["qid"])
-
-    fallback = fallback.map_batches(rn, batch_format="pyarrow")
-    return complete.union(fallback.select_columns(complete.schema().names))
+        )
+        outs.append(complete)
+        if covers_all:
+            break
+        # Ray's map_groups can emit zero-column empty blocks for empty
+        # partitions; normalize them to the correct one-column schema before
+        # the anti-join
+        empty_ids = pa.table({point_id: pa.array([], id_type)})
+        done_ids = hash_aggregate(
+            complete, [point_id], [(point_id, "count", "_n")], num_partitions
+        ).map_batches(
+            lambda t: t.select([point_id]) if point_id in t.column_names else empty_ids,
+            batch_format="pyarrow",
+        )
+        remaining = hash_join(
+            remaining, done_ids, on=[point_id], how="left_anti", num_partitions=num_partitions,
+            left_schema=pa.schema(
+                [(point_id, id_type), (x_col, p_types[x_col]), (y_col, p_types[y_col])]
+            ),
+            right_schema=pa.schema([(point_id, id_type)]),
+        ).materialize()
+        if remaining.count() == 0:
+            break
+        cd *= 4.0
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
 
 
 def euclidean_knn(points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col="id", concurrency=2):
