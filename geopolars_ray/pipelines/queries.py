@@ -33,7 +33,7 @@ from geopolars_ray.geom import kernels as K
 from geopolars_ray.geom import crs as crs_mod
 from geopolars_ray.geom import s2 as s2_mod
 from geopolars_ray.geom import tiles as tiles_mod
-from geopolars_ray.stages.geo import geo_op, points_from_xy, geo_explode
+from geopolars_ray.stages.geo import geo_op, geo_ops, points_from_xy, geo_explode
 from geopolars_ray.stages.join import broadcast_spatial_join
 from geopolars_ray.stages.knn import euclidean_knn
 
@@ -108,27 +108,29 @@ def nation_rects(sf_dir: str) -> pa.Table:
 def q_geo_xy(sf_dir: str):
     """Point construction + x/y accessors through the WKB kernel path."""
     ds = customer_points(sf_dir)
-    ds = ds.map_batches(geo_op("x", out_col="px"), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("y", out_col="py"), batch_format="pyarrow")
+    ds = ds.map_batches(geo_ops([("x", {}, "px"), ("y", {}, "py")]), batch_format="pyarrow")
     return ds.select_columns(["c_custkey", "px", "py"])
 
 
 def q_geo_translate(sf_dir: str):
     ds = customer_points(sf_dir)
-    ds = ds.map_batches(geo_op("translate", x=1.25, y=-2.5), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("x", out_col="xt"), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("y", out_col="yt"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        geo_ops([("translate", dict(x=1.25, y=-2.5)), ("x", {}, "xt"), ("y", {}, "yt")]),
+        batch_format="pyarrow",
+    )
     return ds.select_columns(["c_custkey", "xt", "yt"])
 
 
 def q_geo_affine(sf_dir: str):
     ds = customer_points(sf_dir)
     ds = ds.map_batches(
-        geo_op("affine_transform", matrix=[2.0, 0.0, 0.0, 0.5, 10.25, -3.5]),
+        geo_ops([
+            ("affine_transform", dict(matrix=[2.0, 0.0, 0.0, 0.5, 10.25, -3.5])),
+            ("x", {}, "xa"),
+            ("y", {}, "ya"),
+        ]),
         batch_format="pyarrow",
     )
-    ds = ds.map_batches(geo_op("x", out_col="xa"), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("y", out_col="ya"), batch_format="pyarrow")
     return ds.select_columns(["c_custkey", "xa", "ya"])
 
 
@@ -356,8 +358,7 @@ def q_geo_explode(sf_dir: str):
 
     grouped = customer_points(sf_dir, with_geometry=False).groupby("c_nationkey").map_groups(mp, batch_format="pyarrow")
     exploded = grouped.map_batches(geo_explode(), batch_format="pyarrow")
-    exploded = exploded.map_batches(geo_op("x", out_col="x"), batch_format="pyarrow")
-    exploded = exploded.map_batches(geo_op("y", out_col="y"), batch_format="pyarrow")
+    exploded = exploded.map_batches(geo_ops([("x", {}, "x"), ("y", {}, "y")]), batch_format="pyarrow")
     return exploded.select_columns(["c_nationkey", "x", "y"])
 
 
@@ -365,9 +366,12 @@ def q_geo_to_crs_x(sf_dir: str):
     """WebMercator x through the to_crs kernel (float-exact vs SQL constant)."""
     ds = customer_points(sf_dir)
     ds = ds.map_batches(
-        geo_op("to_crs", from_crs="EPSG:4326", to_crs="EPSG:3857"), batch_format="pyarrow"
+        geo_ops([
+            ("to_crs", dict(from_crs="EPSG:4326", to_crs="EPSG:3857")),
+            ("x", {}, "mercator_x"),
+        ]),
+        batch_format="pyarrow",
     )
-    ds = ds.map_batches(geo_op("x", out_col="mercator_x"), batch_format="pyarrow")
     return ds.select_columns(["c_custkey", "mercator_x"])
 
 
@@ -701,17 +705,23 @@ def q_dd_embed_cosine(sf_dir: str):
 def q_geo_exterior_len(sf_dir: str):
     """exterior kernel: rect polygon -> exterior LineString -> length."""
     ds = ray.data.from_arrow(nation_rects(sf_dir))
-    ds = ds.map_batches(geo_op("exterior"), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("euclidean_length", out_col="ext_len"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        geo_ops([("exterior", {}), ("euclidean_length", {}, "ext_len")]), batch_format="pyarrow"
+    )
     return ds.select_columns(["n_nationkey", "ext_len"])
 
 
 def q_geo_scale(sf_dir: str):
     """scale kernel about a fixed origin (exact multiplication)."""
     ds = customer_points(sf_dir)
-    ds = ds.map_batches(geo_op("scale", xfact=2.0, yfact=-0.5, origin=(0.0, 0.0)), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("x", out_col="xs"), batch_format="pyarrow")
-    ds = ds.map_batches(geo_op("y", out_col="ys"), batch_format="pyarrow")
+    ds = ds.map_batches(
+        geo_ops([
+            ("scale", dict(xfact=2.0, yfact=-0.5, origin=(0.0, 0.0))),
+            ("x", {}, "xs"),
+            ("y", {}, "ys"),
+        ]),
+        batch_format="pyarrow",
+    )
     return ds.select_columns(["c_custkey", "xs", "ys"])
 
 
@@ -771,11 +781,18 @@ def q_rel_asof(sf_dir: str):
     of the same user (cents, -1 when none). Oracle via DuckDB ASOF JOIN."""
     from geopolars_ray.stages.asof import asof_join
 
-    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).filter(
-        lambda r: r["event_type"] == "click"
+    def keep(event_type: str):
+        # vectorized Arrow filter (a row-wise Python lambda costs ~µs/row)
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], event_type))
+
+        return fn
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+        keep("click"), batch_format="pyarrow"
     )
-    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"]).filter(
-        lambda r: r["event_type"] == "purchase"
+    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"]).map_batches(
+        keep("purchase"), batch_format="pyarrow"
     )
     out = asof_join(clicks, purchases, key="user_id", ts_col="ts", right_cols=["value"], num_partitions=8)
 
@@ -790,11 +807,17 @@ def q_rel_asof(sf_dir: str):
 
 def q_rel_union_distinct(sf_dir: str):
     """Set ops: union of two filtered reads + distinct count per segment."""
-    a = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
-        lambda r: r["c_mktsegment"] in ("BUILDING", "MACHINERY")
+    def seg_in(vals):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["c_mktsegment"], value_set=pa.array(vals)))
+
+        return fn
+
+    a = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        seg_in(["BUILDING", "MACHINERY"]), batch_format="pyarrow"
     )
-    b = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
-        lambda r: r["c_mktsegment"] in ("MACHINERY", "AUTOMOBILE")
+    b = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        seg_in(["MACHINERY", "AUTOMOBILE"]), batch_format="pyarrow"
     )
     u = a.union(b)
     from geopolars_ray.stages.agg import hash_aggregate

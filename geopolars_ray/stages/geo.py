@@ -87,6 +87,54 @@ def geo_op(
     return fn
 
 
+def geo_ops(
+    steps: list,
+    geometry_col: str = GEOMETRY,
+) -> Callable[[pa.Table], pa.Table]:
+    """Fused kernel chain: decode WKB ONCE, apply N registry kernels, encode
+    ONCE (vs one decode+encode round-trip per ``geo_op`` stage — measurable
+    on kernel-chain pipelines since codec work rivals kernel work).
+
+    ``steps``: list of ``name`` | ``(name, kwargs)`` | ``(name, kwargs,
+    out_col)``. Geometry-valued kernels replace the working geometry for
+    subsequent steps; scalar kernels append a column computed from the
+    CURRENT (chained) geometry.
+    """
+    compiled: list[tuple[str, dict, str]] = []
+    for step in steps:
+        if isinstance(step, str):
+            name, kwargs, out_col = step, {}, step
+        elif len(step) == 2:
+            name, kwargs = step
+            out_col = name
+        else:
+            name, kwargs, out_col = step
+        if name not in KERNELS:
+            raise KeyError(f"unknown kernel {name!r}")
+        compiled.append((name, dict(kwargs), out_col))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch[geometry_col])
+        geom_dirty = False
+        for name, kwargs, out_col in compiled:
+            kernel, kind = KERNELS[name]
+            res = kernel(ga, **kwargs)
+            if kind == "geometry":
+                ga = res
+                geom_dirty = True
+            else:
+                if out_col in batch.column_names:
+                    batch = batch.drop_columns([out_col])
+                batch = batch.append_column(out_col, pa.array(np.asarray(res)))
+        if geom_dirty:
+            idx = batch.column_names.index(geometry_col)
+            batch = batch.set_column(idx, geometry_col, encode_wkb(ga))
+        return batch
+
+    fn.__name__ = "geo_ops_" + "_".join(n for n, _, _ in compiled)
+    return fn
+
+
 def geo_bounds(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
     """Append xmin/ymin/xmax/ymax columns."""
 
