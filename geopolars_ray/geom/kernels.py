@@ -502,11 +502,24 @@ def _origin_per_coord(ga: GeometryArray, origin) -> tuple[np.ndarray, np.ndarray
     return np.repeat(gx, reps), np.repeat(gy, reps)
 
 
+_EXACT_ROT = {0.0: (1.0, 0.0), 90.0: (0.0, 1.0), 180.0: (-1.0, 0.0), 270.0: (0.0, -1.0)}
+
+
 def rotate(ga: GeometryArray, angle_deg: float, origin="center") -> GeometryArray:
-    """Rotate CCW by degrees about origin (`geoseries.rs:85-93`)."""
+    """Rotate CCW by degrees about origin (`geoseries.rs:85-93`).
+
+    Quarter-turn angles use exact (0, ±1) cos/sin rather than the float
+    round-trip through radians (cos(radians(90)) is 6.1e-17, not 0) — the
+    mathematically correct values, and what makes 90/180/270 rotations
+    bit-exact for the oracle comparisons.
+    """
     ox, oy = _origin_per_coord(ga, origin)
-    th = np.radians(angle_deg)
-    c, s = np.cos(th), np.sin(th)
+    key = float(angle_deg) % 360.0
+    if key in _EXACT_ROT:
+        c, s = _EXACT_ROT[key]
+    else:
+        th = np.radians(angle_deg)
+        c, s = np.cos(th), np.sin(th)
     x = ga.coords[:, 0] - ox
     y = ga.coords[:, 1] - oy
     return ga.with_coords(np.column_stack([c * x - s * y + ox, s * x + c * y + oy]))
@@ -520,10 +533,22 @@ def scale(ga: GeometryArray, xfact: float = 1.0, yfact: float = 1.0, origin="cen
     return ga.with_coords(np.column_stack([x, y]))
 
 
+def _tan_deg(angle_deg: float) -> float:
+    """tan of a degree angle; exact for 0/±45/±135 (mod 180) — see rotate()."""
+    r = float(angle_deg) % 180.0
+    if r == 0.0:
+        return 0.0
+    if r == 45.0:
+        return 1.0
+    if r == 135.0:
+        return -1.0
+    return float(np.tan(np.radians(angle_deg)))
+
+
 def skew(ga: GeometryArray, xs: float = 0.0, ys: float = 0.0, origin="center") -> GeometryArray:
     """Shear by angles in degrees (`geoseries.rs:118-139`): x' = x + tan(xs)·y."""
     ox, oy = _origin_per_coord(ga, origin)
-    tx, ty = np.tan(np.radians(xs)), np.tan(np.radians(ys))
+    tx, ty = _tan_deg(xs), _tan_deg(ys)
     x = ga.coords[:, 0] - ox
     y = ga.coords[:, 1] - oy
     return ga.with_coords(np.column_stack([x + tx * y + ox, ty * x + y + oy]))

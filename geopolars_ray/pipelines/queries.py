@@ -134,6 +134,35 @@ def q_geo_affine(sf_dir: str):
     return ds.select_columns(["c_custkey", "xa", "ya"])
 
 
+def q_geo_rotate(sf_dir: str):
+    """Quarter-turn rotate kernel (exact cos/sin): rotate 90 CCW about (0,0)
+    -> (xr, yr) = (-y, x), float-exact vs SQL."""
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(
+        geo_ops([
+            ("rotate", dict(angle_deg=90.0, origin=(0.0, 0.0))),
+            ("x", {}, "xr"),
+            ("y", {}, "yr"),
+        ]),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["c_custkey", "xr", "yr"])
+
+
+def q_geo_skew(sf_dir: str):
+    """Tan-exact skew kernel: xs=45 deg about (0,0) -> x' = x + y."""
+    ds = customer_points(sf_dir)
+    ds = ds.map_batches(
+        geo_ops([
+            ("skew", dict(xs=45.0, ys=0.0, origin=(0.0, 0.0))),
+            ("x", {}, "xk"),
+            ("y", {}, "yk"),
+        ]),
+        batch_format="pyarrow",
+    )
+    return ds.select_columns(["c_custkey", "xk", "yk"])
+
+
 def q_geo_rect_stats(sf_dir: str):
     """area / perimeter / centroid / envelope over the nation rect polygons."""
     rects = nation_rects(sf_dir)
@@ -310,6 +339,31 @@ def q_geo_knn(sf_dir: str):
         return batch.set_column(idx, "s_suppkey", batch["qid"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_geo_utm(sf_dir: str):
+    """General to_crs surface: project every customer point to ITS OWN UTM
+    zone (Krüger-series transverse Mercator) and back; emit the zone and a
+    round-trip-exactness flag. Kernel correctness vs published anchors
+    (quarter meridian, EPSG:3035 center) is pytest-validated — the SQL
+    oracle checks the zone arithmetic and that every round-trip closes."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        zone = crs_mod.utm_zone_of(x)
+        lon2 = np.empty_like(x)
+        lat2 = np.empty_like(y)
+        for z in np.unique(zone):
+            m = zone == z
+            E, N = crs_mod.utm_forward(x[m], y[m], int(z))
+            lon2[m], lat2[m] = crs_mod.utm_inverse(E, N, int(z))
+        ok = (np.abs(lon2 - x) < 1e-6) & (np.abs(lat2 - y) < 1e-6)
+        batch = batch.append_column("zone", pa.array(zone))
+        return batch.append_column("rt_ok", pa.array(ok))
+
+    ds = customer_points(sf_dir, with_geometry=False).map_batches(fn, batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "zone", "rt_ok"])
 
 
 def q_geo_knn_join(sf_dir: str):
@@ -871,6 +925,8 @@ QUERIES = {
     "geo_xy": q_geo_xy,
     "geo_translate": q_geo_translate,
     "geo_affine": q_geo_affine,
+    "geo_rotate": q_geo_rotate,
+    "geo_skew": q_geo_skew,
     "geo_rect_stats": q_geo_rect_stats,
     "geo_envelope_group": q_geo_envelope_group,
     "geo_length_path": q_geo_length_path,
@@ -883,6 +939,7 @@ QUERIES = {
     "geo_knn_join": q_geo_knn_join,
     "geo_explode": q_geo_explode,
     "geo_to_crs_x": q_geo_to_crs_x,
+    "geo_utm": q_geo_utm,
     "geo_exterior_len": q_geo_exterior_len,
     "geo_scale": q_geo_scale,
     "geo_type_flags": q_geo_type_flags,
@@ -920,6 +977,8 @@ ORACLE_SQL = {
     "geo_xy": f"SELECT c_custkey, {_CX} AS px, {_CY} AS py FROM customer",
     "geo_translate": f"SELECT c_custkey, ({_CX}) + 1.25 AS xt, ({_CY}) - 2.5 AS yt FROM customer",
     "geo_affine": f"SELECT c_custkey, 2.0*({_CX}) + 10.25 AS xa, 0.5*({_CY}) - 3.5 AS ya FROM customer",
+    "geo_rotate": f"SELECT c_custkey, -({_CY}) AS xr, ({_CX}) AS yr FROM customer",
+    "geo_skew": f"SELECT c_custkey, ({_CX}) + ({_CY}) AS xk, ({_CY}) AS yk FROM customer",
     "geo_rect_stats": (
         f"SELECT n_nationkey, w*h AS area, 2.0*(w+h) AS perimeter, "
         "xmin + w/2.0 AS cx, ymin + h/2.0 AS cy, "
@@ -979,6 +1038,10 @@ ORACLE_SQL = {
     "geo_explode": f"SELECT c_nationkey, {_CX} AS x, {_CY} AS y FROM customer",
     "geo_to_crs_x": (
         f"SELECT c_custkey, 6378137.0 * (({_CX}) * 0.017453292519943295) AS mercator_x FROM customer"
+    ),
+    "geo_utm": (
+        f"SELECT c_custkey, CAST(floor((({_CX}) + 180.0)/6.0) + 1 AS BIGINT) AS zone, "
+        "TRUE AS rt_ok FROM customer"
     ),
     "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
     "geo_scale": f"SELECT c_custkey, ({_CX})*2.0 AS xs, ({_CY})*-0.5 AS ys FROM customer",
