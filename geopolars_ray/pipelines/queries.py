@@ -341,6 +341,38 @@ def q_geo_knn(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_geo_geojson(sf_dir: str):
+    """GeoJSON read path (read_file analogue): customer points are written as
+    newline-delimited GeoJSON features (deterministic, derived from the
+    customer table), read back through ``read_geojson``'s scale path
+    (ray.data.read_text + per-batch parse), and x/y extracted through the
+    WKB kernels. Oracle = the same derivation in SQL."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geopolars_ray.geom import encode_wkb
+    from geopolars_ray.sources.geojson import read_geojson, write_geojsonl
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    k = t["c_custkey"].to_numpy().astype(np.int64)
+    x = (k % 720) / 2.0 - 179.75
+    y = ((k * 7) % 360) / 2.0 - 89.75
+    tab = pa.table(
+        {"c_custkey": t["c_custkey"], "geometry": encode_wkb(GeometryArray.from_points(x, y))}
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/geopolars_ray_gj_{tag}.geojsonl"
+    tmp = path + ".tmp"
+    write_geojsonl(tab, tmp)
+    os.replace(tmp, path)  # atomic publish: re-runs overwrite idempotently
+
+    ds = read_geojson(path)
+    ds = ds.map_batches(geo_ops([("x", {}, "gx"), ("y", {}, "gy")]), batch_format="pyarrow")
+    return ds.select_columns(["c_custkey", "gx", "gy"])
+
+
 def q_geo_utm(sf_dir: str):
     """General to_crs surface: project every customer point to ITS OWN UTM
     zone (Krüger-series transverse Mercator) and back; emit the zone and a
@@ -940,6 +972,7 @@ QUERIES = {
     "geo_explode": q_geo_explode,
     "geo_to_crs_x": q_geo_to_crs_x,
     "geo_utm": q_geo_utm,
+    "geo_geojson": q_geo_geojson,
     "geo_exterior_len": q_geo_exterior_len,
     "geo_scale": q_geo_scale,
     "geo_type_flags": q_geo_type_flags,
@@ -1043,6 +1076,7 @@ ORACLE_SQL = {
         f"SELECT c_custkey, CAST(floor((({_CX}) + 180.0)/6.0) + 1 AS BIGINT) AS zone, "
         "TRUE AS rt_ok FROM customer"
     ),
+    "geo_geojson": f"SELECT c_custkey, {_CX} AS gx, {_CY} AS gy FROM customer",
     "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
     "geo_scale": f"SELECT c_custkey, ({_CX})*2.0 AS xs, ({_CY})*-0.5 AS ys FROM customer",
     "geo_type_flags": (

@@ -1,0 +1,201 @@
+"""Pure-Python GeoJSON reader/writer — `read_file` analogue for the dominant
+non-parquet vector format.
+
+The reference reads GeoJSON through OGR with `columns`/`bbox` pushdown
+(``/root/reference/py-geopolars/python/geopolars/io/file.py:15-119``). No
+GDAL here, so the format is parsed directly:
+
+- **GeoJSONSeq / NDJSON** (one Feature per line, ``.geojsonl``): the SCALE
+  path — ``ray.data.read_text`` splits the file(s) into line blocks and each
+  batch parses its own features; nothing is materialized on the driver.
+- **FeatureCollection** (one JSON document): parsed on the driver —
+  inherent to the format (a single JSON object cannot be split) and why
+  GeoJSONSeq exists; fine for the small side tables the format is used for.
+
+Geometry becomes a WKB ``geometry`` column (our standard physical encoding,
+SURVEY.md §1.2); properties become columns. ``columns`` projects properties;
+``bbox`` keeps features whose envelope intersects it (the reference's OGR
+bbox candidate semantics).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+from geopolars_ray.geom import kernels as K
+
+_GJ_TO_PYLIST = {
+    "point": "point",
+    "linestring": "linestring",
+    "polygon": "polygon",
+    "multipoint": "multipoint",
+    "multilinestring": "multilinestring",
+    "multipolygon": "multipolygon",
+}
+
+
+def _gj_geometry_to_pylist(geom: dict | None):
+    """One GeoJSON geometry dict -> GeometryArray.from_pylist element."""
+    if geom is None:
+        return None
+    t = str(geom.get("type", "")).lower()
+    kind = _GJ_TO_PYLIST.get(t)
+    if kind is None:
+        raise ValueError(f"unsupported GeoJSON geometry type {geom.get('type')!r}")
+    c = geom.get("coordinates")
+    if c is None:
+        return None
+    if kind == "point":
+        return ("point", (c[0], c[1]))
+    if kind == "linestring":
+        return ("linestring", [(p[0], p[1]) for p in c])
+    if kind == "polygon":
+        return ("polygon", [[(p[0], p[1]) for p in ring] for ring in c])
+    if kind == "multipoint":
+        return ("multipoint", [(p[0], p[1]) for p in c])
+    if kind == "multilinestring":
+        return ("multilinestring", [[(p[0], p[1]) for p in line] for line in c])
+    return ("multipolygon", [[[(p[0], p[1]) for p in ring] for ring in poly] for poly in c])
+
+
+def geometry_from_geojson(geoms: list) -> GeometryArray:
+    """List of GeoJSON geometry dicts (or None) -> GeometryArray."""
+    return GeometryArray.from_pylist([_gj_geometry_to_pylist(g) for g in geoms])
+
+
+def _pylist_to_gj(el):
+    if el is None:
+        return None
+    kind, body = el
+    if kind == "point":
+        return {"type": "Point", "coordinates": [body[0], body[1]]}
+    if kind in ("linestring", "linearring"):
+        return {"type": "LineString", "coordinates": [[p[0], p[1]] for p in body]}
+    if kind == "polygon":
+        return {"type": "Polygon", "coordinates": [[[p[0], p[1]] for p in ring] for ring in body]}
+    if kind == "multipoint":
+        return {"type": "MultiPoint", "coordinates": [[p[0], p[1]] for p in body]}
+    if kind == "multilinestring":
+        return {"type": "MultiLineString", "coordinates": [[[p[0], p[1]] for p in line] for line in body]}
+    if kind == "multipolygon":
+        return {
+            "type": "MultiPolygon",
+            "coordinates": [[[[p[0], p[1]] for p in ring] for ring in poly] for poly in body],
+        }
+    raise ValueError(f"unsupported kind {kind!r}")
+
+
+def geometry_to_geojson(ga: GeometryArray) -> list:
+    """GeometryArray -> list of GeoJSON geometry dicts (None for missing)."""
+    return [_pylist_to_gj(el) for el in ga.to_pylist()]
+
+
+def _features_to_table(
+    features: list[dict],
+    columns: list[str] | None,
+    geometry_col: str,
+) -> pa.Table:
+    geoms = [f.get("geometry") for f in features]
+    props = [f.get("properties") or {} for f in features]
+    ga = geometry_from_geojson(geoms)
+    wkb = encode_wkb(ga)
+    if props and any(props):
+        tab = pa.Table.from_pylist(props)
+    else:
+        tab = pa.table({})
+    if columns is not None:
+        keep = [c for c in columns if c in tab.column_names]
+        tab = tab.select(keep)
+    if tab.num_columns == 0:
+        return pa.table({geometry_col: wkb})
+    return tab.append_column(geometry_col, wkb)
+
+
+def _bbox_stage(bbox, geometry_col: str):
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch[geometry_col])
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
+        keep = np.where(np.isnan(gx0), False, keep)
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
+def read_geojson(
+    path,
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+):
+    """Read GeoJSON (FeatureCollection or one-feature-per-line) to a Dataset
+    with a WKB ``geometry`` column + property columns."""
+    paths = [path] if isinstance(path, str) else list(path)
+    with open(paths[0], "r", encoding="utf-8") as f:
+        first_line = f.readline()
+    is_seq = False
+    try:
+        head = json.loads(first_line)
+        is_seq = isinstance(head, dict) and head.get("type") == "Feature"
+    except json.JSONDecodeError:
+        is_seq = False
+
+    if is_seq:
+        ds = ray.data.read_text(paths)
+
+        def parse(batch: pa.Table) -> pa.Table:
+            feats = [json.loads(line) for line in batch["text"].to_pylist() if line.strip()]
+            return _features_to_table(feats, columns, geometry_col)
+
+        out = ds.map_batches(parse, batch_format="pyarrow")
+    else:
+        feats: list[dict] = []
+        for p in paths:
+            with open(p, "r", encoding="utf-8") as f:
+                doc = json.load(f)
+            if doc.get("type") == "FeatureCollection":
+                feats.extend(doc.get("features") or [])
+            elif doc.get("type") == "Feature":
+                feats.append(doc)
+            else:  # bare geometry document
+                feats.append({"type": "Feature", "geometry": doc, "properties": {}})
+        out = ray.data.from_arrow(_features_to_table(feats, columns, geometry_col))
+
+    if bbox is not None:
+        out = out.map_batches(_bbox_stage(bbox, geometry_col), batch_format="pyarrow")
+    return out
+
+
+def write_geojson(table: pa.Table, path: str, geometry_col: str = "geometry") -> None:
+    """Write one Arrow table (WKB geometry + property columns) as a
+    FeatureCollection document (driver-side; for side tables / tests)."""
+    ga = decode_wkb(table[geometry_col])
+    geoms = geometry_to_geojson(ga)
+    prop_cols = [c for c in table.column_names if c != geometry_col]
+    props = table.select(prop_cols).to_pylist() if prop_cols else [{} for _ in geoms]
+    feats = [
+        {"type": "Feature", "geometry": g, "properties": p} for g, p in zip(geoms, props)
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump({"type": "FeatureCollection", "features": feats}, f)
+
+
+def write_geojsonl(table: pa.Table, path: str, geometry_col: str = "geometry") -> None:
+    """Write one Arrow table as newline-delimited Features (GeoJSONSeq) —
+    the format the scale read path consumes."""
+    ga = decode_wkb(table[geometry_col])
+    geoms = geometry_to_geojson(ga)
+    prop_cols = [c for c in table.column_names if c != geometry_col]
+    props = table.select(prop_cols).to_pylist() if prop_cols else [{} for _ in geoms]
+    with open(path, "w", encoding="utf-8") as f:
+        for g, p in zip(geoms, props):
+            f.write(json.dumps({"type": "Feature", "geometry": g, "properties": p}))
+            f.write("\n")
