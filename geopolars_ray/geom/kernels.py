@@ -187,50 +187,46 @@ def envelope(ga: GeometryArray) -> GeometryArray:
     """Axis-aligned bounding Polygon per geometry (`geoseries.rs:28-33`).
 
     Points map to themselves; degenerate (zero-extent) inputs still produce
-    the 5-coordinate closed rectangle ring, matching bounding-rect semantics.
+    the 5-coordinate closed rectangle ring, matching bounding-rect
+    semantics. Fully vectorized (offset arithmetic + fancy assignment — no
+    per-geometry loop).
     """
     xmin, ymin, xmax, ymax = bounds(ga)
     n = len(ga)
     types = np.full(n, POLYGON, dtype=np.int8)
-    keep_point = ga.types == POINT
-    types[keep_point] = POINT
+    types[ga.types == POINT] = POINT
     types[ga.is_missing() | np.isnan(xmin)] = MISSING
 
-    coords_list = []
+    produced = types != MISSING
+    is_pt = types == POINT
+    cp = np.where(produced, np.where(is_pt, 1, 5), 0).astype(np.int64)
+    coffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(cp, out=coffs[1:])
+    total = int(coffs[-1])
+    coords = np.empty((total, 2), dtype=np.float64)
+    s = coffs[:-1]
+    pt = is_pt
+    coords[s[pt], 0] = xmin[pt]
+    coords[s[pt], 1] = ymin[pt]
+    rc = produced & ~is_pt
+    rs = s[rc]
+    coords[rs, 0] = xmin[rc]
+    coords[rs, 1] = ymin[rc]
+    coords[rs + 1, 0] = xmax[rc]
+    coords[rs + 1, 1] = ymin[rc]
+    coords[rs + 2, 0] = xmax[rc]
+    coords[rs + 2, 1] = ymax[rc]
+    coords[rs + 3, 0] = xmin[rc]
+    coords[rs + 3, 1] = ymax[rc]
+    coords[rs + 4, 0] = xmin[rc]
+    coords[rs + 4, 1] = ymin[rc]
+
     geom_off = np.zeros(n + 1, dtype=np.int64)
-    part_off = [0]
-    ring_off = [0]
-    n_parts = 0
-    n_coords = 0
-    for i in range(n):
-        t = types[i]
-        if t == MISSING:
-            geom_off[i + 1] = n_parts
-            continue
-        if t == POINT:
-            coords_list.append([[xmin[i], ymin[i]]])
-            n_coords += 1
-        else:
-            coords_list.append(
-                [
-                    [xmin[i], ymin[i]],
-                    [xmax[i], ymin[i]],
-                    [xmax[i], ymax[i]],
-                    [xmin[i], ymax[i]],
-                    [xmin[i], ymin[i]],
-                ]
-            )
-            n_coords += 5
-        ring_off.append(n_coords)
-        part_off.append(len(ring_off) - 1)
-        n_parts += 1
-        geom_off[i + 1] = n_parts
-    coords = (
-        np.concatenate([np.asarray(c, dtype=np.float64) for c in coords_list])
-        if coords_list
-        else np.empty((0, 2))
-    )
-    return GeometryArray(types, geom_off, np.array(part_off, np.int64), np.array(ring_off, np.int64), coords)
+    np.cumsum(produced.astype(np.int64), out=geom_off[1:])
+    n_parts = int(geom_off[-1])
+    part_off = np.arange(n_parts + 1, dtype=np.int64)
+    ring_off = np.concatenate([[0], coffs[1:][produced]]).astype(np.int64)
+    return GeometryArray(types, geom_off, part_off, ring_off, coords)
 
 
 # --------------------------------------------------------------------------
@@ -561,29 +557,24 @@ def skew(ga: GeometryArray, xs: float = 0.0, ys: float = 0.0, origin="center") -
 
 def exterior(ga: GeometryArray) -> GeometryArray:
     """Exterior ring of each Polygon as a LineString; missing otherwise
-    (`geoseries.rs:43-47`)."""
+    (`geoseries.rs:43-47`). Vectorized offset arithmetic, no per-geometry
+    loop."""
     n = len(ga)
-    types = np.full(n, MISSING, dtype=np.int8)
+    sel = (ga.types == POLYGON) & (ga.geom_offsets[1:] > ga.geom_offsets[:-1])
+    types = np.where(sel, LINESTRING, MISSING).astype(np.int8)
+    first_part = ga.geom_offsets[:-1][sel]
+    first_ring = ga.part_offsets[first_part]
+    s = ga.ring_offsets[first_ring]
+    e = ga.ring_offsets[first_ring + 1]
+    coord_idx = _expand_ranges(s, e)
     geom_off = np.zeros(n + 1, dtype=np.int64)
-    part_off = [0]
-    ring_off = [0]
-    coord_idx_parts = []
-    n_parts = 0
-    n_coords = 0
-    for i in range(n):
-        if ga.types[i] == POLYGON and ga.geom_offsets[i + 1] > ga.geom_offsets[i]:
-            p = ga.geom_offsets[i]
-            r = ga.part_offsets[p]
-            s, e = ga.ring_offsets[r], ga.ring_offsets[r + 1]
-            coord_idx_parts.append(np.arange(s, e, dtype=np.int64))
-            n_coords += e - s
-            ring_off.append(n_coords)
-            part_off.append(len(ring_off) - 1)
-            n_parts += 1
-            types[i] = LINESTRING
-        geom_off[i + 1] = n_parts
-    coords = ga.coords[np.concatenate(coord_idx_parts)] if coord_idx_parts else np.empty((0, 2))
-    return GeometryArray(types, geom_off, np.array(part_off, np.int64), np.array(ring_off, np.int64), coords)
+    np.cumsum(sel.astype(np.int64), out=geom_off[1:])
+    n_parts = int(geom_off[-1])
+    part_off = np.arange(n_parts + 1, dtype=np.int64)
+    ring_off = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(e - s, out=ring_off[1:])
+    coords = ga.coords[coord_idx] if len(coord_idx) else np.empty((0, 2))
+    return GeometryArray(types, geom_off, part_off, ring_off, coords)
 
 
 def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
