@@ -518,6 +518,24 @@ def q_geo_s2_tiles(sf_dir: str):
     return per_cell.groupby("c_nationkey").aggregate(Count(alias_name="n_cells"))
 
 
+def q_geo_h3_tiles(sf_dir: str):
+    """Aperture-7 icosahedral hex (H3-style) res-7 cells per customer point;
+    distinct cells per nation (rows-only: icosahedral ids aren't SQL)."""
+    from geopolars_ray.geom import h3ish
+
+    def h3c(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        ids = h3ish.h3ish_cell_id(x, y, res=7)
+        return batch.append_column("h3_r7", pa.array(ids))
+
+    ds = customer_points(sf_dir, with_geometry=False).map_batches(h3c, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    per_cell = ds.groupby(["c_nationkey", "h3_r7"]).aggregate(Count(alias_name="n"))
+    return per_cell.groupby("c_nationkey").aggregate(Count(alias_name="n_cells"))
+
+
 def q_geo_simplify(sf_dir: str):
     """Douglas-Peucker on the per-nation path; point counts before/after."""
 
@@ -985,6 +1003,7 @@ QUERIES = {
     "geo_convex_hull": q_geo_convex_hull,
     "geo_geodesic": q_geo_geodesic,
     "geo_s2_tiles": q_geo_s2_tiles,
+    "geo_h3_tiles": q_geo_h3_tiles,
     "geo_simplify": q_geo_simplify,
     "rel_q1": q_rel_q1,
     "rel_topk": q_rel_topk,
