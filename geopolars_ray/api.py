@@ -50,6 +50,62 @@ class GeoDataset:
             geometry_col,
         )
 
+    @classmethod
+    def from_geopandas(cls, gdf, geometry_col: str = GEOMETRY) -> "GeoDataset":
+        """GeoPandas(-shaped) frame -> GeoDataset (reference `convert.py:59-96`).
+
+        Shapely-optional: with shapely 2 installed the geometry column is
+        WKB-encoded vectorized (``shapely.to_wkb``); without it, any frame
+        whose geometry column already holds WKB ``bytes`` (e.g. produced by
+        our own ``to_pandas_wkb``) is accepted directly — the WKB<->GeoArrow
+        codec (`geom/geoarrow.py`) covers the layout work either way.
+        """
+        import numpy as np
+
+        gname = getattr(getattr(gdf, "geometry", None), "name", None) or geometry_col
+        if gname not in gdf.columns:
+            raise ValueError(f"no geometry column {gname!r} on the input frame")
+        geom_vals = gdf[gname]
+        first = next((v for v in geom_vals if v is not None), None)
+        if first is None or isinstance(first, (bytes, bytearray)):
+            wkb = [None if v is None else bytes(v) for v in geom_vals]
+        else:
+            try:
+                import shapely
+            except ImportError as e:
+                raise ImportError(
+                    "from_geopandas with shapely geometries requires shapely; "
+                    "in this environment pass a frame whose geometry column "
+                    "holds WKB bytes instead (see to_pandas_wkb)"
+                ) from e
+            wkb = list(shapely.to_wkb(np.asarray(geom_vals, dtype=object)))
+        attrs = gdf.drop(columns=[gname])
+        tab = pa.Table.from_pandas(attrs, preserve_index=False)
+        tab = tab.append_column(geometry_col, pa.array(wkb, pa.large_binary()))
+        return cls(ray.data.from_arrow(tab), geometry_col)
+
+    def to_pandas_wkb(self):
+        """Collect to a pandas DataFrame with the geometry column as WKB
+        bytes — the shapely-free interop surface (always available)."""
+        return self._ds.to_pandas()
+
+    def to_geopandas(self):
+        """Collect to a ``geopandas.GeoDataFrame`` (reference
+        `internals/geodataframe.py:67-83`). Requires geopandas + shapely;
+        without them use :meth:`to_pandas_wkb`."""
+        try:
+            import geopandas as gpd
+            import shapely
+        except ImportError as e:
+            raise ImportError(
+                "to_geopandas requires geopandas + shapely (absent in this "
+                "environment); use to_pandas_wkb() for the WKB-bytes frame"
+            ) from e
+        df = self._ds.to_pandas()
+        geoms = shapely.from_wkb(df[self.geometry_col].to_numpy())
+        df = df.drop(columns=[self.geometry_col])
+        return gpd.GeoDataFrame(df, geometry=gpd.GeoSeries(geoms))
+
     # -------------------------------------------------------------- plumbing
 
     @property
@@ -149,6 +205,17 @@ class GeoDataset:
 
     def to_crs(self, from_crs: str, to_crs: str) -> "GeoDataset":
         return self._apply("to_crs", from_crs=from_crs, to_crs=to_crs)
+
+    def ops(self, steps: list) -> "GeoDataset":
+        """Fused kernel chain — ONE WKB decode, N kernels, one encode
+        (:func:`geopolars_ray.stages.geo.geo_ops`). Prefer this over chaining
+        single-op methods when applying several kernels: each chained method
+        pays a decode+encode round-trip per stage."""
+        from geopolars_ray.stages.geo import geo_ops
+
+        return self._wrap(
+            self._ds.map_batches(geo_ops(steps, self.geometry_col), batch_format="pyarrow")
+        )
 
     def explode(self) -> "GeoDataset":
         return self._wrap(self._ds.map_batches(geo_explode(self.geometry_col), batch_format="pyarrow"))

@@ -62,3 +62,34 @@ def test_backend_namespaces(ray_session):
     assert out["gx"].tolist() == [1.0]
     with pytest.raises(NotImplementedError):
         g.geos
+
+
+def test_geopandas_interop_wkb_path(ray_session):
+    """from_geopandas accepts WKB-bytes geometry frames without shapely;
+    to_pandas_wkb closes the round trip; to_geopandas raises a helpful
+    ImportError in this shapely-free environment."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+
+    ga = GeometryArray.from_points(np.array([1.0, 2.0]), np.array([3.0, 4.0]))
+    wkb = [b.as_py() for b in encode_wkb(ga)]
+    df = pd.DataFrame({"name": ["a", "b"], "geometry": wkb})
+    gds = GeoDataset.from_geopandas(df)
+    out = gds.x("px").y("py").to_pandas_wkb().sort_values("name")
+    assert out["px"].tolist() == [1.0, 2.0]
+    assert out["py"].tolist() == [3.0, 4.0]
+    assert [bytes(v) for v in out["geometry"]] == wkb
+
+    has_gpd = True
+    try:
+        import geopandas  # noqa: F401
+        import shapely  # noqa: F401
+    except ImportError:
+        has_gpd = False
+    if not has_gpd:
+        with pytest.raises(ImportError, match="to_pandas_wkb"):
+            gds.to_geopandas()
