@@ -85,7 +85,7 @@ def knn_join(
     import pyarrow.compute as pc
 
     from geopolars_ray.geom import tiles as tiles_mod
-    from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
+    from geopolars_ray.stages.agg import hash_partitioned_map
     from geopolars_ray.stages.hashjoin import hash_join
 
     p_schema = points_ds.schema()
@@ -179,6 +179,7 @@ def knn_join(
         return hash_partitioned_map(joined, [point_id], topk_per_point, num_partitions)
 
     remaining = points_ds.select_columns([point_id, x_col, y_col])
+    n_remaining = remaining.count()
     outs = []
     cd = float(cell_deg)
     while True:
@@ -191,13 +192,22 @@ def knn_join(
         outs.append(complete)
         if covers_all:
             break
-        # Ray's map_groups can emit zero-column empty blocks for empty
-        # partitions; normalize them to the correct one-column schema before
-        # the anti-join
+        # early exit without an anti-join pass: every complete point has
+        # exactly k rows, so (no incomplete rows) + (k*|remaining| rows) means
+        # no point is missing either
+        n_rows = ranked.count()
+        n_bad = ranked.map_batches(
+            lambda t: t.filter(pc.equal(t["_complete"], False)).select([point_id]),
+            batch_format="pyarrow",
+        ).count()
+        if n_bad == 0 and n_rows == k * n_remaining:
+            break
+        # remainder = points not yet complete. The anti-join tolerates
+        # duplicate right keys, so the complete rows' id column is used
+        # directly (no dedup aggregate). Ray's map_groups can emit
+        # zero-column empty blocks for empty partitions; normalize them.
         empty_ids = pa.table({point_id: pa.array([], id_type)})
-        done_ids = hash_aggregate(
-            complete, [point_id], [(point_id, "count", "_n")], num_partitions
-        ).map_batches(
+        done_ids = complete.map_batches(
             lambda t: t.select([point_id]) if point_id in t.column_names else empty_ids,
             batch_format="pyarrow",
         )
@@ -208,7 +218,8 @@ def knn_join(
             ),
             right_schema=pa.schema([(point_id, id_type)]),
         ).materialize()
-        if remaining.count() == 0:
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
         cd *= 4.0
     out = outs[0]
