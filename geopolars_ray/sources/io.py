@@ -81,6 +81,52 @@ def read_geo_dataset(
     return ds.map_batches(bbox_filter, batch_format="pyarrow")
 
 
+def read_wkt_csv(
+    paths,
+    wkt_col: str = "wkt",
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+    **read_csv_kwargs,
+):
+    """CSV with a WKT geometry column -> Dataset with a WKB ``geometry``
+    column (text-format `read_file` analogue alongside GeoJSON).
+
+    ``columns`` projects attribute columns (the WKT column is always read);
+    ``bbox`` filters by geometry envelope intersection after the parse. The
+    parse runs per batch inside map_batches, so it distributes with the read.
+    """
+    import ray as _ray
+
+    from geopolars_ray.geom import encode_wkb
+    from geopolars_ray.geom.wkt import geometry_from_wkt
+
+    ds = _ray.data.read_csv(paths, **read_csv_kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ga = geometry_from_wkt(batch[wkt_col].to_pylist())
+        keep = columns if columns is not None else [c for c in batch.column_names if c != wkt_col]
+        out = batch.select([c for c in keep if c in batch.column_names])
+        return out.append_column(geometry_col, encode_wkb(ga))
+
+    out = ds.map_batches(parse, batch_format="pyarrow")
+    if bbox is None:
+        return out
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+
+    def bbox_filter(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import decode_wkb
+        from geopolars_ray.geom import kernels as K
+
+        ga = decode_wkb(batch[geometry_col])
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
+        keep = np.where(np.isnan(gx0), False, keep)
+        return batch.filter(pa.array(keep))
+
+    return out.map_batches(bbox_filter, batch_format="pyarrow")
+
+
 def write_partitioned(
     ds,
     out_dir: str,

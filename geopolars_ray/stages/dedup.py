@@ -248,13 +248,17 @@ def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int =
             return out.filter(pa.array(jac >= threshold))
 
         return pairs_ds.map_batches(verify_broadcast, batch_format="pyarrow", batch_size=8192)
-    j1 = pairs_ds.join(
-        docs, join_type="inner", num_partitions=num_partitions, on=("a",), right_on=(id_col,),
-        left_suffix="", right_suffix="_a",
+    # union-based hash_join, not Dataset.join (Ray 2.49's native hash-shuffle
+    # join crashes when a hash partition receives no rows on one side)
+    from geopolars_ray.stages.hashjoin import hash_join
+
+    j1 = hash_join(
+        pairs_ds, docs, on=["a"], right_on=[id_col], how="inner",
+        num_partitions=num_partitions, r_suffix="_a",
     )
-    j2 = j1.join(
-        docs, join_type="inner", num_partitions=num_partitions, on=("b",), right_on=(id_col,),
-        left_suffix="", right_suffix="_b",
+    j2 = hash_join(
+        j1, docs, on=["b"], right_on=[id_col], how="inner",
+        num_partitions=num_partitions, r_suffix="_b",
     )
 
     def verify(batch: pa.Table) -> pa.Table:

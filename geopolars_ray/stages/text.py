@@ -98,7 +98,7 @@ class LangId:
         ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[0].to_pylist() if False else batch["text"].to_pylist()
+        texts = batch["text"].to_pylist()
         preds = []
         confs = np.zeros(len(texts))
         for i, t in enumerate(texts):

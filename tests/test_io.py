@@ -82,3 +82,46 @@ def test_geojsonl_scale_path_with_pushdown(ray_session, tmp_path):
     assert set(df.columns) == {"fid", "geometry"}
     keep = (x >= -10.0) & (x <= 10.0) & (y >= -10.0) & (y <= 10.0)
     assert sorted(df["fid"].tolist()) == np.nonzero(keep)[0].tolist()
+
+
+def test_wkt_parse_format_roundtrip():
+    from geopolars_ray.geom import GeometryArray
+    from geopolars_ray.geom.wkt import geometry_from_wkt, geometry_to_wkt, parse_wkt
+
+    src = [
+        "POINT (1.5 2.5)",
+        "LINESTRING (0 0, 3 4, 5 6)",
+        "POLYGON ((0 0, 2 0, 2 2, 0 0), (0.5 0.25, 1 0.25, 0.5 0.75, 0.5 0.25))",
+        "MULTIPOINT ((1 2), (3 4))",
+        "MULTIPOINT (1 2, 3 4)",  # both WKT multipoint spellings
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+        "POINT EMPTY",
+        None,
+    ]
+    ga = geometry_from_wkt(src)
+    assert ga.types[-1] == -1 and ga.types[-2] == -1
+    out = geometry_to_wkt(ga)
+    ga2 = geometry_from_wkt(out)
+    assert ga.to_pylist() == ga2.to_pylist()
+    # strict 2-D model
+    import pytest
+    with pytest.raises(ValueError):
+        parse_wkt("POINT Z (1 2 3)")
+
+
+def test_read_wkt_csv(ray_session, tmp_path):
+    import numpy as np
+
+    from geopolars_ray.geom import decode_wkb
+    from geopolars_ray.sources.io import read_wkt_csv
+
+    p = tmp_path / "pts.csv"
+    lines = ["id,name,wkt"]
+    for i in range(100):
+        lines.append(f'{i},n{i},"POINT ({i}.5 {i % 10}.25)"')
+    p.write_text("\n".join(lines) + "\n")
+    out = read_wkt_csv(str(p), columns=["id"], bbox=(10.0, 0.0, 20.0, 10.0)).to_pandas()
+    assert set(out.columns) == {"id", "geometry"}
+    # points with x=i+0.5 in [10, 20] -> ids 10..19
+    assert sorted(out["id"].tolist()) == list(range(10, 20))

@@ -246,3 +246,27 @@ def test_ivf_knn_recall(ray_session):
         e = set(exact[exact.qid == q]["vec_id"])
         recalls.append(len(a & e) / len(e))
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_jaccard_verify_partitioned_path(ray_session):
+    """Force the large-corpus (partitioned hash_join) verify path and check
+    it agrees with the broadcast path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from geopolars_ray.stages.dedup import jaccard_verify
+
+    texts = ["the quick brown fox jumps over the lazy dog %d" % (i % 3) for i in range(30)]
+    docs = pa.table({"doc_id": pa.array(np.arange(30, dtype=np.int64)), "text": pa.array(texts)})
+    pairs = pa.table({
+        "a": pa.array([0, 1, 2], pa.int64()),
+        "b": pa.array([3, 4, 5], pa.int64()),
+        "n_bands": pa.array([1, 1, 1], pa.int64()),
+    })
+    kw = dict(threshold=0.5, num_partitions=4)
+    bc = jaccard_verify(ray.data.from_arrow(pairs), ray.data.from_arrow(docs), **kw).take_all()
+    pt = jaccard_verify(ray.data.from_arrow(pairs), ray.data.from_arrow(docs),
+                        broadcast_max_docs=0, **kw).take_all()
+    key = lambda r: (r["a"], r["b"])
+    assert sorted(bc, key=key) == sorted(pt, key=key)
+    assert len(bc) == 3  # i%3 pairs (0,3),(1,4),(2,5) are identical docs
