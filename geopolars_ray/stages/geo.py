@@ -26,6 +26,80 @@ from geopolars_ray.geom import crs as crs_mod
 
 GEOMETRY = "geometry"
 
+
+# --------------------------------------------------------------------------
+# encoding-transparent geometry column access (WKB or GeoArrow-native)
+# --------------------------------------------------------------------------
+
+
+def decode_geometry(batch: pa.Table, geometry_col: str = GEOMETRY) -> tuple[GeometryArray, str]:
+    """Decode a geometry column of EITHER physical encoding.
+
+    Returns (GeometryArray, encoding) where encoding is "wkb" for
+    (large_)binary columns and "geoarrow" for the nested struct/list layout
+    (`internals/geoseries.py:86-138`); the GeoArrow geom type rides in Field
+    metadata (`geom/geoarrow.py`). This is what lets GeoArrow-native columns
+    FLOW between pipeline stages instead of being WKB-only at every hop.
+    """
+    col = batch[geometry_col]
+    t = col.type
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return decode_wkb(col), "wkb"
+    from geopolars_ray.geom.geoarrow import decode_geoarrow_field
+
+    field = batch.schema.field(geometry_col)
+    return decode_geoarrow_field(field, col.combine_chunks()), "geoarrow"
+
+
+def _set_geometry(batch: pa.Table, geometry_col: str, ga: GeometryArray, encoding: str) -> pa.Table:
+    """Write the geometry back in the SAME encoding it arrived in.
+
+    Mixed-type results (e.g. convex_hull collapsing some rows to
+    Point/LineString) cannot take the single-type GeoArrow layout and fall
+    back to WKB — the encoding switch is visible in the schema.
+    """
+    idx = batch.column_names.index(geometry_col)
+    if encoding == "geoarrow":
+        from geopolars_ray.geom.geoarrow import geoarrow_field
+
+        try:
+            field, arr = geoarrow_field(geometry_col, ga)
+            return batch.set_column(idx, field, arr)
+        except ValueError:
+            pass  # mixed-type result -> WKB fallback
+    return batch.set_column(idx, geometry_col, encode_wkb(ga))
+
+
+def to_geoarrow(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
+    """Stage: convert a WKB geometry column to the GeoArrow-native layout
+    (single-geometry-type columns; the reference's own aspiration,
+    `README.md:37`). Downstream geo stages then skip WKB codec work."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga, enc = decode_geometry(batch, geometry_col)
+        if enc == "geoarrow":
+            return batch
+        from geopolars_ray.geom.geoarrow import geoarrow_field
+
+        field, arr = geoarrow_field(geometry_col, ga)
+        idx = batch.column_names.index(geometry_col)
+        return batch.set_column(idx, field, arr)
+
+    return fn
+
+
+def to_wkb(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
+    """Stage: convert a GeoArrow-native geometry column back to WKB."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga, enc = decode_geometry(batch, geometry_col)
+        if enc == "wkb":
+            return batch
+        idx = batch.column_names.index(geometry_col)
+        return batch.set_column(idx, geometry_col, encode_wkb(ga))
+
+    return fn
+
 # name -> (kernel, result kind): 'scalar' appends a column, 'geometry'
 # replaces the geometry column, 'special' has a custom wrapper below
 KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
@@ -72,16 +146,14 @@ def geo_op(
     out_name = out_col or name
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = decode_wkb(batch[geometry_col])
+        ga, enc = decode_geometry(batch, geometry_col)
         res = kernel(ga, **kwargs)
         if kind == "scalar":
             arr = pa.array(np.asarray(res))
             if out_name in batch.column_names:
                 batch = batch.drop_columns([out_name])
             return batch.append_column(out_name, arr)
-        wkb = encode_wkb(res)
-        idx = batch.column_names.index(geometry_col)
-        return batch.set_column(idx, geometry_col, wkb)
+        return _set_geometry(batch, geometry_col, res, enc)
 
     fn.__name__ = f"geo_{name}"
     return fn
@@ -114,7 +186,7 @@ def geo_ops(
         compiled.append((name, dict(kwargs), out_col))
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = decode_wkb(batch[geometry_col])
+        ga, enc = decode_geometry(batch, geometry_col)
         geom_dirty = False
         for name, kwargs, out_col in compiled:
             kernel, kind = KERNELS[name]
@@ -127,8 +199,7 @@ def geo_ops(
                     batch = batch.drop_columns([out_col])
                 batch = batch.append_column(out_col, pa.array(np.asarray(res)))
         if geom_dirty:
-            idx = batch.column_names.index(geometry_col)
-            batch = batch.set_column(idx, geometry_col, encode_wkb(ga))
+            batch = _set_geometry(batch, geometry_col, ga, enc)
         return batch
 
     fn.__name__ = "geo_ops_" + "_".join(n for n, _, _ in compiled)
@@ -139,7 +210,7 @@ def geo_bounds(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
     """Append xmin/ymin/xmax/ymax columns."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = decode_wkb(batch[geometry_col])
+        ga, _ = decode_geometry(batch, geometry_col)
         xmin, ymin, xmax, ymax = K.bounds(ga)
         for nm, v in (("xmin", xmin), ("ymin", ymin), ("xmax", xmax), ("ymax", ymax)):
             batch = batch.append_column(nm, pa.array(v))
@@ -153,11 +224,10 @@ def geo_explode(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
     (`geoseries.rs:49-50`; Ray mapping per SURVEY.md §2.2 explode)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ga = decode_wkb(batch[geometry_col])
+        ga, enc = decode_geometry(batch, geometry_col)
         out, parent = K.explode(ga)
         taken = batch.take(pa.array(parent))
-        idx = taken.column_names.index(geometry_col)
-        return taken.set_column(idx, geometry_col, encode_wkb(out))
+        return _set_geometry(taken, geometry_col, out, enc)
 
     return fn
 
@@ -169,8 +239,9 @@ def geo_distance(
     (`geoseries.rs:141-146`; binary columnar kernel per SURVEY.md §2.2)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        d = K.distance(decode_wkb(batch[left_col]), decode_wkb(batch[right_col]))
-        return batch.append_column(out_col, pa.array(d))
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        return batch.append_column(out_col, pa.array(K.distance(lga, rga)))
 
     return fn
 

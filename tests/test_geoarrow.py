@@ -86,3 +86,64 @@ def test_mixed_type_rejected():
     ga = GeometryArray.from_pylist([("point", (0.0, 0.0)), ("linestring", [(0.0, 0.0), (1.0, 1.0)])])
     with pytest.raises(ValueError):
         encode_geoarrow(ga)
+
+
+def test_geoarrow_native_flows_between_stages(ray_session):
+    """GeoArrow-native geometry columns flow through chained geo stages
+    without WKB round-trips; results match the WKB path exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.stages.geo import geo_op, geo_ops, to_geoarrow, to_wkb
+
+    ga = GeometryArray.from_points(np.arange(100, dtype=np.float64), np.arange(100, dtype=np.float64) * 0.5)
+    tab = pa.table({"i": pa.array(np.arange(100)), "geometry": encode_wkb(ga)})
+
+    # WKB reference path
+    ref = (
+        ray.data.from_arrow(tab)
+        .map_batches(geo_ops([("translate", dict(x=1.0, y=2.0)), ("x", {}, "px"), ("y", {}, "py")]),
+                     batch_format="pyarrow")
+        .to_pandas()
+    )
+    # GeoArrow-native path: convert once, chain two separate stages, convert back
+    native = (
+        ray.data.from_arrow(tab)
+        .map_batches(to_geoarrow(), batch_format="pyarrow")
+        .map_batches(geo_op("translate", x=1.0, y=2.0), batch_format="pyarrow")
+        .map_batches(geo_ops([("x", {}, "px"), ("y", {}, "py")]), batch_format="pyarrow")
+        .map_batches(to_wkb(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    for col in ("px", "py"):
+        assert (ref.sort_values("i")[col].to_numpy() == native.sort_values("i")[col].to_numpy()).all()
+    # geometry bytes equal after the final to_wkb
+    assert [bytes(b) for b in ref.sort_values("i")["geometry"]] == [
+        bytes(b) for b in native.sort_values("i")["geometry"]
+    ]
+
+
+def test_geoarrow_mixed_result_falls_back_to_wkb(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.stages.geo import geo_op, to_geoarrow
+
+    # per-row multipoints whose convex hulls collapse to mixed types
+    ga = GeometryArray.from_pylist([
+        ("multipoint", [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)]),   # polygon hull
+        ("multipoint", [(0.0, 0.0), (2.0, 2.0)]),               # linestring hull
+    ])
+    tab = pa.table({"geometry": encode_wkb(ga)})
+    out = (
+        ray.data.from_arrow(tab)
+        .map_batches(to_geoarrow(), batch_format="pyarrow")
+        .map_batches(geo_op("convex_hull"), batch_format="pyarrow")
+    )
+    blocks = [b for b in ray.get(out.to_arrow_refs()) if b.num_rows]
+    sch = blocks[0].schema
+    assert pa.types.is_large_binary(sch.field("geometry").type) or pa.types.is_binary(sch.field("geometry").type)
