@@ -81,6 +81,38 @@ def read_geo_dataset(
     return ds.map_batches(bbox_filter, batch_format="pyarrow")
 
 
+def read_file(
+    path,
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+    **kw,
+):
+    """Format-dispatching vector read — the reference's ``read_file``
+    analogue (`py-geopolars/python/geopolars/io/file.py:15-119`), minus OGR:
+
+    .parquet -> :func:`read_geo_dataset`; .geojson/.geojsonl/.json ->
+    :func:`geopolars_ray.sources.geojson.read_geojson`; .csv (WKT column) ->
+    :func:`read_wkt_csv`; .shp -> pure-Python shapefile reader. All accept
+    ``columns`` projection and ``bbox`` envelope pushdown.
+    """
+    first = path if isinstance(path, str) else list(path)[0]
+    suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    if suffix in ("parquet", "pq"):
+        return read_geo_dataset(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
+    if suffix in ("geojson", "geojsonl", "json", "ndjson"):
+        from geopolars_ray.sources.geojson import read_geojson
+
+        return read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
+    if suffix == "csv":
+        return read_wkt_csv(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
+    if suffix == "shp":
+        from geopolars_ray.sources.shapefile import read_shapefile
+
+        return read_shapefile(first, columns=columns, bbox=bbox, geometry_col=geometry_col)
+    raise ValueError(f"unsupported vector format {suffix!r} for {first!r}")
+
+
 def read_wkt_csv(
     paths,
     wkt_col: str = "wkt",

@@ -1,0 +1,243 @@
+"""Pure-Python ESRI Shapefile reader/writer (.shp + .dbf), from the public
+format specifications (ESRI Shapefile Technical Description; dBASE III
+layout) — no GDAL in this environment.
+
+`read_file` analogue for the reference's dominant binary format
+(``py-geopolars/python/geopolars/io/file.py:15-119``). A shapefile is a
+single .shp stream with a side .dbf attribute table — inherently one file,
+so parsing happens on the driver and the result enters Ray as an in-memory
+Dataset (shapefiles are side tables; the scale formats are parquet /
+GeoJSONSeq).
+
+Supported shapes: Null(0), Point(1), PolyLine(3), Polygon(5), MultiPoint(8)
+— the same set the engine's data model covers. Polygon records map all part
+rings to ONE Polygon (ring 0 exterior + holes), the common naive mapping;
+multi-part outer rings are not re-split into MultiPolygons (documented
+limitation — requires ring-winding analysis).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+from geopolars_ray.geom import kernels as K
+
+_SHP_NULL, _SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = 0, 1, 3, 5, 8
+
+
+def _read_shp(path: str) -> list:
+    """Parse .shp records -> GeometryArray.from_pylist elements."""
+    buf = Path(path).read_bytes()
+    if len(buf) < 100 or struct.unpack(">i", buf[0:4])[0] != 9994:
+        raise ValueError(f"{path!r} is not a shapefile (bad magic)")
+    out = []
+    pos = 100
+    n = len(buf)
+    while pos + 8 <= n:
+        (_, content_words) = struct.unpack(">ii", buf[pos : pos + 8])
+        pos += 8
+        end = pos + content_words * 2
+        shape_type = struct.unpack("<i", buf[pos : pos + 4])[0]
+        if shape_type == _SHP_NULL:
+            out.append(None)
+        elif shape_type == _SHP_POINT:
+            x, y = struct.unpack("<dd", buf[pos + 4 : pos + 20])
+            out.append(("point", (x, y)))
+        elif shape_type == _SHP_MULTIPOINT:
+            num_points = struct.unpack("<i", buf[pos + 36 : pos + 40])[0]
+            pts = np.frombuffer(buf, dtype="<f8", count=num_points * 2, offset=pos + 40).reshape(-1, 2)
+            out.append(("multipoint", [tuple(p) for p in pts]))
+        elif shape_type in (_SHP_POLYLINE, _SHP_POLYGON):
+            num_parts, num_points = struct.unpack("<ii", buf[pos + 36 : pos + 44])
+            parts = np.frombuffer(buf, dtype="<i4", count=num_parts, offset=pos + 44)
+            pts_off = pos + 44 + 4 * num_parts
+            pts = np.frombuffer(buf, dtype="<f8", count=num_points * 2, offset=pts_off).reshape(-1, 2)
+            bounds = np.append(parts, num_points)
+            rings = [[tuple(p) for p in pts[bounds[i] : bounds[i + 1]]] for i in range(num_parts)]
+            if shape_type == _SHP_POLYGON:
+                out.append(("polygon", rings))
+            elif num_parts == 1:
+                out.append(("linestring", rings[0]))
+            else:
+                out.append(("multilinestring", rings))
+        else:
+            raise ValueError(f"unsupported shape type {shape_type}")
+        pos = end
+    return out
+
+
+def _read_dbf(path: str) -> pa.Table:
+    """Parse a dBASE III .dbf attribute table."""
+    buf = Path(path).read_bytes()
+    n_rec = struct.unpack("<i", buf[4:8])[0]
+    header_size, record_size = struct.unpack("<hh", buf[8:12])
+    fields = []
+    pos = 32
+    while pos < header_size - 1 and buf[pos] != 0x0D:
+        desc = buf[pos : pos + 32]
+        name = desc[0:11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(desc[11])
+        flen = desc[16]
+        fdec = desc[17]
+        fields.append((name, ftype, flen, fdec))
+        pos += 32
+    cols: dict[str, list] = {f[0]: [] for f in fields}
+    pos = header_size
+    for _ in range(n_rec):
+        rec = buf[pos : pos + record_size]
+        pos += record_size
+        if not rec or rec[0:1] == b"*":  # deleted
+            continue
+        off = 1
+        for name, ftype, flen, fdec in fields:
+            raw = rec[off : off + flen]
+            off += flen
+            s = raw.decode("latin-1").strip()
+            if ftype in ("N", "F"):
+                if not s:
+                    cols[name].append(None)
+                elif ftype == "N" and fdec == 0:
+                    cols[name].append(int(s))
+                else:
+                    cols[name].append(float(s))
+            elif ftype == "L":
+                cols[name].append(None if s in ("", "?") else s in ("Y", "y", "T", "t"))
+            else:  # C, D, and anything else as text
+                cols[name].append(s)
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def read_shapefile(
+    path: str,
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+):
+    """Read .shp (+ sibling .dbf attributes, if present) to a Ray Dataset
+    with a WKB geometry column; ``columns``/``bbox`` as in `read_file`."""
+    import ray
+
+    geoms = _read_shp(path)
+    ga = GeometryArray.from_pylist(geoms)
+    dbf = Path(path).with_suffix(".dbf")
+    if dbf.exists():
+        tab = _read_dbf(str(dbf))
+        if tab.num_rows != len(ga):
+            raise ValueError(f".dbf rows ({tab.num_rows}) != .shp records ({len(ga)})")
+    else:
+        tab = pa.table({"_fid": pa.array(np.arange(len(ga), dtype=np.int64))})
+    if columns is not None:
+        tab = tab.select([c for c in columns if c in tab.column_names])
+    tab = tab.append_column(geometry_col, encode_wkb(ga))
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
+        keep = np.where(np.isnan(gx0), False, keep)
+        tab = tab.filter(pa.array(keep))
+    return ray.data.from_arrow(tab)
+
+
+# --------------------------------------------------------------------------
+# minimal writer (tests / export of small side tables)
+# --------------------------------------------------------------------------
+
+
+def _shp_record(el) -> bytes:
+    if el is None:
+        return struct.pack("<i", _SHP_NULL)
+    kind, body = el
+    if kind == "point":
+        return struct.pack("<idd", _SHP_POINT, float(body[0]), float(body[1]))
+    if kind == "multipoint":
+        pts = np.asarray(body, dtype="<f8")
+        bb = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
+        return struct.pack("<i4di", _SHP_MULTIPOINT, *bb, len(pts)) + pts.tobytes()
+    if kind in ("linestring", "multilinestring", "polygon"):
+        if kind == "linestring":
+            parts = [body]
+            st = _SHP_POLYLINE
+        elif kind == "multilinestring":
+            parts = body
+            st = _SHP_POLYLINE
+        else:
+            parts = body
+            st = _SHP_POLYGON
+        all_pts = np.asarray([p for part in parts for p in part], dtype="<f8")
+        bb = (all_pts[:, 0].min(), all_pts[:, 1].min(), all_pts[:, 0].max(), all_pts[:, 1].max())
+        offs = np.cumsum([0] + [len(p) for p in parts[:-1]]).astype("<i4")
+        return (
+            struct.pack("<i4dii", st, *bb, len(parts), len(all_pts))
+            + offs.tobytes()
+            + all_pts.tobytes()
+        )
+    raise ValueError(f"cannot write kind {kind!r}")
+
+
+def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") -> None:
+    """Write a .shp + .dbf pair (attributes: int64/float64/string columns)."""
+    ga = decode_wkb(table[geometry_col])
+    els = ga.to_pylist()
+    recs = []
+    for i, el in enumerate(els):
+        content = _shp_record(el)
+        recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+    body = b"".join(recs)
+    xmin, ymin, xmax, ymax = K.bounds(ga)
+    bb = (
+        float(np.nanmin(xmin)) if len(els) else 0.0,
+        float(np.nanmin(ymin)) if len(els) else 0.0,
+        float(np.nanmax(xmax)) if len(els) else 0.0,
+        float(np.nanmax(ymax)) if len(els) else 0.0,
+    )
+    first = next((e for e in els if e is not None), None)
+    st = {None: _SHP_NULL, "point": _SHP_POINT, "linestring": _SHP_POLYLINE,
+          "multilinestring": _SHP_POLYLINE, "polygon": _SHP_POLYGON,
+          "multipoint": _SHP_MULTIPOINT}[first[0] if first else None]
+    header = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(body)) // 2)
+    header += struct.pack("<ii", 1000, st)
+    header += struct.pack("<4d", *bb)
+    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
+    Path(path).write_bytes(header + body)
+
+    # .dbf
+    attrs = table.drop_columns([geometry_col])
+    fields = []
+    encoded: list[list[bytes]] = []
+    for name in attrs.column_names:
+        col = attrs[name]
+        if pa.types.is_integer(col.type):
+            flen, ftype = 18, "N"
+            vals = [b"%18d" % (v.as_py() or 0) for v in col]
+        elif pa.types.is_floating(col.type):
+            flen, ftype = 20, "F"
+            vals = [("%20.8f" % (v.as_py() or 0.0)).encode() for v in col]
+        else:
+            flen, ftype = 64, "C"
+            vals = [str(v.as_py() or "").encode("latin-1", "replace")[:64].ljust(64) for v in col]
+        fields.append((name[:10], ftype, flen))
+        encoded.append(vals)
+    n = attrs.num_rows
+    record_size = 1 + sum(f[2] for f in fields)
+    header_size = 32 + 32 * len(fields) + 1
+    dbf = bytearray()
+    dbf += struct.pack("<B3Bihh20x", 0x03, 95, 7, 26, n, header_size, record_size)
+    for name, ftype, flen in fields:
+        desc = bytearray(32)
+        desc[0:11] = name.encode("ascii", "replace")[:11].ljust(11, b"\x00")
+        desc[11] = ord(ftype)
+        desc[16] = flen
+        desc[17] = 8 if ftype == "F" else 0
+        dbf += desc
+    dbf += b"\x0d"
+    for i in range(n):
+        dbf += b" "
+        for vals, (name, ftype, flen) in zip(encoded, fields):
+            dbf += vals[i][:flen].ljust(flen)
+    dbf += b"\x1a"
+    Path(path).with_suffix(".dbf").write_bytes(bytes(dbf))

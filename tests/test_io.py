@@ -125,3 +125,62 @@ def test_read_wkt_csv(ray_session, tmp_path):
     assert set(out.columns) == {"id", "geometry"}
     # points with x=i+0.5 in [10, 20] -> ids 10..19
     assert sorted(out["id"].tolist()) == list(range(10, 20))
+
+
+def test_shapefile_roundtrip(ray_session, tmp_path):
+    """write_shapefile -> read_shapefile (via read_file dispatch) preserves
+    geometry structure and .dbf attributes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    ga = GeometryArray.from_points(np.array([1.5, -3.0, 10.0]), np.array([2.5, 4.0, -1.0]))
+    tab = pa.table({
+        "fid": pa.array([7, 8, 9], pa.int64()),
+        "name": pa.array(["aa", "bb", "cc"]),
+        "score": pa.array([1.25, 2.5, -3.75]),
+        "geometry": encode_wkb(ga),
+    })
+    p = str(tmp_path / "pts.shp")
+    write_shapefile(tab, p)
+    out = read_file(p).to_pandas().sort_values("fid").reset_index(drop=True)
+    assert out["fid"].tolist() == [7, 8, 9]
+    assert out["name"].tolist() == ["aa", "bb", "cc"]
+    np.testing.assert_allclose(out["score"].to_numpy(), [1.25, 2.5, -3.75])
+    ga2 = decode_wkb(pa.chunked_array([pa.array([bytes(b) for b in out["geometry"]], pa.large_binary())]))
+    np.testing.assert_allclose(ga2.coords, ga.coords)
+
+    # polygons with a hole + bbox filter
+    poly = GeometryArray.from_pylist([
+        ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                     [(1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 1.0), (1.0, 1.0)]]),
+        ("polygon", [[(100.0, 100.0), (101.0, 100.0), (101.0, 101.0), (100.0, 100.0)]]),
+    ])
+    ptab = pa.table({"pid": pa.array([1, 2], pa.int64()), "geometry": encode_wkb(poly)})
+    p2 = str(tmp_path / "polys.shp")
+    write_shapefile(ptab, p2)
+    got = read_file(p2, bbox=(-1.0, -1.0, 10.0, 10.0)).to_pandas()
+    assert got["pid"].tolist() == [1]
+    ga3 = decode_wkb(pa.chunked_array([pa.array([bytes(b) for b in got["geometry"]], pa.large_binary())]))
+    assert ga3.n_rings == 2  # hole preserved
+
+
+def test_read_file_dispatch_formats(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.geojson import write_geojsonl
+    from geopolars_ray.sources.io import read_file
+
+    ga = GeometryArray.from_points(np.array([1.0]), np.array([2.0]))
+    tab = pa.table({"i": pa.array([1], pa.int64()), "geometry": encode_wkb(ga)})
+    gj = str(tmp_path / "a.geojsonl")
+    write_geojsonl(tab, gj)
+    assert read_file(gj).count() == 1
+    import pytest
+    with pytest.raises(ValueError, match="unsupported vector format"):
+        read_file(str(tmp_path / "x.gpkg"))
