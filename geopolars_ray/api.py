@@ -62,9 +62,14 @@ class GeoDataset:
         """
         import numpy as np
 
-        gname = getattr(getattr(gdf, "geometry", None), "name", None) or geometry_col
-        if gname not in gdf.columns:
-            raise ValueError(f"no geometry column {gname!r} on the input frame")
+        # the explicit argument wins when that column exists; otherwise fall
+        # back to the frame's declared geometry attribute (GeoDataFrame)
+        if geometry_col in gdf.columns:
+            gname = geometry_col
+        else:
+            gname = getattr(getattr(gdf, "geometry", None), "name", None)
+        if gname is None or gname not in gdf.columns:
+            raise ValueError(f"no geometry column {geometry_col!r} on the input frame")
         geom_vals = gdf[gname]
         first = next((v for v in geom_vals if v is not None), None)
         if first is None or isinstance(first, (bytes, bytearray)):

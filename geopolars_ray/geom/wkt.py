@@ -91,7 +91,9 @@ def geometry_from_wkt(strings: list) -> GeometryArray:
 
 
 def _fmt_coord(p) -> str:
-    return f"{p[0]!r} {p[1]!r}".replace("'", "")
+    # repr(float(...)) is shortest-exact for doubles; coercing to builtin
+    # float matters — repr(np.float64(x)) becomes "np.float64(x)" on numpy 2
+    return f"{float(p[0])!r} {float(p[1])!r}"
 
 
 def _fmt_ring(ring) -> str:

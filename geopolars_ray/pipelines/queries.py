@@ -364,7 +364,7 @@ def q_geo_geojson(sf_dir: str):
     )
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/geopolars_ray_gj_{tag}.geojsonl"
-    tmp = path + ".tmp"
+    tmp = f"{path}.{os.getpid()}.tmp"  # per-process tmp: concurrent runs don't interleave
     write_geojsonl(tab, tmp)
     os.replace(tmp, path)  # atomic publish: re-runs overwrite idempotently
 

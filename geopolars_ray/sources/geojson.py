@@ -118,16 +118,9 @@ def _features_to_table(
 
 
 def _bbox_stage(bbox, geometry_col: str):
-    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    from geopolars_ray.sources.io import bbox_envelope_filter
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ga = decode_wkb(batch[geometry_col])
-        gx0, gy0, gx1, gy1 = K.bounds(ga)
-        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
-        keep = np.where(np.isnan(gx0), False, keep)
-        return batch.filter(pa.array(keep))
-
-    return fn
+    return bbox_envelope_filter(bbox, geometry_col)
 
 
 def read_geojson(

@@ -26,6 +26,26 @@ import ray
 GEO_KEY = b"geo"
 
 
+def bbox_envelope_filter(bbox, geometry_col: str = "geometry"):
+    """Canonical bbox pushdown stage: keep rows whose geometry ENVELOPE
+    intersects the box (the candidate semantics of the reference's
+    ``read_file(bbox=...)`` OGR pushdown). One implementation shared by every
+    reader (parquet, GeoJSON, WKT-CSV, shapefile)."""
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import decode_wkb
+        from geopolars_ray.geom import kernels as K
+
+        ga = decode_wkb(batch[geometry_col])
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
+        keep = np.where(np.isnan(gx0), False, keep)
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
 def geo_metadata(geometry_col: str = "geometry", crs: str = "EPSG:4326", encoding: str = "WKB") -> dict:
     return {
         "version": "1.0.0",
@@ -66,19 +86,7 @@ def read_geo_dataset(
     ds = ray.data.read_parquet(paths, columns=columns)
     if bbox is None:
         return ds
-    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
-
-    def bbox_filter(batch: pa.Table) -> pa.Table:
-        from geopolars_ray.geom import decode_wkb
-        from geopolars_ray.geom import kernels as K
-
-        ga = decode_wkb(batch[geometry_col])
-        gx0, gy0, gx1, gy1 = K.bounds(ga)
-        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
-        keep = np.where(np.isnan(gx0), False, keep)
-        return batch.filter(pa.array(keep))
-
-    return ds.map_batches(bbox_filter, batch_format="pyarrow")
+    return ds.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
 
 def read_file(
@@ -109,7 +117,11 @@ def read_file(
     if suffix == "shp":
         from geopolars_ray.sources.shapefile import read_shapefile
 
-        return read_shapefile(first, columns=columns, bbox=bbox, geometry_col=geometry_col)
+        paths = [path] if isinstance(path, str) else list(path)
+        out = read_shapefile(paths[0], columns=columns, bbox=bbox, geometry_col=geometry_col)
+        for p in paths[1:]:
+            out = out.union(read_shapefile(p, columns=columns, bbox=bbox, geometry_col=geometry_col))
+        return out
     raise ValueError(f"unsupported vector format {suffix!r} for {first!r}")
 
 
@@ -144,19 +156,7 @@ def read_wkt_csv(
     out = ds.map_batches(parse, batch_format="pyarrow")
     if bbox is None:
         return out
-    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
-
-    def bbox_filter(batch: pa.Table) -> pa.Table:
-        from geopolars_ray.geom import decode_wkb
-        from geopolars_ray.geom import kernels as K
-
-        ga = decode_wkb(batch[geometry_col])
-        gx0, gy0, gx1, gy1 = K.bounds(ga)
-        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
-        keep = np.where(np.isnan(gx0), False, keep)
-        return batch.filter(pa.array(keep))
-
-    return out.map_batches(bbox_filter, batch_format="pyarrow")
+    return out.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
 
 def write_partitioned(

@@ -135,11 +135,9 @@ def read_shapefile(
         tab = tab.select([c for c in columns if c in tab.column_names])
     tab = tab.append_column(geometry_col, encode_wkb(ga))
     if bbox is not None:
-        xmin, ymin, xmax, ymax = (float(v) for v in bbox)
-        gx0, gy0, gx1, gy1 = K.bounds(ga)
-        keep = (gx0 <= xmax) & (gx1 >= xmin) & (gy0 <= ymax) & (gy1 >= ymin)
-        keep = np.where(np.isnan(gx0), False, keep)
-        tab = tab.filter(pa.array(keep))
+        from geopolars_ray.sources.io import bbox_envelope_filter
+
+        tab = bbox_envelope_filter(bbox, geometry_col)(tab)
     return ray.data.from_arrow(tab)
 
 
@@ -209,17 +207,33 @@ def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") 
     attrs = table.drop_columns([geometry_col])
     fields = []
     encoded: list[list[bytes]] = []
+    def _num(v, fmt: str, flen: int) -> bytes:
+        # nulls write as blanks (the dBASE null convention the reader maps
+        # back to None); overflow raises rather than silently truncating
+        if v is None:
+            return b" " * flen
+        b = (fmt % v).encode()
+        if len(b) > flen:
+            raise ValueError(f"value {v!r} does not fit dBASE field width {flen}")
+        return b
+
     for name in attrs.column_names:
         col = attrs[name]
         if pa.types.is_integer(col.type):
-            flen, ftype = 18, "N"
-            vals = [b"%18d" % (v.as_py() or 0) for v in col]
+            flen, ftype = 20, "N"
+            vals = [_num(v.as_py(), "%20d", flen) for v in col]
         elif pa.types.is_floating(col.type):
-            flen, ftype = 20, "F"
-            vals = [("%20.8f" % (v.as_py() or 0.0)).encode() for v in col]
+            flen, ftype = 24, "F"
+            vals = [_num(v.as_py(), "%24.8f", flen) for v in col]
         else:
             flen, ftype = 64, "C"
-            vals = [str(v.as_py() or "").encode("latin-1", "replace")[:64].ljust(64) for v in col]
+            vals = []
+            for v in col:
+                s = v.as_py()
+                b = b" " * flen if s is None else str(s).encode("latin-1", "replace")
+                if len(b) > flen:
+                    raise ValueError(f"string {s!r} does not fit dBASE field width {flen}")
+                vals.append(b.ljust(flen))
         fields.append((name[:10], ftype, flen))
         encoded.append(vals)
     n = attrs.num_rows

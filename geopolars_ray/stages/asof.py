@@ -74,17 +74,25 @@ def asof_join(
         # above 2^53 and change the schema).
         l_tab = part.filter(pc.equal(part["_side"], 0)).select(left_names)
         r_tab = part.filter(pc.equal(part["_side"], 1)).select([key, ts_col, *suff_cols])
+
+        def ts_sortable(col: pa.ChunkedArray) -> np.ndarray:
+            # timestamps/ints -> int64 microseconds; floats stay float (any
+            # sortable numeric ts works, matching the pre-rewrite contract)
+            if pa.types.is_floating(col.type):
+                return col.to_numpy(zero_copy_only=False)
+            return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
         ldf = pd.DataFrame(
             {
                 key: l_tab[key].to_numpy(zero_copy_only=False),
-                "_ts": l_tab[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "_ts": ts_sortable(l_tab[ts_col]),
                 "_lidx": np.arange(l_tab.num_rows, dtype=np.int64),
             }
         ).sort_values("_ts", kind="mergesort")
         rdf = pd.DataFrame(
             {
                 key: r_tab[key].to_numpy(zero_copy_only=False),
-                "_ts": r_tab[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                "_ts": ts_sortable(r_tab[ts_col]),
                 "_ridx": np.arange(r_tab.num_rows, dtype=np.int64),
             }
         ).sort_values("_ts", kind="mergesort")

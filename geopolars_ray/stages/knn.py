@@ -90,6 +90,11 @@ def knn_join(
 
     p_schema = points_ds.schema()
     t_schema = targets_ds.schema()
+    if p_schema is None or t_schema is None:
+        raise ValueError(
+            "knn_join could not resolve input schemas (lazy pipeline whose "
+            "first block is empty?) — materialize or re-read the inputs first"
+        )
     p_types = dict(zip(p_schema.names, p_schema.types))
     t_types = dict(zip(t_schema.names, t_schema.types))
     id_type = p_types[point_id]

@@ -139,3 +139,25 @@ def test_asof_join_preserves_int64_precision(ray_session):
     rows = {r["eid"]: r["big_r"] for r in tab.to_pylist()}
     assert rows[1] == big        # exact, not 2^53
     assert rows[2] is None       # no prior match -> null, not NaN
+
+
+def test_asof_join_float_timestamps(ray_session):
+    """Float ts columns (fractional seconds) work — the int64 sortable cast
+    only applies to temporal/integer ts (r2 review fix)."""
+    import ray
+    from geopolars_ray.stages.asof import asof_join
+
+    left = pa.table({
+        "eid": pa.array([1, 2], pa.int64()),
+        "uid": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([1.5, 0.25], pa.float64()),
+    })
+    right = pa.table({
+        "uid": pa.array([7], pa.int64()),
+        "ts": pa.array([1.0], pa.float64()),
+        "v": pa.array([42], pa.int64()),
+    })
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="uid", ts_col="ts", right_cols=["v"], num_partitions=2)
+    rows = {r["eid"]: r["v_r"] for r in out.take_all()}
+    assert rows[1] == 42 and rows[2] is None

@@ -93,3 +93,18 @@ def test_geopandas_interop_wkb_path(ray_session):
     if not has_gpd:
         with pytest.raises(ImportError, match="to_pandas_wkb"):
             gds.to_geopandas()
+
+
+def test_from_geopandas_explicit_geometry_col_wins(ray_session):
+    """An explicit geometry_col beats an unrelated column named 'geometry'."""
+    import numpy as np
+    import pandas as pd
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+
+    ga = GeometryArray.from_points(np.array([5.0]), np.array([6.0]))
+    wkb = [b.as_py() for b in encode_wkb(ga)]
+    df = pd.DataFrame({"geometry": ["not-a-geom"], "geom": wkb})
+    out = GeoDataset.from_geopandas(df, geometry_col="geom").x("px").to_pandas_wkb()
+    assert out["px"].tolist() == [5.0]

@@ -184,3 +184,31 @@ def test_read_file_dispatch_formats(ray_session, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="unsupported vector format"):
         read_file(str(tmp_path / "x.gpkg"))
+
+
+def test_dbf_null_roundtrip_and_overflow(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    ga = GeometryArray.from_points(np.array([1.0, 2.0]), np.array([1.0, 2.0]))
+    tab = pa.table({
+        "n": pa.array([7, None], pa.int64()),
+        "geometry": encode_wkb(ga),
+    })
+    p = str(tmp_path / "nulls.shp")
+    write_shapefile(tab, p)
+    rows = read_file(p).take_all()
+    vals = sorted((r["n"] for r in rows), key=lambda v: (v is None, v))
+    assert vals[0] == 7 and vals[1] is None  # null stays null, not 0
+
+    big = pa.table({
+        "s": pa.array(["x" * 100]),
+        "geometry": encode_wkb(GeometryArray.from_points(np.array([0.0]), np.array([0.0]))),
+    })
+    with pytest.raises(ValueError, match="width"):
+        write_shapefile(big, str(tmp_path / "too_wide.shp"))
