@@ -783,6 +783,63 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN scale path: seeded k-means coarse quantizer + nprobe-limited
+    scan, first 5 embeddings as queries (rows-only; recall vs exact is
+    pytest-gated >= 0.9)."""
+    from geopolars_ray.stages.ann import ivf_knn, train_ivf_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    C = train_ivf_centroids(ds, dim=64, n_centroids=16, sample_size=5000)
+    import pyarrow.parquet as pq
+
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 5)
+    queries = {
+        "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
+        "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
+    }
+    out = ivf_knn(ds, queries, C, k=10, nprobe=4)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        c = np.round(np.asarray(batch["cosine"].to_pylist()), 6)
+        return batch.drop_columns(["cosine"]).append_column("cosine", pa.array(c))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def q_mm_resize_frames(sf_dir: str):
+    """Multimodal plumbing: fake 'videos' (length-prefixed FIMG frames keyed
+    by vec_id) -> FrameSample flat-map -> ResizeImage -> decode stats.
+    Rows-only (binary payloads); exercises the actor-pool media chain."""
+    import struct as struct_mod
+
+    from geopolars_ray.stages.multimodal import DecodeImage, FrameSample, ResizeImage, encode_fake_image
+
+    ids_ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+
+    def gen(batch: pa.Table) -> pa.Table:
+        vids = []
+        vid_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for v in vid_ids:
+            frames = [encode_fake_image(8, 8, seed=int(v) * 10 + j) for j in range(4)]
+            vids.append(b"".join(struct_mod.pack("<I", len(f)) + f for f in frames))
+        return pa.table({"vid": pa.array(vid_ids), "video": pa.array(vids, pa.binary())})
+
+    ds = ids_ds.map_batches(gen, batch_format="pyarrow")
+    frames = ds.map_batches(FrameSample, fn_constructor_kwargs=dict(every=2, data_col="video"),
+                            batch_format="pyarrow", concurrency=2, batch_size=256)
+    small = frames.map_batches(ResizeImage, fn_constructor_kwargs=dict(out_w=4, out_h=4),
+                               batch_format="pyarrow", concurrency=2, batch_size=256)
+    out = small.map_batches(DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
+                            batch_format="pyarrow", concurrency=2, batch_size=256)
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        m = np.round(np.asarray(batch["mean_rgb"].to_pylist()), 6)
+        return batch.drop_columns(["mean_rgb"]).append_column("mean_rgb", pa.array(m))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def q_dd_embed_cosine(sf_dir: str):
     """Embedding near-dup: LSH buckets + exact cosine >= 0.3 within buckets."""
     from geopolars_ray.stages.dedup import EmbeddingLSH, cosine_pairs_within_bucket
@@ -1020,6 +1077,8 @@ QUERIES = {
     "dd_minhash_docs": q_dd_minhash_docs,
     "dd_simhash_docs": q_dd_simhash_docs,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "mm_resize_frames": q_mm_resize_frames,
     "dd_embed_cosine": q_dd_embed_cosine,
 }
 
