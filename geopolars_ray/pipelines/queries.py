@@ -420,7 +420,10 @@ def q_geo_knn_join(sf_dir: str):
         pts.map_batches(sel, batch_format="pyarrow"),
         sup,
         k=3,
-        cell_deg=30.0,
+        # coarse first cell: candidate cross-products stay partition-local in
+        # the cell-partitioned design, so one completing pass beats several
+        # small ones (each pass pays a fixed all-to-all cost)
+        cell_deg=45.0,
         x_col="x",
         y_col="y",
         point_id="c_custkey",

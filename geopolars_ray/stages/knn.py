@@ -102,9 +102,14 @@ def knn_join(
     xy_type = p_types[x_col]
 
     def one_pass(pts_in, cd: float, covers_all: bool):
+        """One expanding-ring pass as a SINGLE exchange: points and their
+        3x3-replicated targets union into one stream keyed by cell, and each
+        cell partition computes its points' top-k directly — no separate
+        hash-join stage, and the candidate cross-product lives only in
+        partition-local NumPy, never in the object store."""
         ny = int(np.ceil(180.0 / cd))
 
-        def target_cells(batch: pa.Table) -> pa.Table:
+        def target_side(batch: pa.Table) -> pa.Table:
             x = batch[x_col].to_numpy(zero_copy_only=False)
             y = batch[y_col].to_numpy(zero_copy_only=False)
             cell = tiles_mod.grid_tile_id(x, y, cd)
@@ -116,38 +121,88 @@ def knn_join(
                     reps.append(np.arange(len(x)))
                     cells.append(cell + dx + dy)
             rows = np.concatenate(reps)
-            out = batch.select([target_id, x_col, y_col]).take(pa.array(rows))
-            out = out.rename_columns([target_id, "_tx", "_ty"])
-            return out.append_column("_cell", pa.array(np.concatenate(cells)))
+            rep = batch.take(pa.array(rows))
+            n = len(rows)
+            return pa.table(
+                {
+                    point_id: pa.nulls(n, id_type),
+                    target_id: rep[target_id],
+                    "_x": rep[x_col],
+                    "_y": rep[y_col],
+                    "_cell": pa.array(np.concatenate(cells)),
+                    "_side": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
 
-        def point_cells(batch: pa.Table) -> pa.Table:
+        def point_side(batch: pa.Table) -> pa.Table:
             x = batch[x_col].to_numpy(zero_copy_only=False)
             y = batch[y_col].to_numpy(zero_copy_only=False)
             cell = tiles_mod.grid_tile_id(x, y, cd)
-            return batch.select([point_id, x_col, y_col]).append_column("_cell", pa.array(cell))
+            n = len(batch)
+            return pa.table(
+                {
+                    point_id: batch[point_id],
+                    target_id: pa.nulls(n, tid_type),
+                    "_x": batch[x_col],
+                    "_y": batch[y_col],
+                    "_cell": pa.array(cell),
+                    "_side": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
 
-        pts = pts_in.map_batches(point_cells, batch_format="pyarrow")
-        tgt = targets_ds.map_batches(target_cells, batch_format="pyarrow")
-        # union-based hash_join, NOT Dataset.join: grid cells are sparse keys
-        # and Ray's native hash-shuffle join crashes on empty partitions
-        joined = hash_join(
-            pts, tgt, on=["_cell"], how="inner", num_partitions=num_partitions,
-            left_schema=pa.schema(
-                [(point_id, id_type), (x_col, p_types[x_col]), (y_col, p_types[y_col]), ("_cell", pa.int64())]
-            ),
-            right_schema=pa.schema(
-                [(target_id, tid_type), ("_tx", t_types[x_col]), ("_ty", t_types[y_col]), ("_cell", pa.int64())]
-            ),
+        both = pts_in.map_batches(point_side, batch_format="pyarrow").union(
+            targets_ds.map_batches(target_side, batch_format="pyarrow")
         )
 
-        def topk_per_point(part: pa.Table) -> pa.Table:
-            pid = np.asarray(part[point_id].to_pylist(), dtype=np.int64)
-            px = part[x_col].to_numpy(zero_copy_only=False)
-            py = part[y_col].to_numpy(zero_copy_only=False)
-            tid = np.asarray(part[target_id].to_pylist(), dtype=np.int64)
-            tx = part["_tx"].to_numpy(zero_copy_only=False)
-            ty = part["_ty"].to_numpy(zero_copy_only=False)
-            d = np.sqrt((px - tx) ** 2 + (py - ty) ** 2)
+        def topk_cell_partition(part: pa.Table) -> pa.Table:
+            lm = pc.equal(part["_side"], 0)
+            P = part.filter(lm)
+            T = part.filter(pc.invert(lm))
+            ppid = np.asarray(P[point_id].to_pylist(), dtype=np.int64)
+            if len(ppid) == 0 or T.num_rows == 0:
+                # points with no candidate targets emit nothing: they stay in
+                # the remainder and re-try at the next (coarser) pass
+                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                                 "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
+                                 "_complete": pa.array([], pa.bool_())})
+            px = P["_x"].to_numpy(zero_copy_only=False)
+            py = P["_y"].to_numpy(zero_copy_only=False)
+            pcell = P["_cell"].to_numpy(zero_copy_only=False)
+            ttid = np.asarray(T[target_id].to_pylist(), dtype=np.int64)
+            tx = T["_x"].to_numpy(zero_copy_only=False)
+            ty = T["_y"].to_numpy(zero_copy_only=False)
+            tcell = T["_cell"].to_numpy(zero_copy_only=False)
+            tor = np.argsort(tcell, kind="stable")
+            tcell_s, ttid_s, tx_s, ty_s = tcell[tor], ttid[tor], tx[tor], ty[tor]
+            por = np.argsort(pcell, kind="stable")
+            pcell_s = pcell[por]
+            cuts = np.nonzero(np.diff(pcell_s))[0] + 1
+            cand_p, cand_t, cand_d = [], [], []
+            for rows in np.split(por, cuts):
+                c = pcell[rows[0]]
+                t0, t1 = np.searchsorted(tcell_s, [c, c + 1])
+                if t0 == t1:
+                    continue
+                m_c = t1 - t0
+                ct, cx, cy = ttid_s[t0:t1], tx_s[t0:t1], ty_s[t0:t1]
+                # chunk the cell's points so the n x m distance block stays
+                # bounded even in hot cells
+                step = max(1, 4_000_000 // m_c)
+                for s0 in range(0, len(rows), step):
+                    blk = rows[s0 : s0 + step]
+                    dd = np.sqrt(
+                        (px[blk, None] - cx[None, :]) ** 2 + (py[blk, None] - cy[None, :]) ** 2
+                    )
+                    cand_p.append(np.repeat(ppid[blk], m_c))
+                    cand_t.append(np.tile(ct, len(blk)))
+                    cand_d.append(dd.reshape(-1))
+            if not cand_p:
+                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                                 "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
+                                 "_complete": pa.array([], pa.bool_())})
+            pid = np.concatenate(cand_p)
+            tid = np.concatenate(cand_t)
+            d = np.concatenate(cand_d)
             order = np.lexsort((tid, d, pid))
             pid, tid, d = pid[order], tid[order], d[order]
             # drop duplicate (pid, tid) candidates: on coarse passes the 3x3
@@ -181,7 +236,7 @@ def knn_join(
                 }
             )
 
-        return hash_partitioned_map(joined, [point_id], topk_per_point, num_partitions)
+        return hash_partitioned_map(both, ["_cell"], topk_cell_partition, num_partitions)
 
     remaining = points_ds.select_columns([point_id, x_col, y_col])
     n_remaining = remaining.count()
