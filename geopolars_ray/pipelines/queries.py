@@ -515,10 +515,11 @@ def q_geo_s2_tiles(sf_dir: str):
         return batch.append_column("s2_l12", pa.array(ids))
 
     ds = customer_points(sf_dir, with_geometry=False).map_batches(s2c, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    per_cell = ds.groupby(["c_nationkey", "s2_l12"]).aggregate(Count(alias_name="n"))
-    return per_cell.groupby("c_nationkey").aggregate(Count(alias_name="n_cells"))
+    # cell-count cardinality ~ row count at scale: combiner-first aggregate
+    per_cell = hash_aggregate(ds, ["c_nationkey", "s2_l12"], [("s2_l12", "count", "n")], 8)
+    return hash_aggregate(per_cell, ["c_nationkey"], [("s2_l12", "count", "n_cells")], 4)
 
 
 def q_geo_h3_tiles(sf_dir: str):
@@ -533,10 +534,10 @@ def q_geo_h3_tiles(sf_dir: str):
         return batch.append_column("h3_r7", pa.array(ids))
 
     ds = customer_points(sf_dir, with_geometry=False).map_batches(h3c, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from geopolars_ray.stages.agg import hash_aggregate
 
-    per_cell = ds.groupby(["c_nationkey", "h3_r7"]).aggregate(Count(alias_name="n"))
-    return per_cell.groupby("c_nationkey").aggregate(Count(alias_name="n_cells"))
+    per_cell = hash_aggregate(ds, ["c_nationkey", "h3_r7"], [("h3_r7", "count", "n")], 8)
+    return hash_aggregate(per_cell, ["c_nationkey"], [("h3_r7", "count", "n_cells")], 4)
 
 
 def q_geo_simplify(sf_dir: str):
@@ -579,15 +580,23 @@ def q_rel_q1(sf_dir: str):
         cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
         return batch.append_column("cents", pa.array(cents))
 
-    from ray.data.aggregate import Sum, Count, Min, Max
+    from geopolars_ray.stages.agg import hash_aggregate
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Count(alias_name="n_rows"),
-        Sum("cents", alias_name="sum_base_cents"),
-        Min("l_extendedprice", alias_name="min_price"),
-        Max("l_extendedprice", alias_name="max_price"),
+    # combiner-first hash aggregate (6 groups, but the per-batch C++ partial
+    # combine collapses 600k rows before any exchange — Ray's sort-based
+    # aggregate paid a full-table sort here)
+    return hash_aggregate(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        spec=[
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_quantity", "count", "n_rows"),
+            ("cents", "sum", "sum_base_cents"),
+            ("l_extendedprice", "min", "min_price"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+        num_partitions=4,
     )
 
 
