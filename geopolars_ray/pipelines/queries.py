@@ -578,7 +578,10 @@ def q_rel_q1(sf_dir: str):
         keep = pc.less(batch["l_shipdate"], pa.scalar(np.datetime64("1997-09-01", "us")))
         batch = batch.filter(keep)
         cents = np.rint(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        return batch.append_column("cents", pa.array(cents))
+        batch = batch.append_column("cents", pa.array(cents))
+        # never-null marker: hash_aggregate's count skips nulls, the oracle
+        # counts rows — count a constant column to keep count(*) semantics
+        return batch.append_column("_one", pa.array(np.ones(len(batch), dtype=np.int64)))
 
     from geopolars_ray.stages.agg import hash_aggregate
 
@@ -591,7 +594,7 @@ def q_rel_q1(sf_dir: str):
         keys=["l_returnflag", "l_linestatus"],
         spec=[
             ("l_quantity", "sum", "sum_qty"),
-            ("l_quantity", "count", "n_rows"),
+            ("_one", "count", "n_rows"),
             ("cents", "sum", "sum_base_cents"),
             ("l_extendedprice", "min", "min_price"),
             ("l_extendedprice", "max", "max_price"),
@@ -802,7 +805,7 @@ def q_ann_ivf(sf_dir: str):
     from geopolars_ray.stages.ann import ivf_knn, train_ivf_centroids
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    C = train_ivf_centroids(ds, dim=64, n_centroids=16, sample_size=5000)
+    C = train_ivf_centroids(ds, dim=64, n_centroids=16, sample_size=5000, id_col="vec_id")
     import pyarrow.parquet as pq
 
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 5)

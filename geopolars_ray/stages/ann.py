@@ -99,16 +99,39 @@ def train_ivf_centroids(
     iters: int = 10,
     seed: int = 7,
     emb_col: str = "embedding",
+    id_col: str | None = None,
 ) -> np.ndarray:
     """Deterministic coarse quantizer: Lloyd k-means on a seeded sample.
 
     The sample is collected on the driver (bounded by ``sample_size``); the
     iterations are plain NumPy — at 100 TB the training set is still a tiny
     seeded sample, so this stays a driver-side step by design.
+
+    Pass ``id_col`` for a LAYOUT-INDEPENDENT sample: rows are kept by a
+    deterministic hash threshold on the id and sorted by id, so the trained
+    centroids are identical at any read parallelism (``random_sample``
+    draws per block and changes with block splits).
     """
     n_total = ds.count()
     frac = min(1.0, sample_size / max(n_total, 1))
-    sample_rows = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
+    if id_col is not None:
+        from geopolars_ray.stages.agg import _splitmix
+
+        thresh = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
+        sseed = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+
+        def keep(batch):
+            import pyarrow as _pa
+
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = _splitmix(ids ^ sseed)
+            return batch.filter(_pa.array(h <= thresh))
+
+        sample_rows = ds.map_batches(keep, batch_format="pyarrow").take_all()
+        sample_rows.sort(key=lambda r: r[id_col])
+    else:
+        sample_rows = ds.random_sample(frac, seed=seed).take_all() if frac < 1.0 else ds.take_all()
     X = np.asarray([r[emb_col] for r in sample_rows], dtype=np.float64)
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -99,7 +99,6 @@ def knn_join(
     t_types = dict(zip(t_schema.names, t_schema.types))
     id_type = p_types[point_id]
     tid_type = t_types[target_id]
-    xy_type = p_types[x_col]
 
     def one_pass(pts_in, cd: float, covers_all: bool):
         """One expanding-ring pass as a SINGLE exchange: points and their
@@ -121,7 +120,7 @@ def knn_join(
                     reps.append(np.arange(len(x)))
                     cells.append(cell + dx + dy)
             rows = np.concatenate(reps)
-            rep = batch.take(pa.array(rows))
+            rep = batch.select([target_id, x_col, y_col]).take(pa.array(rows))
             n = len(rows)
             return pa.table(
                 {
@@ -158,21 +157,24 @@ def knn_join(
             lm = pc.equal(part["_side"], 0)
             P = part.filter(lm)
             T = part.filter(pc.invert(lm))
-            ppid = np.asarray(P[point_id].to_pylist(), dtype=np.int64)
-            if len(ppid) == 0 or T.num_rows == 0:
+            if P.num_rows == 0 or T.num_rows == 0:
                 # points with no candidate targets emit nothing: they stay in
                 # the remainder and re-try at the next (coarser) pass
                 return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
                                  "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
                                  "_complete": pa.array([], pa.bool_())})
+            ppid = P[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
             px = P["_x"].to_numpy(zero_copy_only=False)
             py = P["_y"].to_numpy(zero_copy_only=False)
             pcell = P["_cell"].to_numpy(zero_copy_only=False)
-            ttid = np.asarray(T[target_id].to_pylist(), dtype=np.int64)
+            ttid = T[target_id].to_numpy(zero_copy_only=False).astype(np.int64)
             tx = T["_x"].to_numpy(zero_copy_only=False)
             ty = T["_y"].to_numpy(zero_copy_only=False)
             tcell = T["_cell"].to_numpy(zero_copy_only=False)
-            tor = np.argsort(tcell, kind="stable")
+            # sort targets by (cell, tid): within each cell the columns of the
+            # distance block are then tid-ordered, so a STABLE row argsort on
+            # distance alone breaks ties by tid — the oracle's tie-break
+            tor = np.lexsort((ttid, tcell))
             tcell_s, ttid_s, tx_s, ty_s = tcell[tor], ttid[tor], tx[tor], ty[tor]
             por = np.argsort(pcell, kind="stable")
             pcell_s = pcell[por]
@@ -183,19 +185,30 @@ def knn_join(
                 t0, t1 = np.searchsorted(tcell_s, [c, c + 1])
                 if t0 == t1:
                     continue
-                m_c = t1 - t0
                 ct, cx, cy = ttid_s[t0:t1], tx_s[t0:t1], ty_s[t0:t1]
-                # chunk the cell's points so the n x m distance block stays
-                # bounded even in hot cells
+                # drop aliased duplicates (coarse passes: 3x3 offsets can
+                # collide and replicate a target into the same cell twice);
+                # tid-sorted -> duplicates adjacent
+                if len(ct) > 1:
+                    uniq = np.ones(len(ct), dtype=bool)
+                    uniq[1:] = ct[1:] != ct[:-1]
+                    ct, cx, cy = ct[uniq], cx[uniq], cy[uniq]
+                m_c = len(ct)
+                take = min(k, m_c)
+                # chunk the cell's points: the n x m distance block AND the
+                # retained candidates stay bounded (O(points*k) accumulation)
                 step = max(1, 4_000_000 // m_c)
                 for s0 in range(0, len(rows), step):
                     blk = rows[s0 : s0 + step]
                     dd = np.sqrt(
                         (px[blk, None] - cx[None, :]) ** 2 + (py[blk, None] - cy[None, :]) ** 2
                     )
-                    cand_p.append(np.repeat(ppid[blk], m_c))
-                    cand_t.append(np.tile(ct, len(blk)))
-                    cand_d.append(dd.reshape(-1))
+                    # per-point exact top-k: stable argsort on d, ties in tid
+                    # order by construction of the column ordering above
+                    sel = np.argsort(dd, axis=1, kind="stable")[:, :take]
+                    cand_p.append(np.repeat(ppid[blk], take))
+                    cand_t.append(ct[sel].reshape(-1))
+                    cand_d.append(np.take_along_axis(dd, sel, axis=1).reshape(-1))
             if not cand_p:
                 return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
                                  "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
@@ -205,13 +218,6 @@ def knn_join(
             d = np.concatenate(cand_d)
             order = np.lexsort((tid, d, pid))
             pid, tid, d = pid[order], tid[order], d[order]
-            # drop duplicate (pid, tid) candidates: on coarse passes the 3x3
-            # cell offsets can alias (ny <= 2) and replicate a target into
-            # the same joined cell more than once; duplicates sort adjacent
-            if len(pid) > 1:
-                keep = np.ones(len(pid), dtype=bool)
-                keep[1:] = ~((pid[1:] == pid[:-1]) & (tid[1:] == tid[:-1]))
-                pid, tid, d = pid[keep], tid[keep], d[keep]
             cut = np.nonzero(np.diff(pid))[0] + 1
             out_p, out_t, out_d, out_r, out_ok = [], [], [], [], []
             for p_ids, t_ids, dists in zip(np.split(pid, cut), np.split(tid, cut), np.split(d, cut)):
