@@ -161,3 +161,32 @@ def test_asof_join_float_timestamps(ray_session):
                     key="uid", ts_col="ts", right_cols=["v"], num_partitions=2)
     rows = {r["eid"]: r["v_r"] for r in out.take_all()}
     assert rows[1] == 42 and rows[2] is None
+
+
+def test_hash_join_modes(ray_session):
+    """hash_join left/left_semi/left_anti/inner against a pandas reference,
+    including an empty-partition-prone sparse key set."""
+    import ray
+    from geopolars_ray.stages.hashjoin import hash_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 1000003], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"]),
+    })
+    right = pa.table({
+        "k": pa.array([2, 1000003, 2], pa.int64()),   # duplicate right key
+        "rv": pa.array([20.0, 30.0, 21.0]),
+    })
+    L = lambda: ray.data.from_arrow(left)
+    R = lambda: ray.data.from_arrow(right)
+    inner = hash_join(L(), R(), on=["k"], how="inner", num_partitions=8).take_all()
+    assert sorted((r["k"], r["rv"]) for r in inner) == [(2, 20.0), (2, 21.0), (1000003, 30.0)]
+    lj = hash_join(L(), R(), on=["k"], how="left", num_partitions=8).take_all()
+    assert len(lj) == 5  # 2 matches for k=2, 1 for big key, 2 unmatched nulls
+    assert sorted(r["rv"] is None for r in lj).count(True) == 2
+    semi = hash_join(L(), R(), on=["k"], how="left_semi", num_partitions=8).take_all()
+    assert sorted(r["k"] for r in semi) == [2, 1000003]
+    anti = hash_join(L(), R(), on=["k"], how="left_anti", num_partitions=8).take_all()
+    assert sorted(r["k"] for r in anti) == [1, 3]
+    # semi/anti outputs carry ONLY left columns
+    assert set(semi[0].keys()) == {"k", "lv"}
