@@ -178,13 +178,19 @@ def _shp_record(el) -> bytes:
 
 
 def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") -> None:
-    """Write a .shp + .dbf pair (attributes: int64/float64/string columns)."""
+    """Write a .shp + .shx + .dbf triple (attributes: int64/float64/string
+    columns); the .shx offset index is what external tools expect alongside
+    the .shp stream."""
     ga = decode_wkb(table[geometry_col])
     els = ga.to_pylist()
     recs = []
+    shx_entries = []
+    offset_words = 50  # 100-byte header
     for i, el in enumerate(els):
         content = _shp_record(el)
+        shx_entries.append(struct.pack(">ii", offset_words, len(content) // 2))
         recs.append(struct.pack(">ii", i + 1, len(content) // 2) + content)
+        offset_words += 4 + len(content) // 2
     body = b"".join(recs)
     xmin, ymin, xmax, ymax = K.bounds(ga)
     bb = (
@@ -197,11 +203,16 @@ def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") 
     st = {None: _SHP_NULL, "point": _SHP_POINT, "linestring": _SHP_POLYLINE,
           "multilinestring": _SHP_POLYLINE, "polygon": _SHP_POLYGON,
           "multipoint": _SHP_MULTIPOINT}[first[0] if first else None]
-    header = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, (100 + len(body)) // 2)
-    header += struct.pack("<ii", 1000, st)
-    header += struct.pack("<4d", *bb)
-    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
-    Path(path).write_bytes(header + body)
+    def _header(length_words: int) -> bytes:
+        h = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, length_words)
+        h += struct.pack("<ii", 1000, st)
+        h += struct.pack("<4d", *bb)
+        h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)  # z/m ranges
+        return h
+
+    Path(path).write_bytes(_header((100 + len(body)) // 2) + body)
+    shx_body = b"".join(shx_entries)
+    Path(path).with_suffix(".shx").write_bytes(_header((100 + len(shx_body)) // 2) + shx_body)
 
     # .dbf
     attrs = table.drop_columns([geometry_col])

@@ -212,3 +212,27 @@ def test_dbf_null_roundtrip_and_overflow(ray_session, tmp_path):
     })
     with pytest.raises(ValueError, match="width"):
         write_shapefile(big, str(tmp_path / "too_wide.shp"))
+
+
+def test_shapefile_shx_index(ray_session, tmp_path):
+    """The .shx offset index written alongside .shp resolves every record."""
+    import struct
+
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    ga = GeometryArray.from_points(np.arange(5, dtype=np.float64), np.arange(5, dtype=np.float64))
+    tab = pa.table({"fid": pa.array(np.arange(5, dtype=np.int64)), "geometry": encode_wkb(ga)})
+    p = tmp_path / "idx.shp"
+    write_shapefile(tab, str(p))
+    shp = p.read_bytes()
+    shx = p.with_suffix(".shx").read_bytes()
+    n = (len(shx) - 100) // 8
+    assert n == 5
+    for i in range(n):
+        off_w, len_w = struct.unpack(">ii", shx[100 + 8 * i : 108 + 8 * i])
+        rec_no, rec_len = struct.unpack(">ii", shp[off_w * 2 : off_w * 2 + 8])
+        assert rec_no == i + 1 and rec_len == len_w
