@@ -981,6 +981,56 @@ def q_rel_asof(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def q_rel_sliding(sf_dir: str):
+    """Sliding-window aggregate (2h window, 1h slide) per user: each event
+    contributes to 2 overlapping windows; exact cent sums."""
+    from geopolars_ray.stages.window import sliding_window_aggregate
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return batch.append_column("cents", pa.array(cents))
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return sliding_window_aggregate(
+        ds,
+        ts_col="ts",
+        window_us=2 * 3_600_000_000,
+        slide_us=3_600_000_000,
+        keys=["user_id"],
+        spec=[("cents", "count", "n_events"), ("cents", "sum", "sum_cents")],
+        num_partitions=8,
+    )
+
+
+def q_rel_group_topk(sf_dir: str):
+    """Hot-key-safe per-group top-k: the 3 highest-price orders per customer
+    market segment (salted two-phase; oracle via ROW_NUMBER)."""
+    from geopolars_ray.stages.window import grouped_topk
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = grouped_topk(
+        joined,
+        keys=["c_mktsegment"],
+        order_col="o_totalprice",
+        k=3,
+        descending=True,
+        tie_cols=["o_orderkey"],
+        salt=4,
+        num_partitions=8,
+    )
+
+    def sel(batch: pa.Table) -> pa.Table:
+        return batch.select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+
+    return out.map_batches(sel, batch_format="pyarrow")
+
+
 def q_rel_union_distinct(sf_dir: str):
     """Set ops: union of two filtered reads + distinct count per segment."""
     def seg_in(vals):
@@ -1069,6 +1119,8 @@ QUERIES = {
     "geo_sjoin_part": q_geo_sjoin_part,
     "rel_sessions": q_rel_sessions,
     "rel_asof": q_rel_asof,
+    "rel_sliding": q_rel_sliding,
+    "rel_group_topk": q_rel_group_topk,
     "rel_union_distinct": q_rel_union_distinct,
     "rel_sample": q_rel_sample,
     "mm_decode": q_mm_decode,
@@ -1195,6 +1247,20 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type='click') c "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p "
         "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "rel_sliding": (
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, "
+        "CAST(round(value*100) AS BIGINT) AS cents FROM events), "
+        "w AS (SELECT user_id, hr AS window_start, cents FROM e "
+        "UNION ALL SELECT user_id, hr - 1 AS window_start, cents FROM e) "
+        "SELECT user_id, window_start, count(*) AS n_events, "
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM w GROUP BY 1, 2"
+    ),
+    "rel_group_topk": (
+        "SELECT c_mktsegment, o_orderkey, o_totalprice FROM ("
+        "SELECT c_mktsegment, o_orderkey, o_totalprice, "
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+        "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3"
     ),
     "rel_union_distinct": (
         "WITH u AS ("

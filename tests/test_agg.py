@@ -190,3 +190,37 @@ def test_hash_join_modes(ray_session):
     assert sorted(r["k"] for r in anti) == [1, 3]
     # semi/anti outputs carry ONLY left columns
     assert set(semi[0].keys()) == {"k", "lv"}
+
+
+def test_sliding_window_aggregate(ray_session):
+    import ray
+    from geopolars_ray.stages.window import sliding_window_aggregate
+
+    # events at 0.5h, 1.5h, 2.5h for one user; 2h window sliding 1h
+    H = 3_600_000_000
+    t = pa.table({
+        "uid": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array(np.array([H // 2, 3 * H // 2, 5 * H // 2], dtype="datetime64[us]")),
+        "v": pa.array([1, 10, 100], pa.int64()),
+    })
+    out = sliding_window_aggregate(
+        ray.data.from_arrow(t), "ts", 2 * H, H, ["uid"],
+        [("v", "sum", "s"), ("v", "count", "n")], num_partitions=2,
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    # windows: [-1,1):1  [0,2):11  [1,3):110  [2,4):100
+    assert out["window_start"].tolist() == [-1, 0, 1, 2]
+    assert out["s"].tolist() == [1, 11, 110, 100]
+    assert out["n"].tolist() == [1, 2, 2, 1]
+
+
+def test_grouped_topk_hot_key(ray_session):
+    import ray
+    from geopolars_ray.stages.window import grouped_topk
+
+    t = _skewed_table()
+    out = grouped_topk(
+        ray.data.from_arrow(t), ["k"], "v", k=3, descending=True, tie_cols=["i"], salt=4,
+    ).to_pandas()
+    ref = t.to_pandas().sort_values(["v", "i"], ascending=[False, True]).groupby("k").head(3)
+    got = set(zip(out["k"].astype(int), out["i"].astype(int)))
+    assert got == set(zip(ref["k"].astype(int), ref["i"].astype(int)))
