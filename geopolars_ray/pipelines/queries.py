@@ -1031,6 +1031,50 @@ def q_rel_group_topk(sf_dir: str):
     return out.map_batches(sel, batch_format="pyarrow")
 
 
+def q_rel_interval(sf_dir: str):
+    """Range (interval) join: click-purchase pairs of the same user within
+    +/-30 minutes (bucketed co-partition + searchsorted window match)."""
+    from geopolars_ray.stages.asof import interval_join
+
+    def keep(event_type: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], event_type))
+
+        return fn
+
+    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+        keep("click"), batch_format="pyarrow"
+    )
+    purchases = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+        keep("purchase"), batch_format="pyarrow"
+    )
+    return interval_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_col="ts",
+        tolerance_us=30 * 60 * 1_000_000,
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+        num_partitions=8,
+    )
+
+
+def q_rel_anti(sf_dir: str):
+    """Distributed anti-join (hash_join left_anti): customers with no order
+    above 300k (every customer has SOME order in this data)."""
+    from geopolars_ray.stages.hashjoin import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, orders, on=["c_custkey"], right_on=["o_custkey"], how="left_anti", num_partitions=8
+    )
+
+
 def q_rel_union_distinct(sf_dir: str):
     """Set ops: union of two filtered reads + distinct count per segment."""
     def seg_in(vals):
@@ -1119,6 +1163,8 @@ QUERIES = {
     "geo_sjoin_part": q_geo_sjoin_part,
     "rel_sessions": q_rel_sessions,
     "rel_asof": q_rel_asof,
+    "rel_interval": q_rel_interval,
+    "rel_anti": q_rel_anti,
     "rel_sliding": q_rel_sliding,
     "rel_group_topk": q_rel_group_topk,
     "rel_union_distinct": q_rel_union_distinct,
@@ -1247,6 +1293,19 @@ ORACLE_SQL = {
         "FROM (SELECT * FROM events WHERE event_type='click') c "
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='purchase') p "
         "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+    "rel_interval": (
+        "SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.event_id, "
+        "p.event_id AS event_id_r, epoch_us(p.ts) - epoch_us(c.ts) AS dt_us "
+        "FROM (SELECT * FROM events WHERE event_type='click') c "
+        "JOIN (SELECT * FROM events WHERE event_type='purchase') p "
+        "ON c.user_id = p.user_id AND epoch_us(p.ts) "
+        "BETWEEN epoch_us(c.ts) - 1800000000 AND epoch_us(c.ts) + 1800000000"
+    ),
+    "rel_anti": (
+        "SELECT c_custkey, c_mktsegment FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)"
     ),
     "rel_sliding": (
         "WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hr, "

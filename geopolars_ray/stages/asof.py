@@ -108,3 +108,138 @@ def asof_join(
         return out
 
     return hash_partitioned_map(both, [key], per_partition, num_partitions)
+
+
+def interval_join(
+    left_ds,
+    right_ds,
+    key: str,
+    ts_col: str = "ts",
+    tolerance_us: int = 0,
+    left_cols: Sequence[str] = (),
+    right_cols: Sequence[str] = (),
+    suffix: str = "_r",
+    num_partitions: int = 16,
+):
+    """Range (interval) join: every (left, right) pair with the same key and
+    ``|left.ts - right.ts| <= tolerance_us``.
+
+    Distributed shape: bucket timestamps by ``tolerance_us``; the RIGHT side
+    replicates to its bucket ±1, the left stays in its own bucket, so every
+    in-tolerance pair co-locates exactly once (in the left row's bucket).
+    Per partition, both sides sort by (key, bucket, ts) and each group
+    matches via two vectorized searchsorted range lookups — no per-row
+    Python, no cross product beyond the true matches.
+
+    Output: key, ts, ``left_cols``, ``<right_col><suffix>``..., ``dt_us``.
+    """
+    from geopolars_ray.geom.array import _expand_ranges
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
+    if tolerance_us <= 0:
+        raise ValueError("tolerance_us must be positive")
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    suff_cols = [c + suffix for c in right_cols]
+    lschema = left_ds.schema()
+    rschema = right_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+
+    def pad_left(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        cols = {key: batch[key], "_us": pa.array(us), "_bucket": pa.array(us // tolerance_us)}
+        for c in left_cols:
+            cols[c] = batch[c]
+        for c, sc in zip(right_cols, suff_cols):
+            cols[sc] = pa.nulls(n, rtypes[c])
+        t = pa.table(cols)
+        return t.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
+
+    def pad_right(batch: pa.Table) -> pa.Table:
+        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        rows = np.tile(np.arange(n, dtype=np.int64), 3)
+        buckets = np.concatenate([us // tolerance_us + d for d in (-1, 0, 1)])
+        rep = batch.take(pa.array(rows))
+        rus = us[rows]
+        cols = {key: rep[key], "_us": pa.array(rus), "_bucket": pa.array(buckets)}
+        for c in left_cols:
+            cols[c] = pa.nulls(len(rows), ltypes[c])
+        for c, sc in zip(right_cols, suff_cols):
+            cols[sc] = rep[c]
+        t = pa.table(cols)
+        return t.append_column("_side", pa.array(np.ones(len(rows), dtype=np.int8)))
+
+    both = left_ds.map_batches(pad_left, batch_format="pyarrow").union(
+        right_ds.map_batches(pad_right, batch_format="pyarrow")
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lm = pc.equal(part["_side"], 0)
+        L = part.filter(lm)
+        R = part.filter(pc.invert(lm))
+        empty = pa.table(
+            {key: pa.array([], ltypes[key]), "ts_us": pa.array([], pa.int64()),
+             **{c: pa.array([], ltypes[c]) for c in left_cols},
+             **{sc: pa.array([], rtypes[c]) for c, sc in zip(right_cols, suff_cols)},
+             "dt_us": pa.array([], pa.int64())}
+        )
+        if L.num_rows == 0 or R.num_rows == 0:
+            return empty
+        lk = L[key].to_numpy(zero_copy_only=False)
+        lus = L["_us"].to_numpy(zero_copy_only=False)
+        lb = L["_bucket"].to_numpy(zero_copy_only=False)
+        rk = R[key].to_numpy(zero_copy_only=False)
+        rus = R["_us"].to_numpy(zero_copy_only=False)
+        rb = R["_bucket"].to_numpy(zero_copy_only=False)
+        lo_order = np.lexsort((lus, lb, lk))
+        ro_order = np.lexsort((rus, rb, rk))
+        lk, lus, lb = lk[lo_order], lus[lo_order], lb[lo_order]
+        rk_s, rus_s, rb_s = rk[ro_order], rus[ro_order], rb[ro_order]
+        # group boundaries by (key, bucket) on both sides
+        l_groups = np.nonzero((lk[1:] != lk[:-1]) | (lb[1:] != lb[:-1]))[0] + 1
+        l_starts = np.concatenate([[0], l_groups, [len(lk)]])
+        out_l, out_r = [], []
+        for gi in range(len(l_starts) - 1):
+            s, e = l_starts[gi], l_starts[gi + 1]
+            kv, bv = lk[s], lb[s]
+            r0 = np.searchsorted(rk_s, kv, side="left")
+            r1 = np.searchsorted(rk_s, kv, side="right")
+            if r0 == r1:
+                continue
+            b0 = r0 + np.searchsorted(rb_s[r0:r1], bv, side="left")
+            b1 = r0 + np.searchsorted(rb_s[r0:r1], bv, side="right")
+            if b0 == b1:
+                continue
+            sub = rus_s[b0:b1]
+            lo = np.searchsorted(sub, lus[s:e] - tolerance_us, side="left")
+            hi = np.searchsorted(sub, lus[s:e] + tolerance_us, side="right")
+            counts = hi - lo
+            if counts.sum() == 0:
+                continue
+            out_l.append(np.repeat(np.arange(s, e, dtype=np.int64), counts))
+            out_r.append(b0 + _expand_ranges(lo, hi))
+        if not out_l:
+            return empty
+        li = np.concatenate(out_l)
+        ri = np.concatenate(out_r)
+        l_rows = L.take(pa.array(lo_order[li]))
+        r_rows = R.take(pa.array(ro_order[ri]))
+        cols = {key: l_rows[key], "ts_us": l_rows["_us"]}
+        for c in left_cols:
+            cols[c] = l_rows[c]
+        for c, sc in zip(right_cols, suff_cols):
+            cols[sc] = r_rows[sc]
+        dt = r_rows["_us"].to_numpy(zero_copy_only=False) - l_rows["_us"].to_numpy(zero_copy_only=False)
+        cols["dt_us"] = pa.array(dt)
+        return pa.table(cols)
+
+    # partition on (key, bucket): a hot key's rows spread over its time
+    # buckets instead of landing in one partition — the reason the right
+    # side replicates to bucket±1 (each pair still co-locates exactly once,
+    # in the left row's bucket)
+    return hash_partitioned_map(both, [key, "_bucket"], per_partition, num_partitions)
