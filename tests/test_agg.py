@@ -224,3 +224,43 @@ def test_grouped_topk_hot_key(ray_session):
     ref = t.to_pandas().sort_values(["v", "i"], ascending=[False, True]).groupby("k").head(3)
     got = set(zip(out["k"].astype(int), out["i"].astype(int)))
     assert got == set(zip(ref["k"].astype(int), ref["i"].astype(int)))
+
+
+def test_interval_join_matches_brute_force(ray_session):
+    """Range join vs brute force, incl. negative timestamps and exact
+    tolerance boundaries (inclusive both ends)."""
+    import ray
+    from geopolars_ray.stages.asof import interval_join
+
+    rng = np.random.default_rng(9)
+    nl, nr, tol = 400, 300, 1000
+    lt = rng.integers(-5000, 5000, nl)
+    rt = rng.integers(-5000, 5000, nr)
+    # force some exact-boundary pairs
+    lt[0], rt[0] = 0, tol
+    lt[1], rt[1] = 0, -tol
+    lk = rng.integers(0, 5, nl)
+    rk = rng.integers(0, 5, nr)
+    left = pa.table({
+        "uid": pa.array(lk), "ts": pa.array(lt.astype("datetime64[us]")),
+        "lid": pa.array(np.arange(nl, dtype=np.int64)),
+    })
+    right = pa.table({
+        "uid": pa.array(rk), "ts": pa.array(rt.astype("datetime64[us]")),
+        "rid": pa.array(np.arange(nr, dtype=np.int64)),
+    })
+    out = interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        key="uid", ts_col="ts", tolerance_us=tol,
+        left_cols=["lid"], right_cols=["rid"], num_partitions=4,
+    ).take_all()
+    got = {(r["lid"], r["rid_r"]) for r in out}
+    expect = {
+        (int(i), int(j))
+        for i in range(nl) for j in range(nr)
+        if lk[i] == rk[j] and abs(int(lt[i]) - int(rt[j])) <= tol
+    }
+    assert got == expect
+    # dt_us is right - left
+    for r in out[:50]:
+        assert abs(r["dt_us"]) <= tol
