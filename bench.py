@@ -256,6 +256,9 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
         "geo_knn_join",
         "geo_utm",
         "geo_geojson",
+        "rel_sliding",
+        "rel_interval",
+        "rel_group_topk",
     ]
     out = {}
     for name in picks:

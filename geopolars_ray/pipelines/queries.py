@@ -612,6 +612,10 @@ def q_rel_join_agg(sf_dir: str):
     """orders ⋈ customer (hash join) + broadcast nation lookup + rollup."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    # native Dataset.join exercised deliberately: custkeys are DENSE (every
+    # hash partition receives rows on both sides). For sparse keys use
+    # stages/hashjoin.hash_join — Ray 2.49's native join crashes on empty
+    # right partitions (see hashjoin.py).
     joined = orders.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
