@@ -30,6 +30,43 @@ from geopolars_ray.geom import kernels as K
 _SHP_NULL, _SHP_POINT, _SHP_POLYLINE, _SHP_POLYGON, _SHP_MULTIPOINT = 0, 1, 3, 5, 8
 
 
+def _signed_area(ring: list) -> float:
+    a = np.asarray(ring, dtype=np.float64)
+    if len(a) < 3:
+        return 0.0
+    x, y = a[:, 0], a[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def _polygon_record(rings: list):
+    """Map one .shp Polygon record's rings to Polygon or MultiPolygon.
+
+    ESRI spec: exterior rings are CLOCKWISE (negative shoelace area), holes
+    counterclockwise, ring order arbitrary. One exterior -> Polygon with its
+    holes; several exteriors -> MultiPolygon, each hole attached to the
+    exterior that contains its first vertex.
+    """
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+
+    ext = [r for r in rings if _signed_area(r) < 0]
+    holes = [r for r in rings if _signed_area(r) >= 0]
+    if len(ext) <= 1:
+        # degenerate windings (all-CCW writers exist) keep the raw ring order
+        ordered = (ext + holes) if ext else rings
+        return ("polygon", ordered)
+    parts = [[e] for e in ext]
+    for h in holes:
+        px, py = h[0]
+        owner = 0
+        for j, e in enumerate(ext):
+            arr = np.asarray(e, dtype=np.float64)
+            if points_in_polygon_single(np.array([px]), np.array([py]), [arr])[0]:
+                owner = j
+                break
+        parts[owner].append(h)
+    return ("multipolygon", parts)
+
+
 def _read_shp(path: str) -> list:
     """Parse .shp records -> GeometryArray.from_pylist elements."""
     buf = Path(path).read_bytes()
@@ -60,7 +97,7 @@ def _read_shp(path: str) -> list:
             bounds = np.append(parts, num_points)
             rings = [[tuple(p) for p in pts[bounds[i] : bounds[i + 1]]] for i in range(num_parts)]
             if shape_type == _SHP_POLYGON:
-                out.append(("polygon", rings))
+                out.append(_polygon_record(rings))
             elif num_parts == 1:
                 out.append(("linestring", rings[0]))
             else:

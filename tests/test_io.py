@@ -236,3 +236,38 @@ def test_shapefile_shx_index(ray_session, tmp_path):
         off_w, len_w = struct.unpack(">ii", shx[100 + 8 * i : 108 + 8 * i])
         rec_no, rec_len = struct.unpack(">ii", shp[off_w * 2 : off_w * 2 + 8])
         assert rec_no == i + 1 and rec_len == len_w
+
+
+def test_shapefile_multipart_polygon_winding(ray_session, tmp_path):
+    """Polygon records with several clockwise (exterior) rings split into a
+    MultiPolygon; holes attach to the containing exterior (ESRI winding)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    cw_a = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]       # CW exterior A
+    cw_b = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0)]  # CW exterior B
+    ccw_hole_a = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]  # CCW hole in A
+    ga = GeometryArray.from_pylist([("polygon", [cw_a, cw_b, ccw_hole_a])])
+    tab = pa.table({"pid": pa.array([1], pa.int64()), "geometry": encode_wkb(ga)})
+    p = str(tmp_path / "multi.shp")
+    write_shapefile(tab, p)
+    rows = read_file(p).take_all()
+    out = decode_wkb(pa.chunked_array([pa.array([bytes(rows[0]["geometry"])], pa.large_binary())]))
+    el = out.to_pylist()[0]
+    assert el[0] == "multipolygon"
+    parts = el[1]
+    assert len(parts) == 2
+    ring_counts = sorted(len(part) for part in parts)
+    assert ring_counts == [1, 2]  # B alone; A with its hole
+    # single-exterior records still come back as plain polygons
+    single = GeometryArray.from_pylist([("polygon", [cw_a, ccw_hole_a])])
+    tab2 = pa.table({"pid": pa.array([1], pa.int64()), "geometry": encode_wkb(single)})
+    p2 = str(tmp_path / "single.shp")
+    write_shapefile(tab2, p2)
+    rows2 = read_file(p2).take_all()
+    out2 = decode_wkb(pa.chunked_array([pa.array([bytes(rows2[0]["geometry"])], pa.large_binary())]))
+    assert out2.to_pylist()[0][0] == "polygon"
