@@ -10,10 +10,11 @@ Dataset (shapefiles are side tables; the scale formats are parquet /
 GeoJSONSeq).
 
 Supported shapes: Null(0), Point(1), PolyLine(3), Polygon(5), MultiPoint(8)
-— the same set the engine's data model covers. Polygon records map all part
-rings to ONE Polygon (ring 0 exterior + holes), the common naive mapping;
-multi-part outer rings are not re-split into MultiPolygons (documented
-limitation — requires ring-winding analysis).
+— the same set the engine's data model covers. Polygon records are split by
+ESRI ring winding (clockwise = exterior, counterclockwise = hole): one
+exterior yields a Polygon with its holes, several exteriors yield a
+MultiPolygon with each hole attached to the smallest containing exterior;
+the writer re-winds rings to spec so round trips preserve the structure.
 """
 
 from __future__ import annotations
@@ -44,25 +45,28 @@ def _polygon_record(rings: list):
     ESRI spec: exterior rings are CLOCKWISE (negative shoelace area), holes
     counterclockwise, ring order arbitrary. One exterior -> Polygon with its
     holes; several exteriors -> MultiPolygon, each hole attached to the
-    exterior that contains its first vertex.
+    SMALLEST containing exterior (innermost — correct for nested
+    island-in-lake geometries regardless of ring order).
     """
     from geopolars_ray.geom.strtree import points_in_polygon_single
 
-    ext = [r for r in rings if _signed_area(r) < 0]
-    holes = [r for r in rings if _signed_area(r) >= 0]
+    areas = [_signed_area(r) for r in rings]
+    ext = [r for r, a in zip(rings, areas) if a < 0]
+    holes = [r for r, a in zip(rings, areas) if a >= 0]
     if len(ext) <= 1:
         # degenerate windings (all-CCW writers exist) keep the raw ring order
         ordered = (ext + holes) if ext else rings
         return ("polygon", ordered)
+    ext_arr = [np.asarray(e, dtype=np.float64) for e in ext]
+    ext_area = [abs(_signed_area(e)) for e in ext]
     parts = [[e] for e in ext]
     for h in holes:
         px, py = h[0]
-        owner = 0
-        for j, e in enumerate(ext):
-            arr = np.asarray(e, dtype=np.float64)
-            if points_in_polygon_single(np.array([px]), np.array([py]), [arr])[0]:
-                owner = j
-                break
+        candidates = [
+            j for j, arr in enumerate(ext_arr)
+            if points_in_polygon_single(np.array([px]), np.array([py]), [arr])[0]
+        ]
+        owner = min(candidates, key=lambda j: ext_area[j]) if candidates else 0
         parts[owner].append(h)
     return ("multipolygon", parts)
 
@@ -183,6 +187,27 @@ def read_shapefile(
 # --------------------------------------------------------------------------
 
 
+def _wind(ring, clockwise: bool):
+    """Return the ring wound per ESRI spec (CW exterior / CCW hole)."""
+    a = _signed_area(ring)
+    if (a > 0 and clockwise) or (a < 0 and not clockwise):
+        return list(reversed(ring))
+    return list(ring)
+
+
+def _spec_rings(kind: str, body) -> list:
+    """Flatten polygon/multipolygon bodies to spec-wound .shp ring parts."""
+    if kind == "polygon":
+        polys = [body]
+    else:  # multipolygon
+        polys = body
+    out = []
+    for rings in polys:
+        for i, r in enumerate(rings):
+            out.append(_wind(r, clockwise=(i == 0)))
+    return out
+
+
 def _shp_record(el) -> bytes:
     if el is None:
         return struct.pack("<i", _SHP_NULL)
@@ -193,7 +218,7 @@ def _shp_record(el) -> bytes:
         pts = np.asarray(body, dtype="<f8")
         bb = (pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max())
         return struct.pack("<i4di", _SHP_MULTIPOINT, *bb, len(pts)) + pts.tobytes()
-    if kind in ("linestring", "multilinestring", "polygon"):
+    if kind in ("linestring", "multilinestring", "polygon", "multipolygon"):
         if kind == "linestring":
             parts = [body]
             st = _SHP_POLYLINE
@@ -201,7 +226,9 @@ def _shp_record(el) -> bytes:
             parts = body
             st = _SHP_POLYLINE
         else:
-            parts = body
+            # spec winding (CW exteriors, CCW holes) so the reader's winding
+            # analysis reconstructs the same polygon/multipolygon structure
+            parts = _spec_rings(kind, body)
             st = _SHP_POLYGON
         all_pts = np.asarray([p for part in parts for p in part], dtype="<f8")
         bb = (all_pts[:, 0].min(), all_pts[:, 1].min(), all_pts[:, 0].max(), all_pts[:, 1].max())
@@ -239,7 +266,7 @@ def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") 
     first = next((e for e in els if e is not None), None)
     st = {None: _SHP_NULL, "point": _SHP_POINT, "linestring": _SHP_POLYLINE,
           "multilinestring": _SHP_POLYLINE, "polygon": _SHP_POLYGON,
-          "multipoint": _SHP_MULTIPOINT}[first[0] if first else None]
+          "multipolygon": _SHP_POLYGON, "multipoint": _SHP_MULTIPOINT}[first[0] if first else None]
     def _header(length_words: int) -> bytes:
         h = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, length_words)
         h += struct.pack("<ii", 1000, st)

@@ -38,6 +38,11 @@ def asof_join(
     suff_cols = [c + suffix for c in right_cols]
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "asof_join could not resolve input schemas (lazy pipeline whose "
+            "first block is empty?) — materialize the inputs first"
+        )
     rtypes = dict(zip(rschema.names, rschema.types))
     left_names = list(lschema.names)
 
@@ -138,16 +143,27 @@ def interval_join(
 
     if tolerance_us <= 0:
         raise ValueError("tolerance_us must be positive")
-    left_cols = list(left_cols)
+    left_cols = [c for c in left_cols if c not in (key, ts_col)]
     right_cols = list(right_cols)
     suff_cols = [c + suffix for c in right_cols]
     lschema = left_ds.schema()
     rschema = right_ds.schema()
+    if lschema is None or rschema is None:
+        raise ValueError(
+            "interval_join could not resolve input schemas (lazy pipeline "
+            "whose first block is empty?) — materialize the inputs first"
+        )
     ltypes = dict(zip(lschema.names, lschema.types))
     rtypes = dict(zip(rschema.names, rschema.types))
 
+    def _ts_us(batch: pa.Table) -> np.ndarray:
+        col = batch[ts_col]
+        if col.null_count:
+            raise ValueError("interval_join requires non-null timestamps")
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
     def pad_left(batch: pa.Table) -> pa.Table:
-        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_us(batch)
         n = len(batch)
         cols = {key: batch[key], "_us": pa.array(us), "_bucket": pa.array(us // tolerance_us)}
         for c in left_cols:
@@ -158,7 +174,7 @@ def interval_join(
         return t.append_column("_side", pa.array(np.zeros(n, dtype=np.int8)))
 
     def pad_right(batch: pa.Table) -> pa.Table:
-        us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        us = _ts_us(batch)
         n = len(batch)
         rows = np.tile(np.arange(n, dtype=np.int64), 3)
         buckets = np.concatenate([us // tolerance_us + d for d in (-1, 0, 1)])

