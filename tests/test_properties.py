@@ -105,3 +105,108 @@ def test_simplify_invariants(points, tol):
     orig = set(points)
     assert all(p in orig for p in out)
     assert len(out) <= len(points)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(geometry, min_size=0, max_size=10))
+def test_wkt_round_trip_fuzz(geoms):
+    from geopolars_ray.geom.wkt import geometry_from_wkt, geometry_to_wkt
+
+    ga = GeometryArray.from_pylist(geoms)
+    back = geometry_from_wkt(geometry_to_wkt(ga))
+    assert back.to_pylist() == ga.to_pylist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(geometry, min_size=0, max_size=10))
+def test_geojson_round_trip_fuzz(geoms):
+    import json
+
+    from geopolars_ray.sources.geojson import geometry_from_geojson, geometry_to_geojson
+
+    ga = GeometryArray.from_pylist(geoms)
+    gj = geometry_to_geojson(ga)
+    # through an actual JSON text round trip (what the file reader sees)
+    back = geometry_from_geojson(json.loads(json.dumps(gj)))
+    assert back.to_pylist() == ga.to_pylist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(pt, min_size=1, max_size=40),
+    st.sampled_from([90.0, 180.0, 270.0, 450.0]),
+)
+def test_rotate_quarter_turns_exact(points, angle):
+    """Quarter turns are exact coordinate permutations/negations."""
+    x = np.array([p[0] for p in points])
+    y = np.array([p[1] for p in points])
+    ga = GeometryArray.from_points(x, y)
+    r = K.rotate(ga, angle, origin=(0.0, 0.0))
+    k = int(angle // 90) % 4
+    ex, ey = [(x, y), (-y, x), (-x, -y), (y, -x)][k]
+    # exact equality: the kernel uses (0, ±1) cos/sin, not trig round-trips
+    assert (np.where(ex == 0, 0.0, ex) == np.where(r.coords[:, 0] == 0, 0.0, r.coords[:, 0])).all()
+    assert (np.where(ey == 0, 0.0, ey) == np.where(r.coords[:, 1] == 0, 0.0, r.coords[:, 1])).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(coord, coord), min_size=1, max_size=30))
+def test_envelope_contains_all_coords(points):
+    """envelope() bounds always contain the source coordinates (vectorized
+    rewrite invariant)."""
+    x = np.array([p[0] for p in points])
+    y = np.array([p[1] for p in points])
+    ga = GeometryArray.from_pylist([("multipoint", list(zip(x, y)))])
+    env = K.envelope(ga)
+    xmin, ymin, xmax, ymax = K.bounds(env)
+    assert xmin[0] <= x.min() and xmax[0] >= x.max()
+    assert ymin[0] <= y.min() and ymax[0] >= y.max()
+    # 5-coordinate closed ring
+    assert env.coords_per_geom()[0] == 5
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.just("polygon"), st.lists(ring_strategy(), min_size=1, max_size=3)),
+                min_size=1, max_size=6))
+def test_exterior_is_first_ring(polys):
+    """exterior() returns exactly each polygon's first ring as a LineString."""
+    ga = GeometryArray.from_pylist(polys)
+    got = K.exterior(ga).to_pylist()
+    for i, (kind, rings) in enumerate(polys):
+        assert got[i] == ("linestring", rings[0])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+), min_size=1, max_size=50))
+def test_h3ish_parent_resolution_chain(points):
+    """cell -> parent chains decrease resolution monotonically and stay
+    deterministic across recomputation."""
+    from geopolars_ray.geom import h3ish as H
+
+    lon = np.array([p[0] for p in points])
+    lat = np.array([p[1] for p in points])
+    ids = H.h3ish_cell_id(lon, lat, 4)
+    assert (H.h3ish_cell_id(lon, lat, 4) == ids).all()
+    par = H.h3ish_to_parent(ids)
+    assert (H.h3ish_resolution(par) == 3).all()
+    gpar = H.h3ish_to_parent(par)
+    assert (H.h3ish_resolution(gpar) == 2).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(
+    st.floats(min_value=3.01, max_value=8.99, allow_nan=False),
+    st.floats(min_value=-79.9, max_value=79.9, allow_nan=False),
+), min_size=1, max_size=40))
+def test_utm_roundtrip_property(points):
+    from geopolars_ray.geom import crs as C
+
+    lon = np.array([p[0] for p in points])
+    lat = np.array([p[1] for p in points])
+    E, N = C.utm_forward(lon, lat, zone=32)
+    lon2, lat2 = C.utm_inverse(E, N, zone=32)
+    assert np.abs(lon2 - lon).max() < 1e-7
+    assert np.abs(lat2 - lat).max() < 1e-7
