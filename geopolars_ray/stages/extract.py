@@ -62,10 +62,12 @@ def assign_tiles(
     s2_level: int = 12,
     grid_cell_deg: float = 1.0,
     hex_size_deg: float | None = None,
+    h3_res: int | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Stateless tile-assignment kernel: adds s2_l{level} and grid_tile
-    columns (plus hex_tile when requested). Rows with null/NaN coordinates
-    get null tiles."""
+    columns (plus hex_tile / h3_r{res} aperture-7 icosahedral ids when
+    requested — the north star's H3-res-7 tile assignment, `geom/h3ish.py`).
+    Rows with null/NaN coordinates get null tiles."""
 
     def fn(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -89,6 +91,14 @@ def assign_tiles(
             hx = np.zeros(len(lon), dtype=np.int64)
             hx[ok] = tiles_mod.hex_tile_id(lon[ok], lat[ok], size_deg=hex_size_deg)
             batch = batch.append_column("hex_tile", pa.Array.from_pandas(hx, mask=~ok, type=pa.int64()))
+        if h3_res is not None:
+            from geopolars_ray.geom import h3ish
+
+            h3 = np.zeros(len(lon), dtype=np.int64)
+            h3[ok] = h3ish.h3ish_cell_id(lon[ok], lat[ok], res=h3_res)
+            batch = batch.append_column(
+                f"h3_r{h3_res}", pa.Array.from_pandas(h3, mask=~ok, type=pa.int64())
+            )
         return batch
 
     return fn

@@ -110,3 +110,22 @@ def test_flagship_end_to_end(ray_session, tmp_path):
     assert rollup["n_pages"].sum() == len(df)
     # mean position of each tile is inside the tile-ish (sanity)
     assert (rollup["n_pages"] > 0).all()
+
+
+def test_assign_tiles_h3(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.extract import assign_tiles
+    from geopolars_ray.geom import h3ish
+
+    lon = np.array([0.0, 100.0, np.nan])
+    lat = np.array([45.0, -30.0, 10.0])
+    t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    out = ray.data.from_arrow(t).map_batches(
+        assign_tiles(h3_res=7), batch_format="pyarrow"
+    ).take_all()
+    expect = h3ish.h3ish_cell_id(lon[:2], lat[:2], 7)
+    assert out[0]["h3_r7"] == expect[0] and out[1]["h3_r7"] == expect[1]
+    assert out[2]["h3_r7"] is None
