@@ -51,6 +51,22 @@ class GeoDataset:
         )
 
     @classmethod
+    def read_file(
+        cls,
+        path,
+        columns=None,
+        bbox=None,
+        geometry_col: str = GEOMETRY,
+        **kw,
+    ) -> "GeoDataset":
+        """Multi-format vector read (gpl.read_file analogue): parquet,
+        GeoJSON/GeoJSONSeq, WKT-CSV, shapefile — dispatched by extension
+        (`sources/io.py read_file`), with columns + bbox pushdown."""
+        from geopolars_ray.sources.io import read_file as _read_file
+
+        return cls(_read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw), geometry_col)
+
+    @classmethod
     def from_geopandas(cls, gdf, geometry_col: str = GEOMETRY) -> "GeoDataset":
         """GeoPandas(-shaped) frame -> GeoDataset (reference `convert.py:59-96`).
 

@@ -264,3 +264,23 @@ def test_interval_join_matches_brute_force(ray_session):
     # dt_us is right - left
     for r in out[:50]:
         assert abs(r["dt_us"]) <= tol
+
+
+def test_sliding_window_fanout_three(ray_session):
+    """3h window sliding 1h: every event lands in exactly 3 windows."""
+    import ray
+    from geopolars_ray.stages.window import sliding_window_aggregate
+
+    H = 3_600_000_000
+    t = pa.table({
+        "uid": pa.array([1, 1], pa.int64()),
+        "ts": pa.array(np.array([H // 2, 7 * H // 2], dtype="datetime64[us]")),
+        "v": pa.array([1, 10], pa.int64()),
+    })
+    out = sliding_window_aggregate(
+        ray.data.from_arrow(t), "ts", 3 * H, H, ["uid"],
+        [("v", "sum", "s")], num_partitions=2,
+    ).to_pandas().sort_values("window_start")
+    # event@0.5h -> windows -2,-1,0 ; event@3.5h -> windows 1,2,3
+    assert out["window_start"].tolist() == [-2, -1, 0, 1, 2, 3]
+    assert out["s"].tolist() == [1, 1, 1, 10, 10, 10]

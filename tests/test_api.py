@@ -108,3 +108,50 @@ def test_from_geopandas_explicit_geometry_col_wins(ray_session):
     df = pd.DataFrame({"geometry": ["not-a-geom"], "geom": wkb})
     out = GeoDataset.from_geopandas(df, geometry_col="geom").x("px").to_pandas_wkb()
     assert out["px"].tolist() == [5.0]
+
+
+def test_register_kernel_extension_hook(ray_session):
+    """User-extension surface (SURVEY §2.8): a registered kernel flows
+    through geo_op/geo_ops and GeoDataset._apply like the built-ins."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.stages.geo import KERNELS, register_kernel, geo_ops
+
+    def coord_sum(ga):
+        co = ga.coord_offsets()
+        from geopolars_ray.geom.kernels import _range_sums
+        return _range_sums(ga.coords[:, 0] + ga.coords[:, 1], co[:-1], co[1:])
+
+    register_kernel("coord_sum", coord_sum, kind="scalar")
+    try:
+        ga = GeometryArray.from_points(np.array([1.0, 2.0]), np.array([10.0, 20.0]))
+        tab = pa.table({"geometry": encode_wkb(ga)})
+        out = (
+            ray.data.from_arrow(tab)
+            .map_batches(geo_ops([("coord_sum", {}, "cs")]), batch_format="pyarrow")
+            .to_pandas()
+        )
+        assert sorted(out["cs"].tolist()) == [11.0, 22.0]
+    finally:
+        KERNELS.pop("coord_sum", None)
+
+
+def test_geodataset_read_file(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.geojson import write_geojsonl
+
+    ga = GeometryArray.from_points(np.array([3.0]), np.array([4.0]))
+    tab = pa.table({"i": pa.array([1], pa.int64()), "geometry": encode_wkb(ga)})
+    p = str(tmp_path / "a.geojsonl")
+    write_geojsonl(tab, p)
+    gds = GeoDataset.read_file(p)
+    out = gds.x("px").y("py").to_pandas_wkb()
+    assert out["px"].tolist() == [3.0] and out["py"].tolist() == [4.0]
