@@ -32,7 +32,7 @@ class BruteForceTopK:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
         norm = np.linalg.norm(emb, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
@@ -59,8 +59,8 @@ def merge_topk(k: int = 10):
     """
 
     def fn(group: pa.Table) -> pa.Table:
-        sim = np.asarray(group["cosine"].to_pylist())
-        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        sim = group["cosine"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         qid = group["qid"][0].as_py()
         order = np.lexsort((ids, -sim))[:k]
         return pa.table(
@@ -187,7 +187,7 @@ def ivf_knn(
     )
     filtered = assigned.map_batches(
         lambda t: t.filter(
-            pa.array(np.isin(np.asarray(t["ivf_list"].to_pylist(), dtype=np.int64), wanted))
+            pa.array(np.isin(t["ivf_list"].to_numpy(zero_copy_only=False), wanted))
         ),
         batch_format="pyarrow",
     )

@@ -162,9 +162,9 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, num_partitions: int = 
     from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
 
     def to_pairs(part: pa.Table) -> pa.Table:
-        band = np.asarray(part["band"].to_pylist(), dtype=np.int64)
-        bh = np.asarray(part["band_hash"].to_pylist(), dtype=np.int64)
-        did = np.asarray(part["doc_id"].to_pylist(), dtype=np.int64)
+        band = part["band"].to_numpy(zero_copy_only=False)
+        bh = part["band_hash"].to_numpy(zero_copy_only=False)
+        did = part["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((did, bh, band))
         band, bh, did = band[order], bh[order], did[order]
         # bucket boundaries within this partition

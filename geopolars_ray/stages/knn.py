@@ -28,7 +28,7 @@ class EuclideanTopK:
         self.x_col, self.y_col, self.id_col = x_col, y_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         x = batch[self.x_col].to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch[self.y_col].to_numpy(zero_copy_only=False).astype(np.float64)
         dx = x[:, None] - self.qx[None, :]
@@ -305,8 +305,8 @@ def euclidean_knn(points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col
     )
 
     def merge(group: pa.Table) -> pa.Table:
-        d = np.asarray(group["distance"].to_pylist())
-        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        d = group["distance"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         qid = group["qid"][0].as_py()
         order = np.lexsort((ids, d))[:k]
         return pa.table(
