@@ -26,17 +26,34 @@ from geopolars_ray.stages.geo import geo_op, geo_bounds, geo_explode, geo_distan
 
 
 class GeoDataset:
-    """A lazily-evaluated Dataset with a tagged geometry column."""
+    """A lazily-evaluated Dataset with a tagged geometry column.
 
-    def __init__(self, ds, geometry_col: str = GEOMETRY):
+    ``crs`` plays the reference's out-of-band CRS role (`geoseries.rs:148-149`
+    — the array type can't carry it): populated from GeoParquet metadata on
+    read, updated by :meth:`to_crs`, stamped into files by
+    :meth:`write_geoparquet`. None = unknown/untracked.
+    """
+
+    def __init__(self, ds, geometry_col: str = GEOMETRY, crs: str | None = None):
         self._ds = ds
         self.geometry_col = geometry_col
+        self.crs = crs
 
     # ------------------------------------------------------------ constructors
 
     @classmethod
     def read_parquet(cls, paths, columns=None, geometry_col: str = GEOMETRY, **kw) -> "GeoDataset":
-        return cls(ray.data.read_parquet(paths, columns=columns, **kw), geometry_col)
+        crs = None
+        try:
+            from geopolars_ray.sources.io import read_geo_metadata
+
+            first = paths if isinstance(paths, str) else list(paths)[0]
+            meta = read_geo_metadata(first)
+            if meta:
+                crs = meta.get("columns", {}).get(meta.get("primary_column", geometry_col), {}).get("crs")
+        except Exception:
+            pass  # directories / non-geo files: CRS stays untracked
+        return cls(ray.data.read_parquet(paths, columns=columns, **kw), geometry_col, crs=crs)
 
     @classmethod
     def from_arrow(cls, table: pa.Table, geometry_col: str = GEOMETRY) -> "GeoDataset":
@@ -134,8 +151,8 @@ class GeoDataset:
         """The underlying ray.data.Dataset."""
         return self._ds
 
-    def _wrap(self, ds) -> "GeoDataset":
-        return GeoDataset(ds, self.geometry_col)
+    def _wrap(self, ds, crs: str | None = None) -> "GeoDataset":
+        return GeoDataset(ds, self.geometry_col, crs=crs if crs is not None else self.crs)
 
     def _apply(self, name: str, out_col: str | None = None, **kw) -> "GeoDataset":
         return self._wrap(
@@ -224,8 +241,24 @@ class GeoDataset:
     def skew(self, xs: float = 0.0, ys: float = 0.0, origin="center") -> "GeoDataset":
         return self._apply("skew", xs=xs, ys=ys, origin=origin)
 
-    def to_crs(self, from_crs: str, to_crs: str) -> "GeoDataset":
-        return self._apply("to_crs", from_crs=from_crs, to_crs=to_crs)
+    def to_crs(self, from_crs: str | None = None, to_crs: str = "EPSG:3857") -> "GeoDataset":
+        """Reproject; ``from_crs`` defaults to the tracked CRS."""
+        src = from_crs or self.crs
+        if src is None:
+            raise ValueError("from_crs required (no CRS tracked on this GeoDataset)")
+        out = self._apply("to_crs", from_crs=src, to_crs=to_crs)
+        out.crs = to_crs
+        return out
+
+    def write_geoparquet(self, out_dir: str, crs: str | None = None, partition_col: str | None = None) -> str:
+        """Distributed write; every file carries GeoParquet ``geo`` metadata
+        with the tracked (or given) CRS."""
+        from geopolars_ray.sources.io import write_geoparquet_dataset
+
+        return write_geoparquet_dataset(
+            self._ds, out_dir, geometry_col=self.geometry_col,
+            crs=crs or self.crs or "EPSG:4326", partition_col=partition_col,
+        )
 
     def ops(self, steps: list) -> "GeoDataset":
         """Fused kernel chain — ONE WKB decode, N kernels, one encode

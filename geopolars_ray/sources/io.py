@@ -159,6 +159,32 @@ def read_wkt_csv(
     return out.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
 
+def write_geoparquet_dataset(
+    ds,
+    out_dir: str,
+    geometry_col: str = "geometry",
+    crs: str = "EPSG:4326",
+    partition_col: str | None = None,
+):
+    """Distributed GeoParquet write: every output file carries the ``geo``
+    schema metadata (verified: Ray's parquet sink preserves block schema
+    metadata), optionally partitioned by a key column for resumable layouts.
+    """
+    meta = {GEO_KEY: json.dumps(geo_metadata(geometry_col, crs)).encode()}
+
+    def tag(batch: pa.Table) -> pa.Table:
+        merged = dict(batch.schema.metadata or {})
+        merged.update(meta)
+        return batch.replace_schema_metadata(merged)
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if partition_col is not None:
+        tagged.write_parquet(out_dir, partition_cols=[partition_col])
+    else:
+        tagged.write_parquet(out_dir)
+    return out_dir
+
+
 def write_partitioned(
     ds,
     out_dir: str,

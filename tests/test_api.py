@@ -155,3 +155,31 @@ def test_geodataset_read_file(ray_session, tmp_path):
     gds = GeoDataset.read_file(p)
     out = gds.x("px").y("py").to_pandas_wkb()
     assert out["px"].tolist() == [3.0] and out["py"].tolist() == [4.0]
+
+
+def test_crs_tracking_and_geoparquet_write(ray_session, tmp_path):
+    """CRS rides GeoParquet metadata -> GeoDataset.crs -> to_crs update ->
+    distributed write stamps every output file."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_geo_metadata, write_geoparquet
+
+    ga = GeometryArray.from_points(np.array([1.0, 2.0]), np.array([3.0, 4.0]))
+    t = pa.table({"i": pa.array([1, 2]), "geometry": encode_wkb(ga)})
+    src = str(tmp_path / "src.parquet")
+    write_geoparquet(t, src, crs="EPSG:4326")
+
+    gds = GeoDataset.read_parquet(src)
+    assert gds.crs == "EPSG:4326"
+    merc = gds.to_crs(to_crs="EPSG:3857")  # from_crs defaults to tracked
+    assert merc.crs == "EPSG:3857"
+    out_dir = str(tmp_path / "out")
+    merc.write_geoparquet(out_dir)
+    from pathlib import Path
+    files = sorted(Path(out_dir).glob("*.parquet"))
+    assert files
+    meta = read_geo_metadata(str(files[0]))
+    assert meta["columns"]["geometry"]["crs"] == "EPSG:3857"
