@@ -345,13 +345,17 @@ def broadcast_spatial_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     how: str = "inner",
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
 ):
     """points Dataset ⋈ broadcast polygon table (point-in-polygon).
 
     The polygon table is ``ray.put`` ONCE; each actor reads the object ref in
     ``__init__`` — never re-shipped per batch.
+
+    Default ``concurrency=(1, 4)`` autoscales from ONE actor: a fixed actor
+    count is a hard CPU reservation, and a pool of 4 deadlocks a 4-CPU
+    cluster when any other operator needs a slot.
     """
     ref = ray.put(polygons)
     return points_ds.map_batches(
