@@ -235,20 +235,24 @@ def q_geo_distance(sf_dir: str):
     """Row-wise distance kernel: customer point ⊗ its nation's rect centroid."""
     rects = nation_rects(sf_dir)
     cen = K.centroid(decode_wkb(rects["geometry"]))
-    cen_by_key = {
-        int(k): (cen.coords[i, 0], cen.coords[i, 1])
-        for i, k in enumerate(rects["n_nationkey"].to_pylist())
-    }
-    ref = ray.put(cen_by_key)
+    nk = rects["n_nationkey"].to_numpy().astype(np.int64)
+    # dense key -> centroid arrays: the per-batch lookup is a vectorized
+    # gather, not a per-row dict probe
+    size = int(nk.max()) + 1
+    cx_lut = np.zeros(size)
+    cy_lut = np.zeros(size)
+    cx_lut[nk] = cen.coords[:, 0]
+    cy_lut[nk] = cen.coords[:, 1]
+    ref = ray.put((cx_lut, cy_lut))
 
     class Dist:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.cx_lut, self.cy_lut = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-            cx = np.array([self.lookup[int(k)][0] for k in keys])
-            cy = np.array([self.lookup[int(k)][1] for k in keys])
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cx = self.cx_lut[keys]
+            cy = self.cy_lut[keys]
             other = encode_wkb(GeometryArray.from_points(cx, cy))
             batch = batch.append_column("geometry2", other)
             ga1 = decode_wkb(batch["geometry"])
@@ -622,16 +626,18 @@ def q_rel_join_agg(sf_dir: str):
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    lookup = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    ref = ray.put(lookup)
+    nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+    name_lut = np.empty(int(nk.max()) + 1, dtype=object)
+    name_lut[nk] = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    ref = ray.put(name_lut)
 
     class AddName:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.name_lut = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-            names = [self.lookup[int(k)] for k in keys]
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            names = self.name_lut[keys]  # vectorized gather
             cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
             batch = batch.append_column("n_name", pa.array(names, pa.string()))
             return batch.append_column("cents", pa.array(cents))
