@@ -638,31 +638,80 @@ def convex_hull(ga: GeometryArray) -> GeometryArray:
     >= 3 non-collinear points -> closed CCW Polygon ring; 2 distinct points ->
     LineString; 1 point -> Point (the collapse behavior the reference doc
     describes).
+
+    Batch layout: ONE global lexsort orders every geometry's coordinates by
+    (geom, x, y) and deduplicates them vectorized (replacing a per-geometry
+    ``np.unique`` sort), and the chain scan runs on plain Python floats
+    (scalar cross products — ``np.cross`` on 2-vectors costs ~20x more per
+    step than the arithmetic).
     """
+    n = len(ga)
+    if n == 0:
+        return GeometryArray.from_pylist([])
+    gidx = ga.geom_index_of_coords()
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+    order = np.lexsort((y, x, gidx))
+    sg = gidx[order]
+    sx = x[order]
+    sy = y[order]
+    keep = np.ones(len(sg), dtype=bool)
+    if len(sg) > 1:
+        keep[1:] = (sg[1:] != sg[:-1]) | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])
+    sg, sx, sy = sg[keep], sx[keep], sy[keep]
+    starts = np.searchsorted(sg, np.arange(n))
+    ends = np.searchsorted(sg, np.arange(n) + 1)
+
     out_geoms = []
-    co = ga.coord_offsets()
-    for i in range(len(ga)):
+    for i in range(n):
         if ga.types[i] == MISSING:
             out_geoms.append(None)
             continue
-        pts = ga.coords[co[i] : co[i + 1]]
-        if len(pts) == 0:
+        s, e = int(starts[i]), int(ends[i])
+        m = e - s
+        if m == 0:
             out_geoms.append(None)
             continue
-        uniq = np.unique(pts, axis=0)
-        if len(uniq) == 1:
-            out_geoms.append(("point", tuple(uniq[0])))
+        px = sx[s:e].tolist()
+        py = sy[s:e].tolist()
+        if m == 1:
+            out_geoms.append(("point", (px[0], py[0])))
             continue
-        if len(uniq) == 2:
-            out_geoms.append(("linestring", [tuple(uniq[0]), tuple(uniq[1])]))
+        if m == 2:
+            out_geoms.append(("linestring", [(px[0], py[0]), (px[1], py[1])]))
             continue
-        hull = _monotone_chain(uniq)
+        hull = _chain_scan(px, py)
         if len(hull) == 2:
-            out_geoms.append(("linestring", [tuple(p) for p in hull]))
+            out_geoms.append(("linestring", hull))
         else:
-            ring = [tuple(p) for p in hull] + [tuple(hull[0])]
-            out_geoms.append(("polygon", [ring]))
+            out_geoms.append(("polygon", [hull + [hull[0]]]))
     return GeometryArray.from_pylist(out_geoms)
+
+
+def _chain_scan(px: list, py: list) -> list:
+    """CCW hull vertices (no closing repeat) of (x, y)-sorted unique points;
+    scalar-arithmetic Andrew's monotone chain."""
+
+    def half(idx_iter):
+        h: list[tuple[float, float]] = []
+        for i in idx_iter:
+            xi, yi = px[i], py[i]
+            while len(h) >= 2:
+                x0, y0 = h[-2]
+                x1, y1 = h[-1]
+                if (x1 - x0) * (yi - y0) - (y1 - y0) * (xi - x0) <= 0.0:
+                    h.pop()
+                else:
+                    break
+            h.append((xi, yi))
+        return h
+
+    m = len(px)
+    lower = half(range(m))
+    upper = half(range(m - 1, -1, -1))
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:  # collinear input
+        return [(px[0], py[0]), (px[-1], py[-1])]
+    return hull
 
 
 def _monotone_chain(pts: np.ndarray) -> np.ndarray:
