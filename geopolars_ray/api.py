@@ -81,7 +81,22 @@ class GeoDataset:
         (`sources/io.py read_file`), with columns + bbox pushdown."""
         from geopolars_ray.sources.io import read_file as _read_file
 
-        return cls(_read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw), geometry_col)
+        crs = None
+        first = path if isinstance(path, str) else list(path)[0]
+        if first.rsplit(".", 1)[-1].lower() in ("parquet", "pq"):
+            try:
+                from geopolars_ray.sources.io import read_geo_metadata
+
+                meta = read_geo_metadata(first)
+                if meta:
+                    crs = meta.get("columns", {}).get(meta.get("primary_column", geometry_col), {}).get("crs")
+            except Exception:
+                pass
+        return cls(
+            _read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw),
+            geometry_col,
+            crs=crs,
+        )
 
     @classmethod
     def from_geopandas(cls, gdf, geometry_col: str = GEOMETRY) -> "GeoDataset":
@@ -241,8 +256,26 @@ class GeoDataset:
     def skew(self, xs: float = 0.0, ys: float = 0.0, origin="center") -> "GeoDataset":
         return self._apply("skew", xs=xs, ys=ys, origin=origin)
 
-    def to_crs(self, from_crs: str | None = None, to_crs: str = "EPSG:3857") -> "GeoDataset":
-        """Reproject; ``from_crs`` defaults to the tracked CRS."""
+    def to_crs(self, *args: str, from_crs: str | None = None, to_crs: str | None = None) -> "GeoDataset":
+        """Reproject. Two calling styles, both unambiguous:
+
+        - geopandas style: ``gds.to_crs("EPSG:32633")`` — ONE argument is the
+          TARGET; the source is the tracked CRS (raises if untracked).
+        - reference style: ``gds.to_crs("EPSG:4326", "EPSG:3857")`` — two
+          arguments are (from, to), as in `geoseries.rs:148-161`.
+        """
+        if len(args) == 1:
+            if to_crs is not None or from_crs is not None:
+                raise TypeError("pass either one positional target or explicit keywords, not both")
+            to_crs = args[0]
+        elif len(args) == 2:
+            if to_crs is not None or from_crs is not None:
+                raise TypeError("pass either two positionals (from, to) or keywords, not both")
+            from_crs, to_crs = args
+        elif len(args) > 2:
+            raise TypeError("to_crs takes at most two positional arguments")
+        if to_crs is None:
+            raise TypeError("to_crs target required")
         src = from_crs or self.crs
         if src is None:
             raise ValueError("from_crs required (no CRS tracked on this GeoDataset)")
@@ -252,12 +285,18 @@ class GeoDataset:
 
     def write_geoparquet(self, out_dir: str, crs: str | None = None, partition_col: str | None = None) -> str:
         """Distributed write; every file carries GeoParquet ``geo`` metadata
-        with the tracked (or given) CRS."""
+        with the tracked (or given) CRS. Raises rather than fabricating a
+        default when no CRS is known — stamping the wrong CRS corrupts every
+        downstream reader silently."""
         from geopolars_ray.sources.io import write_geoparquet_dataset
 
+        eff = crs or self.crs
+        if eff is None:
+            raise ValueError(
+                "no CRS tracked on this GeoDataset — pass crs= explicitly to write_geoparquet"
+            )
         return write_geoparquet_dataset(
-            self._ds, out_dir, geometry_col=self.geometry_col,
-            crs=crs or self.crs or "EPSG:4326", partition_col=partition_col,
+            self._ds, out_dir, geometry_col=self.geometry_col, crs=eff, partition_col=partition_col,
         )
 
     def ops(self, steps: list) -> "GeoDataset":
@@ -283,12 +322,13 @@ class GeoDataset:
 
     # ------------------------------------------------------------- relational
 
-    def assign_tiles(self, lon_col="lon", lat_col="lat", s2_level=12, grid_cell_deg=1.0, hex_size_deg=None) -> "GeoDataset":
+    def assign_tiles(self, lon_col="lon", lat_col="lat", s2_level=12, grid_cell_deg=1.0,
+                     hex_size_deg=None, h3_res=None) -> "GeoDataset":
         from geopolars_ray.stages.extract import assign_tiles
 
         return self._wrap(
             self._ds.map_batches(
-                assign_tiles(lon_col, lat_col, s2_level, grid_cell_deg, hex_size_deg),
+                assign_tiles(lon_col, lat_col, s2_level, grid_cell_deg, hex_size_deg, h3_res),
                 batch_format="pyarrow",
             )
         )

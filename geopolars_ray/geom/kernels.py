@@ -714,27 +714,6 @@ def _chain_scan(px: list, py: list) -> list:
     return hull
 
 
-def _monotone_chain(pts: np.ndarray) -> np.ndarray:
-    """CCW hull vertices (no closing repeat) of unique lexicographically-sorted pts."""
-    order = np.lexsort((pts[:, 1], pts[:, 0]))
-    p = pts[order]
-
-    def half(points):
-        h: list[np.ndarray] = []
-        for pt in points:
-            while len(h) >= 2 and np.cross(h[-1] - h[-2], pt - h[-2]) <= 0:
-                h.pop()
-            h.append(pt)
-        return h
-
-    lower = half(p)
-    upper = half(p[::-1])
-    hull = lower[:-1] + upper[:-1]
-    if len(hull) < 3:  # collinear input
-        return np.array([p[0], p[-1]])
-    return np.array(hull)
-
-
 def simplify(ga: GeometryArray, tolerance: float) -> GeometryArray:
     """Douglas-Peucker per ring, endpoints preserved, no new points
     (`geoseries.rs:109-116`)."""

@@ -245,12 +245,19 @@ def q_geo_distance(sf_dir: str):
     cy_lut[nk] = cen.coords[:, 1]
     ref = ray.put((cx_lut, cy_lut))
 
+    present_lut = np.zeros(size, dtype=bool)
+    present_lut[nk] = True
+    ref2 = ray.put(present_lut)
+
     class Dist:
         def __init__(self):
             self.cx_lut, self.cy_lut = ray.get(ref)
+            self.present = ray.get(ref2)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if (keys < 0).any() or (keys >= len(self.present)).any() or not self.present[keys].all():
+                raise KeyError("c_nationkey not present in nation lookup")
             cx = self.cx_lut[keys]
             cy = self.cy_lut[keys]
             other = encode_wkb(GeometryArray.from_points(cx, cy))
@@ -637,7 +644,11 @@ def q_rel_join_agg(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            names = self.name_lut[keys]  # vectorized gather
+            if (keys < 0).any() or (keys >= len(self.name_lut)).any():
+                raise KeyError("c_nationkey outside nation lookup range")
+            names = self.name_lut[keys]  # vectorized gather (None -> loud null below)
+            if any(v is None for v in names):
+                raise KeyError("c_nationkey not present in nation lookup")
             cents = np.rint(batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
             batch = batch.append_column("n_name", pa.array(names, pa.string()))
             return batch.append_column("cents", pa.array(cents))

@@ -192,6 +192,11 @@ def write_partitioned(
     geometry_col: str | None = "geometry",
     crs: str = "EPSG:4326",
 ):
-    """Partitioned-by-key parquet layout (one dir per key) for resumable runs."""
-    ds.write_parquet(out_dir, partition_cols=[partition_col])
-    return out_dir
+    """Partitioned-by-key parquet layout (one dir per key) for resumable
+    runs. With a geometry column, delegates to the CRS-stamping writer so
+    partitioned files carry geo metadata too; geometry_col=None writes plain
+    parquet."""
+    if geometry_col is None:
+        ds.write_parquet(out_dir, partition_cols=[partition_col])
+        return out_dir
+    return write_geoparquet_dataset(ds, out_dir, geometry_col, crs, partition_col=partition_col)

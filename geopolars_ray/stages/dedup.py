@@ -162,9 +162,9 @@ def lsh_candidate_pairs(bands_ds, max_bucket: int = 1000, num_partitions: int = 
     from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
 
     def to_pairs(part: pa.Table) -> pa.Table:
-        band = part["band"].to_numpy(zero_copy_only=False)
-        bh = part["band_hash"].to_numpy(zero_copy_only=False)
-        did = part["doc_id"].to_numpy(zero_copy_only=False)
+        band = part["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = part["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((did, bh, band))
         band, bh, did = band[order], bh[order], did[order]
         # bucket boundaries within this partition
