@@ -279,3 +279,50 @@ def test_shapefile_multipart_polygon_winding(ray_session, tmp_path):
     assert el2[0] == "polygon" and len(el2[1]) == 2
     # exterior first after the winding analysis (spec order restored)
     assert abs(el2[1][0][0][0] - 0.0) < 1e-12 or len(el2[1][0]) == 5
+
+
+def test_write_geoparquet_dataset_partitioned_metadata(ray_session, tmp_path):
+    """The distributed partitioned write stamps geo metadata on every file
+    in every partition directory."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_geo_metadata, write_geoparquet_dataset
+
+    n = 1000
+    ga = GeometryArray.from_points(np.arange(n, dtype=float), np.arange(n, dtype=float))
+    t = pa.table({
+        "part": pa.array((np.arange(n) % 3).astype(np.int64)),
+        "geometry": encode_wkb(ga),
+    })
+    out = str(tmp_path / "p")
+    write_geoparquet_dataset(ray.data.from_arrow(t), out, crs="EPSG:32633", partition_col="part")
+    from pathlib import Path
+    files = sorted(Path(out).rglob("*.parquet"))
+    assert len(files) >= 3  # one dir per key at least
+    dirs = {f.parent.name for f in files}
+    assert {"part=0", "part=1", "part=2"} <= dirs
+    for f in files:
+        meta = read_geo_metadata(str(f))
+        assert meta and meta["columns"]["geometry"]["crs"] == "EPSG:32633"
+
+
+def test_geodataset_read_file_sniffs_parquet_crs(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import write_geoparquet
+
+    ga = GeometryArray.from_points(np.array([1.0]), np.array([2.0]))
+    t = pa.table({"i": pa.array([1]), "geometry": encode_wkb(ga)})
+    p = str(tmp_path / "crs.parquet")
+    write_geoparquet(t, p, crs="EPSG:3035")
+    gds = GeoDataset.read_file(p)
+    assert gds.crs == "EPSG:3035"
+    # single-positional to_crs = geopandas-style TARGET, source = tracked
+    back = gds.to_crs("EPSG:4326")
+    assert back.crs == "EPSG:4326"
