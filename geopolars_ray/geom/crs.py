@@ -22,6 +22,8 @@ documented dateline caveat).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from geopolars_ray.geom.array import GeometryArray
@@ -189,19 +191,35 @@ def _authalic_to_geodetic(beta: np.ndarray) -> np.ndarray:
     )
 
 
+def _laea_d(lat0: float) -> float:
+    """Snyder's D scaling factor (eq. 24-20): D = a*m1 / (Rq*cos(beta1)).
+
+    m1 = cos(lat0)/sqrt(1 - e^2 sin^2(lat0)) (eq. 14-15).  D compensates the
+    authalic-sphere mapping so scale is true along the central parallel;
+    omitting it offsets EPSG:9820 coordinates by ~100-900 m across Europe
+    for lat_0=52 (D ~ 1.000425).
+    """
+    lat0r = np.radians(lat0)
+    s0 = float(np.sin(lat0r))
+    m1 = float(np.cos(lat0r)) / np.sqrt(1.0 - _E2 * s0 * s0)
+    beta0 = float(_authalic_lat(np.array([lat0r]))[0])
+    return float(WGS84_A * m1 / (_R_AUTH * np.cos(beta0)))
+
+
 def laea_forward(lon, lat, lon0: float, lat0: float, x0: float = 0.0, y0: float = 0.0):
     lon = np.asarray(lon, np.float64)
     lat = np.asarray(lat, np.float64)
     lam = np.radians(lon - lon0)
     beta = _authalic_lat(np.radians(lat))
     beta0 = float(_authalic_lat(np.radians(np.array([lat0])))[0])
+    D = _laea_d(lat0)
     sb, cb = np.sin(beta), np.cos(beta)
     sb0, cb0 = np.sin(beta0), np.cos(beta0)
     denom = 1.0 + sb0 * sb + cb0 * cb * np.cos(lam)
     with np.errstate(divide="ignore", invalid="ignore"):
         bprime = _R_AUTH * np.sqrt(2.0 / np.maximum(denom, 1e-300))
-    x = x0 + bprime * cb * np.sin(lam)
-    y = y0 + bprime * (cb0 * sb - sb0 * cb * np.cos(lam))
+    x = x0 + bprime * D * cb * np.sin(lam)
+    y = y0 + (bprime / D) * (cb0 * sb - sb0 * cb * np.cos(lam))
     return x, y
 
 
@@ -209,17 +227,19 @@ def laea_inverse(x, y, lon0: float, lat0: float, x0: float = 0.0, y0: float = 0.
     x = np.asarray(x, np.float64) - x0
     y = np.asarray(y, np.float64) - y0
     beta0 = float(_authalic_lat(np.radians(np.array([lat0])))[0])
+    D = _laea_d(lat0)
     sb0, cb0 = np.sin(beta0), np.cos(beta0)
-    rho = np.sqrt(x * x + y * y)
+    # Snyder eq. 24-28/29: undo the D anisotropy before the spherical inverse
+    rho = np.sqrt((x / D) ** 2 + (D * y) ** 2)
     ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * _R_AUTH), -1.0, 1.0))
     sc, cc = np.sin(ce), np.cos(ce)
     with np.errstate(divide="ignore", invalid="ignore"):
         beta = np.where(
             rho == 0.0,
             beta0,
-            np.arcsin(np.clip(cc * sb0 + np.where(rho == 0, 0.0, y * sc * cb0 / np.maximum(rho, 1e-300)), -1.0, 1.0)),
+            np.arcsin(np.clip(cc * sb0 + np.where(rho == 0, 0.0, D * y * sc * cb0 / np.maximum(rho, 1e-300)), -1.0, 1.0)),
         )
-        lam = np.arctan2(x * sc, rho * cb0 * cc - y * sb0 * sc)
+        lam = np.arctan2(x * sc, D * rho * cb0 * cc - D * D * y * sb0 * sc)
     lat = np.degrees(_authalic_to_geodetic(beta))
     lon = lon0 + np.degrees(lam)
     return lon, lat
@@ -238,7 +258,10 @@ def parse_crs(crs: str) -> dict:
         return {"proj": "longlat"}
     if up in ("EPSG:3857", "WEBMERCATOR", "EPSG:900913") or up.startswith("+PROJ=MERC"):
         return {"proj": "webmerc"}
-    if up.startswith("EPSG:326") or up.startswith("EPSG:327"):
+    if re.fullmatch(r"EPSG:32[67]\d{2}", up):
+        # 5-digit codes only: EPSG:326xx/327xx are UTM zones; 4-digit
+        # EPSG:3260-3279 are unrelated CRSs and fall through to the
+        # generic unsupported-CRS error below.
         code = int(up.split(":")[1])
         zone = code % 100
         if not 1 <= zone <= 60:

@@ -100,21 +100,54 @@ def _features_to_table(
     features: list[dict],
     columns: list[str] | None,
     geometry_col: str,
+    prop_schema: pa.Schema | None = None,
 ) -> pa.Table:
     geoms = [f.get("geometry") for f in features]
     props = [f.get("properties") or {} for f in features]
     ga = geometry_from_geojson(geoms)
     wkb = encode_wkb(ga)
-    if props and any(props):
+    if prop_schema is not None:
+        # fixed schema (driver-sniffed or user-supplied): every block gets
+        # identical column set/order/types; properties missing in a batch
+        # become nulls instead of that batch silently dropping the column
+        tab = pa.Table.from_pylist(props, schema=prop_schema)
+    elif props and any(props):
         tab = pa.Table.from_pylist(props)
     else:
         tab = pa.table({})
-    if columns is not None:
+    if columns is not None and prop_schema is None:
         keep = [c for c in columns if c in tab.column_names]
         tab = tab.select(keep)
     if tab.num_columns == 0:
         return pa.table({geometry_col: wkb})
     return tab.append_column(geometry_col, wkb)
+
+
+def _sniff_prop_schema(paths: list[str], columns: list[str] | None, n: int = 256) -> pa.Schema | None:
+    """Infer ONE property schema from the first ``n`` features across the
+    input files (driver-side).  Per-batch inference yields conflicting block
+    schemas when feature property sets/types differ between line blocks
+    (ADVICE r2); a single sniffed schema makes every block agree.  Callers
+    with heterogeneous tails beyond the sniff window should pass ``schema=``
+    explicitly."""
+    props: list[dict] = []
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                props.append(json.loads(line).get("properties") or {})
+                if len(props) >= n:
+                    break
+        if len(props) >= n:
+            break
+    if not props or not any(props):
+        return pa.schema([])
+    schema = pa.Table.from_pylist(props).schema
+    if columns is not None:
+        fields = [schema.field(c) for c in columns if c in schema.names]
+        schema = pa.schema(fields)
+    return schema
 
 
 def _bbox_stage(bbox, geometry_col: str):
@@ -128,9 +161,14 @@ def read_geojson(
     columns: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     geometry_col: str = "geometry",
+    schema: pa.Schema | None = None,
 ):
     """Read GeoJSON (FeatureCollection or one-feature-per-line) to a Dataset
-    with a WKB ``geometry`` column + property columns."""
+    with a WKB ``geometry`` column + property columns.
+
+    ``schema`` fixes the property columns/types for the distributed
+    GeoJSONSeq path (default: sniffed from the first 256 features on the
+    driver, so all line blocks produce identical block schemas)."""
     paths = [path] if isinstance(path, str) else list(path)
     with open(paths[0], "r", encoding="utf-8") as f:
         first_line = f.readline()
@@ -142,11 +180,12 @@ def read_geojson(
         is_seq = False
 
     if is_seq:
+        prop_schema = schema if schema is not None else _sniff_prop_schema(paths, columns)
         ds = ray.data.read_text(paths)
 
         def parse(batch: pa.Table) -> pa.Table:
             feats = [json.loads(line) for line in batch["text"].to_pylist() if line.strip()]
-            return _features_to_table(feats, columns, geometry_col)
+            return _features_to_table(feats, columns, geometry_col, prop_schema=prop_schema)
 
         out = ds.map_batches(parse, batch_format="pyarrow")
     else:

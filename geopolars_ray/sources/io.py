@@ -190,13 +190,15 @@ def write_partitioned(
     out_dir: str,
     partition_col: str,
     geometry_col: str | None = "geometry",
-    crs: str = "EPSG:4326",
+    crs: str | None = None,
 ):
     """Partitioned-by-key parquet layout (one dir per key) for resumable
-    runs. With a geometry column, delegates to the CRS-stamping writer so
-    partitioned files carry geo metadata too; geometry_col=None writes plain
-    parquet."""
-    if geometry_col is None:
+    runs. With a geometry column AND an explicit ``crs``, delegates to the
+    CRS-stamping writer so partitioned files carry geo metadata; with no
+    ``crs`` given, writes plain parquet rather than fabricating a default
+    stamp (same no-fabricated-CRS policy as GeoDataset.write_geoparquet,
+    which raises when no CRS is tracked)."""
+    if geometry_col is None or crs is None:
         ds.write_parquet(out_dir, partition_cols=[partition_col])
         return out_dir
     return write_geoparquet_dataset(ds, out_dir, geometry_col, crs, partition_col=partition_col)

@@ -99,6 +99,19 @@ def knn_join(
     t_types = dict(zip(t_schema.names, t_schema.types))
     id_type = p_types[point_id]
     tid_type = t_types[target_id]
+    for _nm, _t in ((point_id, id_type), (target_id, tid_type)):
+        # the partition kernel runs on int64 numpy views; non-integer ids
+        # (strings) can't ride that path — callers add a dense surrogate key
+        if not pa.types.is_integer(_t):
+            raise ValueError(
+                f"knn_join requires integer id columns; {_nm!r} is {_t} "
+                "(for string ids, attach a dense integer surrogate key first)"
+            )
+
+    def _ids_out(pid_np: np.ndarray, tid_np: np.ndarray):
+        """Emit id columns in the INPUT id types so 'complete' blocks union
+        cleanly with the original-typed remainder (int32 ids etc.)."""
+        return pa.array(pid_np).cast(id_type), pa.array(tid_np).cast(tid_type)
 
     def one_pass(pts_in, cd: float, covers_all: bool):
         """One expanding-ring pass as a SINGLE exchange: points and their
@@ -160,7 +173,7 @@ def knn_join(
             if P.num_rows == 0 or T.num_rows == 0:
                 # points with no candidate targets emit nothing: they stay in
                 # the remainder and re-try at the next (coarser) pass
-                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                return pa.table({point_id: pa.array([], id_type), target_id: pa.array([], tid_type),
                                  "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
                                  "_complete": pa.array([], pa.bool_())})
             ppid = P[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -210,7 +223,7 @@ def knn_join(
                     cand_t.append(ct[sel].reshape(-1))
                     cand_d.append(np.take_along_axis(dd, sel, axis=1).reshape(-1))
             if not cand_p:
-                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                return pa.table({point_id: pa.array([], id_type), target_id: pa.array([], tid_type),
                                  "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
                                  "_complete": pa.array([], pa.bool_())})
             pid = np.concatenate(cand_p)
@@ -229,13 +242,14 @@ def knn_join(
                 out_r.append(np.arange(1, kk + 1, dtype=np.int64))
                 out_ok.append(np.full(kk, complete))
             if not out_p:
-                return pa.table({point_id: pa.array([], pa.int64()), target_id: pa.array([], pa.int64()),
+                return pa.table({point_id: pa.array([], id_type), target_id: pa.array([], tid_type),
                                  "distance": pa.array([], pa.float64()), "rank": pa.array([], pa.int64()),
                                  "_complete": pa.array([], pa.bool_())})
+            pid_a, tid_a = _ids_out(np.concatenate(out_p), np.concatenate(out_t))
             return pa.table(
                 {
-                    point_id: pa.array(np.concatenate(out_p)),
-                    target_id: pa.array(np.concatenate(out_t)),
+                    point_id: pid_a,
+                    target_id: tid_a,
                     "distance": pa.array(np.concatenate(out_d)),
                     "rank": pa.array(np.concatenate(out_r)),
                     "_complete": pa.array(np.concatenate(out_ok)),

@@ -326,3 +326,57 @@ def test_geodataset_read_file_sniffs_parquet_crs(ray_session, tmp_path):
     # single-positional to_crs = geopandas-style TARGET, source = tracked
     back = gds.to_crs("EPSG:4326")
     assert back.crs == "EPSG:4326"
+
+
+def test_geojsonl_mixed_property_schema(ray_session, tmp_path):
+    """Line blocks with differing property key sets must still union: one
+    driver-sniffed schema is applied to every batch; properties missing in
+    a block become nulls (ADVICE r2)."""
+    import numpy as np
+    import pyarrow as pa
+    from geopolars_ray.sources.geojson import read_geojson
+
+    p = str(tmp_path / "mixed.geojsonl")
+    with open(p, "w") as f:
+        for i in range(400):
+            # second half lacks "extra" and adds an unseen key
+            props = {"fid": i, "extra": "e%d" % i} if i < 200 else {"fid": i, "late": i}
+            f.write(
+                '{"type":"Feature","geometry":{"type":"Point","coordinates":[%d,1]},"properties":%s}\n'
+                % (i, __import__("json").dumps(props))
+            )
+    out = read_geojson(p).to_pandas()
+    assert len(out) == 400
+    assert "fid" in out.columns and "extra" in out.columns
+    assert out["extra"].isna().sum() == 200
+    # explicit schema= overrides the sniff (picks up the late key)
+    sch = pa.schema([("fid", pa.int64()), ("late", pa.int64())])
+    out2 = read_geojson(p, schema=sch).to_pandas()
+    assert out2["late"].notna().sum() == 200
+
+
+def test_write_partitioned_no_fabricated_crs(ray_session, tmp_path):
+    """write_partitioned must not stamp a default CRS when none is given
+    (ADVICE r2); an explicit crs= still stamps geo metadata."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import write_partitioned, read_geo_metadata
+
+    t = pa.table({
+        "part": pa.array([0, 0, 1, 1]),
+        "geometry": encode_wkb(GeometryArray.from_points(np.arange(4.0), np.arange(4.0))),
+    })
+    out1 = str(tmp_path / "nostamp")
+    write_partitioned(ray.data.from_arrow(t), out1, partition_col="part")
+    import glob
+    f = glob.glob(out1 + "/**/*.parquet", recursive=True)[0]
+    assert read_geo_metadata(f) is None
+
+    out2 = str(tmp_path / "stamped")
+    write_partitioned(ray.data.from_arrow(t), out2, partition_col="part", crs="EPSG:32633")
+    f2 = glob.glob(out2 + "/**/*.parquet", recursive=True)[0]
+    meta = read_geo_metadata(f2)
+    assert meta is not None

@@ -36,3 +36,42 @@ def test_knn_join_matches_brute_force(ray_session):
         got = out[out.pid == pid].sort_values("rank")
         assert got["tid"].tolist() == order.tolist(), pid
         np.testing.assert_allclose(got["distance"].to_numpy(), d[pid][order])
+
+
+def test_knn_join_id_types(ray_session):
+    """int32 ids flow through and come back int32; string ids are rejected
+    up front with a documented error (ADVICE r2)."""
+    import pytest
+    import ray
+    from geopolars_ray.stages.knn import knn_join
+
+    rng = np.random.default_rng(7)
+    n_pts, n_tgt, k = 200, 120, 2
+    px, py = rng.uniform(0, 10, n_pts), rng.uniform(0, 10, n_pts)
+    tx, ty = rng.uniform(0, 10, n_tgt), rng.uniform(0, 10, n_tgt)
+    pts = pa.table({
+        "pid": pa.array(np.arange(n_pts, dtype=np.int32), pa.int32()),
+        "x": pa.array(px), "y": pa.array(py),
+    })
+    tgt = pa.table({
+        "tid": pa.array(np.arange(n_tgt, dtype=np.int32), pa.int32()),
+        "x": pa.array(tx), "y": pa.array(ty),
+    })
+    out = knn_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(tgt),
+        k=k, cell_deg=3.0, num_partitions=2,
+    )
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert types["pid"] == pa.int32() and types["tid"] == pa.int32()
+    df = out.to_pandas()
+    assert len(df) == n_pts * k
+    d = np.sqrt((px[:, None] - tx[None, :]) ** 2 + (py[:, None] - ty[None, :]) ** 2)
+    for pid in (0, 57, 123):
+        order = np.lexsort((np.arange(n_tgt), d[pid]))[:k]
+        got = df[df.pid == pid].sort_values("rank")
+        assert got["tid"].tolist() == order.tolist()
+
+    spts = pa.table({"pid": pa.array(["a", "b"]), "x": pa.array([0.0, 1.0]), "y": pa.array([0.0, 1.0])})
+    with pytest.raises(ValueError, match="integer id columns"):
+        knn_join(ray.data.from_arrow(spts), ray.data.from_arrow(tgt), k=1)

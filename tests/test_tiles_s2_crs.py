@@ -151,6 +151,15 @@ def test_laea_epsg3035_and_roundtrip():
 
     x, y = C.laea_forward(np.array([10.0]), np.array([52.0]), 10.0, 52.0, 4321000.0, 3210000.0)
     assert x[0] == 4321000.0 and abs(y[0] - 3210000.0) < 1e-6
+    # off-center anchor: EPSG Guidance Note 7-2 worked example for
+    # ETRS89 / LAEA Europe (EPSG:3035, method EPSG:9820):
+    # lat 50N lon 5E -> E 3962799.45 m, N 2999718.85 m.  Catches the
+    # missing Snyder D factor (eq. 24-20, ~1.000425 at lat_0=52), which the
+    # center anchor + roundtrip alone cannot (ADVICE r2).
+    xa, ya = C.laea_forward(np.array([5.0]), np.array([50.0]), 10.0, 52.0, 4321000.0, 3210000.0)
+    assert abs(xa[0] - 3962799.45) < 0.05
+    assert abs(ya[0] - 2999718.85) < 0.05
+    assert abs(C._laea_d(52.0) - 1.0004254) < 1e-6
     rng = np.random.default_rng(1)
     lon = rng.uniform(-10.0, 30.0, 5000)
     lat = rng.uniform(35.0, 70.0, 5000)
@@ -179,6 +188,11 @@ def test_parse_crs_and_transform_pivot():
     assert C.parse_crs("EPSG:32733")["north"] is False
     assert C.parse_crs("+proj=utm +zone=12 +south") == {"proj": "utm", "zone": 12, "north": False}
     assert C.parse_crs("EPSG:3035")["proj"] == "laea"
+    # 4-digit EPSG:326x/327x codes are NOT UTM (ADVICE r2): generic error
+    import pytest as _pytest
+    for bad in ("EPSG:3262", "EPSG:3275"):
+        with _pytest.raises(ValueError, match="unsupported CRS"):
+            C.parse_crs(bad)
     assert C.parse_crs("+proj=longlat")["proj"] == "longlat"
     lon = np.array([12.5]); lat = np.array([41.9])
     x, y = C.transform_points(lon, lat, "EPSG:4326", "EPSG:32633")
