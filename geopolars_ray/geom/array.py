@@ -147,6 +147,42 @@ class GeometryArray:
         )
 
     @classmethod
+    def from_linestrings(cls, coords: np.ndarray, offsets: np.ndarray) -> "GeometryArray":
+        """Vectorized LineString-column constructor: flat (c, 2) coords +
+        int64[n+1] per-geometry offsets. The scale path for building many
+        paths at once (e.g. one per key inside a hash partition) — no
+        per-coordinate Python objects."""
+        coords = np.ascontiguousarray(coords, dtype=np.float64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        n = len(offsets) - 1
+        seq = np.arange(n + 1, dtype=np.int64)
+        return cls(
+            types=np.full(n, LINESTRING, dtype=np.int8),
+            geom_offsets=seq,
+            part_offsets=seq,
+            ring_offsets=offsets,
+            coords=coords,
+        )
+
+    @classmethod
+    def from_multipoints(cls, coords: np.ndarray, offsets: np.ndarray) -> "GeometryArray":
+        """Vectorized MultiPoint-column constructor (flat coords + offsets):
+        each geometry i owns coords[offsets[i]:offsets[i+1]], one part/ring
+        per point."""
+        coords = np.ascontiguousarray(coords, dtype=np.float64)
+        offsets = np.asarray(offsets, dtype=np.int64)
+        n = len(offsets) - 1
+        c = len(coords)
+        cseq = np.arange(c + 1, dtype=np.int64)
+        return cls(
+            types=np.full(n, MULTIPOINT, dtype=np.int8),
+            geom_offsets=offsets,
+            part_offsets=cseq,
+            ring_offsets=cseq,
+            coords=coords,
+        )
+
+    @classmethod
     def from_pylist(cls, geoms: list) -> "GeometryArray":
         """Build from a Python list description — test/fixture convenience only.
 

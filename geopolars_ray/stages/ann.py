@@ -18,36 +18,62 @@ import ray
 
 
 class BruteForceTopK:
-    """Per-batch exact cosine top-k against a broadcast query matrix."""
+    """Per-batch exact top-k against a broadcast query matrix.
 
-    def __init__(self, queries, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding"):
+    Metrics:
+
+    - ``cosine`` (default): normalized dot product, float64.
+    - ``qdot``: integer dot product of ``floor(x * 1024)``-quantized vectors.
+      Every score is an exactly-representable integer (dims*|v|^2*2^20 far
+      below 2^53), so scores and the (score desc, id asc) ranking are
+      bit-reproducible in ANY evaluation order — including a SQL oracle via
+      ``list_dot_product(list_transform(e, x -> floor(x*1024)), ...)``.
+      floor(x*1024) is itself exact (1024 is a power of two).
+
+    Per-batch selection is an exact (score desc, id asc) sort, not
+    argpartition: a tie at the k boundary must keep the lower id so batch
+    partials merge to the same global top-k the oracle computes.
+    """
+
+    def __init__(self, queries, k: int = 10, id_col: str = "vec_id", emb_col: str = "embedding",
+                 metric: str = "cosine"):
         q = ray.get(queries) if isinstance(queries, ray.ObjectRef) else queries
         self.qids = np.asarray(q["qid"], dtype=np.int64)
         qm = np.asarray(q["qvec"], dtype=np.float64)
-        qn = np.linalg.norm(qm, axis=1, keepdims=True)
-        qn[qn == 0] = 1.0
-        self.qmat = qm / qn
+        if metric == "cosine":
+            qn = np.linalg.norm(qm, axis=1, keepdims=True)
+            qn[qn == 0] = 1.0
+            self.qmat = qm / qn
+        elif metric == "qdot":
+            self.qmat = np.floor(qm * 1024.0)
+        else:
+            raise ValueError(f"unknown metric {metric!r} (cosine|qdot)")
         self.k = k
         self.id_col = id_col
         self.emb_col = emb_col
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        sim = (emb / norm) @ self.qmat.T  # (n, q)
+        if self.metric == "cosine":
+            norm = np.linalg.norm(emb, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            sim = (emb / norm) @ self.qmat.T  # (n, q)
+        else:
+            sim = np.floor(emb * 1024.0) @ self.qmat.T  # exact integer dot
         k = min(self.k, len(ids))
-        top = np.argpartition(-sim, kth=k - 1, axis=0)[:k]  # (k, q)
-        qn = self.qmat.shape[0]
-        out_q = np.repeat(self.qids, k)
-        out_id = ids[top.T.reshape(-1)]
-        out_sim = sim[top.T.reshape(-1), np.repeat(np.arange(qn), k)]
+        out_q, out_id, out_sim = [], [], []
+        for j in range(self.qmat.shape[0]):
+            order = np.lexsort((ids, -sim[:, j]))[:k]
+            out_q.append(np.full(k, self.qids[j], dtype=np.int64))
+            out_id.append(ids[order])
+            out_sim.append(sim[order, j])
         return pa.table(
             {
-                "qid": pa.array(out_q),
-                "vec_id": pa.array(out_id),
-                "cosine": pa.array(out_sim),
+                "qid": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_sim)),
             }
         )
 
@@ -76,15 +102,18 @@ def merge_topk(k: int = 10):
 
 
 def brute_force_knn(ds, queries: dict, k: int = 10, concurrency=2,
-                    id_col: str = "vec_id", emb_col: str = "embedding"):
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    metric: str = "cosine"):
     """embeddings Dataset -> exact top-k rows (qid, vec_id, cosine, rank).
 
     ``queries`` = {"qid": (q,), "qvec": (q, d)}; broadcast once.
+    ``metric="qdot"`` scores by the exact quantized integer dot product (see
+    :class:`BruteForceTopK`) — bit-reproducible and SQL-oracle-checkable.
     """
     ref = ray.put(queries)
     partials = ds.map_batches(
         BruteForceTopK,
-        fn_constructor_kwargs=dict(queries=ref, k=k, id_col=id_col, emb_col=emb_col),
+        fn_constructor_kwargs=dict(queries=ref, k=k, id_col=id_col, emb_col=emb_col, metric=metric),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
