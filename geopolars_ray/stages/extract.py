@@ -28,31 +28,37 @@ class ExtractGeoTags:
     per-op setup has no equivalent amortization (SURVEY.md §3.2).
     """
 
+    # named-group variant of _GEO_RE for pyarrow's RE2 extract_regex
+    _GEO_RE_NAMED = r"coordinates: (?P<lat>-?\d+\.\d{6}),(?P<lon>-?\d+\.\d{6})"
+
     def __init__(self, keep_text: bool = False):
         self.keep_text = keep_text
         self.geo_re = _GEO_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        # one bulk to_pylist (per-row .as_py() costs ~15x more than the
-        # extraction itself — measured 9k vs 147k rows/s/core)
-        blobs = batch["html"].to_pylist()
+        import pyarrow.compute as pc
+
         n = len(batch)
-        lats = np.full(n, np.nan)
-        lons = np.full(n, np.nan)
-        texts: list[str] | None = [] if self.keep_text else None
-        for i, raw in enumerate(blobs):
-            text = extract_text(raw)
-            if texts is not None:
-                texts.append(text)
-            m = self.geo_re.search(text)
-            if m:
-                lats[i] = float(m.group(1))
-                lons[i] = float(m.group(2))
+        # FAST PATH (VERDICT r2 #6): one vectorized RE2 extraction over the
+        # raw html column. Sound because html.escape only rewrites &<>, so a
+        # "coordinates: lat,lon" line appears byte-verbatim inside the body
+        # markup and nowhere else (titles/urls can't produce the pattern) —
+        # the first match equals the Python re.search over the decoded text.
+        # Arrow's string->double cast is correctly rounded, same as float().
+        m = pc.extract_regex(pc.cast(batch["html"], pa.string()), self._GEO_RE_NAMED)
+        lat_a = pc.fill_null(pc.cast(pc.struct_field(m, "lat"), pa.float64()), np.nan)
+        lon_a = pc.fill_null(pc.cast(pc.struct_field(m, "lon"), pa.float64()), np.nan)
+        texts: list[str] | None = None
+        if self.keep_text:
+            # text recovery still needs the per-row inverse of make_html;
+            # one bulk to_pylist (per-row .as_py() costs ~15x more than the
+            # extraction itself — measured 9k vs 147k rows/s/core)
+            texts = [extract_text(raw) for raw in batch["html"].to_pylist()]
         out = batch.drop_columns(["html"] + (["text"] if "text" in batch.column_names else []))
         if texts is not None:
             out = out.append_column("text", pa.array(texts, pa.string()))
-        out = out.append_column("lat", pa.array(lats))
-        out = out.append_column("lon", pa.array(lons))
+        out = out.append_column("lat", lat_a)
+        out = out.append_column("lon", lon_a)
         return out
 
 
