@@ -77,13 +77,16 @@ class GeoDataset:
         **kw,
     ) -> "GeoDataset":
         """Multi-format vector read (gpl.read_file analogue): parquet,
-        GeoJSON/GeoJSONSeq, WKT-CSV, shapefile — dispatched by extension
-        (`sources/io.py read_file`), with columns + bbox pushdown."""
+        GeoJSON/GeoJSONSeq, WKT-CSV, shapefile, GeoPackage — dispatched by
+        extension (`sources/io.py read_file`), with columns + bbox + where
+        pushdown. CRS is sniffed from GeoParquet metadata or the gpkg
+        gpkg_spatial_ref_sys table."""
         from geopolars_ray.sources.io import read_file as _read_file
 
         crs = None
         first = path if isinstance(path, str) else list(path)[0]
-        if first.rsplit(".", 1)[-1].lower() in ("parquet", "pq"):
+        suffix = first.rsplit(".", 1)[-1].lower()
+        if suffix in ("parquet", "pq"):
             try:
                 from geopolars_ray.sources.io import read_geo_metadata
 
@@ -92,6 +95,10 @@ class GeoDataset:
                     crs = meta.get("columns", {}).get(meta.get("primary_column", geometry_col), {}).get("crs")
             except Exception:
                 pass
+        elif suffix == "gpkg":
+            from geopolars_ray.sources.gpkg import read_gpkg_crs
+
+            crs = read_gpkg_crs(first, layer=kw.get("layer"))
         return cls(
             _read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw),
             geometry_col,

@@ -360,11 +360,12 @@ def q_geo_knn(sf_dir: str):
 
 
 def q_geo_geojson(sf_dir: str):
-    """GeoJSON read path (read_file analogue): customer points are written as
-    newline-delimited GeoJSON features (deterministic, derived from the
-    customer table), read back through ``read_geojson``'s scale path
-    (ray.data.read_text + per-batch parse), and x/y extracted through the
-    WKB kernels. Oracle = the same derivation in SQL."""
+    """Multi-format read_file gate (r3: GeoJSONSeq + GeoPackage): customer
+    points are written BOTH as newline-delimited GeoJSON features and as a
+    .gpkg layer (pure-SQLite writer), read back through the two distributed
+    read paths (read_text+parse / sharded rowid SELECTs), unioned with a
+    format marker, and x/y extracted through the WKB kernels. Oracle = the
+    same derivation in SQL, twice."""
     import hashlib
     import os
 
@@ -372,6 +373,7 @@ def q_geo_geojson(sf_dir: str):
 
     from geopolars_ray.geom import encode_wkb
     from geopolars_ray.sources.geojson import read_geojson, write_geojsonl
+    from geopolars_ray.sources.gpkg import read_gpkg, write_gpkg
 
     t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     k = t["c_custkey"].to_numpy().astype(np.int64)
@@ -385,10 +387,22 @@ def q_geo_geojson(sf_dir: str):
     tmp = f"{path}.{os.getpid()}.tmp"  # per-process tmp: concurrent runs don't interleave
     write_geojsonl(tab, tmp)
     os.replace(tmp, path)  # atomic publish: re-runs overwrite idempotently
+    gpath = f"/tmp/geopolars_ray_gp_{tag}.gpkg"
+    gtmp = f"{gpath}.{os.getpid()}.tmp"
+    write_gpkg(tab, gtmp, layer="customers", crs="EPSG:4326")
+    os.replace(gtmp, gpath)
 
-    ds = read_geojson(path)
+    def mark(fmt: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column("fmt", pa.array([fmt] * len(batch), pa.string()))
+
+        return fn
+
+    gj = read_geojson(path).map_batches(mark("geojsonl"), batch_format="pyarrow")
+    gp = read_gpkg(gpath, rows_per_shard=4096).map_batches(mark("gpkg"), batch_format="pyarrow")
+    ds = gj.union(gp)
     ds = ds.map_batches(geo_ops([("x", {}, "gx"), ("y", {}, "gy")]), batch_format="pyarrow")
-    return ds.select_columns(["c_custkey", "gx", "gy"])
+    return ds.select_columns(["c_custkey", "fmt", "gx", "gy"])
 
 
 def q_geo_utm(sf_dir: str):
@@ -1333,7 +1347,10 @@ ORACLE_SQL = {
         f"SELECT c_custkey, CAST(floor((({_CX}) + 180.0)/6.0) + 1 AS BIGINT) AS zone, "
         "TRUE AS rt_ok FROM customer"
     ),
-    "geo_geojson": f"SELECT c_custkey, {_CX} AS gx, {_CY} AS gy FROM customer",
+    "geo_geojson": (
+        f"SELECT c_custkey, 'geojsonl' AS fmt, {_CX} AS gx, {_CY} AS gy FROM customer "
+        f"UNION ALL SELECT c_custkey, 'gpkg' AS fmt, {_CX} AS gx, {_CY} AS gy FROM customer"
+    ),
     "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
     "geo_scale": f"SELECT c_custkey, ({_CX})*2.0 AS xs, ({_CY})*-0.5 AS ys FROM customer",
     "geo_type_flags": (

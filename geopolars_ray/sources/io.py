@@ -89,11 +89,24 @@ def read_geo_dataset(
     return ds.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
 
+def attribute_filter(where):
+    """``where`` pushdown stage for post-scan formats: a pyarrow compute
+    Expression evaluated per batch right after the scan (the reference's
+    OGR-``where`` analogue; for GeoPackage the predicate pushes into SQLite
+    instead — see :func:`geopolars_ray.sources.gpkg.read_gpkg`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(where)
+
+    return fn
+
+
 def read_file(
     path,
     columns: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     geometry_col: str = "geometry",
+    where=None,
     **kw,
 ):
     """Format-dispatching vector read — the reference's ``read_file``
@@ -101,28 +114,47 @@ def read_file(
 
     .parquet -> :func:`read_geo_dataset`; .geojson/.geojsonl/.json ->
     :func:`geopolars_ray.sources.geojson.read_geojson`; .csv (WKT column) ->
-    :func:`read_wkt_csv`; .shp -> pure-Python shapefile reader. All accept
-    ``columns`` projection and ``bbox`` envelope pushdown.
+    :func:`read_wkt_csv`; .shp -> pure-Python shapefile reader; .gpkg ->
+    pure-Python SQLite GeoPackage reader. All accept ``columns`` projection,
+    ``bbox`` envelope pushdown and ``where`` attribute predicates (a pyarrow
+    compute Expression applied right after the scan; for .gpkg a SQL string
+    is also accepted and pushes into SQLite).
     """
     first = path if isinstance(path, str) else list(path)[0]
     suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    if suffix == "gpkg":
+        from geopolars_ray.sources.gpkg import read_gpkg
+
+        if isinstance(where, str) or where is None:
+            return read_gpkg(first, columns=columns, bbox=bbox,
+                             geometry_col=geometry_col, where=where, **kw)
+        out = read_gpkg(first, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
+        return out.map_batches(attribute_filter(where), batch_format="pyarrow")
+    if isinstance(where, str):
+        raise ValueError(
+            "string `where` predicates push into SQLite and are .gpkg-only; "
+            "pass a pyarrow compute Expression for other formats"
+        )
     if suffix in ("parquet", "pq"):
-        return read_geo_dataset(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
-    if suffix in ("geojson", "geojsonl", "json", "ndjson"):
+        out = read_geo_dataset(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
+    elif suffix in ("geojson", "geojsonl", "json", "ndjson"):
         from geopolars_ray.sources.geojson import read_geojson
 
-        return read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
-    if suffix == "csv":
-        return read_wkt_csv(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
-    if suffix == "shp":
+        out = read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
+    elif suffix == "csv":
+        out = read_wkt_csv(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
+    elif suffix == "shp":
         from geopolars_ray.sources.shapefile import read_shapefile
 
         paths = [path] if isinstance(path, str) else list(path)
         out = read_shapefile(paths[0], columns=columns, bbox=bbox, geometry_col=geometry_col)
         for p in paths[1:]:
             out = out.union(read_shapefile(p, columns=columns, bbox=bbox, geometry_col=geometry_col))
-        return out
-    raise ValueError(f"unsupported vector format {suffix!r} for {first!r}")
+    else:
+        raise ValueError(f"unsupported vector format {suffix!r} for {first!r}")
+    if where is not None:
+        out = out.map_batches(attribute_filter(where), batch_format="pyarrow")
+    return out
 
 
 def read_wkt_csv(

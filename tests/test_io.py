@@ -183,7 +183,9 @@ def test_read_file_dispatch_formats(ray_session, tmp_path):
     assert read_file(gj).count() == 1
     import pytest
     with pytest.raises(ValueError, match="unsupported vector format"):
-        read_file(str(tmp_path / "x.gpkg"))
+        read_file(str(tmp_path / "x.gdb"))
+    with pytest.raises(FileNotFoundError):
+        read_file(str(tmp_path / "missing.gpkg"))  # gpkg now dispatches
 
 
 def test_dbf_null_roundtrip_and_overflow(ray_session, tmp_path):
@@ -380,3 +382,92 @@ def test_write_partitioned_no_fabricated_crs(ray_session, tmp_path):
     f2 = glob.glob(out2 + "/**/*.parquet", recursive=True)[0]
     meta = read_geo_metadata(f2)
     assert meta is not None
+
+
+def test_gpkg_roundtrip_where_fids(ray_session, tmp_path):
+    """GeoPackage (pure-SQLite) write -> read round-trip; where/fids/bbox/
+    columns pushdown; CRS carriage via gpkg_spatial_ref_sys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+    from geopolars_ray.sources.gpkg import read_gpkg, read_gpkg_crs, write_gpkg
+    from geopolars_ray.sources.io import read_file
+
+    n = 500
+    x = np.linspace(-60.0, 60.0, n)
+    y = np.linspace(-30.0, 30.0, n)
+    t = pa.table({
+        "name": pa.array(["f%d" % i for i in range(n)]),
+        "val": pa.array(np.arange(n, dtype=np.int64)),
+        "score": pa.array(x * 0.5),
+        "geometry": encode_wkb(GeometryArray.from_points(x, y)),
+    })
+    p = str(tmp_path / "pts.gpkg")
+    write_gpkg(t, p, layer="pts", crs="EPSG:4326")
+
+    # full read round-trips rows + geometry
+    df = read_gpkg(p, rows_per_shard=100).to_pandas().sort_values("val")
+    assert len(df) == n
+    ga = decode_wkb(pa.array(df["geometry"].tolist(), pa.binary()))
+    np.testing.assert_allclose(ga.coords[:, 0], x)
+    assert read_gpkg_crs(p) == "EPSG:4326"
+
+    # SQL where pushdown (SQLite side)
+    df2 = read_gpkg(p, where="val >= 100 AND val < 200", rows_per_shard=64).to_pandas()
+    assert sorted(df2["val"].tolist()) == list(range(100, 200))
+
+    # fids selection (fid == rowid == insert order, 1-based)
+    df3 = read_gpkg(p, fids=[1, 5, 9]).to_pandas()
+    assert sorted(df3["val"].tolist()) == [0, 4, 8]
+
+    # columns projection + bbox
+    df4 = read_gpkg(p, columns=["val"], bbox=(-10.0, -10.0, 10.0, 10.0)).to_pandas()
+    assert set(df4.columns) == {"val", "geometry"}
+    keep = (x >= -10.0) & (x <= 10.0) & (y >= -10.0) & (y <= 10.0)
+    assert sorted(df4["val"].tolist()) == np.nonzero(keep)[0].tolist()
+
+    # read_file dispatch + Expression where on gpkg (post-filter path)
+    df5 = read_file(p, where=pc.field("val") < 3).to_pandas()
+    assert sorted(df5["val"].tolist()) == [0, 1, 2]
+
+
+def test_read_file_where_expression_parquet(ray_session, tmp_path):
+    """Generic `where` (pyarrow Expression) applies right after the scan for
+    non-gpkg formats."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file
+
+    t = pa.table({
+        "val": pa.array(np.arange(20, dtype=np.int64)),
+        "geometry": encode_wkb(GeometryArray.from_points(np.arange(20.0), np.zeros(20))),
+    })
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    out = read_file(p, where=pc.bit_wise_and(pc.field("val"), 1) == 0).to_pandas()
+    assert sorted(out["val"].tolist()) == list(range(0, 20, 2))
+    import pytest
+    with pytest.raises(ValueError, match="gpkg-only"):
+        read_file(p, where="val > 3")
+
+
+def test_geodataset_read_file_sniffs_gpkg_crs(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.gpkg import write_gpkg
+
+    t = pa.table({
+        "v": pa.array([1, 2], pa.int64()),
+        "geometry": encode_wkb(GeometryArray.from_points(np.array([1.0, 2.0]), np.array([3.0, 4.0]))),
+    })
+    p = str(tmp_path / "c.gpkg")
+    write_gpkg(t, p, layer="pts", crs="EPSG:32633")
+    gds = GeoDataset.read_file(p)
+    assert gds.crs == "EPSG:32633"
+    assert gds.count() == 2
