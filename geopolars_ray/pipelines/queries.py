@@ -1496,12 +1496,55 @@ ORACLE_SQL = {
         "SELECT s.c_nationkey, abs(ssum + (tmax*(tmin*tmin) - tmin*(tmax*tmax)))/2.0 AS hull_area, "
         "n + 1 AS hull_points FROM s JOIN cl USING (c_nationkey)"
     ),
-    # txt_fingerprint, dd_minhash_docs, dd_simhash_docs, dd_embed_cosine,
-    # ann_ivf, mm_decode, mm_resize_frames, geo_geodesic, geo_s2_tiles,
-    # geo_h3_tiles, geo_simplify: intentionally no oracle. Reasons: uint64
-    # ring hashes / Hilbert-curve / icosahedral ids and recursive DP are not
+    "dd_simhash_docs": (
+        # frequency-weighted 64-bit simhash replayed exactly in SQL: the
+        # 2^64-ring rolling hash via HUGEINT mod, bit extraction via BIGINT
+        # masks (j=63 = sign bit), per-(doc, bit) majority vote, repack.
+        "WITH d AS (SELECT doc_id, CASE WHEN length(text) < 4 THEN rpad(text, 4, ' ') "
+        "ELSE text END AS tx FROM documents), "
+        "ser AS (SELECT unnest(range(1, (SELECT max(length(tx)) FROM d) - 1)) AS p), "
+        "pos AS (SELECT doc_id, tx, p FROM d CROSS JOIN ser WHERE p <= length(tx) - 3), "
+        "h AS (SELECT doc_id, "
+        "((((((ord(substr(tx, p, 1))::HUGEINT * 1099511628211 + ord(substr(tx, p+1, 1))) % 18446744073709551616) "
+        "* 1099511628211 + ord(substr(tx, p+2, 1))) % 18446744073709551616) "
+        "* 1099511628211 + ord(substr(tx, p+3, 1))) % 18446744073709551616) AS hv FROM pos), "
+        "hs AS (SELECT doc_id, CAST(CASE WHEN hv >= (1::HUGEINT << 63) THEN hv - 18446744073709551616 "
+        "ELSE hv END AS BIGINT) AS v FROM h), "
+        "bits AS (SELECT doc_id, j, CASE WHEN j = 63 THEN CASE WHEN v < 0 THEN 1 ELSE 0 END "
+        "WHEN (v & (1::BIGINT << j)) != 0 THEN 1 ELSE 0 END AS bit "
+        "FROM hs, generate_series(0, 63) AS t(j)), "
+        "agg AS (SELECT doc_id, j, sum(bit) AS ones, count(*) AS m FROM bits GROUP BY doc_id, j), "
+        "sh AS (SELECT doc_id, sum(CASE WHEN 2*ones > m THEN (1::HUGEINT << j) "
+        "ELSE 0::HUGEINT END) AS uv FROM agg GROUP BY doc_id) "
+        "SELECT doc_id, CAST(CASE WHEN uv >= (1::HUGEINT << 63) THEN uv - 18446744073709551616 "
+        "ELSE uv END AS BIGINT) AS simhash FROM sh"
+    ),
+    "txt_fingerprint": (
+        # winnowing fingerprints replayed in SQL: the k=8 ring hash collapses
+        # to a plain 31-base polynomial (< 2^63, no wrap), window minima via
+        # ROWS BETWEEN 15 PRECEDING (full windows only, p >= 16); docs
+        # shorter than k hash to the kernel's sentinel 0.
+        "WITH d AS (SELECT doc_id, text AS tx, length(text) AS L FROM documents), "
+        "ser AS (SELECT unnest(range(1, (SELECT max(L) FROM d) - 5)) AS p), "
+        "pos AS (SELECT doc_id, tx, p FROM d CROSS JOIN ser WHERE p <= L - 7), "
+        "h AS (SELECT doc_id, p, 1::BIGINT * ord(substr(tx, p+0, 1)) + 31::BIGINT * ord(substr(tx, p+1, 1)) + 961::BIGINT * ord(substr(tx, p+2, 1)) + 29791::BIGINT * ord(substr(tx, p+3, 1)) + 923521::BIGINT * ord(substr(tx, p+4, 1)) + 28629151::BIGINT * ord(substr(tx, p+5, 1)) + 887503681::BIGINT * ord(substr(tx, p+6, 1)) + 27512614111::BIGINT * ord(substr(tx, p+7, 1)) AS hv FROM pos "
+        "UNION ALL SELECT doc_id, 1 AS p, 0::BIGINT AS hv FROM d WHERE L < 8), "
+        "n AS (SELECT doc_id, count(*) AS nh FROM h GROUP BY doc_id), "
+        "wmin AS (SELECT doc_id, p, min(hv) OVER (PARTITION BY doc_id ORDER BY p "
+        "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m FROM h), "
+        "sel AS (SELECT h.doc_id, hv AS s FROM h JOIN n USING (doc_id) WHERE n.nh < 16 "
+        "UNION ALL SELECT w.doc_id, m AS s FROM wmin w JOIN n ON w.doc_id = n.doc_id "
+        "WHERE n.nh >= 16 AND w.p >= 16) "
+        "SELECT doc_id, CAST(min(s) AS BIGINT) AS fingerprint, "
+        "CAST(count(DISTINCT s) AS BIGINT) AS fp_count FROM sel GROUP BY doc_id"
+    ),
+    # dd_minhash_docs, dd_embed_cosine, ann_ivf, mm_decode, mm_resize_frames,
+    # geo_geodesic, geo_s2_tiles, geo_h3_tiles, geo_simplify: intentionally
+    # no oracle. Reasons: seeded-RNG state (minhash permutations, LSH
+    # hyperplanes, k-means) would have to be inlined as hundreds of SQL
+    # literals; Hilbert-curve / icosahedral ids and recursive DP are not
     # SQL-expressible; geodesic needs asin/atan2, where DuckDB and numpy
     # differ in the last ulp (verified r3 — sin/cos/sqrt ARE bit-identical);
-    # approximate ANN and media payloads are validated by pytest recall /
-    # decode gates instead. The driver records rows-only checks for these.
+    # media payloads are validated by pytest decode gates instead. The
+    # driver records rows-only checks for these.
 }
