@@ -184,14 +184,62 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     crs_mod.utm_forward(np.clip(x, 3.0, 9.0), np.clip(y, -80, 84), zone=32)
     out["utm_forward_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
-    from geopolars_ray.stages.dedup import MinHasher
+    from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]
     mh = MinHasher()
     t0 = time.time()
     mh.signatures(docs)
     out["minhash_sig_docs_s"] = round(len(docs) / (time.time() - t0), 1)
+    import pyarrow as pa
+
+    sb = pa.table({"doc_id": pa.array(np.arange(len(docs))), "text": pa.array(docs)})
+    sh = SimHasher()
+    sh(sb)  # warm-up
+    t0 = time.time()
+    sh(sb)
+    out["simhash_docs_s"] = round(len(docs) / (time.time() - t0), 1)
+    from geopolars_ray.sources.pages import pages_batch
+    from geopolars_ray.stages.extract import ExtractGeoTags
+
+    pb = pages_batch(np.arange(20_000))
+    ex = ExtractGeoTags()
+    ex(pb)  # warm-up
+    t0 = time.time()
+    ex(pb)
+    out["extract_geotags_krows_s"] = round(20_000 / (time.time() - t0) / 1e3, 1)
     return out
+
+
+def _probe_work(_i: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(0).uniform(size=400_000)
+    s = 0.0
+    for _ in range(60):
+        s += float(np.sqrt(a * a + 1.0).sum())
+    return s
+
+
+def hardware_probe() -> dict:
+    """Busy-loop interference probe (independent processes, no Ray): the
+    per-worker slowdown going 8 -> 16 CPU-bound workers. ~1.0-1.2 on an idle
+    VM (>16 effective cores); >1.4 marks a degraded/neighbor-loaded window
+    (BASELINE.md hardware note). Recorded alongside scaling results so the
+    efficiency claim carries its own control."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    walls = {}
+    for w in (8, 16):
+        with ProcessPoolExecutor(w) as ex:
+            t0 = time.time()
+            list(ex.map(_probe_work, range(w)))
+            walls[w] = time.time() - t0
+    return {
+        "wall_8": round(walls[8], 3),
+        "wall_16": round(walls[16], 3),
+        "slowdown_8_to_16": round(walls[16] / walls[8], 3),
+    }
 
 
 def sjoin_large_large(num_partitions: int) -> dict:
@@ -282,10 +330,14 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
 def main() -> None:
     if "--scaling" in sys.argv:
         # best-of-2 per level: the sandbox VM shows ±30-50% wall-time noise;
-        # min-of-N measures capability rather than neighbor interference
+        # min-of-N measures capability rather than neighbor interference.
+        # BOTH level pairs (2->8 primary, 4->16 secondary) run in ONE
+        # invocation bracketed by hardware probes, so the efficiency claim
+        # carries its own interference control (VERDICT r2 #10).
+        probe_before = hardware_probe()
         results = {}
         attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "1"))
-        for ncpu in (2, 8):
+        for ncpu in (2, 8, 4, 16):
             best = None
             for _ in range(attempts):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -300,33 +352,48 @@ def main() -> None:
                 if best is None or r["value"] < best["value"]:
                     best = r
             results[ncpu] = best
-        r8, r32 = results[2], results[8]
-        eff = (r8["value"] / r32["value"]) / (8 / 2)
-        # parallelism-independence: both runs must produce identical rollups
-        # (order-insensitive compare by key; BASELINE.md protocol step 5)
+        probe_after = hardware_probe()
+        eff_2_8 = (results[2]["value"] / results[8]["value"]) / (8 / 2)
+        eff_4_16 = (results[4]["value"] / results[16]["value"]) / (16 / 4)
+        # parallelism-independence: every level must produce the identical
+        # rollup (order-insensitive compare by key; BASELINE.md protocol)
         import duckdb
 
         con = duckdb.connect()
-        same = con.execute(
-            "SELECT (SELECT count(*) FROM ("
-            "  SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_2/*.parquet') "
-            "  EXCEPT SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_8/*.parquet')"
-            ")) + (SELECT count(*) FROM ("
-            "  SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_8/*.parquet') "
-            "  EXCEPT SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_2/*.parquet')))"
-        ).fetchone()[0] == 0
+
+        def _same(a: int, b: int) -> bool:
+            return con.execute(
+                f"SELECT (SELECT count(*) FROM ("
+                f"  SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_{a}/*.parquet') "
+                f"  EXCEPT SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_{b}/*.parquet')"
+                f")) + (SELECT count(*) FROM ("
+                f"  SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_{b}/*.parquet') "
+                f"  EXCEPT SELECT tile, admin_id, n_pages FROM read_parquet('/tmp/graft_bench_out_{a}/*.parquet')))"
+            ).fetchone()[0] == 0
+
+        same = _same(2, 8) and _same(4, 16) and _same(2, 16)
         print(
             json.dumps(
                 {
-                    "metric": "flagship scaling 2->8 cpus (N and 4N; see BASELINE.md hardware note)",
-                    "sec_2": r8["value"],
-                    "sec_8": r32["value"],
-                    "rows_per_s_2": round(r8["rows_per_s"], 1),
-                    "rows_per_s_8": round(r32["rows_per_s"], 1),
-                    "scaling_efficiency": round(eff, 3),
+                    "metric": "flagship scaling, N->4N cpus (primary pair 2->8; see BASELINE.md hardware note)",
+                    "scaling": {
+                        "sec_2": results[2]["value"],
+                        "sec_8": results[8]["value"],
+                        "sec_4": results[4]["value"],
+                        "sec_16": results[16]["value"],
+                        "rows_per_s_2": round(results[2]["rows_per_s"], 1),
+                        "rows_per_s_8": round(results[8]["rows_per_s"], 1),
+                        "rows_per_s_4": round(results[4]["rows_per_s"], 1),
+                        "rows_per_s_16": round(results[16]["rows_per_s"], 1),
+                        "efficiency_2_8": round(eff_2_8, 3),
+                        "efficiency_4_16": round(eff_4_16, 3),
+                    },
+                    "scaling_efficiency": round(eff_2_8, 3),
+                    "probe_before": probe_before,
+                    "probe_after": probe_after,
                     "outputs_identical": same,
                     "sf": sf_label(),
-                    "pages_rows": r8["pages_rows"],
+                    "pages_rows": results[2]["pages_rows"],
                 }
             )
         )
@@ -336,6 +403,7 @@ def main() -> None:
     qtimes = {} if "--headline-only" in sys.argv else run_queries()
     sjoin_ll = {} if "--headline-only" in sys.argv else sjoin_large_large(max(8, NUM_CPUS))
     kernels = {} if "--headline-only" in sys.argv else kernel_benchmarks()
+    probe = {} if "--headline-only" in sys.argv else hardware_probe()
     import ray
 
     if ray.is_initialized():
@@ -353,6 +421,7 @@ def main() -> None:
                 "rows_per_s": round(headline["rows_per_s"], 1),
                 "sjoin_1m_x_10k": sjoin_ll,
                 "kernels": kernels,
+                "probe": probe,
             }
         )
     )

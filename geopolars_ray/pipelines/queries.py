@@ -618,13 +618,13 @@ def q_geo_h3_tiles(sf_dir: str):
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
         ids = h3ish.h3ish_cell_id(x, y, res=7)
-        return batch.append_column("h3_r7", pa.array(ids))
+        return batch.append_column("h3ish_r7", pa.array(ids))
 
     ds = customer_points(sf_dir, with_geometry=False).map_batches(h3c, batch_format="pyarrow")
     from geopolars_ray.stages.agg import hash_aggregate
 
-    per_cell = hash_aggregate(ds, ["c_nationkey", "h3_r7"], [("h3_r7", "count", "n")], 8)
-    return hash_aggregate(per_cell, ["c_nationkey"], [("h3_r7", "count", "n_cells")], 4)
+    per_cell = hash_aggregate(ds, ["c_nationkey", "h3ish_r7"], [("h3ish_r7", "count", "n")], 8)
+    return hash_aggregate(per_cell, ["c_nationkey"], [("h3ish_r7", "count", "n_cells")], 4)
 
 
 def q_geo_simplify(sf_dir: str):

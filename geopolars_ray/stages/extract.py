@@ -71,7 +71,7 @@ def assign_tiles(
     h3_res: int | None = None,
 ) -> Callable[[pa.Table], pa.Table]:
     """Stateless tile-assignment kernel: adds s2_l{level} and grid_tile
-    columns (plus hex_tile / h3_r{res} aperture-7 icosahedral ids when
+    columns (plus hex_tile / h3ish_r{res} aperture-7 icosahedral ids when
     requested — the north star's H3-res-7 tile assignment, `geom/h3ish.py`).
     Rows with null/NaN coordinates get null tiles."""
 
@@ -103,7 +103,7 @@ def assign_tiles(
             h3 = np.zeros(len(lon), dtype=np.int64)
             h3[ok] = h3ish.h3ish_cell_id(lon[ok], lat[ok], res=h3_res)
             batch = batch.append_column(
-                f"h3_r{h3_res}", pa.Array.from_pandas(h3, mask=~ok, type=pa.int64())
+                f"h3ish_r{h3_res}", pa.Array.from_pandas(h3, mask=~ok, type=pa.int64())
             )
         return batch
 

@@ -127,5 +127,5 @@ def test_assign_tiles_h3(ray_session):
         assign_tiles(h3_res=7), batch_format="pyarrow"
     ).take_all()
     expect = h3ish.h3ish_cell_id(lon[:2], lat[:2], 7)
-    assert out[0]["h3_r7"] == expect[0] and out[1]["h3_r7"] == expect[1]
-    assert out[2]["h3_r7"] is None
+    assert out[0]["h3ish_r7"] == expect[0] and out[1]["h3ish_r7"] == expect[1]
+    assert out[2]["h3ish_r7"] is None
