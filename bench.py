@@ -83,7 +83,7 @@ def run_headline(num_cpus: int) -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    from geopolars_ray.pipelines.flagship import geotag_points, tile_rollup
+    from geopolars_ray.pipelines.flagship import run_flagship_fused
 
     pdir, n = ensure_pages()
     # warm the OS page cache (untimed) so we measure compute + shuffle
@@ -95,20 +95,26 @@ def run_headline(num_cpus: int) -> dict:
     # warm the Ray workers (untimed): a mini run of the SAME pipeline forces
     # worker start + package imports on every slot, so the timed section
     # measures a long-running cluster, not a cold process ramp
-    tile_rollup(geotag_points(str(shards[0]), batch_size=8192), num_partitions=4).count()
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as warm_dir:
+        for f in shards[: max(2, num_cpus)]:
+            shutil.copy(f, warm_dir)
+        run_flagship_fused(warm_dir, num_partitions=4).count()
 
     out_dir = f"/tmp/graft_bench_out_{num_cpus}"
-    import shutil
 
     # best-of-2 inside one invocation: the shared VM swings ±30-50% between
-    # identical runs (BASELINE.md variance note) — min measures capability
+    # identical runs (BASELINE.md variance note) — min measures capability.
+    # r3 headline runs the single-operator fused flagship (read+extract+tile+
+    # join+per-shard partial agg in one task per shard — see
+    # pipelines/flagship.py run_flagship_fused for the measured rationale).
     dt = None
     for _ in range(2):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
-        pts = geotag_points(pdir, batch_size=8192)
-        rollup = tile_rollup(pts, num_partitions=max(8, num_cpus))
-        rollup.write_parquet(out_dir)
+        run_flagship_fused(pdir, num_partitions=max(8, num_cpus), out_path=out_dir)
         run = time.time() - t0
         dt = run if dt is None else min(dt, run)
     ray.shutdown()

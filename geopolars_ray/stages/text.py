@@ -96,6 +96,12 @@ class LangId:
             re.compile(r"\b(" + "|".join(map(re.escape, ws)) + r")\b", re.I)
             for ws in _LANG_MARKERS.values()
         ]
+        # ASCII projection: Python re uses Unicode \b while RE2 (the SQL
+        # oracle and pyarrow) uses ASCII \b — they disagree about word
+        # boundaries next to accented letters. Replacing every non-ASCII
+        # codepoint with a space BEFORE matching makes the marker counts
+        # engine-independent (the oracle applies the same projection).
+        self.ascii_re = re.compile(r"[^\x00-\x7f]")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -103,6 +109,8 @@ class LangId:
         confs = np.zeros(len(texts))
         for i, t in enumerate(texts):
             t = t or ""
+            if not t.isascii():
+                t = self.ascii_re.sub(" ", t)
             scores = np.array([len(r.findall(t)) for r in self.res], dtype=np.float64)
             total = scores.sum()
             if total == 0:

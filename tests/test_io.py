@@ -471,3 +471,37 @@ def test_geodataset_read_file_sniffs_gpkg_crs(ray_session, tmp_path):
     gds = GeoDataset.read_file(p)
     assert gds.crs == "EPSG:32633"
     assert gds.count() == 2
+
+
+def test_gpkg_multi_path_and_edge_cases(ray_session, tmp_path):
+    """read_file with a LIST of .gpkg paths unions all files; fids push into
+    SQL; empty layers read as empty Datasets (review r3)."""
+    import numpy as np
+    import pyarrow as pa
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.gpkg import read_gpkg, write_gpkg
+    from geopolars_ray.sources.io import read_file
+
+    def tab(lo, n):
+        return pa.table({
+            "val": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+            "geometry": encode_wkb(GeometryArray.from_points(
+                np.arange(lo, lo + n, dtype=np.float64), np.zeros(n))),
+        })
+
+    p1, p2 = str(tmp_path / "a.gpkg"), str(tmp_path / "b.gpkg")
+    write_gpkg(tab(0, 5), p1, layer="l")
+    write_gpkg(tab(100, 5), p2, layer="l")
+    df = read_file([p1, p2]).to_pandas()
+    assert sorted(df["val"].tolist()) == list(range(0, 5)) + list(range(100, 105))
+
+    # fids pushdown with shard pruning: request fids outside most shards
+    big = str(tmp_path / "big.gpkg")
+    write_gpkg(tab(0, 300), big, layer="l")
+    got = read_gpkg(big, fids=[3, 250], rows_per_shard=64).to_pandas()
+    assert sorted(got["val"].tolist()) == [2, 249]  # fid is 1-based insert order
+
+    # empty layer
+    empty = str(tmp_path / "empty.gpkg")
+    write_gpkg(tab(0, 0), empty, layer="l")
+    assert read_gpkg(empty).count() == 0

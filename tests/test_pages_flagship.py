@@ -129,3 +129,35 @@ def test_assign_tiles_h3(ray_session):
     expect = h3ish.h3ish_cell_id(lon[:2], lat[:2], 7)
     assert out[0]["h3ish_r7"] == expect[0] and out[1]["h3ish_r7"] == expect[1]
     assert out[2]["h3ish_r7"] is None
+
+
+def test_fused_flagship_matches_unfused(ray_session, tmp_path):
+    """run_flagship_fused (manual read fusion + per-shard partial agg) must
+    produce the same rollup as the operator-chain flagship: identical keys
+    and exact counts; float sums equal to combiner-reassociation tolerance."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from geopolars_ray.pipelines.flagship import run_flagship, run_flagship_fused
+    from geopolars_ray.sources.pages import pages_batch
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    for s in range(0, 60_000, 20_000):
+        pq.write_table(pages_batch(np.arange(s, s + 20_000, dtype=np.int64)),
+                       str(d / f"pages-{s:09d}.parquet"))
+
+    a = run_flagship(str(d)).to_pandas().sort_values(["tile", "admin_id"]).reset_index(drop=True)
+    b = run_flagship_fused(str(d), num_partitions=4).to_pandas().sort_values(
+        ["tile", "admin_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["tile"] == b["tile"]).all() and (a["admin_id"] == b["admin_id"]).all()
+    assert (a["n_pages"] == b["n_pages"]).all()
+    np.testing.assert_allclose(a["sum_lat"], b["sum_lat"], rtol=1e-12)
+    np.testing.assert_allclose(a["sum_lon"], b["sum_lon"], rtol=1e-12)
+
+    # determinism: a second fused run is BIT-identical (deterministic shard
+    # grouping regardless of parallelism)
+    c = run_flagship_fused(str(d), num_partitions=2).to_pandas().sort_values(
+        ["tile", "admin_id"]).reset_index(drop=True)
+    assert (b["sum_lat"].to_numpy() == c["sum_lat"].to_numpy()).all()
+    assert (b["sum_lon"].to_numpy() == c["sum_lon"].to_numpy()).all()

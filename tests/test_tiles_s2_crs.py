@@ -215,3 +215,19 @@ def test_to_crs_kernel_general_pair():
     out = C.to_crs(ga, "EPSG:4326", "EPSG:32633")
     back = C.to_crs(out, "EPSG:32633", "EPSG:4326")
     np.testing.assert_allclose(back.coords, ga.coords, atol=1e-8)
+
+
+def test_laea_polar_aspect_refused():
+    """Polar-aspect ellipsoidal LAEA would divide by cos(beta1)~0 and emit
+    noise-scaled coordinates; it must refuse loudly (review r3)."""
+    import numpy as np
+    import pytest
+    from geopolars_ray.geom import crs as C
+
+    with pytest.raises(ValueError, match="polar-aspect"):
+        C.laea_forward(np.array([10.0]), np.array([60.0]), 0.0, 90.0)
+    # oblique high-latitude still fine
+    x, y = C.laea_forward(np.array([10.0]), np.array([60.0]), 0.0, 85.0)
+    lon, lat = C.laea_inverse(x, y, 0.0, 85.0)
+    np.testing.assert_allclose(lon, [10.0], atol=1e-6)
+    np.testing.assert_allclose(lat, [60.0], atol=1e-6)
