@@ -829,13 +829,12 @@ def q_dd_minhash_docs(sf_dir: str):
     # call for heavy per-worker state like models)
     bands = docs.map_batches(MinHasher(), batch_format="pyarrow", batch_size=512)
     cand = lsh_candidate_pairs(bands)
-    out = jaccard_verify(cand, docs, threshold=0.5, num_partitions=4)
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        j = np.round(np.asarray(batch["jaccard"].to_pylist()), 6)
-        return batch.drop_columns(["jaccard"]).append_column("jaccard", pa.array(j))
-
-    return out.map_batches(rnd, batch_format="pyarrow")
+    # raw jaccard: inter/union of exact integers — correctly-rounded division
+    # is deterministic, so no rounding is needed for the (r3) SQL oracle,
+    # which replays the ENTIRE pipeline (ring shingles -> 64 permutation
+    # minima -> FNV band hashes -> bucket self-join -> set-intersection
+    # verify) with inlined permutation literals
+    return jaccard_verify(cand, docs, threshold=0.5, num_partitions=4)
 
 
 def q_dd_simhash_docs(sf_dir: str):
@@ -934,22 +933,23 @@ def q_mm_resize_frames(sf_dir: str):
 
 
 def q_dd_embed_cosine(sf_dir: str):
-    """Embedding near-dup: LSH buckets + exact cosine >= 0.3 within buckets."""
+    """Embedding near-dup — ORACLE-CHECKED (r3; was rows-only): quantized
+    hyperplane LSH buckets + quantized cosine >= 0.3 within buckets.
+
+    quantize=1024 (power of two): bucket projections and pair scores are
+    built from floor(x*1024) integers, so every value is exact in any
+    evaluation order and the whole bucketed pipeline replays in SQL (the
+    seeded hyperplane literals are inlined into the oracle query)."""
     from geopolars_ray.stages.dedup import EmbeddingLSH, cosine_pairs_within_bucket
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(
-        EmbeddingLSH, fn_constructor_kwargs=dict(dim=64, n_planes=4), batch_format="pyarrow", concurrency=2
+        EmbeddingLSH, fn_constructor_kwargs=dict(dim=64, n_planes=4, quantize=1024),
+        batch_format="pyarrow", concurrency=2,
     )
-    pairs = bucketed.groupby("lsh_bucket").map_groups(
-        cosine_pairs_within_bucket(threshold=0.3), batch_format="pyarrow"
+    return bucketed.groupby("lsh_bucket").map_groups(
+        cosine_pairs_within_bucket(threshold=0.3, quantize=1024), batch_format="pyarrow"
     )
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        c = np.round(np.asarray(batch["cosine"].to_pylist()), 6)
-        return batch.drop_columns(["cosine"]).append_column("cosine", pa.array(c))
-
-    return pairs.map_batches(rnd, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -1217,6 +1217,82 @@ def q_mm_decode(sf_dir: str):
         return batch.drop_columns(["mean_rgb"]).append_column("mean_rgb", pa.array(m))
 
     return out.map_batches(rnd, batch_format="pyarrow")
+
+
+
+
+def _minhash_oracle_sql() -> str:
+    """The dd_minhash_docs oracle: the full MinHash-LSH pipeline in DuckDB.
+
+    Replays `stages/dedup.py` exactly: k=5 rolling shingle hashes in the
+    2^64 ring (HUGEINT with bitwise-AND masks — ~30x cheaper than %), the 64
+    universal-hash permutation minima as 64 unrolled aggregates in ONE
+    grouped pass (a CROSS JOIN against the 64-row permutation table emits
+    64-row vectors and is ~20x slower), the per-band FNV-1a chain staged one
+    CTE per round (inlining it quadruples the expression per round), the
+    (band, band_hash) bucket self-join, and the exact shingle-set Jaccard
+    >= 0.5 verify. Permutation coefficients are the seeded MinHasher state,
+    inlined as literals.
+    """
+    from geopolars_ray.stages.dedup import MinHasher
+
+    mh = MinHasher()
+    M64 = "18446744073709551616"
+    MASK = "18446744073709551615::HUGEINT"
+    C = "1099511628211"
+    MER = str((1 << 61) - 1)
+
+    def u2s(x):
+        return f"CAST(CASE WHEN ({x}) >= 9223372036854775808 THEN ({x}) - {M64} ELSE ({x}) END AS BIGINT)"
+
+    def s2u(x):
+        return f"(CASE WHEN ({x}) < 0 THEN CAST(({x}) AS HUGEINT) + {M64} ELSE CAST(({x}) AS HUGEINT) END)"
+
+    sig_cols = ", ".join(
+        f"min(((((hv * {int(mh.a[j])}) & {MASK}) + {int(mh.b[j])}) & {MASK}) % {MER}) AS s{j}"
+        for j in range(64)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, s{4*b} AS s0, s{4*b+1} AS s1, s{4*b+2} AS s2, s{4*b+3} AS s3 FROM sig"
+        for b in range(16)
+    )
+    rounds = []
+    prev = "bands"
+    for r in range(4):
+        srcv = "1469598103934665603::HUGEINT" if r == 0 else "acc"
+        keep = ", ".join(f"s{q}" for q in range(r + 1, 4))
+        keep = (keep + ", ") if keep else ""
+        rounds.append(
+            f"r{r} AS (SELECT doc_id, band, {keep}"
+            f"(({s2u(f'xor({u2s(srcv)}, CAST(s{r} AS BIGINT))')} * {C}) & {MASK}) AS acc FROM {prev})"
+        )
+        prev = f"r{r}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH d AS MATERIALIZED (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS tx FROM documents),
+ser AS (SELECT unnest(range(1, (SELECT max(length(tx)) FROM d) - 2)) AS p),
+pos AS (SELECT doc_id, tx, p FROM d CROSS JOIN ser WHERE p <= length(tx) - 4),
+h AS MATERIALIZED (SELECT DISTINCT doc_id,
+  ((((((((ord(substr(tx, p, 1))::HUGEINT * {C} + ord(substr(tx, p+1, 1))) & {MASK})
+     * {C} + ord(substr(tx, p+2, 1))) & {MASK})
+     * {C} + ord(substr(tx, p+3, 1))) & {MASK})
+     * {C} + ord(substr(tx, p+4, 1))) & {MASK}) AS hv FROM pos),
+sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({band_union}),
+{rounds_sql},
+bh AS MATERIALIZED (SELECT doc_id, band, {u2s('acc')} AS band_hash FROM r3),
+cand AS MATERIALIZED (SELECT x.doc_id AS a, y.doc_id AS b FROM bh x
+  JOIN bh y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+cnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(hb.hv) AS i FROM cand c
+  JOIN h ha ON ha.doc_id = c.a
+  LEFT JOIN h hb ON hb.doc_id = c.b AND hb.hv = ha.hv
+  GROUP BY c.a, c.b)
+SELECT i.a, i.b, CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.a JOIN cnt cb ON cb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE) >= 0.5
+"""
 
 
 QUERIES = {
@@ -1540,11 +1616,22 @@ ORACLE_SQL = {
         "SELECT doc_id, CAST(min(s) AS BIGINT) AS fingerprint, "
         "CAST(count(DISTINCT s) AS BIGINT) AS fp_count FROM sel GROUP BY doc_id"
     ),
-    # dd_minhash_docs, dd_embed_cosine, ann_ivf, mm_decode, mm_resize_frames,
+    "dd_embed_cosine": (
+        # quantized-hyperplane LSH + quantized cosine, replayed exactly:
+        # the seeded plane matrix (floor(p*1024)) is inlined as literals
+        "WITH e AS (SELECT vec_id, CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*1024.0)) AS DOUBLE[]) AS qe FROM embeddings), "
+        "p AS (SELECT vec_id, qe, list_dot_product(qe, [84.0,-1799.0,-1073.0,914.0,-899.0,738.0,473.0,182.0,-48.0,-1610.0,-414.0,299.0,865.0,489.0,-596.0,-691.0,93.0,-889.0,1000.0,-1286.0,-83.0,17.0,-1131.0,64.0,82.0,-24.0,-2302.0,930.0,-857.0,977.0,-389.0,-1756.0,288.0,990.0,1774.0,-303.0,1166.0,-897.0,-684.0,-3.0,756.0,-520.0,512.0,1392.0,715.0,-924.0,-1108.0,466.0,-1519.0,-309.0,379.0,189.0,-269.0,677.0,1263.0,-1049.0,1054.0,-885.0,1144.0,149.0,477.0,-855.0,-219.0,-711.0]) AS p0, list_dot_product(qe, [-476.0,1724.0,954.0,269.0,-47.0,-361.0,-1555.0,-84.0,-659.0,859.0,1506.0,1738.0,-332.0,705.0,-534.0,110.0,356.0,-588.0,556.0,342.0,-75.0,-1270.0,437.0,1221.0,-18.0,1391.0,-1718.0,-1180.0,-444.0,-1483.0,1368.0,-633.0,306.0,49.0,-2877.0,1207.0,422.0,-719.0,1688.0,-2244.0,-2203.0,1295.0,-1798.0,465.0,492.0,-1505.0,104.0,1137.0,669.0,-392.0,262.0,871.0,276.0,-442.0,281.0,-1585.0,-906.0,2066.0,1214.0,11.0,-254.0,-1279.0,-2785.0,476.0]) AS p1, list_dot_product(qe, [51.0,-469.0,691.0,336.0,391.0,688.0,-881.0,986.0,2007.0,786.0,-766.0,-398.0,11.0,-299.0,-1969.0,1556.0,-1436.0,2085.0,515.0,-458.0,193.0,1256.0,-227.0,566.0,-818.0,-193.0,335.0,-292.0,-100.0,-1314.0,705.0,274.0,-852.0,56.0,1489.0,-86.0,-638.0,184.0,-567.0,2679.0,-172.0,799.0,-1167.0,582.0,-1132.0,131.0,-843.0,748.0,-14.0,-1075.0,1361.0,1575.0,-1391.0,464.0,136.0,2731.0,481.0,1528.0,605.0,-1469.0,1132.0,-948.0,555.0,-791.0]) AS p2, list_dot_product(qe, [702.0,-611.0,1274.0,957.0,-464.0,143.0,1376.0,768.0,707.0,833.0,1240.0,713.0,-425.0,354.0,-1203.0,275.0,49.0,1891.0,-989.0,-796.0,-758.0,1555.0,116.0,-890.0,209.0,451.0,132.0,-2553.0,-569.0,471.0,340.0,-660.0,-1141.0,984.0,1022.0,1635.0,89.0,-132.0,-30.0,-590.0,-1679.0,634.0,559.0,558.0,996.0,-1367.0,-911.0,919.0,-735.0,-1997.0,1166.0,-712.0,-1111.0,-118.0,-284.0,322.0,391.0,-165.0,554.0,-436.0,103.0,-36.0,1631.0,1333.0]) AS p3 FROM e), "
+        "b AS (SELECT vec_id, qe, (CASE WHEN p0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN p1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN p2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN p3 > 0 THEN 8 ELSE 0 END) AS bucket, list_dot_product(qe, qe) AS qn FROM p), "
+        "pr AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "list_dot_product(x.qe, y.qe) / ((CASE WHEN x.qn = 0 THEN 1.0 ELSE sqrt(x.qn) END) * (CASE WHEN y.qn = 0 THEN 1.0 ELSE sqrt(y.qn) END)) AS cosine "
+        "FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id) "
+        "SELECT a, b, cosine FROM pr WHERE cosine >= 0.3"
+    ),
+    "dd_minhash_docs": _minhash_oracle_sql(),
+    # ann_ivf, mm_decode, mm_resize_frames,
     # geo_geodesic, geo_s2_tiles, geo_h3_tiles, geo_simplify: intentionally
-    # no oracle. Reasons: seeded-RNG state (minhash permutations, LSH
-    # hyperplanes, k-means) would have to be inlined as hundreds of SQL
-    # literals; Hilbert-curve / icosahedral ids and recursive DP are not
+    # no oracle. Reasons: PCG64 media payloads and k-means state are not
+    # SQL-replayable; Hilbert-curve / icosahedral ids and recursive DP are not
     # SQL-expressible; geodesic needs asin/atan2, where DuckDB and numpy
     # differ in the last ulp (verified r3 — sin/cos/sqrt ARE bit-identical);
     # media payloads are validated by pytest decode gates instead. The

@@ -437,15 +437,28 @@ class EmbeddingLSH:
     bucket-groupby + exact-cosine-within-bucket near-dup pass.
     """
 
-    def __init__(self, dim: int, n_planes: int = 16, id_col: str = "vec_id", emb_col: str = "embedding"):
+    def __init__(self, dim: int, n_planes: int = 16, id_col: str = "vec_id", emb_col: str = "embedding",
+                 quantize: int | None = None):
         rng = np.random.default_rng(99)
         self.planes = rng.standard_normal((dim, n_planes))
+        self.quantize = quantize
+        if quantize is not None:
+            # floor(x*Q) integer projection: every dot product is an exact
+            # small integer, so bucket assignment is bit-reproducible in any
+            # evaluation order AND SQL-oracle-checkable (the sign of a float
+            # projection can flip between summation orders near zero).
+            # Q should be a power of two so floor(x*Q) is itself exact.
+            self.qplanes = np.floor(self.planes * quantize).astype(np.int64)
         self.id_col = id_col
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
-        proj = emb @ self.planes
+        if self.quantize is not None:
+            qe = np.floor(emb * self.quantize).astype(np.int64)
+            proj = qe @ self.qplanes
+        else:
+            proj = emb @ self.planes
         bits = (proj > 0).astype(np.uint64)
         with np.errstate(over="ignore"):
             key = np.zeros(len(emb), dtype=np.uint64)
@@ -454,8 +467,14 @@ class EmbeddingLSH:
         return batch.append_column("lsh_bucket", pa.array(key.view(np.int64)))
 
 
-def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding"):
-    """map_groups fn: exact pairwise cosine inside one LSH bucket."""
+def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding",
+                               quantize: int | None = None):
+    """map_groups fn: exact pairwise cosine inside one LSH bucket.
+
+    ``quantize=Q``: cosine of the floor(x*Q)-quantized integer vectors —
+    qdot / (sqrt(qnorm_a) * sqrt(qnorm_b)). Numerator and norms are exact
+    integers, sqrt/division are correctly rounded, so the scores are
+    bit-reproducible and match a SQL oracle exactly."""
 
     def fn(group: pa.Table) -> pa.Table:
         ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
@@ -463,10 +482,17 @@ def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", 
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        u = emb / norm
-        sim = u @ u.T
+        if quantize is not None:
+            q = np.floor(emb * quantize)
+            d = q @ q.T  # exact integer-valued doubles
+            n = np.sqrt(np.diag(d))
+            n = np.where(n == 0, 1.0, n)
+            sim = d / (n[:, None] * n[None, :])
+        else:
+            norm = np.linalg.norm(emb, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            u = emb / norm
+            sim = u @ u.T
         ii, jj = np.triu_indices(len(ids), k=1)
         keep = sim[ii, jj] >= threshold
         order = np.argsort(ids)
