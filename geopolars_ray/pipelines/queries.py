@@ -1221,6 +1221,70 @@ def q_mm_decode(sf_dir: str):
 
 
 
+def _s2_oracle_sql() -> str:
+    """geo_s2_tiles oracle: the FULL S2 level-12 cell id computed in SQL.
+
+    Replays `geom/s2.py` bit-exactly: lon/lat -> xyz (DuckDB cos/sin are
+    bit-identical to numpy — verified), branch-free face/uv CASEs, the
+    quadratic st projection (sqrt exact), floor to 30-bit ij, and the
+    Hilbert curve as 8 chained 4-bit lookup rounds against the inlined
+    1024-entry _LOOKUP_POS table, then level-12 truncation via exact
+    integer arithmetic ((q|1)*lsb as (q + 1-q%2)*lsb). Verified equal to
+    `s2_cell_id(...,12).view(int64)` on all sf0.01 customer points.
+    """
+    from geopolars_ray.geom import s2 as _s2
+
+    lut = "[" + ",".join(str(int(v)) for v in _s2._LOOKUP_POS) + "]"
+    rounds = []
+    prev = "ij"
+    for kk in range(7, -1, -1):
+        nxt = f"hk{kk}"
+        src_bits = "CAST(face % 2 AS BIGINT)" if kk == 7 else "bits"
+        src_n = "CAST(face AS HUGEINT) * 1152921504606846976" if kk == 7 else "n"
+        rounds.append(
+            f"""{nxt} AS (SELECT c_custkey, face, i, j,
+  list_extract(lut, CAST({src_bits} + ((i // {1 << (4*kk)}) % 16) * 64 + ((j // {1 << (4*kk)}) % 16) * 4 AS BIGINT) + 1) AS val,
+  {src_n} AS n0, lut FROM {prev}),
+{nxt}b AS (SELECT c_custkey, face, i, j,
+  n0 + CAST(val // 4 AS HUGEINT) * {1 << (8*kk)} AS n, val % 4 AS bits, lut FROM {nxt})"""
+        )
+        prev = f"{nxt}b"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH pts AS (SELECT c_custkey, (c_custkey % 720)/2.0 - 179.75 AS lon, ((c_custkey*7) % 360)/2.0 - 89.75 AS lat FROM customer),
+xyz AS (SELECT c_custkey,
+  cos(lat * 0.017453292519943295) * cos(lon * 0.017453292519943295) AS X,
+  cos(lat * 0.017453292519943295) * sin(lon * 0.017453292519943295) AS Y,
+  sin(lat * 0.017453292519943295) AS Z FROM pts),
+fuv AS (SELECT c_custkey, X, Y, Z,
+  CASE WHEN abs(X) >= abs(Y) THEN CASE WHEN abs(X) >= abs(Z) THEN 0 ELSE 2 END
+       ELSE CASE WHEN abs(Y) >= abs(Z) THEN 1 ELSE 2 END END AS axis FROM xyz),
+fuv2 AS (SELECT c_custkey, X, Y, Z, axis,
+  CASE axis WHEN 0 THEN X WHEN 1 THEN Y ELSE Z END AS den FROM fuv),
+fuv3 AS (SELECT c_custkey, X, Y, Z, den,
+  CASE WHEN den < 0 THEN axis + 3 ELSE axis END AS face FROM fuv2),
+uv AS (SELECT c_custkey, face,
+  (CASE face WHEN 0 THEN Y WHEN 1 THEN -X WHEN 2 THEN -X WHEN 3 THEN Z WHEN 4 THEN Z ELSE -Y END) / den AS u,
+  (CASE face WHEN 0 THEN Z WHEN 1 THEN Z WHEN 2 THEN -Y WHEN 3 THEN Y WHEN 4 THEN -X ELSE -X END) / den AS v
+  FROM fuv3),
+st AS (SELECT c_custkey, face,
+  CASE WHEN least(greatest(u, -1.0), 1.0) >= 0 THEN 0.5*sqrt(1.0 + 3.0*greatest(least(greatest(u, -1.0), 1.0), 0.0))
+       ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*least(least(greatest(u, -1.0), 1.0), 0.0)) END AS s,
+  CASE WHEN least(greatest(v, -1.0), 1.0) >= 0 THEN 0.5*sqrt(1.0 + 3.0*greatest(least(greatest(v, -1.0), 1.0), 0.0))
+       ELSE 1.0 - 0.5*sqrt(1.0 - 3.0*least(least(greatest(v, -1.0), 1.0), 0.0)) END AS t
+  FROM uv),
+ij AS (SELECT c_custkey, face,
+  least(greatest(CAST(floor(1073741824.0 * s) AS BIGINT), 0), 1073741823) AS i,
+  least(greatest(CAST(floor(1073741824.0 * t) AS BIGINT), 0), 1073741823) AS j,
+  {lut} AS lut FROM st),
+{rounds_sql},
+leaf AS (SELECT c_custkey, n * 2 + 1 AS leaf FROM hk0b),
+lvl AS (SELECT c_custkey, ((leaf // 68719476736) + CASE WHEN (leaf // 68719476736) % 2 = 0 THEN 1 ELSE 0 END) * 68719476736 AS uid FROM leaf)
+SELECT c.c_nationkey, CAST(count(DISTINCT l.uid) AS BIGINT) AS n_cells
+FROM lvl l JOIN customer c ON c.c_custkey = l.c_custkey GROUP BY c.c_nationkey
+"""
+
+
 def _minhash_oracle_sql() -> str:
     """The dd_minhash_docs oracle: the full MinHash-LSH pipeline in DuckDB.
 
@@ -1628,8 +1692,9 @@ ORACLE_SQL = {
         "SELECT a, b, cosine FROM pr WHERE cosine >= 0.3"
     ),
     "dd_minhash_docs": _minhash_oracle_sql(),
+    "geo_s2_tiles": _s2_oracle_sql(),
     # ann_ivf, mm_decode, mm_resize_frames,
-    # geo_geodesic, geo_s2_tiles, geo_h3_tiles, geo_simplify: intentionally
+    # geo_geodesic, geo_h3_tiles, geo_simplify: intentionally
     # no oracle. Reasons: PCG64 media payloads and k-means state are not
     # SQL-replayable; Hilbert-curve / icosahedral ids and recursive DP are not
     # SQL-expressible; geodesic needs asin/atan2, where DuckDB and numpy
