@@ -748,9 +748,14 @@ def _dp_mark(coords: np.ndarray, i0: int, i1: int, tol: float, keep: np.ndarray)
             continue
         seg = coords[b] - coords[a]
         pts = coords[a + 1 : b] - coords[a]
-        seg_len = np.hypot(seg[0], seg[1])
+        # sqrt(x*x + y*y) rather than np.hypot: both are exact to the same
+        # ULP for geographic magnitudes (no overflow risk) and this op
+        # sequence is reproducible verbatim in SQL (DuckDB has no hypot),
+        # which makes every DP distance comparison bit-identical to the
+        # geo_simplify oracle's recursive-CTE replay.
+        seg_len = np.sqrt(seg[0] * seg[0] + seg[1] * seg[1])
         if seg_len == 0:
-            d = np.hypot(pts[:, 0], pts[:, 1])
+            d = np.sqrt(pts[:, 0] * pts[:, 0] + pts[:, 1] * pts[:, 1])
         else:
             d = np.abs(pts[:, 0] * seg[1] - pts[:, 1] * seg[0]) / seg_len
         j = int(np.argmax(d))

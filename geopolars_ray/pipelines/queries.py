@@ -556,23 +556,33 @@ def q_geo_convex_hull(sf_dir: str):
 
 
 def q_geo_geodesic(sf_dir: str):
-    """Per-nation path geodesic lengths (haversine + vincenty), meters.
+    """Per-nation path geodesic lengths (haversine + vincenty), INTEGER meters.
 
-    Rows-only by necessity: DuckDB's asin/atan2 are NOT bit-identical to
-    numpy's (verified empirically r3; sin/cos/sqrt are), so the inverse-trig
-    step breaks any exact oracle. Pytest anchors (JFK-LHR, meridian arcs)
-    validate the kernels instead. Vectorized multi-LineString construction
-    via hash_partitioned_map (VERDICT r2 #5)."""
+    Oracle-checked (r3; was rows-only). DuckDB's asin/atan/atan2 are NOT
+    bit-identical to numpy's (sin/cos/sqrt are), so the raw float lengths
+    can't be compared exactly — but the divergence is ULP-scale (measured
+    max 3e-7 m across all sf0.01 segments, including through Vincenty's 20
+    lambda iterations, vs a minimum 8.5e-3 m distance to the nearest 0.5 m
+    rounding boundary: a 28,000x margin on the fixed gate data). Rounding
+    both sides to whole meters with the same floor(v+0.5) rule therefore
+    compares deterministically, at 1e-8 relative precision on ~1e8 m sums.
+    The oracle replays Vincenty's 20 iterations as unrolled CTE rounds
+    (same generated-SQL technique as the S2 Hilbert oracle). Pytest anchors
+    (JFK-LHR, meridian arcs) validate absolute correctness of the kernels.
+    Vectorized multi-LineString construction via hash_partitioned_map
+    (VERDICT r2 #5)."""
     from geopolars_ray.stages.agg import hash_partitioned_map
 
     def path(g: pa.Table) -> pa.Table:
         keys, ktype, coords, offsets = _sorted_key_coords(g)
         ga = GeometryArray.from_linestrings(coords, offsets)
+        hav = K.geodesic_length(ga, "haversine")
+        vin = K.geodesic_length(ga, "vincenty")
         return pa.table(
             {
                 "c_nationkey": pa.array(keys).cast(ktype),
-                "hav_m": pa.array(K.geodesic_length(ga, "haversine")),
-                "vin_m": pa.array(K.geodesic_length(ga, "vincenty")),
+                "hav_m": pa.array(np.floor(hav + 0.5).astype(np.int64)),
+                "vin_m": pa.array(np.floor(vin + 0.5).astype(np.int64)),
             }
         )
 
@@ -622,20 +632,34 @@ def q_geo_h3_tiles(sf_dir: str):
 
 
 def q_geo_simplify(sf_dir: str):
-    """Douglas-Peucker on the per-nation path; point counts before/after.
-    Vectorized construction via hash_partitioned_map (VERDICT r2 #5);
-    rows-only (recursive DP retention is not SQL-expressible)."""
+    """Douglas-Peucker on the per-nation path; counts before/after plus an
+    exact checksum of the retained point set.
+
+    Oracle-checked (r3; was rows-only): the oracle replays the ENTIRE DP
+    recursion as a DuckDB recursive CTE — each round takes every interval
+    whose max perpendicular distance exceeds the tolerance, finds the
+    argmax point via a LATERAL ORDER BY d DESC, idx ASC LIMIT 1 (numpy
+    argmax first-max tie-break), and emits the two sub-intervals. Every
+    distance comparison is bit-identical because `_dp_mark` deliberately
+    uses sqrt(x*x + y*y) (not np.hypot), the same IEEE op sequence SQL
+    computes. `kept_x4` pins the retained SET, not just its size: x lies
+    on a 0.25-degree lattice so x*4 is an exact small integer and the
+    float sum is exact in ANY accumulation order.
+
+    Vectorized construction via hash_partitioned_map (VERDICT r2 #5)."""
     from geopolars_ray.stages.agg import hash_partitioned_map
 
     def simp(g: pa.Table) -> pa.Table:
         keys, ktype, coords, offsets = _sorted_key_coords(g)
         ga = GeometryArray.from_linestrings(coords, offsets)
         s = K.simplify(ga, tolerance=20.0)
+        kept_x4 = np.add.reduceat(s.coords[:, 0] * 4.0, s.ring_offsets[:-1])
         return pa.table(
             {
                 "c_nationkey": pa.array(keys).cast(ktype),
                 "n_before": pa.array(ga.coords_per_geom().astype(np.int64)),
                 "n_after": pa.array(s.coords_per_geom().astype(np.int64)),
+                "kept_x4": pa.array(kept_x4.astype(np.int64)),
             }
         )
 
@@ -1285,6 +1309,145 @@ FROM lvl l JOIN customer c ON c.c_custkey = l.c_custkey GROUP BY c.c_nationkey
 """
 
 
+def _simplify_oracle_sql(tol: float = 20.0) -> str:
+    """geo_simplify oracle: Douglas-Peucker replayed as a recursive CTE.
+
+    Base case: each nation's (first, last) interval with its LATERAL argmax
+    of perpendicular distance; recursive case: intervals whose dmax exceeds
+    the tolerance split at the argmax point (two children via a VALUES side
+    cross-join), each child computing its own argmax. Retained set = both
+    endpoints + every split point; `kept_x4` sums their x*4 (exact integer
+    lattice — see q_geo_simplify). The distance expression mirrors
+    `kernels._dp_mark` operation-for-operation.
+    """
+    dist = (
+        "CASE WHEN sqrt(({bx}-{ax})*({bx}-{ax}) + ({by}-{ay})*({by}-{ay})) = 0"
+        " THEN sqrt((p.x-{ax})*(p.x-{ax}) + (p.y-{ay})*(p.y-{ay}))"
+        " ELSE abs((p.x-{ax})*({by}-{ay}) - (p.y-{ay})*({bx}-{ax}))"
+        " / sqrt(({bx}-{ax})*({bx}-{ax}) + ({by}-{ay})*({by}-{ay})) END"
+    )
+    d_base = dist.format(ax="p0.x", ay="p0.y", bx="p1.x", by="p1.y")
+    d_rec = dist.format(ax="c.cax", ay="c.cay", bx="c.cbx", by="c.cby")
+    return f"""
+WITH RECURSIVE pts AS (
+  SELECT c_nationkey, row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1 AS idx, x, y
+  FROM ({_CPTS})
+),
+ends AS (SELECT c_nationkey, max(idx) AS last FROM pts GROUP BY c_nationkey),
+splits(c_nationkey, a, b, ax, ay, bx, by, m, dmax, mx, my) AS (
+  SELECT e.c_nationkey, 0::BIGINT, e.last, p0.x, p0.y, p1.x, p1.y, l.m, l.dmax, l.mx, l.my
+  FROM ends e
+  JOIN pts p0 ON p0.c_nationkey = e.c_nationkey AND p0.idx = 0
+  JOIN pts p1 ON p1.c_nationkey = e.c_nationkey AND p1.idx = e.last,
+  LATERAL (
+    SELECT p.idx AS m, p.x AS mx, p.y AS my, {d_base} AS dmax
+    FROM pts p WHERE p.c_nationkey = e.c_nationkey AND p.idx > 0 AND p.idx < e.last
+    ORDER BY dmax DESC, p.idx ASC LIMIT 1
+  ) l
+  WHERE e.last >= 2
+  UNION ALL
+  SELECT c.c_nationkey, c.ca, c.cb, c.cax, c.cay, c.cbx, c.cby, l.m, l.dmax, l.mx, l.my
+  FROM (
+    SELECT s.c_nationkey,
+      CASE side WHEN 0 THEN s.a ELSE s.m END AS ca,
+      CASE side WHEN 0 THEN s.m ELSE s.b END AS cb,
+      CASE side WHEN 0 THEN s.ax ELSE s.mx END AS cax,
+      CASE side WHEN 0 THEN s.ay ELSE s.my END AS cay,
+      CASE side WHEN 0 THEN s.mx ELSE s.bx END AS cbx,
+      CASE side WHEN 0 THEN s.my ELSE s.by END AS cby
+    FROM splits s, (VALUES (0), (1)) v(side)
+    WHERE s.dmax > {tol!r}
+  ) c,
+  LATERAL (
+    SELECT p.idx AS m, p.x AS mx, p.y AS my, {d_rec} AS dmax
+    FROM pts p WHERE p.c_nationkey = c.c_nationkey AND p.idx > c.ca AND p.idx < c.cb
+    ORDER BY dmax DESC, p.idx ASC LIMIT 1
+  ) l
+  WHERE c.cb - c.ca >= 2
+),
+kept AS (SELECT c_nationkey, count(*) AS n_split,
+         CAST(sum(mx * 4.0) AS BIGINT) AS split_x4 FROM splits WHERE dmax > {tol!r} GROUP BY c_nationkey),
+nb AS (SELECT e.c_nationkey, e.last + 1 AS n_before, p0.x AS x0, p1.x AS x1
+       FROM ends e
+       JOIN pts p0 ON p0.c_nationkey = e.c_nationkey AND p0.idx = 0
+       JOIN pts p1 ON p1.c_nationkey = e.c_nationkey AND p1.idx = e.last)
+SELECT nb.c_nationkey, n_before,
+  CASE WHEN n_before <= 2 THEN n_before ELSE 2 + COALESCE(n_split, 0) END AS n_after,
+  CASE WHEN n_before = 1 THEN CAST(x0 * 4.0 AS BIGINT)
+       ELSE CAST(x0 * 4.0 + x1 * 4.0 AS BIGINT) + COALESCE(split_x4, 0) END AS kept_x4
+FROM nb LEFT JOIN kept USING (c_nationkey)
+"""
+
+
+def _geodesic_oracle_sql() -> str:
+    """geo_geodesic oracle: haversine + full 20-iteration Vincenty in SQL.
+
+    Replays `geom/kernels.py _haversine_m/_vincenty_m` over the per-nation
+    c_custkey-ordered path, as unrolled CTE rounds (the same generated-SQL
+    technique as the S2 Hilbert oracle). Compared at integer meters via the
+    shared floor(v+0.5) rule — see q_geo_geodesic's docstring for the
+    measured 28,000x ULP-to-boundary margin that makes this deterministic.
+    """
+    from geopolars_ray.geom.kernels import EARTH_RADIUS_M, WGS84_A, WGS84_B, WGS84_F
+
+    RAD = "0.017453292519943295"  # float64(pi/180), same constant np.radians uses
+    A, B_, F, R = WGS84_A, WGS84_B, WGS84_F, EARTH_RADIUS_M
+
+    iters = []
+    prev = "base"
+    for i in range(20):
+        nxt = f"it{i}"
+        iters.append(
+            f"""{nxt} AS (SELECT * EXCLUDE (lam, sinSigma, cosSigma, sigma, sinAlpha, cos2Alpha, cos2SigmaM),
+  sin(lam) AS sinLam, cos(lam) AS cosLam FROM {prev}),
+{nxt}b AS (SELECT *,
+  sqrt((cosU2*sinLam)*(cosU2*sinLam) + (cosU1*sinU2 - sinU1*cosU2*cosLam)*(cosU1*sinU2 - sinU1*cosU2*cosLam)) AS sinSigma,
+  sinU1*sinU2 + cosU1*cosU2*cosLam AS cosSigma FROM {nxt}),
+{nxt}c AS (SELECT *, atan2(sinSigma, cosSigma) AS sigma,
+  CASE WHEN sinSigma <> 0 THEN cosU1*cosU2*sinLam/sinSigma ELSE 0.0 END AS sinAlpha FROM {nxt}b),
+{nxt}d AS (SELECT *, 1.0 - sinAlpha*sinAlpha AS cos2Alpha FROM {nxt}c),
+{nxt}e AS (SELECT *, CASE WHEN cos2Alpha <> 0 THEN cosSigma - 2.0*sinU1*sinU2/cos2Alpha ELSE 0.0 END AS cos2SigmaM,
+  {F!r}/16.0*(1.0 - sinAlpha*sinAlpha)*(4.0 + {F!r}*(4.0 - 3.0*(1.0 - sinAlpha*sinAlpha))) AS CC FROM {nxt}d),
+{nxt}f AS (SELECT * EXCLUDE (sinLam, cosLam, CC),
+  L + (1.0 - CC)*{F!r}*sinAlpha*(sigma + CC*sinSigma*(cos2SigmaM + CC*cosSigma*(-1.0 + 2.0*cos2SigmaM*cos2SigmaM))) AS lam
+  FROM {nxt}e)"""
+        )
+        prev = f"{nxt}f"
+    iters_sql = ",\n".join(iters)
+
+    return f"""
+WITH seg AS (SELECT c_nationkey,
+  lag(x) OVER w AS lon1, lag(y) OVER w AS lat1, x AS lon2, y AS lat2
+  FROM ({_CPTS}) WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+seg2 AS (SELECT * FROM seg WHERE lon1 IS NOT NULL),
+hav AS (SELECT c_nationkey,
+  2.0 * {R!r} * asin(sqrt(least(greatest(
+    sin((lat2*{RAD} - lat1*{RAD})/2.0)*sin((lat2*{RAD} - lat1*{RAD})/2.0)
+    + cos(lat1*{RAD})*cos(lat2*{RAD})*sin((lon2-lon1)*{RAD}/2.0)*sin((lon2-lon1)*{RAD}/2.0), 0.0), 1.0))) AS d
+  FROM seg2),
+base AS (SELECT c_nationkey,
+  (lon2-lon1)*{RAD} AS L,
+  sin(atan((1.0-{F!r})*tan(lat1*{RAD}))) AS sinU1, cos(atan((1.0-{F!r})*tan(lat1*{RAD}))) AS cosU1,
+  sin(atan((1.0-{F!r})*tan(lat2*{RAD}))) AS sinU2, cos(atan((1.0-{F!r})*tan(lat2*{RAD}))) AS cosU2,
+  (lon2-lon1)*{RAD} AS lam,
+  0.0 AS sinSigma, 0.0 AS cosSigma, 0.0 AS sigma, 0.0 AS sinAlpha, 0.0 AS cos2Alpha, 0.0 AS cos2SigmaM
+  FROM seg2),
+{iters_sql},
+fin AS (SELECT c_nationkey,
+  CASE WHEN sinSigma = 0 THEN 0.0 ELSE
+    {B_!r} * (1.0 + u2/16384.0*(4096.0 + u2*(-768.0 + u2*(320.0 - 175.0*u2))))
+    * (sigma - (u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2)))) * sinSigma * (
+        cos2SigmaM + (u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2))))/4.0 * (
+          cosSigma*(-1.0 + 2.0*cos2SigmaM*cos2SigmaM)
+          - (u2/1024.0*(256.0 + u2*(-128.0 + u2*(74.0 - 47.0*u2))))/6.0*cos2SigmaM*(-3.0 + 4.0*sinSigma*sinSigma)*(-3.0 + 4.0*cos2SigmaM*cos2SigmaM)))
+      ) END AS d
+  FROM (SELECT *, cos2Alpha*({A!r}*{A!r} - {B_!r}*{B_!r})/({B_!r}*{B_!r}) AS u2 FROM {prev})),
+havg AS (SELECT c_nationkey, CAST(floor(sum(d) + 0.5) AS BIGINT) AS hav_m FROM hav GROUP BY c_nationkey),
+ving AS (SELECT c_nationkey, CAST(floor(sum(d) + 0.5) AS BIGINT) AS vin_m FROM fin GROUP BY c_nationkey)
+SELECT havg.c_nationkey, hav_m, vin_m FROM havg JOIN ving USING (c_nationkey)
+"""
+
+
 def _minhash_oracle_sql() -> str:
     """The dd_minhash_docs oracle: the full MinHash-LSH pipeline in DuckDB.
 
@@ -1693,8 +1856,10 @@ ORACLE_SQL = {
     ),
     "dd_minhash_docs": _minhash_oracle_sql(),
     "geo_s2_tiles": _s2_oracle_sql(),
+    "geo_geodesic": _geodesic_oracle_sql(),
+    "geo_simplify": _simplify_oracle_sql(),
     # ann_ivf, mm_decode, mm_resize_frames,
-    # geo_geodesic, geo_h3_tiles, geo_simplify: intentionally
+    # geo_h3_tiles: intentionally
     # no oracle. Reasons: PCG64 media payloads and k-means state are not
     # SQL-replayable; Hilbert-curve / icosahedral ids and recursive DP are not
     # SQL-expressible; geodesic needs asin/atan2, where DuckDB and numpy
