@@ -900,27 +900,39 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN scale path: seeded k-means coarse quantizer + nprobe-limited
-    scan, first 5 embeddings as queries (rows-only; recall vs exact is
-    pytest-gated >= 0.9)."""
-    from geopolars_ray.stages.ann import ivf_knn, train_ivf_centroids
+    """IVF ANN nprobe-limited scan — ORACLE-CHECKED (r3; was rows-only).
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    C = train_ivf_centroids(ds, dim=64, n_centroids=16, sample_size=5000, id_col="vec_id")
+    metric="qdot" makes the ENTIRE IVF pipeline exact integer arithmetic:
+    centroid assignment (argmax integer dot, lowest-list tie-break), probe
+    selection (stable argsort -> top-nprobe lists per query, ascending-id
+    ties), the global wanted-list filter, and the final per-query top-k.
+    Gate centroids are the 16 smallest-vec_id embeddings (well-defined in
+    SQL); queries are the 5 smallest. nprobe=4 of 16 lists — a genuinely
+    approximate scan (~1/4 of the corpus), replayed list-for-list by the
+    oracle. The k-means-trained quantizer (`train_ivf_centroids`) remains
+    the library path, recall>=0.9-gated in pytest (test_ann)."""
     import pyarrow.parquet as pq
 
-    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, 5)
+    from geopolars_ray.stages.ann import ivf_knn
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64), kind="stable")
+    qtab = emb.take(pa.array(order[:5]))
+    ctab = emb.take(pa.array(order[:16]))
     queries = {
         "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
         "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
     }
-    out = ivf_knn(ds, queries, C, k=10, nprobe=4)
+    C = np.asarray(ctab["embedding"].to_pylist(), dtype=np.float64)
 
-    def rnd(batch: pa.Table) -> pa.Table:
-        c = np.round(np.asarray(batch["cosine"].to_pylist()), 6)
-        return batch.drop_columns(["cosine"]).append_column("cosine", pa.array(c))
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = ivf_knn(ds, queries, C, k=10, nprobe=4, metric="qdot")
 
-    return out.map_batches(rnd, batch_format="pyarrow")
+    def rename(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("cosine")
+        return batch.set_column(i, "score", batch["cosine"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_mm_resize_frames(sf_dir: str):
@@ -1783,6 +1795,29 @@ ORACLE_SQL = {
         "SELECT o_orderkey, o_totalprice FROM orders "
         "WHERE ((o_orderkey * 2654435761 + 12345) % 4294967296) % 10 < 1"
     ),
+    "ann_ivf": (
+        # Full IVF replay: quantize -> assign each row to its argmax-dot
+        # centroid (ties -> lowest cid, = np.argmax first-max) -> per-query
+        # top-nprobe probe lists (ties -> ascending cid, = stable argsort)
+        # -> global wanted-list filter -> exact top-10 over survivors.
+        "WITH c16 AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16), "
+        "cq AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        "CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*1024.0)) AS DOUBLE[]) AS cv FROM c16), "
+        "q AS (SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT 5), "
+        "qq AS (SELECT qid, CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*1024.0)) AS DOUBLE[]) AS qv FROM q), "
+        "vv AS (SELECT vec_id, CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*1024.0)) AS DOUBLE[]) AS ev FROM embeddings), "
+        "assign AS (SELECT vec_id, ev, cid FROM ("
+        "SELECT vec_id, ev, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY list_dot_product(ev, cv) DESC, cid) AS rn "
+        "FROM vv CROSS JOIN cq) WHERE rn = 1), "
+        "probe AS (SELECT DISTINCT cid FROM ("
+        "SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY list_dot_product(qv, cv) DESC, cid) AS rn "
+        "FROM qq CROSS JOIN cq) WHERE rn <= 4), "
+        "flt AS (SELECT vec_id, ev FROM assign WHERE cid IN (SELECT cid FROM probe)), "
+        "d AS (SELECT qid, vec_id, list_dot_product(qv, ev) AS score FROM qq CROSS JOIN flt) "
+        'SELECT qid, vec_id, score, "rank" FROM ('
+        'SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS "rank" FROM d) '
+        'WHERE "rank" <= 10'
+    ),
     "ann_topk": (
         "WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings ORDER BY vec_id LIMIT 5), "
         "qq AS (SELECT qid, CAST(list_transform(embedding, x -> floor(CAST(x AS DOUBLE)*1024.0)) AS DOUBLE[]) AS qv FROM q), "
@@ -1858,7 +1893,7 @@ ORACLE_SQL = {
     "geo_s2_tiles": _s2_oracle_sql(),
     "geo_geodesic": _geodesic_oracle_sql(),
     "geo_simplify": _simplify_oracle_sql(),
-    # ann_ivf, mm_decode, mm_resize_frames,
+    # mm_decode, mm_resize_frames,
     # geo_h3_tiles: intentionally
     # no oracle. Reasons: PCG64 media payloads and k-means state are not
     # SQL-replayable; Hilbert-curve / icosahedral ids and recursive DP are not

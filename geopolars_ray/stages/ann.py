@@ -178,17 +178,35 @@ def train_ivf_centroids(
 
 
 class IVFAssign:
-    """Stateless batch kernel: nearest-centroid list id per row."""
+    """Stateless batch kernel: nearest-centroid list id per row.
 
-    def __init__(self, centroids: np.ndarray, emb_col: str = "embedding"):
-        self.C = np.asarray(centroids, dtype=np.float64)
+    ``metric="qdot"`` assigns by the exact floor(x*1024) integer dot product
+    (no normalization) — every comparison is exact integer arithmetic, so
+    the assignment (argmax, first-max tie-break = lowest list id) is
+    bit-reproducible and replayable in SQL as
+    ``ORDER BY dot DESC, list ASC LIMIT 1``.
+    """
+
+    def __init__(self, centroids: np.ndarray, emb_col: str = "embedding", metric: str = "cosine"):
+        C = np.asarray(centroids, dtype=np.float64)
+        if metric == "cosine":
+            self.C = C
+        elif metric == "qdot":
+            self.C = np.floor(C * 1024.0)
+        else:
+            raise ValueError(f"unknown metric {metric!r} (cosine|qdot)")
         self.emb_col = emb_col
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
-        norm = np.linalg.norm(emb, axis=1, keepdims=True)
-        norm[norm == 0] = 1.0
-        lists = np.argmax((emb / norm) @ self.C.T, axis=1).astype(np.int64)
+        if self.metric == "cosine":
+            norm = np.linalg.norm(emb, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            emb = emb / norm
+        else:
+            emb = np.floor(emb * 1024.0)
+        lists = np.argmax(emb @ self.C.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_list", pa.array(lists))
 
 
@@ -201,18 +219,29 @@ def ivf_knn(
     concurrency=2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    metric: str = "cosine",
 ):
     """IVF approximate top-k: scan only rows in each query's nprobe nearest
     lists. Recall < 1 by construction; nprobe trades recall for scan
-    fraction (~nprobe/n_centroids of the corpus)."""
+    fraction (~nprobe/n_centroids of the corpus).
+
+    ``metric="qdot"``: probe selection, assignment and scoring all use the
+    exact floor(x*1024) integer dot product with deterministic tie-breaks
+    (stable argsort -> ascending centroid id on ties), making the whole
+    nprobe-limited pipeline bit-reproducible and SQL-oracle-checkable.
+    """
     C = np.asarray(centroids, dtype=np.float64)
     qm = np.asarray(queries["qvec"], dtype=np.float64)
-    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
-    probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    if metric == "cosine":
+        qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+        probe = np.argsort(-(qn @ C.T), axis=1)[:, :nprobe]
+    else:
+        dots = np.floor(qm * 1024.0) @ np.floor(C * 1024.0).T
+        probe = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
     wanted = np.unique(probe.reshape(-1))
 
     assigned = ds.map_batches(
-        IVFAssign(C, emb_col=emb_col), batch_format="pyarrow", batch_size=4096
+        IVFAssign(C, emb_col=emb_col, metric=metric), batch_format="pyarrow", batch_size=4096
     )
     filtered = assigned.map_batches(
         lambda t: t.filter(
@@ -220,7 +249,7 @@ def ivf_knn(
         ),
         batch_format="pyarrow",
     )
-    return brute_force_knn(filtered, queries, k=k, concurrency=concurrency, id_col=id_col, emb_col=emb_col)
+    return brute_force_knn(filtered, queries, k=k, concurrency=concurrency, id_col=id_col, emb_col=emb_col, metric=metric)
 
 
 def lsh_knn(ds, queries: dict, dim: int, k: int = 10, n_planes: int = 8, concurrency=2,

@@ -248,6 +248,31 @@ def test_ivf_knn_recall(ray_session):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_ivf_qdot_full_probe_equals_brute_force(ray_session):
+    """metric='qdot' pins IVF to exact integer arithmetic: with
+    nprobe == n_lists the filter keeps everything, so the nprobe-limited
+    pipeline must reproduce the exact brute-force top-k bit-for-bit
+    (scores AND ranking) regardless of centroid quality."""
+    import ray
+    from geopolars_ray.stages.ann import brute_force_knn, ivf_knn
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((400, 8))
+    t = pa.table({"vec_id": pa.array(np.arange(400)), "embedding": pa.array(emb.tolist())})
+    queries = {"qid": np.arange(3), "qvec": emb[[7, 70, 300]]}
+    C = emb[:16]  # arbitrary centroids — exactness must not depend on them
+    approx = (
+        ivf_knn(ray.data.from_arrow(t), queries, C, k=10, nprobe=16, metric="qdot")
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    exact = (
+        brute_force_knn(ray.data.from_arrow(t), queries, k=10, metric="qdot")
+        .to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert (approx["vec_id"].to_numpy() == exact["vec_id"].to_numpy()).all()
+    assert (approx["cosine"].to_numpy() == exact["cosine"].to_numpy()).all()
+
+
 def test_jaccard_verify_partitioned_path(ray_session):
     """Force the large-corpus (partitioned hash_join) verify path and check
     it agrees with the broadcast path."""
