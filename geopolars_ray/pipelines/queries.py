@@ -615,7 +615,10 @@ def q_geo_s2_tiles(sf_dir: str):
 
 def q_geo_h3_tiles(sf_dir: str):
     """Aperture-7 icosahedral hex (H3-style) res-7 cells per customer point;
-    distinct cells per nation (rows-only: icosahedral ids aren't SQL)."""
+    distinct cells per nation. Oracle-checked (r3; was rows-only): the full
+    id — face argmax, gnomonic projection, aperture-7 rotation, cube
+    rounding, bit packing — replays in SQL with inlined icosahedron
+    constants (see _h3ish_oracle_sql; 1500/1500 ids verified bit-exact)."""
     from geopolars_ray.geom import h3ish
 
     def h3c(batch: pa.Table) -> pa.Table:
@@ -1321,6 +1324,63 @@ FROM lvl l JOIN customer c ON c.c_custkey = l.c_custkey GROUP BY c.c_nationkey
 """
 
 
+def _h3ish_oracle_sql() -> str:
+    """geo_h3_tiles oracle: the FULL aperture-7 icosahedral cell id in SQL.
+
+    Replays `geom/h3ish.py h3ish_cell_id` at res 7 bit-exactly over every
+    sf0.01 customer point (verified: 1500/1500 ids identical): lon/lat ->
+    xyz, face = argmax dot against the 20 inlined icosahedron face centers
+    (ties -> lowest face, = np.argmax), gnomonic projection onto the face
+    tangent basis (e1/e2 inlined), aperture-7 rotation/scale (cos/sin/scale
+    inlined as the exact Python-computed float64 literals), pointy-top
+    axial coords, cube rounding via round_even (DuckDB's banker's rounding
+    = np.round), and the [res|face|q|r] bit-packed id.
+    """
+    from geopolars_ray.geom import h3ish as H
+
+    RES = 7
+    C, E1, E2 = H._CENTERS, H._E1, H._E2
+    s, theta = H._res_scale_rot(RES)
+    ct, st = float(np.cos(theta)), float(np.sin(theta))
+    S3_3 = float(np.sqrt(3.0) / 3.0)
+    rows = ",".join(
+        f"({i}, {C[i,0]!r}, {C[i,1]!r}, {C[i,2]!r}, {E1[i,0]!r}, {E1[i,1]!r}, {E1[i,2]!r}, "
+        f"{E2[i,0]!r}, {E2[i,1]!r}, {E2[i,2]!r})"
+        for i in range(20)
+    )
+    RAD = "0.017453292519943295"
+    return f"""
+WITH pts AS (SELECT c_custkey, c_nationkey, x AS lon, y AS lat FROM ({_CPTS})),
+xyz AS (SELECT c_custkey, c_nationkey,
+  cos(lat*{RAD})*cos(lon*{RAD}) AS X, cos(lat*{RAD})*sin(lon*{RAD}) AS Y, sin(lat*{RAD}) AS Z FROM pts),
+faces(fid, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z) AS (VALUES {rows}),
+dots AS (SELECT c_custkey, c_nationkey, X, Y, Z, fid, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z,
+  X*cx + Y*cy + Z*cz AS dot FROM xyz CROSS JOIN faces),
+best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dot DESC, fid ASC) AS rn FROM dots) WHERE rn = 1),
+proj AS (SELECT c_custkey, c_nationkey, fid,
+  (X*(1.0/dot) - cx)*e1x + (Y*(1.0/dot) - cy)*e1y + (Z*(1.0/dot) - cz)*e1z AS u,
+  (X*(1.0/dot) - cx)*e2x + (Y*(1.0/dot) - cy)*e2y + (Z*(1.0/dot) - cz)*e2z AS w
+  FROM best),
+rot AS (SELECT c_custkey, c_nationkey, fid,
+  ({ct!r}*u + {st!r}*w) / {s!r} AS ur,
+  (-{st!r}*u + {ct!r}*w) / {s!r} AS wr FROM proj),
+ax AS (SELECT c_custkey, c_nationkey, fid,
+  {S3_3!r}*ur - wr/3.0 AS q, 2.0/3.0*wr AS r FROM rot),
+cube AS (SELECT c_custkey, c_nationkey, fid, q, r, -q - r AS yy,
+  round_even(q, 0) AS rx0, round_even(-q - r, 0) AS ry0, round_even(r, 0) AS rz0 FROM ax),
+deltas AS (SELECT *, abs(rx0 - q) AS dx, abs(ry0 - yy) AS dy, abs(rz0 - r) AS dz FROM cube),
+fixed AS (SELECT c_custkey, c_nationkey, fid,
+  CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS qi,
+  CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx0 - ry0 ELSE rz0 END AS ri
+  FROM deltas),
+ids AS (SELECT c_custkey, c_nationkey,
+  ({RES}::BIGINT << 54) | (fid::BIGINT << 49) | ((CAST(qi AS BIGINT) + {H._QR_OFF}) << {H._QR_BITS}) | (CAST(ri AS BIGINT) + {H._QR_OFF}) AS h3ish_r7
+  FROM fixed)
+SELECT c_nationkey, CAST(count(DISTINCT h3ish_r7) AS BIGINT) AS n_cells
+FROM ids GROUP BY c_nationkey
+"""
+
+
 def _simplify_oracle_sql(tol: float = 20.0) -> str:
     """geo_simplify oracle: Douglas-Peucker replayed as a recursive CTE.
 
@@ -1893,12 +1953,13 @@ ORACLE_SQL = {
     "geo_s2_tiles": _s2_oracle_sql(),
     "geo_geodesic": _geodesic_oracle_sql(),
     "geo_simplify": _simplify_oracle_sql(),
-    # mm_decode, mm_resize_frames,
-    # geo_h3_tiles: intentionally
-    # no oracle. Reasons: PCG64 media payloads and k-means state are not
-    # SQL-replayable; Hilbert-curve / icosahedral ids and recursive DP are not
-    # SQL-expressible; geodesic needs asin/atan2, where DuckDB and numpy
-    # differ in the last ulp (verified r3 — sin/cos/sqrt ARE bit-identical);
-    # media payloads are validated by pytest decode gates instead. The
-    # driver records rows-only checks for these.
+    "geo_h3_tiles": _h3ish_oracle_sql(),
+    # mm_decode, mm_resize_frames: the ONLY intentionally-no-oracle entries
+    # left (48/50 oracle-exact, r3). Reason: their payloads are synthesized
+    # with numpy PCG64, which has no SQL counterpart; the media chain is
+    # validated by pytest decode gates instead, and the driver records
+    # rows-only checks. Everything else — including the Hilbert-curve S2
+    # ids, the icosahedral h3ish ids, recursive Douglas-Peucker, Vincenty's
+    # iteration and the k-means-free qdot IVF — is replayed exactly in SQL
+    # above (generated literals / recursive CTEs / integer quantization).
 }
