@@ -54,6 +54,11 @@ class FusedPagesGeotag:
         outs = []
         for path in batch["path"].to_pylist():
             t = pq.read_table(path, columns=["url", "warc_ts", "html", "lang"])
+            if t.num_rows == 0:
+                # a zero-row shard still contributes an (empty) table so the
+                # final concat sees the output schema instead of no tables
+                outs.append(self.join(self.tiles(self.extract(t))))
+                continue
             for s in range(0, t.num_rows, self.batch_rows):
                 sl = t.slice(s, min(self.batch_rows, t.num_rows - s))
                 outs.append(self.join(self.tiles(self.extract(sl))))
@@ -211,8 +216,10 @@ def run_flagship_fused(
 
     The per-shard partials (~1 row per (tile, admin) pair per shard) are
     materialized (a tiny table) and re-aggregated by summing counts/sums in
-    ``hash_aggregate`` — exactly the classic combiner contract, so the
-    result is bit-identical to :func:`run_flagship` (integer-valued sums).
+    ``hash_aggregate`` — exactly the classic combiner contract. ``n_pages``
+    (integer counts of integers) is bit-identical to :func:`run_flagship`;
+    ``sum_lat``/``sum_lon`` are float sums whose per-shard vs per-block
+    association differs in the final ULPs (the bench asserts rtol=1e-12).
     """
     import glob as glob_mod
 
@@ -226,20 +233,22 @@ def run_flagship_fused(
     fused = FusedPagesGeotag(admin, s2_level=s2_level, grid_cell_deg=grid_cell_deg,
                              batch_rows=batch_rows)
 
+    tcol = f"s2_l{s2_level}"
+
     def shard_pipeline(batch: pa.Table) -> pa.Table:
         pts = fused(batch)
-        t = pts.select(["s2_l12", "admin_id", "lat", "lon"])
+        t = pts.select([tcol, "admin_id", "lat", "lon"])
         return (
-            t.group_by(["s2_l12", "admin_id"])
+            t.group_by([tcol, "admin_id"])
             .aggregate([("lat", "count"), ("lat", "sum"), ("lon", "sum")])
-            .rename_columns(["s2_l12", "admin_id", "n_pages", "sum_lat", "sum_lon"])
+            .rename_columns([tcol, "admin_id", "n_pages", "sum_lat", "sum_lon"])
         )
 
     items = ray.data.from_items([{"path": p} for p in paths], override_num_blocks=len(paths))
     parts = items.map_batches(shard_pipeline, batch_format="pyarrow", batch_size=1).materialize()
     out = hash_aggregate(
         parts,
-        keys=["s2_l12", "admin_id"],
+        keys=[tcol, "admin_id"],
         spec=[
             ("n_pages", "sum", "n_pages"),
             ("sum_lat", "sum", "sum_lat"),
@@ -249,8 +258,8 @@ def run_flagship_fused(
     )
 
     def rename(batch: pa.Table) -> pa.Table:
-        idx = batch.column_names.index("s2_l12")
-        return batch.set_column(idx, "tile", batch["s2_l12"])
+        idx = batch.column_names.index(tcol)
+        return batch.set_column(idx, "tile", batch[tcol])
 
     out = out.map_batches(rename, batch_format="pyarrow")
     if out_path is not None:

@@ -846,10 +846,28 @@ def q_txt_fingerprint(sf_dir: str):
 
 
 def q_dd_minhash_docs(sf_dir: str):
-    """MinHash-LSH near-dup candidates over documents, Jaccard-verified."""
+    """MinHash-LSH near-dup candidates over documents, Jaccard-verified.
+
+    ASCII projection first (mirrors txt_langid, review r3): the library
+    shingles UTF-8 BYTES while the SQL oracle shingles characters via
+    ``ord`` — identical only for pure-ASCII text. Replacing every non-ASCII
+    codepoint with a space on BOTH sides (same RE2 pattern) makes byte- and
+    char-shingles coincide by construction, so the oracle replay stays exact
+    on any input, not just the (all-ASCII) sf* tables."""
     from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs, jaccard_verify
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ascii_project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.column_names.index("text")
+        return batch.set_column(
+            i, "text",
+            pc.replace_substring_regex(batch["text"], pattern=r"[^\x00-\x7f]", replacement=" "),
+        )
+
+    docs = docs.map_batches(ascii_project, batch_format="pyarrow")
     # task-based: minhash state (64 seeded ints) is tiny, so the closure
     # serializes once and tasks skip the actor pool's multi-second spin-up
     # (measured ~1.5s faster end-to-end; the actor form remains the right
@@ -872,6 +890,23 @@ def q_dd_simhash_docs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def _smallest_vec_rows(path: str, n: int) -> pa.Table:
+    """The n smallest-vec_id embedding rows, sorted by vec_id ascending.
+
+    Reads the narrow vec_id column first and fetches ONLY the selected rows'
+    embeddings via a parquet filter — at larger sf the driver never holds
+    the wide embedding column for the whole corpus (review r3)."""
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy(zero_copy_only=False)
+    ids = np.sort(ids.astype(np.int64))[:n]
+    t = pq.read_table(
+        path, columns=["vec_id", "embedding"], filters=[("vec_id", "in", ids.tolist())]
+    )
+    order = np.argsort(np.asarray(t["vec_id"].to_pylist(), dtype=np.int64), kind="stable")
+    return t.take(pa.array(order))
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force top-10 similarity — ORACLE-CHECKED (r3; was rows-only).
 
@@ -881,13 +916,9 @@ def q_ann_topk(sf_dir: str):
     DuckDB ``list_dot_product`` oracle exactly, including the (score desc,
     vec_id asc) ranking. Queries = the 5 smallest vec_ids (well-defined in
     SQL, unlike file order)."""
-    import pyarrow.parquet as pq
-
     from geopolars_ray.stages.ann import brute_force_knn
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64), kind="stable")[:5]
-    qtab = emb.take(pa.array(order))
+    qtab = _smallest_vec_rows(f"{sf_dir}/embeddings.parquet", 5)
     queries = {
         "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
         "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
@@ -914,14 +945,10 @@ def q_ann_ivf(sf_dir: str):
     approximate scan (~1/4 of the corpus), replayed list-for-list by the
     oracle. The k-means-trained quantizer (`train_ivf_centroids`) remains
     the library path, recall>=0.9-gated in pytest (test_ann)."""
-    import pyarrow.parquet as pq
-
     from geopolars_ray.stages.ann import ivf_knn
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    order = np.argsort(np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64), kind="stable")
-    qtab = emb.take(pa.array(order[:5]))
-    ctab = emb.take(pa.array(order[:16]))
+    ctab = _smallest_vec_rows(f"{sf_dir}/embeddings.parquet", 16)
+    qtab = ctab.slice(0, 5)
     queries = {
         "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
         "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
@@ -1290,7 +1317,7 @@ def _s2_oracle_sql() -> str:
         prev = f"{nxt}b"
     rounds_sql = ",\n".join(rounds)
     return f"""
-WITH pts AS (SELECT c_custkey, (c_custkey % 720)/2.0 - 179.75 AS lon, ((c_custkey*7) % 360)/2.0 - 89.75 AS lat FROM customer),
+WITH pts AS (SELECT c_custkey, x AS lon, y AS lat FROM ({_CPTS})),
 xyz AS (SELECT c_custkey,
   cos(lat * 0.017453292519943295) * cos(lon * 0.017453292519943295) AS X,
   cos(lat * 0.017453292519943295) * sin(lon * 0.017453292519943295) AS Y,
@@ -1568,7 +1595,8 @@ def _minhash_oracle_sql() -> str:
         prev = f"r{r}"
     rounds_sql = ",\n".join(rounds)
     return f"""
-WITH d AS MATERIALIZED (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS tx FROM documents),
+WITH d0 AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g') AS text FROM documents),
+d AS MATERIALIZED (SELECT doc_id, CASE WHEN length(text) < 5 THEN rpad(text, 5, ' ') ELSE text END AS tx FROM d0),
 ser AS (SELECT unnest(range(1, (SELECT max(length(tx)) FROM d) - 2)) AS p),
 pos AS (SELECT doc_id, tx, p FROM d CROSS JOIN ser WHERE p <= length(tx) - 4),
 h AS MATERIALIZED (SELECT DISTINCT doc_id,
