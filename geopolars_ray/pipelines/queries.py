@@ -968,10 +968,15 @@ def q_ann_ivf(sf_dir: str):
 def q_mm_resize_frames(sf_dir: str):
     """Multimodal plumbing: fake 'videos' (length-prefixed FIMG frames keyed
     by vec_id) -> FrameSample flat-map -> ResizeImage -> decode stats.
-    Rows-only (binary payloads); exercises the actor-pool media chain."""
+
+    ORACLE-CHECKED (r3; was rows-only): LCG payloads (see q_mm_decode) make
+    the whole chain replayable — sampled frames are n % 2 == 0 (frame_no
+    0, 2 of 4; seed = vid*10 + frame_no), and the 8x8 -> 4x4 nearest
+    resize keeps exactly the original linear indices 48r + 6c + ch, which
+    the oracle enumerates. The three actor-pool stages are unchanged."""
     import struct as struct_mod
 
-    from geopolars_ray.stages.multimodal import DecodeImage, FrameSample, ResizeImage, encode_fake_image
+    from geopolars_ray.stages.multimodal import DecodeImage, FrameSample, ResizeImage, encode_lcg_image
 
     ids_ds = _read(sf_dir, "embeddings", columns=["vec_id"])
 
@@ -979,7 +984,7 @@ def q_mm_resize_frames(sf_dir: str):
         vids = []
         vid_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         for v in vid_ids:
-            frames = [encode_fake_image(8, 8, seed=int(v) * 10 + j) for j in range(4)]
+            frames = [encode_lcg_image(8, 8, seed=int(v) * 10 + j) for j in range(4)]
             vids.append(b"".join(struct_mod.pack("<I", len(f)) + f for f in frames))
         return pa.table({"vid": pa.array(vid_ids), "video": pa.array(vids, pa.binary())})
 
@@ -988,14 +993,8 @@ def q_mm_resize_frames(sf_dir: str):
                             batch_format="pyarrow", concurrency=2, batch_size=256)
     small = frames.map_batches(ResizeImage, fn_constructor_kwargs=dict(out_w=4, out_h=4),
                                batch_format="pyarrow", concurrency=2, batch_size=256)
-    out = small.map_batches(DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
-                            batch_format="pyarrow", concurrency=2, batch_size=256)
-
-    def rnd(batch: pa.Table) -> pa.Table:
-        m = np.round(np.asarray(batch["mean_rgb"].to_pylist()), 6)
-        return batch.drop_columns(["mean_rgb"]).append_column("mean_rgb", pa.array(m))
-
-    return out.map_batches(rnd, batch_format="pyarrow")
+    return small.map_batches(DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
+                             batch_format="pyarrow", concurrency=2, batch_size=256)
 
 
 def q_dd_embed_cosine(sf_dir: str):
@@ -1261,28 +1260,25 @@ def q_rel_sample(sf_dir: str):
 
 def q_mm_decode(sf_dir: str):
     """Multimodal plumbing: deterministic fake images keyed by vec_id ->
-    actor decode -> (img_id, width, height). Rows-only (binary payloads)."""
-    import pyarrow.parquet as pq
+    actor decode -> (img_id, width, height, mean_rgb).
 
-    from geopolars_ray.stages.multimodal import encode_fake_image, DecodeImage
-
-    ids = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])["vec_id"].to_numpy()
+    ORACLE-CHECKED (r3; was rows-only): payloads come from
+    ``encode_lcg_image`` — byte j is ``((seed*A + j*B) % 2^32) % 256`` —
+    so the SQL oracle regenerates every pixel and replays the decode's
+    mean exactly (integer sum / n is one correctly-rounded double divide
+    on both sides). The actor-pool DecodeImage stage is unchanged."""
+    from geopolars_ray.stages.multimodal import encode_lcg_image, DecodeImage
 
     def gen(batch: pa.Table) -> pa.Table:
         vid = batch["vec_id"].to_numpy(zero_copy_only=False)
-        imgs = [encode_fake_image(8 + int(v) % 8, 8, seed=int(v)) for v in vid]
+        imgs = [encode_lcg_image(8 + int(v) % 8, 8, seed=int(v)) for v in vid]
         return pa.table({"img_id": pa.array(vid.astype(np.int64)), "image": pa.array(imgs, pa.binary())})
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(gen, batch_format="pyarrow")
-    out = ds.map_batches(
+    return ds.map_batches(
         DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
         batch_format="pyarrow", concurrency=2, batch_size=256,
     )
-    def rnd(batch: pa.Table) -> pa.Table:
-        m = np.round(np.asarray(batch["mean_rgb"].to_pylist()), 6)
-        return batch.drop_columns(["mean_rgb"]).append_column("mean_rgb", pa.array(m))
-
-    return out.map_batches(rnd, batch_format="pyarrow")
 
 
 
@@ -1982,12 +1978,35 @@ ORACLE_SQL = {
     "geo_geodesic": _geodesic_oracle_sql(),
     "geo_simplify": _simplify_oracle_sql(),
     "geo_h3_tiles": _h3ish_oracle_sql(),
-    # mm_decode, mm_resize_frames: the ONLY intentionally-no-oracle entries
-    # left (48/50 oracle-exact, r3). Reason: their payloads are synthesized
-    # with numpy PCG64, which has no SQL counterpart; the media chain is
-    # validated by pytest decode gates instead, and the driver records
-    # rows-only checks. Everything else — including the Hilbert-curve S2
+    # mm_decode / mm_resize_frames (r3): payloads are multiplicative-hash
+    # byte streams (stages/multimodal.py encode_lcg_image), so the oracle
+    # regenerates every pixel — byte j of seed s is ((s*A + j*B) % 2^32)
+    # % 256 — and replays the decode mean as one exact integer-sum /
+    # count double division. The resize oracle enumerates the nearest-
+    # neighbor-retained original indices 48r + 6c + ch directly.
+    "mm_decode": (
+        "WITH dims AS (SELECT vec_id, 8 + vec_id % 8 AS w, CAST(8 AS BIGINT) AS h FROM embeddings), "
+        "ser AS (SELECT unnest(range(0, 360)) AS j), "
+        "px AS (SELECT vec_id, w, h, "
+        "((vec_id*2654435761 + j*2246822519) % 4294967296) % 256 AS v "
+        "FROM dims CROSS JOIN ser WHERE j < w*h*3) "
+        "SELECT vec_id AS img_id, w AS width, h AS height, "
+        "CAST(sum(v) AS DOUBLE) / (w*h*3) AS mean_rgb "
+        "FROM px GROUP BY vec_id, w, h"
+    ),
+    "mm_resize_frames": (
+        "WITH f AS (SELECT vec_id AS vid, unnest([CAST(0 AS BIGINT), CAST(2 AS BIGINT)]) AS frame_no FROM embeddings), "
+        "idx AS (SELECT unnest(range(0, 48)) AS i), "
+        "px AS (SELECT vid, frame_no, "
+        "(((vid*10 + frame_no)*2654435761 + (48*(i//12) + 6*((i%12)//3) + (i%3))*2246822519) % 4294967296) % 256 AS v "
+        "FROM f CROSS JOIN idx) "
+        "SELECT vid, frame_no, CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height, "
+        "CAST(sum(v) AS DOUBLE) / 48 AS mean_rgb "
+        "FROM px GROUP BY vid, frame_no"
+    ),
+    # 50/50 oracle-exact (r3). Everything — including the Hilbert-curve S2
     # ids, the icosahedral h3ish ids, recursive Douglas-Peucker, Vincenty's
-    # iteration and the k-means-free qdot IVF — is replayed exactly in SQL
-    # above (generated literals / recursive CTEs / integer quantization).
+    # iteration, the k-means-free qdot IVF and the LCG media chain — is
+    # replayed exactly in SQL (generated literals / recursive CTEs /
+    # integer quantization).
 }

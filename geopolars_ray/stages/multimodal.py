@@ -28,6 +28,27 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + payload.tobytes()
 
 
+# Knuth/Fibonacci multiplicative-hash constants (same family as
+# stages/sample.py); chosen because the byte stream they generate is
+# replayable EXACTLY in integer SQL, unlike encode_fake_image's PCG64.
+LCG_A = 2654435761
+LCG_B = 2246822519
+
+
+def encode_lcg_image(width: int, height: int, seed: int) -> bytes:
+    """FIMG bytes whose payload byte j is ``((seed*A + j*B) % 2**32) % 256``.
+
+    Same header format as :func:`encode_fake_image` — decodes through the
+    same :class:`DecodeImage`/:class:`ResizeImage` stages — but the payload
+    is an integer-hash sequence a SQL oracle can recompute bit-for-bit
+    (all intermediates < 2**63 for seed < ~3e9), which is what makes the
+    ``mm_decode``/``mm_resize_frames`` gate queries oracle-checkable."""
+    n = width * height * 3
+    j = np.arange(n, dtype=np.int64)
+    v = ((seed * LCG_A + j * LCG_B) % (1 << 32)) % 256
+    return FAKE_MAGIC + struct.pack("<II", width, height) + v.astype(np.uint8).tobytes()
+
+
 class DecodeImage:
     """Actor-pool image decode: binary column -> (width, height, mean_rgb).
 
