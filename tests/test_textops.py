@@ -146,6 +146,32 @@ def test_multimodal_fake_codec():
         DecodeImage(codec="real")
 
 
+def test_lcg_image_matches_oracle_formula():
+    """encode_lcg_image is the contract the mm_decode/mm_resize_frames SQL
+    oracles replay: byte j == ((seed*A + j*B) % 2**32) % 256, decode mean
+    == exact integer sum / n, and a 2:1 nearest resize keeps exactly the
+    original indices 48r + 6c + ch (the constants inlined in the SQL)."""
+    from geopolars_ray.stages.multimodal import LCG_A, LCG_B, encode_lcg_image
+
+    seed, w, h = 4992, 15, 8  # max seed/width the gate queries produce
+    img = encode_lcg_image(w, h, seed)
+    px = np.frombuffer(img, dtype=np.uint8, offset=12)
+    expect = [((seed * LCG_A + j * LCG_B) % 2**32) % 256 for j in range(w * h * 3)]
+    assert px.tolist() == expect
+
+    dec = DecodeImage(codec="fake")(
+        pa.table({"img_id": pa.array([0], pa.int64()), "image": pa.array([img], pa.binary())})
+    )
+    assert dec["mean_rgb"][0].as_py() == sum(expect) / len(expect)
+
+    img8 = encode_lcg_image(8, 8, seed)
+    t8 = pa.table({"img_id": pa.array([0], pa.int64()), "image": pa.array([img8], pa.binary())})
+    small = np.frombuffer(ResizeImage(4, 4)(t8)["image"][0].as_py(), dtype=np.uint8, offset=12)
+    full = np.frombuffer(img8, dtype=np.uint8, offset=12)
+    kept = [48 * r + 6 * c + ch for r in range(4) for c in range(4) for ch in range(3)]
+    assert small.tolist() == full[kept].tolist()
+
+
 def test_frame_sample():
     import struct
 
