@@ -28,10 +28,13 @@ def encode_fake_image(width: int, height: int, seed: int) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + payload.tobytes()
 
 
-# Knuth/Fibonacci multiplicative-hash constants (same family as
-# stages/sample.py); chosen because the byte stream they generate is
-# replayable EXACTLY in integer SQL, unlike encode_fake_image's PCG64.
-LCG_A = 2654435761
+# Knuth/Fibonacci multiplicative-hash constants; chosen because the byte
+# stream they generate is replayable EXACTLY in integer SQL, unlike
+# encode_fake_image's PCG64. LCG_A is the same 2^32/phi constant as
+# stages/sample.py KNUTH — imported so the two sites cannot drift (the SQL
+# oracles in pipelines/queries.py necessarily inline the literal).
+from geopolars_ray.stages.sample import KNUTH as LCG_A
+
 LCG_B = 2246822519
 
 
