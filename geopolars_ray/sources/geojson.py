@@ -162,13 +162,19 @@ def read_geojson(
     bbox: tuple[float, float, float, float] | None = None,
     geometry_col: str = "geometry",
     schema: pa.Schema | None = None,
+    fids: list[int] | None = None,
+    skip_features: int = 0,
+    max_features: int | None = None,
 ):
     """Read GeoJSON (FeatureCollection or one-feature-per-line) to a Dataset
     with a WKB ``geometry`` column + property columns.
 
     ``schema`` fixes the property columns/types for the distributed
     GeoJSONSeq path (default: sniffed from the first 256 features on the
-    driver, so all line blocks produce identical block schemas)."""
+    driver, so all line blocks produce identical block schemas).
+    ``fids``/``skip_features``/``max_features`` select by 0-based feature
+    order — FeatureCollection only (a GeoJSONSeq read is distributed line
+    blocks with no global feature index; slice its output Dataset instead)."""
     paths = [path] if isinstance(path, str) else list(path)
     with open(paths[0], "r", encoding="utf-8") as f:
         first_line = f.readline()
@@ -180,6 +186,12 @@ def read_geojson(
         is_seq = False
 
     if is_seq:
+        if fids is not None or skip_features or max_features is not None:
+            raise ValueError(
+                "fids/skip_features/max_features are FeatureCollection-only "
+                "(GeoJSONSeq reads are distributed line blocks with no global "
+                "feature index); use Dataset.limit / a key filter instead"
+            )
         prop_schema = schema if schema is not None else _sniff_prop_schema(paths, columns)
         ds = ray.data.read_text(paths)
 
@@ -199,6 +211,12 @@ def read_geojson(
                 feats.append(doc)
             else:  # bare geometry document
                 feats.append({"type": "Feature", "geometry": doc, "properties": {}})
+        if fids is not None:
+            want = set(int(f) for f in fids)
+            feats = [f for i, f in enumerate(feats) if i in want]
+        elif skip_features or max_features is not None:
+            end = None if max_features is None else skip_features + max_features
+            feats = feats[skip_features:end]
         out = ray.data.from_arrow(_features_to_table(feats, columns, geometry_col))
 
     if bbox is not None:

@@ -213,6 +213,35 @@ def read_gpkg(
     return out
 
 
+def gpkg_fid_window(
+    path: str,
+    layer: str | None = None,
+    where: str | None = None,
+    skip_features: int = 0,
+    max_features: int | None = None,
+) -> list[int]:
+    """The rowids of the ``skip_features``/``max_features`` window over the
+    layer's rowid-ordered (optionally ``where``-filtered) feature stream —
+    OGR's skip/max semantics, resolved with ONE driver-side SQLite query so
+    the window rides :func:`read_gpkg`'s fid shard-pruning path."""
+    layer_name = _layer_meta(path, layer)[0]
+    q = f'SELECT rowid FROM "{layer_name}"'
+    if where:
+        q += f" WHERE ({where})"
+    q += " ORDER BY rowid"
+    if max_features is not None:
+        q += f" LIMIT {int(max_features)}"
+    elif skip_features:
+        q += " LIMIT -1"
+    if skip_features:
+        q += f" OFFSET {int(skip_features)}"
+    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    try:
+        return [int(r[0]) for r in con.execute(q).fetchall()]
+    finally:
+        con.close()
+
+
 def read_gpkg_crs(path: str, layer: str | None = None) -> str | None:
     """The layer's CRS string ("EPSG:xxxx") from gpkg_spatial_ref_sys."""
     return _layer_meta(path, layer)[2]

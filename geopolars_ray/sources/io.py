@@ -107,6 +107,9 @@ def read_file(
     bbox: tuple[float, float, float, float] | None = None,
     geometry_col: str = "geometry",
     where=None,
+    fids: list[int] | None = None,
+    skip_features: int = 0,
+    max_features: int | None = None,
     **kw,
 ):
     """Format-dispatching vector read — the reference's ``read_file``
@@ -115,21 +118,52 @@ def read_file(
     .parquet -> :func:`read_geo_dataset`; .geojson/.geojsonl/.json ->
     :func:`geopolars_ray.sources.geojson.read_geojson`; .csv (WKT column) ->
     :func:`read_wkt_csv`; .shp -> pure-Python shapefile reader; .gpkg ->
-    pure-Python SQLite GeoPackage reader. All accept ``columns`` projection,
-    ``bbox`` envelope pushdown and ``where`` attribute predicates (a pyarrow
-    compute Expression applied right after the scan; for .gpkg a SQL string
-    is also accepted and pushes into SQLite).
+    pure-Python SQLite GeoPackage reader; .kml -> pure-Python KML reader.
+    All accept ``columns`` projection, ``bbox`` envelope pushdown and
+    ``where`` attribute predicates (a pyarrow compute Expression applied
+    right after the scan; for .gpkg a SQL string is also accepted and pushes
+    into SQLite).
+
+    ``fids`` / ``skip_features`` / ``max_features`` mirror the reference's
+    OGR selection options (`file.py:93-108`) on the feature-addressable
+    formats (.gpkg rowids; raw file feature order for .shp/.kml/GeoJSON
+    FeatureCollections). Combination rules, enforced loudly: ``fids`` is
+    exclusive with every filter (pyogrio's own rule); ``skip``/``max`` are
+    exclusive with ``bbox`` everywhere and with ``where`` except on .gpkg,
+    where the window is resolved against the where-filtered rowid stream in
+    the same SQLite query (OGR's post-filter window semantics).
     """
     paths_list = [path] if isinstance(path, str) else list(path)
     first = paths_list[0]
     suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    has_window = skip_features or max_features is not None
+    if fids is not None and (where is not None or bbox is not None or has_window):
+        raise ValueError("fids cannot be combined with where/bbox/skip_features/max_features")
+    if has_window and bbox is not None:
+        raise ValueError("skip_features/max_features cannot be combined with bbox")
+    if has_window and where is not None and suffix != "gpkg":
+        raise ValueError(
+            "skip_features/max_features with a where predicate is .gpkg-only "
+            "(the window there is resolved against the filtered rowid stream); "
+            "other formats slice raw file feature order"
+        )
+    if (fids is not None or has_window) and len(paths_list) > 1:
+        raise ValueError("fids/skip_features/max_features require a single input file")
     if suffix == "gpkg":
-        from geopolars_ray.sources.gpkg import read_gpkg
+        from geopolars_ray.sources.gpkg import gpkg_fid_window, read_gpkg
+
+        gpkg_fids = fids
+        gpkg_where = where if isinstance(where, str) else None
+        if has_window:
+            gpkg_fids = gpkg_fid_window(
+                first, layer=kw.get("layer"), where=gpkg_where,
+                skip_features=skip_features, max_features=max_features,
+            )
 
         def one(p):
             return read_gpkg(
                 p, columns=columns, bbox=bbox, geometry_col=geometry_col,
-                where=where if isinstance(where, str) else None, **kw,
+                where=gpkg_where, fids=gpkg_fids, **kw,
             )
 
         out = one(first)
@@ -138,6 +172,15 @@ def read_file(
         if where is not None and not isinstance(where, str):
             out = out.map_batches(attribute_filter(where), batch_format="pyarrow")
         return out
+    sel = {}
+    if fids is not None or has_window:
+        if suffix not in ("shp", "kml", "geojson", "json"):
+            raise ValueError(
+                f"fids/skip_features/max_features unsupported for .{suffix} "
+                "(feature-addressable formats: .gpkg, .shp, .kml, GeoJSON "
+                "FeatureCollection)"
+            )
+        sel = {"fids": fids, "skip_features": skip_features, "max_features": max_features}
     if isinstance(where, str):
         raise ValueError(
             "string `where` predicates push into SQLite and are .gpkg-only; "
@@ -153,14 +196,18 @@ def read_file(
         from geopolars_ray.sources.geojson import read_geojson
 
         # forwards schema= (the heterogeneous-properties escape hatch) etc.
-        out = read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
+        out = read_geojson(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **sel, **kw)
     elif suffix == "csv":
         out = read_wkt_csv(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw)
+    elif suffix == "kml":
+        from geopolars_ray.sources.kml import read_kml
+
+        out = read_kml(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **sel, **kw)
     elif suffix == "shp":
         from geopolars_ray.sources.shapefile import read_shapefile
 
         paths = [path] if isinstance(path, str) else list(path)
-        out = read_shapefile(paths[0], columns=columns, bbox=bbox, geometry_col=geometry_col)
+        out = read_shapefile(paths[0], columns=columns, bbox=bbox, geometry_col=geometry_col, **sel)
         for p in paths[1:]:
             out = out.union(read_shapefile(p, columns=columns, bbox=bbox, geometry_col=geometry_col))
     else:

@@ -158,20 +158,38 @@ def read_shapefile(
     columns: list[str] | None = None,
     bbox: tuple[float, float, float, float] | None = None,
     geometry_col: str = "geometry",
+    fids: list[int] | None = None,
+    skip_features: int = 0,
+    max_features: int | None = None,
 ):
     """Read .shp (+ sibling .dbf attributes, if present) to a Ray Dataset
-    with a WKB geometry column; ``columns``/``bbox`` as in `read_file`."""
+    with a WKB geometry column; ``columns``/``bbox`` as in `read_file`.
+    ``fids``/``skip_features``/``max_features`` select by 0-based record
+    number — OGR's shapefile FID semantics (`read_file` enforces their
+    no-combining-with-filters rule)."""
     import ray
 
     geoms = _read_shp(path)
-    ga = GeometryArray.from_pylist(geoms)
     dbf = Path(path).with_suffix(".dbf")
     if dbf.exists():
         tab = _read_dbf(str(dbf))
-        if tab.num_rows != len(ga):
-            raise ValueError(f".dbf rows ({tab.num_rows}) != .shp records ({len(ga)})")
+        if tab.num_rows != len(geoms):
+            raise ValueError(f".dbf rows ({tab.num_rows}) != .shp records ({len(geoms)})")
     else:
-        tab = pa.table({"_fid": pa.array(np.arange(len(ga), dtype=np.int64))})
+        tab = pa.table({"_fid": pa.array(np.arange(len(geoms), dtype=np.int64))})
+    if fids is not None:
+        idx = sorted(set(int(f) for f in fids))
+        bad = [i for i in idx if i < 0 or i >= len(geoms)]
+        if bad:
+            raise ValueError(f"fids {bad} outside record range 0..{len(geoms) - 1}")
+        geoms = [geoms[i] for i in idx]
+        tab = tab.take(pa.array(idx, pa.int64()))
+    elif skip_features or max_features is not None:
+        end = len(geoms) if max_features is None else min(len(geoms), skip_features + max_features)
+        start = min(skip_features, len(geoms))
+        geoms = geoms[start:end]
+        tab = tab.slice(start, max(0, end - start))
+    ga = GeometryArray.from_pylist(geoms)
     if columns is not None:
         tab = tab.select([c for c in columns if c in tab.column_names])
     tab = tab.append_column(geometry_col, encode_wkb(ga))

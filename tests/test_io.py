@@ -505,3 +505,128 @@ def test_gpkg_multi_path_and_edge_cases(ray_session, tmp_path):
     empty = str(tmp_path / "empty.gpkg")
     write_gpkg(tab(0, 0), empty, layer="l")
     assert read_gpkg(empty).count() == 0
+
+
+def test_kml_roundtrip(ray_session, tmp_path):
+    """KML write -> read round-trip: geometry kinds, name/ExtendedData
+    properties, columns/bbox, Folder nesting, namespaced documents."""
+    import numpy as np
+    import pyarrow as pa
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.kml import read_kml, write_kml
+
+    ga = GeometryArray.from_pylist([
+        ("point", (1.5, 2.25)),
+        ("linestring", [(0.0, 0.0), (3.0, 4.0), (5.0, -1.0)]),
+        ("polygon", [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                     [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]]),
+        ("multipoint", [(30.0, 30.0), (31.0, 31.0)]),
+        ("multipolygon", [[[(20, 20), (22, 20), (22, 22), (20, 20)]],
+                          [[(24, 24), (26, 24), (26, 26), (24, 24)]]]),
+    ])
+    t = pa.table({
+        "name": pa.array(["a", "b", "c", "d", "e"]),
+        "kind": pa.array(["pt", "ls", "pg", "mp", "mpg"]),
+        "geometry": encode_wkb(ga),
+    })
+    p = str(tmp_path / "shapes.kml")
+    write_kml(t, p)
+
+    df = read_kml(p).to_pandas()
+    assert df["name"].tolist() == ["a", "b", "c", "d", "e"]
+    assert df["kind"].tolist() == ["pt", "ls", "pg", "mp", "mpg"]
+    back = decode_wkb(pa.array(df["geometry"].tolist(), pa.binary()))
+    assert back.to_pylist() == ga.to_pylist()  # repr-roundtrip coords: exact
+
+    # read_file dispatch + columns projection + bbox
+    df2 = read_file(p, columns=["kind"], bbox=(0.5, 1.0, 6.0, 5.0)).to_pandas()
+    assert set(df2.columns) == {"kind", "geometry"}
+    assert df2["kind"].tolist() == ["pt", "ls", "pg"]  # envelope-intersects
+
+    # raw-feature-order selection
+    assert read_kml(p, fids=[0, 4]).to_pandas()["kind"].tolist() == ["pt", "mpg"]
+    assert read_kml(p, skip_features=1, max_features=2).to_pandas()["kind"].tolist() == ["ls", "pg"]
+
+    # hand-written namespaced KML with Folder nesting and SchemaData
+    src = """<?xml version="1.0" encoding="UTF-8"?>
+<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Folder>
+<Placemark><name>first</name>
+  <ExtendedData><SchemaData schemaUrl="#s"><SimpleData name="pop">42</SimpleData></SchemaData></ExtendedData>
+  <Point><coordinates>10.5,-3.25,99.0</coordinates></Point></Placemark>
+<Folder><Placemark><description>nested</description>
+  <LineString><coordinates>0,0 1,1 2,0</coordinates></LineString></Placemark></Folder>
+</Folder></Document></kml>"""
+    p3 = str(tmp_path / "ns.kml")
+    open(p3, "w").write(src)
+    df3 = read_kml(p3).to_pandas()
+    assert df3["pop"].tolist() == ["42", None]
+    assert df3["description"].tolist() == [None, "nested"]
+    g3 = decode_wkb(pa.array(df3["geometry"].tolist(), pa.binary())).to_pylist()
+    assert g3[0] == ("point", (10.5, -3.25))  # altitude dropped
+    assert g3[1] == ("linestring", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)])
+
+
+def test_read_file_feature_selection(ray_session, tmp_path):
+    """fids/skip_features/max_features across formats + combination rules."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pytest
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.geojson import write_geojson
+    from geopolars_ray.sources.gpkg import write_gpkg
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    n = 50
+    x = np.arange(n, dtype=np.float64)
+    t = pa.table({
+        "val": pa.array(np.arange(n, dtype=np.int64)),
+        "geometry": encode_wkb(GeometryArray.from_points(x, x * 0.5)),
+    })
+
+    shp = str(tmp_path / "pts.shp")
+    write_shapefile(t, shp)
+    assert read_file(shp, fids=[0, 7, 49]).to_pandas()["val"].tolist() == [0, 7, 49]
+    assert read_file(shp, skip_features=45).to_pandas()["val"].tolist() == list(range(45, 50))
+    assert read_file(shp, skip_features=10, max_features=3).to_pandas()["val"].tolist() == [10, 11, 12]
+    with pytest.raises(ValueError, match="outside record range"):
+        read_file(shp, fids=[0, 50]).to_pandas()
+
+    gj = str(tmp_path / "pts.geojson")
+    write_geojson(t, gj)
+    assert read_file(gj, fids=[1, 2]).to_pandas()["val"].tolist() == [1, 2]
+    assert read_file(gj, max_features=4).to_pandas()["val"].tolist() == [0, 1, 2, 3]
+
+    # gpkg: window composes with a where predicate in one SQLite query
+    gp = str(tmp_path / "pts.gpkg")
+    write_gpkg(t, gp, layer="pts", crs="EPSG:4326")
+    got = read_file(gp, where="val % 2 = 0", skip_features=3, max_features=4).to_pandas()
+    assert sorted(got["val"].tolist()) == [6, 8, 10, 12]
+    assert read_file(gp, skip_features=48).to_pandas()["val"].tolist() == [48, 49]
+
+    # combination rules are loud
+    with pytest.raises(ValueError, match="fids cannot be combined"):
+        read_file(shp, fids=[1], skip_features=1)
+    with pytest.raises(ValueError, match="cannot be combined with bbox"):
+        read_file(shp, skip_features=1, bbox=(0, 0, 1, 1))
+    with pytest.raises(ValueError, match="gpkg-only"):
+        read_file(shp, skip_features=1, where=pc.field("val") > 3)
+    with pytest.raises(ValueError, match="single input file"):
+        read_file([shp, shp], fids=[1])
+    with pytest.raises(ValueError, match="unsupported for .csv"):
+        read_file(str(tmp_path / "x.csv"), fids=[1])
+
+    # GeoJSONSeq refuses (distributed line blocks, no global feature index):
+    # read_file rejects the .geojsonl suffix up front, and a seq-formatted
+    # .json file is caught inside read_geojson after format sniffing
+    from geopolars_ray.sources.geojson import write_geojsonl
+    gjl = str(tmp_path / "pts.geojsonl")
+    write_geojsonl(t, gjl)
+    with pytest.raises(ValueError, match="unsupported for .geojsonl"):
+        read_file(gjl, skip_features=1)
+    seq_json = str(tmp_path / "seq.json")
+    write_geojsonl(t, seq_json)
+    with pytest.raises(ValueError, match="FeatureCollection-only"):
+        read_file(seq_json, skip_features=1)
