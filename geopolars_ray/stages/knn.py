@@ -308,8 +308,19 @@ def knn_join(
     return out
 
 
-def euclidean_knn(points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col="id", concurrency=2):
-    """Exact kNN rows (qid, id, distance, rank); ties broken by id asc."""
+def euclidean_knn(
+    points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col="id",
+    concurrency=2, num_partitions: int = 8,
+):
+    """Exact kNN rows (qid, id, distance, rank); ties broken by id asc.
+
+    Per-block partial top-k (so the exchange carries O(q·k·blocks) rows,
+    never points), then ONE vectorized merge per hash partition of qids —
+    not a per-qid ``map_groups`` (Ray's sort-based per-group dispatch costs
+    ~200µs+/group; with thousands of query points the merge would dominate
+    the whole join)."""
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
     ref = ray.put(queries)
     partials = points_ds.map_batches(
         EuclideanTopK,
@@ -318,18 +329,23 @@ def euclidean_knn(points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col
         concurrency=concurrency,
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        d = group["distance"].to_numpy(zero_copy_only=False)
-        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        qid = group["qid"][0].as_py()
-        order = np.lexsort((ids, d))[:k]
+    def merge_part(tab: pa.Table) -> pa.Table:
+        qids = tab["qid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tab["distance"].to_numpy(zero_copy_only=False)
+        ids = tab[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, d, qids))
+        qs, dd, ii = qids[order], d[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        sizes = np.diff(np.r_[starts, len(qs)])
+        rank = np.arange(len(qs)) - np.repeat(starts, sizes)
+        keep = rank < k
         return pa.table(
             {
-                "qid": pa.array(np.full(len(order), qid, dtype=np.int64)),
-                id_col: pa.array(ids[order]),
-                "distance": pa.array(d[order]),
-                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "qid": pa.array(qs[keep]),
+                id_col: pa.array(ii[keep]),
+                "distance": pa.array(dd[keep]),
+                "rank": pa.array(rank[keep] + 1),
             }
         )
 
-    return partials.groupby("qid").map_groups(merge, batch_format="pyarrow")
+    return hash_partitioned_map(partials, ["qid"], merge_part, num_partitions=num_partitions)
