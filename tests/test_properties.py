@@ -210,3 +210,25 @@ def test_utm_roundtrip_property(points):
     lon2, lat2 = C.utm_inverse(E, N, zone=32)
     assert np.abs(lon2 - lon).max() < 1e-7
     assert np.abs(lat2 - lat).max() < 1e-7
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(geometry, min_size=0, max_size=10))
+def test_kml_round_trip_fuzz(geoms):
+    """write_kml -> XML parse -> placemark rows round-trips every geometry
+    kind exactly (repr float formatting), without a Ray session."""
+    import tempfile
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+
+    from geopolars_ray.sources.kml import _iter_placemarks, _placemark_row, write_kml
+
+    ga = GeometryArray.from_pylist(geoms)
+    t = pa.table({"i": pa.array(list(range(len(geoms)))), "geometry": encode_wkb(ga)})
+    with tempfile.NamedTemporaryFile(suffix=".kml", mode="w", delete=False) as f:
+        path = f.name
+    write_kml(t, path)
+    rows = [_placemark_row(pm) for pm in _iter_placemarks(ET.parse(path).getroot())]
+    assert [r[0] for r in rows] == ga.to_pylist()
+    assert [r[1]["i"] for r in rows] == [str(i) for i in range(len(geoms))]
