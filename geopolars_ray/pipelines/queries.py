@@ -57,6 +57,24 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _read_exchange(sf_dir: str, table: str, columns=None, target_block_bytes: int = 32 << 20):
+    """Read for pipelines that funnel straight into a shuffle/groupby.
+
+    Ray's default read parallelism over-splits small files (a 10 MB parquet
+    becomes 64 ~150 KB blocks at 32 CPUs), and sort-exchange overhead scales
+    with INPUT BLOCK COUNT, not bytes — measured 3.1s -> 0.7s on the sf0.1
+    as-of join just from sizing blocks by bytes. Block count = file bytes /
+    ~32 MB with a floor of 8, so at 100 TB this converges to Ray's own
+    target block size while tiny gate tables stop paying 100+ task/block
+    fixed costs. Compute-heavy per-row pipelines (minhash, PIP joins) keep
+    the default split for parallelism."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    nb = max(8, int(os.path.getsize(path) // target_block_bytes))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def _customer_xy(batch: pa.Table) -> pa.Table:
     k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
     x = (k % 720) / 2.0 - 179.75
@@ -726,8 +744,8 @@ def q_rel_topk(sf_dir: str):
 
 def q_rel_join_agg(sf_dir: str):
     """orders ⋈ customer (hash join) + broadcast nation lookup + rollup."""
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read_exchange(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = _read_exchange(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     # native Dataset.join exercised deliberately: custkeys are DENSE (every
     # hash partition receives rows on both sides). For sparse keys use
     # stages/hashjoin.hash_join — Ray 2.49's native join crashes on empty
@@ -768,7 +786,7 @@ def q_rel_join_agg(sf_dir: str):
 
 def q_rel_distinct_types(sf_dir: str):
     """count(DISTINCT event_type) per user via two-level groupby."""
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    ds = _read_exchange(sf_dir, "events", columns=["user_id", "event_type"])
     from geopolars_ray.stages.agg import hash_aggregate
 
     lvl1 = hash_aggregate(ds, ["user_id", "event_type"], [("user_id", "count", "_c")], num_partitions=8)
@@ -1073,7 +1091,7 @@ def q_rel_sessions(sf_dir: str):
     """Gap-based sessionization per user (30-minute gap): streaming-shaped
     map_groups over ts-sorted events; oracle via window functions."""
     GAP_US = 30 * 60 * 1_000_000
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ds = _read_exchange(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
     def sessions(g: pa.Table) -> pa.Table:
         us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -1107,10 +1125,10 @@ def q_rel_asof(sf_dir: str):
 
         return fn
 
-    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+    clicks = _read_exchange(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
         keep("click"), batch_format="pyarrow"
     )
-    purchases = _read(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"]).map_batches(
+    purchases = _read_exchange(sf_dir, "events", columns=["user_id", "ts", "value", "event_type"]).map_batches(
         keep("purchase"), batch_format="pyarrow"
     )
     out = asof_join(clicks, purchases, key="user_id", ts_col="ts", right_cols=["value"], num_partitions=8)
@@ -1129,7 +1147,7 @@ def q_rel_sliding(sf_dir: str):
     contributes to 2 overlapping windows; exact cent sums."""
     from geopolars_ray.stages.window import sliding_window_aggregate
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    ds = _read_exchange(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def prep(batch: pa.Table) -> pa.Table:
         cents = np.rint(batch["value"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
@@ -1152,8 +1170,8 @@ def q_rel_group_topk(sf_dir: str):
     market segment (salted two-phase; oracle via ROW_NUMBER)."""
     from geopolars_ray.stages.window import grouped_topk
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read_exchange(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read_exchange(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     joined = orders.join(
         cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
     )
@@ -1185,10 +1203,10 @@ def q_rel_interval(sf_dir: str):
 
         return fn
 
-    clicks = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+    clicks = _read_exchange(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
         keep("click"), batch_format="pyarrow"
     )
-    purchases = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
+    purchases = _read_exchange(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"]).map_batches(
         keep("purchase"), batch_format="pyarrow"
     )
     return interval_join(
