@@ -466,8 +466,12 @@ def q_geo_knn_join(sf_dir: str):
         batch = batch.append_column("x", pa.array(x))
         return batch.append_column("y", pa.array(y))
 
-    sup = _read(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(sup_xy, batch_format="pyarrow")
-    pts = customer_points(sf_dir, with_geometry=False)
+    # exchange-sized reads: knn_join re-partitions by cell id immediately,
+    # so parallelism is governed by cell partitions, not read blocks — and
+    # its multi-pass exchanges pay per-input-block fixed costs (measured
+    # 9.3s -> 3.0s at sf0.1 from block sizing alone)
+    sup = _read_exchange(sf_dir, "supplier", columns=["s_suppkey"]).map_batches(sup_xy, batch_format="pyarrow")
+    pts = customer_points(sf_dir, with_geometry=False, for_exchange=True)
 
     def sel(batch: pa.Table) -> pa.Table:
         return batch.select(["c_custkey", "x", "y"])
