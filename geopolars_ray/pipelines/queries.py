@@ -374,7 +374,7 @@ def q_geo_knn(sf_dir: str):
         "qy": ((sk * 53) % 360) / 2.0 - 89.75,
     }
     pts = customer_points(sf_dir, with_geometry=False)
-    out = euclidean_knn(pts, queries, k=3, x_col="x", y_col="y", id_col="c_custkey", concurrency=2)
+    out = euclidean_knn(pts, queries, k=3, x_col="x", y_col="y", id_col="c_custkey")
 
     def rename(batch: pa.Table) -> pa.Table:
         idx = batch.column_names.index("qid")

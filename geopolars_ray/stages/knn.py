@@ -310,7 +310,7 @@ def knn_join(
 
 def euclidean_knn(
     points_ds, queries: dict, k: int, x_col="x", y_col="y", id_col="id",
-    concurrency=2, num_partitions: int = 8,
+    concurrency=None, num_partitions: int = 8,
 ):
     """Exact kNN rows (qid, id, distance, rank); ties broken by id asc.
 
@@ -322,11 +322,18 @@ def euclidean_knn(
     from geopolars_ray.stages.agg import hash_partitioned_map
 
     ref = ray.put(queries)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # task-based: the only state is the broadcast query arrays, and
+        # ray.get(ref) is a cached zero-copy object-store read per worker —
+        # tasks skip the actor pool's multi-second spin-up (same reasoning
+        # as the task-based MinHasher, stages/dedup.py)
+        return EuclideanTopK(ref, k, x_col=x_col, y_col=y_col, id_col=id_col)(batch)
+
     partials = points_ds.map_batches(
-        EuclideanTopK,
-        fn_constructor_kwargs=dict(queries=ref, k=k, x_col=x_col, y_col=y_col, id_col=id_col),
+        partial,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        **({"concurrency": concurrency} if concurrency is not None else {}),
     )
 
     def merge_part(tab: pa.Table) -> pa.Table:
