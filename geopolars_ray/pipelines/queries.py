@@ -60,19 +60,14 @@ def _read(sf_dir: str, table: str, columns=None):
 def _read_exchange(sf_dir: str, table: str, columns=None, target_block_bytes: int = 32 << 20):
     """Read for pipelines that funnel straight into a shuffle/groupby.
 
-    Ray's default read parallelism over-splits small files (a 10 MB parquet
-    becomes 64 ~150 KB blocks at 32 CPUs), and sort-exchange overhead scales
-    with INPUT BLOCK COUNT, not bytes — measured 3.1s -> 0.7s on the sf0.1
-    as-of join just from sizing blocks by bytes. Block count = file bytes /
-    ~32 MB with a floor of 8, so at 100 TB this converges to Ray's own
-    target block size while tiny gate tables stop paying 100+ task/block
-    fixed costs. Compute-heavy per-row pipelines (minhash, PIP joins) keep
-    the default split for parallelism."""
-    import os
+    Delegates to :func:`geopolars_ray.sources.io.read_parquet_exchange` —
+    see its docstring for the measured rationale (sort-exchange fixed costs
+    scale with input block count, not bytes)."""
+    from geopolars_ray.sources.io import read_parquet_exchange
 
-    path = f"{sf_dir}/{table}.parquet"
-    nb = max(8, int(os.path.getsize(path) // target_block_bytes))
-    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+    return read_parquet_exchange(
+        f"{sf_dir}/{table}.parquet", columns=columns, target_block_bytes=target_block_bytes
+    )
 
 
 def _customer_xy(batch: pa.Table) -> pa.Table:

@@ -1,5 +1,6 @@
 """Sources & sinks: synthetic pages/admin tables, parquet IO helpers."""
 
+from geopolars_ray.sources.io import read_parquet_exchange  # noqa: F401
 from geopolars_ray.sources.pages import (  # noqa: F401
     generate_pages_parquet,
     admin_polygons_table,

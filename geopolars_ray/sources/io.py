@@ -71,6 +71,34 @@ def read_geo_metadata(path: str) -> dict | None:
     return json.loads(meta[GEO_KEY].decode())
 
 
+def read_parquet_exchange(paths, columns=None, target_block_bytes: int = 32 << 20, **kw):
+    """``ray.data.read_parquet`` with block count sized by file BYTES — for
+    pipelines that funnel straight into a shuffle/groupby/join.
+
+    Ray's default read parallelism over-splits small files (a 10 MB parquet
+    becomes 64 tiny blocks at 32 CPUs) and sort-exchange/native-join fixed
+    costs scale with input block count, not bytes: measured same-session
+    A/Bs on sf0.1 gate pipelines read 3.1s→0.7s (as-of join), 4.1s→0.9s
+    (partitioned spatial join), 9.3s→3.0s (kNN join) from block sizing
+    alone (BASELINE.md r3). Block count = total bytes / ``target_block_bytes``
+    with a floor of 8, so at cluster scale this converges to Ray's own
+    target block size — it only removes the tiny-file fixed costs. Keep the
+    default ``read_parquet`` split for compute-heavy per-row stages that
+    need task parallelism more than cheap exchanges."""
+    import os
+
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    total = 0
+    for p in plist:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+        else:
+            total += os.path.getsize(p)
+    nb = max(8, int(total // target_block_bytes))
+    return ray.data.read_parquet(paths, columns=columns, override_num_blocks=nb, **kw)
+
+
 def read_geo_dataset(
     paths,
     columns: list[str] | None = None,

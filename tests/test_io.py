@@ -630,3 +630,28 @@ def test_read_file_feature_selection(ray_session, tmp_path):
     write_geojsonl(t, seq_json)
     with pytest.raises(ValueError, match="FeatureCollection-only"):
         read_file(seq_json, skip_features=1)
+
+
+def test_read_parquet_exchange_block_sizing(ray_session, tmp_path):
+    """read_parquet_exchange sizes block count by file bytes (floor 8) and
+    returns the same rows as a plain read, for both a file and a directory."""
+    import pyarrow.parquet as pq
+    from geopolars_ray.sources.io import read_parquet_exchange
+
+    t = pa.table({"i": pa.array(np.arange(10_000)), "v": pa.array(np.arange(10_000) * 0.5)})
+    p = str(tmp_path / "small.parquet")
+    pq.write_table(t, p)
+
+    ds = read_parquet_exchange(p)
+    # tiny file -> the floor of 8 blocks, not CPU-count-driven oversplit
+    assert ds.materialize().num_blocks() <= 8
+    assert sorted(r["i"] for r in ds.take_all()) == list(range(10_000))
+
+    # directory input: sums .parquet bytes under the dir
+    d = tmp_path / "dir"
+    d.mkdir()
+    pq.write_table(t.slice(0, 5000), str(d / "a.parquet"))
+    pq.write_table(t.slice(5000), str(d / "b.parquet"))
+    ds2 = read_parquet_exchange(str(d), columns=["i"])
+    assert ds2.count() == 10_000
+    assert ds2.schema().names == ["i"]
