@@ -35,3 +35,70 @@ def deterministic_sample(ds, key_col: str, numerator: int = 1, denominator: int 
         return batch.filter(pa.array((h % denominator) < numerator))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_frac(ds, key_col: str, strata_col: str, fracs, seed: int = 0,
+                           default_frac: float = 0.0):
+    """Per-stratum Bernoulli sampling with DETERMINISTIC accept/reject.
+
+    ``fracs``: {stratum value -> sampling fraction} (or a single float for
+    all strata). Accept iff hash(key) / 2^32 < frac(stratum) — a pure
+    function of (key, stratum), so the sample is layout/restart-invariant
+    like :func:`deterministic_sample`, and NO shuffle happens: the filter
+    streams. The fracs dict rides the task closure (broadcast once per
+    worker, not per batch — it is a plain small dict).
+
+    The standard corpus-balancing move (e.g. downsample en to 10%, keep rare
+    languages at 100%) expressed as one stateless stage.
+    """
+    if not isinstance(fracs, dict):
+        fracs = None if fracs is None else float(fracs)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((k * KNUTH + seed) % MOD32) / MOD32
+        if isinstance(fracs, dict):
+            strata = batch[strata_col].to_pylist()
+            thr = np.fromiter(
+                (fracs.get(s, default_frac) for s in strata), np.float64, len(strata)
+            )
+        else:
+            thr = fracs
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample_n(ds, key_col: str, strata_col: str, n_per_stratum: int,
+                        seed: int = 0, num_partitions: int = 32):
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), chosen deterministically.
+
+    Rows of each stratum are ranked by hash(key) (ties by key) and the first
+    n survive — equivalent to a seeded uniform draw without replacement, but
+    a pure function of the table contents. One hash co-partition exchange
+    (``hash_partitioned_map`` keyed on the stratum), then a vectorized
+    argsort + per-group take inside each partition; no per-key Python loop.
+    """
+    from geopolars_ray.stages.agg import hash_partitioned_map
+    import pyarrow.compute as pc
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return part
+        k = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (k * KNUTH + seed) % MOD32
+        part = part.append_column("_h", pa.array(h))
+        order = pc.sort_indices(
+            part, sort_keys=[(strata_col, "ascending"), ("_h", "ascending"),
+                             (key_col, "ascending")]
+        )
+        t = part.take(order)
+        s = t[strata_col].to_numpy(zero_copy_only=False)
+        # rank within stratum: position - start_of_stratum (vectorized)
+        change = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.maximum.accumulate(np.where(change, np.arange(len(s)), 0))
+        rank = np.arange(len(s)) - starts
+        return t.filter(pa.array(rank < n_per_stratum)).drop_columns(["_h"])
+
+    return hash_partitioned_map(ds, [strata_col], per_partition, num_partitions)
