@@ -181,3 +181,82 @@ def _mod_inverse_pow2(a: np.uint64) -> np.uint64:
         for _ in range(5):
             x = x * (np.uint64(2) - a * x)
     return x
+
+
+# ------------------------------------------------------------------ BM25
+
+
+def corpus_stats(docs_ds, terms, text_col: str = "text"):
+    """One streaming pass -> (N docs, avg token length, {term: doc freq}).
+
+    Per-batch partials are a FIXED-SIZE vector (len(terms)+2 numbers), so
+    the reduce is a driver fold of one tiny row per block — no shuffle, no
+    per-term exchange. Term matching is whole-token, case-insensitive, via
+    one pyarrow RE2 ``count_substring_regex`` per term over the raw column
+    (vectorized across the batch; terms are the handful in the query, not
+    the corpus vocabulary).
+    """
+    import re as _re
+
+    terms = [t.lower() for t in terms]
+    pats = [rf"(?i)\b{_re.escape(t)}\b" for t in terms]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        n_tok = pc.sum(pc.count_substring_regex(s, TOKEN_RE)).as_py() or 0
+        row = {"n_docs": pa.array([len(batch)], pa.int64()),
+               "n_tokens": pa.array([int(n_tok)], pa.int64())}
+        for i, p in enumerate(pats):
+            hits = pc.greater(pc.count_substring_regex(s, p), 0)
+            row[f"df_{i}"] = pa.array([pc.sum(hits).as_py() or 0], pa.int64())
+        return pa.table(row)
+
+    acc = None
+    for b in docs_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        import pyarrow.compute as _pc
+        sums = {c: _pc.sum(t[c]).as_py() or 0 for c in t.schema.names}
+        acc = sums if acc is None else {c: acc[c] + sums[c] for c in sums}
+    n_docs = acc["n_docs"] if acc else 0
+    avgdl = (acc["n_tokens"] / n_docs) if n_docs else 0.0
+    df = {terms[i]: acc[f"df_{i}"] for i in range(len(terms))} if acc else {}
+    return n_docs, avgdl, df
+
+
+def bm25_score(docs_ds, terms, text_col: str = "text", out_col: str = "bm25",
+               k1: float = 1.2, b: float = 0.75, stats=None):
+    """Append a BM25 relevance score for ``terms`` to every doc — the
+    standard retrieval/quality-filter primitive (Robertson & Zaragoza 2009).
+
+    Two streaming passes over ``docs_ds``: a corpus-stats fold (N, avgdl,
+    per-term document frequency → tiny dict broadcast in the task closure),
+    then the scoring map (per-term tf via one vectorized RE2 count per
+    term). idf = ln(1 + (N-df+0.5)/(df+0.5)), never negative. Pass
+    precomputed ``stats=(n_docs, avgdl, df)`` to skip pass 1 (e.g. scoring
+    many query sets over one corpus).
+    """
+    import re as _re
+
+    terms = [t.lower() for t in terms]
+    n_docs, avgdl, df = stats if stats is not None else corpus_stats(
+        docs_ds, terms, text_col)
+    idf = {
+        t: float(np.log(1.0 + (n_docs - df.get(t, 0) + 0.5) / (df.get(t, 0) + 0.5)))
+        for t in terms
+    }
+    pats = [(rf"(?i)\b{_re.escape(t)}\b", idf[t]) for t in terms]
+    avgdl = float(avgdl) or 1.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        dl = pc.count_substring_regex(s, TOKEN_RE).to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        total = np.zeros(len(batch), dtype=np.float64)
+        for p, w in pats:
+            tf = pc.count_substring_regex(s, p).to_numpy(zero_copy_only=False).astype(np.float64)
+            total += w * (tf * (k1 + 1.0)) / np.maximum(tf + norm, 1e-300)
+        return batch.append_column(out_col, pa.array(total))
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
