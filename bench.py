@@ -214,6 +214,45 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     ex(pb)
     out["extract_geotags_krows_s"] = round(20_000 / (time.time() - t0) / 1e3, 1)
+
+    # r3 training-data additions: t-digest fold, bloom add+probe, BM25 score,
+    # Misra-Gries block summary
+    from geopolars_ray.stages.quantile import TDigest
+
+    vals = rng.lognormal(0, 2, 1_000_000)
+    TDigest(200).add(vals[:10_000])  # warm-up
+    t0 = time.time()
+    d = TDigest(200)
+    for chunk in np.array_split(vals, 16):
+        d.add(chunk)
+    d.quantile([0.5])
+    out["tdigest_mvals_s"] = round(len(vals) / (time.time() - t0) / 1e6, 2)
+
+    from geopolars_ray.stages.bloom import BloomFilter
+
+    keys = rng.integers(0, 2**62, 2_000_000).astype(np.uint64)
+    bf = BloomFilter.for_capacity(len(keys))
+    bf.add(keys[:1000])  # warm-up
+    t0 = time.time()
+    bf.add(keys)
+    bf.contains(keys)
+    out["bloom_add_probe_mkeys_s"] = round(len(keys) / (time.time() - t0) / 1e6, 2)
+
+    from geopolars_ray.stages.text import bm25_score  # noqa: F401  (scoring map below)
+    import pyarrow.compute as _pc
+
+    s = pa.array(docs)
+    t0 = time.time()
+    for pat in (r"(?i)\babc\b", r"(?i)\bxyz\b", r"(?i)\bqrs\b"):
+        _pc.count_substring_regex(s, pat)
+    out["bm25_term_count_kdocs_s"] = round(3 * len(docs) / (time.time() - t0) / 1e3, 1)
+
+    from geopolars_ray.stages.freq import _mg_summarize
+
+    cnts = rng.integers(1, 10_000, 1_000_000).astype(np.int64)
+    t0 = time.time()
+    _mg_summarize(cnts, 4096)
+    out["misra_gries_mkeys_s"] = round(len(cnts) / (time.time() - t0) / 1e6, 2)
     return out
 
 

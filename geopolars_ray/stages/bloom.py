@@ -43,36 +43,101 @@ def _key_hash(batch: pa.Table, cols) -> np.ndarray:
 
 
 class BloomFilter:
-    """Fixed-size bit array + vectorized add/contains over uint64 key hashes."""
+    """Fixed-size bit array + vectorized add/contains over uint64 key hashes.
 
-    __slots__ = ("m_bits", "k", "bits")
+    Hot-loop layout notes (measured on this numpy build): uint64 add/and
+    fall off numpy's SIMD fast path (~20x slower than int64), and a (k, n)
+    broadcast multiply costs ~1s per 14M elements — so positions are
+    computed as k strided int64 ADDS (h1, h1+h2, h1+2·h2, …; two's-
+    complement wraparound makes int64 bit-identical to uint64 for +/&),
+    bits are set via bool scatter + packbits (plain stores, no
+    read-modify-write), and probes gather from a lazily-unpacked bool mask
+    cached per worker (dropped from pickle, rebuilt from the bitmap on
+    first probe). m_bits rounds up to a power of two so reduction is a
+    mask, never a 64-bit modulo; oversizing only lowers the FPR.
+    """
+
+    __slots__ = ("m_bits", "k", "bits", "_mask")
 
     def __init__(self, m_bits: int, k: int = 7, bits: np.ndarray | None = None):
-        self.m_bits = int(m_bits)
+        self.m_bits = 1 << max(6, int(m_bits - 1).bit_length())
         self.k = int(k)
-        n_words = (self.m_bits + 63) // 64
+        n_words = self.m_bits // 64
         self.bits = np.zeros(n_words, dtype=np.uint64) if bits is None else bits
+        self._mask = None
 
     @classmethod
     def for_capacity(cls, n_keys: int, bits_per_key: int = 10, k: int = 7):
         return cls(max(64, n_keys * bits_per_key), k)
 
-    def _positions(self, h: np.ndarray) -> np.ndarray:
-        h1 = _mix(h, 1)
-        h2 = _mix(h, 2) | np.uint64(1)  # odd -> full-period stride
-        i = np.arange(self.k, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m_bits))
+    def __getstate__(self):
+        return (self.m_bits, self.k, self.bits)
+
+    def __setstate__(self, st):
+        self.m_bits, self.k, self.bits = st
+        self._mask = None
+
+    def _strides(self, h: np.ndarray):
+        h1 = _mix(h, 1).astype(np.int64)
+        h2 = (_mix(h, 2) | np.uint64(1)).astype(np.int64)  # odd stride
+        return h1, h2
+
+    # above this, a bool mirror of the bitmap (1 byte/bit) stops being a
+    # cheap task-local scratch (2^28 bits = 32 MB) and the word-wise path
+    # takes over
+    _BOOL_LIMIT = 1 << 28
 
     def add(self, h: np.ndarray) -> None:
-        pos = self._positions(h).ravel()
-        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
-                         np.uint64(1) << (pos & np.uint64(63)))
+        h1, h2 = self._strides(h)
+        maskv = np.int64(self.m_bits - 1)
+        pos = h1
+        if self.m_bits <= self._BOOL_LIMIT:
+            mask = np.zeros(self.m_bits, dtype=bool)
+            with np.errstate(over="ignore"):
+                for _ in range(self.k):
+                    mask[pos & maskv] = True
+                    pos = pos + h2
+            packed = np.packbits(mask, bitorder="little")
+            self.bits |= packed.view(np.uint64)
+        else:
+            with np.errstate(over="ignore"):
+                for _ in range(self.k):
+                    p = pos & maskv
+                    np.bitwise_or.at(
+                        self.bits, p >> np.int64(6),
+                        np.uint64(1) << (p & np.int64(63)).astype(np.uint64),
+                    )
+                    pos = pos + h2
+        self._mask = None
+
+    def _bool_mask(self) -> np.ndarray:
+        if self._mask is None:
+            self._mask = np.unpackbits(
+                self.bits.view(np.uint8), bitorder="little"
+            ).view(bool)
+        return self._mask
 
     def contains(self, h: np.ndarray) -> np.ndarray:
-        pos = self._positions(h)
-        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
-        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
-        return hit.all(axis=0).astype(bool)
+        h1, h2 = self._strides(h)
+        maskv = np.int64(self.m_bits - 1)
+        pos = h1
+        if self.m_bits <= self._BOOL_LIMIT:
+            m = self._bool_mask()
+            with np.errstate(over="ignore"):
+                out = m[pos & maskv].copy()
+                for _ in range(self.k - 1):
+                    pos = pos + h2
+                    out &= m[pos & maskv]
+            return out
+        with np.errstate(over="ignore"):
+            out = None
+            for _ in range(self.k):
+                p = pos & maskv
+                word = self.bits[p >> np.int64(6)]
+                hit = (word >> (p & np.int64(63)).astype(np.uint64)) & np.uint64(1)
+                out = hit.astype(bool) if out is None else (out & hit.astype(bool))
+                pos = pos + h2
+            return out
 
     def union(self, other: "BloomFilter") -> "BloomFilter":
         assert self.m_bits == other.m_bits and self.k == other.k
