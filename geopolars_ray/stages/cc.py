@@ -105,7 +105,15 @@ def connected_components(
     from geopolars_ray.stages.agg import hash_aggregate
     from geopolars_ray.stages.hashjoin import hash_join
 
+    import ray
+
     edges = pairs_ds.map_batches(_bidir(src, dst), batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        # empty pair graph: no nodes, every doc is a singleton downstream
+        return ray.data.from_arrow(pa.table({
+            node_col: pa.array([], pa.int64()),
+            label_col: pa.array([], pa.int64()),
+        }))
 
     # iteration 0 fused into init: label(v) = min(v, min(nbr(v)))
     def self_msg(batch: pa.Table) -> pa.Table:
@@ -181,6 +189,57 @@ def connected_components(
     )
 
 
+def _label_lookup_join(docs_ds, labels, id_col: str, label_col: str,
+                       num_partitions: int, docs_schema: pa.Schema | None = None):
+    """Co-partition docs with (node,label) rows and map id→label via
+    searchsorted — NOT an Acero join, so payload columns of any type
+    (list<float> embeddings, binary media) ride through untouched (Acero
+    rejects nested types as join non-key fields). Missing ids get their own
+    id as label (singleton semantics)."""
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
+    s = docs_schema if docs_schema is not None else docs_ds.schema()
+    names = list(s.names)
+    types = dict(zip(s.names, s.types))
+
+    def pad_docs(b: pa.Table) -> pa.Table:
+        out = b.select(names).append_column("_lab", pa.nulls(len(b), pa.int64()))
+        return out.append_column("_is_lab", pa.array(np.zeros(len(b), np.int8)))
+
+    def pad_labels(b: pa.Table) -> pa.Table:
+        cols = {}
+        for nm in names:
+            if nm == id_col:
+                cols[nm] = pc.cast(b["node"], types[id_col])
+            else:
+                cols[nm] = pa.nulls(len(b), types[nm])
+        out = pa.table(cols).append_column("_lab", b["label"])
+        return out.append_column("_is_lab", pa.array(np.ones(len(b), np.int8)))
+
+    both = docs_ds.map_batches(pad_docs, batch_format="pyarrow").union(
+        labels.map_batches(pad_labels, batch_format="pyarrow")
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        is_lab = part["_is_lab"].to_numpy(zero_copy_only=False).astype(bool)
+        rows = part.filter(pa.array(~is_lab)).drop_columns(["_lab", "_is_lab"])
+        lab_part = part.filter(pa.array(is_lab))
+        ids = rows[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_lab = ids.copy()  # singleton default: own id
+        if len(lab_part):
+            ln = lab_part[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            lv = lab_part["_lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.argsort(ln, kind="stable")
+            ln, lv = ln[order], lv[order]
+            pos = np.searchsorted(ln, ids)
+            pos_c = np.clip(pos, 0, len(ln) - 1)
+            hit = ln[pos_c] == ids
+            out_lab[hit] = lv[pos_c[hit]]
+        return rows.append_column(label_col, pa.array(out_lab))
+
+    return hash_partitioned_map(both, [id_col], per_partition, num_partitions)
+
+
 def attach_components(
     docs_ds,
     pairs_ds,
@@ -195,28 +254,16 @@ def attach_components(
     """Annotate every doc with its near-dup cluster id.
 
     Docs absent from the pair graph are their own singleton component
-    (``component == id``), via left join + coalesce — no row is dropped.
+    (``component == id``) — no row is dropped. The label attach is a
+    co-partitioned searchsorted lookup (nested-payload-safe), not an Acero
+    join.
     """
-    from geopolars_ray.stages.hashjoin import hash_join
-
     labels = connected_components(
         pairs_ds, src, dst,
-        label_col=label_col, num_partitions=num_partitions, max_iters=max_iters,
+        node_col="node", label_col="label",
+        num_partitions=num_partitions, max_iters=max_iters,
     )
-
-    out = hash_join(
-        docs_ds, labels,
-        on=[id_col], right_on=["node"], how="left",
-        num_partitions=num_partitions,
-    )
-
-    def coalesce(batch: pa.Table) -> pa.Table:
-        lab = pc.coalesce(batch[label_col], pc.cast(batch[id_col], pa.int64()))
-        return batch.set_column(
-            batch.schema.get_field_index(label_col), label_col, lab
-        )
-
-    return out.map_batches(coalesce, batch_format="pyarrow")
+    return _label_lookup_join(docs_ds, labels, id_col, label_col, num_partitions)
 
 
 def dedup_keep_representatives(

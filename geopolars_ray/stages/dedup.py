@@ -510,3 +510,56 @@ def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", 
         return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(sim[ii, jj][keep])})
 
     return fn
+
+
+def semantic_dedup(
+    vecs_ds,
+    dim: int,
+    *,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    num_partitions: int = 32,
+    concurrency: int = 2,
+    docs_ds=None,
+    doc_id_col: str | None = None,
+):
+    """Embedding-space near-dup removal, end to end.
+
+    Composes the scale pieces already proven individually: hyperplane-LSH
+    bucketing (actor pool, seeded planes drawn once per worker) → exact
+    pairwise cosine inside each bucket (`cosine_pairs_within_bucket`;
+    2^-n_planes of the quadratic work) → transitive closure of the pair
+    graph (`stages/cc.connected_components`) → keep the min-id vector (or
+    doc) per semantic cluster. Returns the filtered ``vecs_ds`` (or
+    ``docs_ds`` joined on ``doc_id_col`` when given, so the text table is
+    filtered by embedding-space duplicates without ever shuffling text
+    through the pair stages).
+
+    Recall caveat (inherent to LSH dedup): only pairs sharing a bucket are
+    scored — raise recall with fewer planes (bigger buckets) at quadratic
+    in-bucket cost, exactly the knob the ANN IVF path exposes too.
+    """
+    from geopolars_ray.stages.cc import dedup_keep_representatives
+
+    bucketed = vecs_ds.map_batches(
+        EmbeddingLSH,
+        fn_constructor_kwargs=dict(
+            dim=dim, n_planes=n_planes, id_col=id_col, emb_col=emb_col
+        ),
+        batch_format="pyarrow",
+        # keep the actor pool well under the session CPU count: a pool that
+        # grabs every slot starves the downstream groupby (executor
+        # deadlock on small sessions; see ray-data-perf notes)
+        concurrency=concurrency,
+    )
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        cosine_pairs_within_bucket(threshold=threshold, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+    )
+    target = vecs_ds if docs_ds is None else docs_ds
+    key = id_col if docs_ds is None else (doc_id_col or id_col)
+    return dedup_keep_representatives(
+        target, pairs, key, src="a", dst="b", num_partitions=num_partitions
+    )

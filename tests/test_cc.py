@@ -136,3 +136,36 @@ def test_cc_end_to_end_with_minhash_pairs(ray_session):
     kept_ids = sorted(r["doc_id"] for r in kept)
     # each variant-group collapses to its min id; no cross-group merging
     assert kept_ids == [0, 10, 20]
+
+
+def test_semantic_dedup_end_to_end(ray_session):
+    """Clustered synthetic embeddings: each cluster collapses to one vector."""
+    from geopolars_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    dim, n_clusters, per = 32, 12, 5
+    centers = rng.standard_normal((n_clusters, dim)) * 10
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        for j in range(per):
+            vecs.append(centers[c] + rng.standard_normal(dim) * 0.01)
+            ids.append(c * 100 + j)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    kept = semantic_dedup(ds, dim, threshold=0.999, n_planes=4, num_partitions=4).take_all()
+    kept_ids = sorted(r["vec_id"] for r in kept)
+    # every cluster keeps exactly its min id (tight clusters, loose buckets)
+    assert kept_ids == [c * 100 for c in range(n_clusters)]
+
+
+def test_attach_components_empty_pair_graph(ray_session):
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()), "text": pa.array(["a", "b"]),
+    }))
+    out = attach_components(docs, _pairs_ds([]), num_partitions=2).take_all()
+    assert {r["doc_id"]: r["component"] for r in out} == {7: 7, 8: 8}
+    kept = dedup_keep_representatives(docs, _pairs_ds([]), num_partitions=2).take_all()
+    assert sorted(r["doc_id"] for r in kept) == [7, 8]
