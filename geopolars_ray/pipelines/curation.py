@@ -1,0 +1,84 @@
+"""Corpus curation: the composed training-data pipeline over `documents`.
+
+One call chains the operator families this engine provides into the
+standard web-corpus curation recipe:
+
+    read (pruned columns)
+      → token/quality stats (stateless vectorized kernels)
+      → language id (actor pool, markers compiled once per worker)
+      → quality floor filter (streaming)
+      → per-language stratified downsampling (deterministic, zero-shuffle)
+      → MinHash-LSH near-dup pairs → connected components → keep one per
+        cluster
+      → partitioned parquet write (resumable layout) or a Dataset
+
+Composition notes for 100 TB:
+
+- The filtered/balanced corpus is consumed TWICE (once to band signatures,
+  once as the dedup target), so it is materialized at that stage boundary —
+  in production that boundary is a checkpointed parquet write
+  (`state/checkpoint.py`), here the object store.
+- Everything upstream of the LSH exchange is stateless streaming; the only
+  all-to-alls are the band-bucket exchange and the component-resolution
+  rounds, both over id-sized rows, never text.
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+
+import ray
+
+
+def run_curation(
+    sf_dir: str,
+    out_path: str | None = None,
+    *,
+    quality_min: float = 0.0,
+    lang_fracs: dict | None = None,
+    dedup: bool = True,
+    minhash_threshold: float = 0.7,
+    num_partitions: int = 16,
+    seed: int = 0,
+):
+    """Curate ``{sf_dir}/documents.parquet``; returns the Dataset (and
+    writes partitioned parquet when ``out_path`` is given)."""
+    from geopolars_ray.stages.cc import dedup_keep_representatives
+    from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs
+    from geopolars_ray.stages.sample import stratified_sample_frac
+    from geopolars_ray.stages.text import LangId, quality_score, token_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    docs = docs.map_batches(token_stats(), batch_format="pyarrow")
+    docs = docs.map_batches(quality_score(), batch_format="pyarrow")
+    docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+
+    if quality_min > 0.0:
+        docs = docs.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["quality"], quality_min)),
+            batch_format="pyarrow",
+        )
+    if lang_fracs:
+        docs = stratified_sample_frac(
+            docs, "doc_id", "lang_pred", lang_fracs, seed=seed, default_frac=1.0
+        )
+
+    if not dedup:
+        out = docs
+    else:
+        # two consumers below -> materialize the stage boundary once
+        docs = docs.materialize()
+        bands = docs.select_columns(["doc_id", "text"]).map_batches(
+            MinHasher, batch_format="pyarrow", concurrency=2,
+        )
+        pairs = lsh_candidate_pairs(bands, num_partitions=num_partitions)
+        out = dedup_keep_representatives(
+            docs, pairs, "doc_id", src="a", dst="b",
+            num_partitions=num_partitions,
+        )
+
+    if out_path is not None:
+        out.write_parquet(out_path)
+    return out

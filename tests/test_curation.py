@@ -1,0 +1,67 @@
+"""End-to-end corpus-curation pipeline tests (pipelines/curation.py)."""
+
+import pyarrow.compute as pc
+import pytest
+
+from geopolars_ray.pipelines.curation import run_curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def _table(ds):
+    import pyarrow as pa
+
+    return pa.concat_tables(
+        [b for b in ds.iter_batches(batch_format="pyarrow")]
+    ) if ds.count() else None
+
+
+def test_curation_no_dedup_quality_floor(ray_session):
+    out = run_curation(SF, quality_min=0.2, dedup=False).materialize()
+    t = _table(out)
+    assert t.num_rows > 0
+    assert pc.min(t["quality"]).as_py() >= 0.2
+    # annotation columns present
+    for col in ("n_tokens", "alpha_ratio", "quality", "lang_pred"):
+        assert col in t.column_names
+
+
+def test_curation_stratified_sampling_is_subset(ray_session):
+    full = run_curation(SF, dedup=False).materialize()
+    sampled = run_curation(
+        SF, lang_fracs={"en": 0.5}, dedup=False
+    ).materialize()
+    tf, ts = _table(full), _table(sampled)
+    assert 0 < ts.num_rows < tf.num_rows
+    # deterministic: same call gives identical doc_id set
+    again = _table(
+        run_curation(SF, lang_fracs={"en": 0.5}, dedup=False).materialize()
+    )
+    assert sorted(ts["doc_id"].to_pylist()) == sorted(
+        again["doc_id"].to_pylist()
+    )
+
+
+def test_curation_dedup_removes_near_dups(ray_session):
+    kept = run_curation(
+        SF, dedup=True, minhash_threshold=0.7, num_partitions=4
+    ).materialize()
+    full = run_curation(SF, dedup=False).materialize()
+    tk, tf = _table(kept), _table(full)
+    # dedup keeps a subset, is deterministic, and keeps at least one doc
+    assert 0 < tk.num_rows <= tf.num_rows
+    ids = set(tk["doc_id"].to_pylist())
+    assert ids <= set(tf["doc_id"].to_pylist())
+    again = run_curation(
+        SF, dedup=True, minhash_threshold=0.7, num_partitions=4
+    ).materialize()
+    assert set(_table(again)["doc_id"].to_pylist()) == ids
+
+
+def test_curation_writes_partitioned(ray_session, tmp_path):
+    out_dir = str(tmp_path / "curated")
+    run_curation(SF, dedup=False, out_path=out_dir)
+    import ray as _ray
+
+    back = _ray.data.read_parquet(out_dir)
+    assert back.count() == run_curation(SF, dedup=False).count()
