@@ -150,6 +150,7 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     K.translate(ga, 1.0, 2.0)
     out["translate_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    s2_mod.s2_cell_id(x[:4096], y[:4096], 12)  # untimed warm-up
     t0 = time.time()
     s2_mod.s2_cell_id(x, y, 12)
     out["s2_cell_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
@@ -182,6 +183,8 @@ def kernel_benchmarks() -> dict:
     out["exterior_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
     from geopolars_ray.geom import h3ish
 
+    # untimed warm-up: first call pays one-time BLAS thread-pool spinup
+    h3ish.h3ish_cell_id(x[:4096], y[:4096], 7)
     t0 = time.time()
     h3ish.h3ish_cell_id(x, y, 7)
     out["h3ish_r7_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
