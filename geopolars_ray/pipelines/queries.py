@@ -124,13 +124,6 @@ def nation_rects(sf_dir: str) -> pa.Table:
 # --------------------------------------------------------------------------
 
 
-def q_geo_xy(sf_dir: str):
-    """Point construction + x/y accessors through the WKB kernel path."""
-    ds = customer_points(sf_dir)
-    ds = ds.map_batches(geo_ops([("x", {}, "px"), ("y", {}, "py")]), batch_format="pyarrow")
-    return ds.select_columns(["c_custkey", "px", "py"])
-
-
 def q_geo_affine(sf_dir: str):
     """translate THEN affine_transform chained on the geometry column (both
     kernels in one gate entry; r3 registry fits the driver's 50-query cap by
@@ -152,32 +145,28 @@ def q_geo_affine(sf_dir: str):
 
 
 def q_geo_rotate(sf_dir: str):
-    """Quarter-turn rotate kernel (exact cos/sin): rotate 90 CCW about (0,0)
-    -> (xr, yr) = (-y, x), float-exact vs SQL."""
+    """rotate THEN skew THEN scale chained on the geometry column, plus the
+    x/y accessors after every stage (four kernels in one gate entry; the r3
+    registry fits the driver's 50-query cap by merging the former geo_xy /
+    geo_skew / geo_scale entries — every kernel stays float-exact vs SQL:
+    quarter-turn rotate is (-y, x), 45-degree skew uses exact tan=1, scale
+    is exact multiplication)."""
     ds = customer_points(sf_dir)
     ds = ds.map_batches(
         geo_ops([
             ("rotate", dict(angle_deg=90.0, origin=(0.0, 0.0))),
             ("x", {}, "xr"),
             ("y", {}, "yr"),
-        ]),
-        batch_format="pyarrow",
-    )
-    return ds.select_columns(["c_custkey", "xr", "yr"])
-
-
-def q_geo_skew(sf_dir: str):
-    """Tan-exact skew kernel: xs=45 deg about (0,0) -> x' = x + y."""
-    ds = customer_points(sf_dir)
-    ds = ds.map_batches(
-        geo_ops([
             ("skew", dict(xs=45.0, ys=0.0, origin=(0.0, 0.0))),
             ("x", {}, "xk"),
             ("y", {}, "yk"),
+            ("scale", dict(xfact=2.0, yfact=-0.5, origin=(0.0, 0.0))),
+            ("x", {}, "xs"),
+            ("y", {}, "ys"),
         ]),
         batch_format="pyarrow",
     )
-    return ds.select_columns(["c_custkey", "xk", "yk"])
+    return ds.select_columns(["c_custkey", "xr", "yr", "xk", "yk", "xs", "ys"])
 
 
 def q_geo_rect_stats(sf_dir: str):
@@ -849,6 +838,65 @@ def q_txt_quality(sf_dir: str):
     )
 
 
+def q_txt_repetition(sf_dir: str):
+    """Gopher-style repetition signals per document (duplicate-token
+    fraction, most-frequent token/bigram counts) — all integer counts plus
+    one float division mirrored exactly in SQL."""
+    from geopolars_ray.stages.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats(), batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tok", "n_distinct_tok", "dup_token_frac", "top_tok_n", "top_bigram_n"]
+    )
+
+
+def q_txt_pii(sf_dir: str):
+    """PII count + redact over documents. The corpus is synthetic word soup
+    with no real PII, so the query first injects a deterministic email / IP /
+    phone per document (pure string concat of doc_id-derived digits — the
+    oracle replays the same concatenation), then counts matches and emits
+    the fully redacted text for a bit-exact string compare. Both engines run
+    RE2, so match/replacement semantics are identical by construction."""
+    from geopolars_ray.stages.text import pii_stats, redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        s = pc.cast(batch["text"], pa.string())
+        parts = [
+            s,
+            pa.scalar(" user"),
+            pc.cast(batch["doc_id"], pa.string()),
+            pa.scalar("@example.com at 192.168."),
+            pa.array((did % 250).astype(str)),
+            pa.scalar("."),
+            pa.array((did % 100).astype(str)),
+            pa.scalar(" tel +1 555 013 "),
+            pa.array((1000 + did % 9000).astype(str)),
+        ]
+        txt = pc.binary_join_element_wise(*parts, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    ds = ds.map_batches(inject, batch_format="pyarrow")
+    ds = ds.map_batches(pii_stats(), batch_format="pyarrow")
+    ds = ds.map_batches(redact_pii(), batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"])
+
+
+def q_dd_paragraph(sf_dir: str):
+    """Corpus-level paragraph dedup (CCNet-style first-global-occurrence).
+    Documents are single-line word soup, so segments split on ' a ' (a
+    frequent token) — short segments collide heavily across documents,
+    exercising the distinct-segment aggregate, the rank join and the
+    vectorized reassembly. The oracle replays split/min-rank/reassemble in
+    SQL and string-compares the reassembled text."""
+    from geopolars_ray.stages.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return paragraph_dedup(ds, sep=" a ", num_partitions=8)
+
+
 def q_txt_langid(sf_dir: str):
     """Marker-word language id; emits prediction + confidence (exact integer
     count ratios — oracle-checkable when the corpus is ASCII, where Python
@@ -1053,20 +1101,6 @@ def q_geo_exterior_len(sf_dir: str):
         geo_ops([("exterior", {}), ("euclidean_length", {}, "ext_len")]), batch_format="pyarrow"
     )
     return ds.select_columns(["n_nationkey", "ext_len"])
-
-
-def q_geo_scale(sf_dir: str):
-    """scale kernel about a fixed origin (exact multiplication)."""
-    ds = customer_points(sf_dir)
-    ds = ds.map_batches(
-        geo_ops([
-            ("scale", dict(xfact=2.0, yfact=-0.5, origin=(0.0, 0.0))),
-            ("x", {}, "xs"),
-            ("y", {}, "ys"),
-        ]),
-        batch_format="pyarrow",
-    )
-    return ds.select_columns(["c_custkey", "xs", "ys"])
 
 
 def q_geo_type_flags(sf_dir: str):
@@ -1644,10 +1678,8 @@ WHERE CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE) >= 0.5
 
 
 QUERIES = {
-    "geo_xy": q_geo_xy,
     "geo_affine": q_geo_affine,
     "geo_rotate": q_geo_rotate,
-    "geo_skew": q_geo_skew,
     "geo_rect_stats": q_geo_rect_stats,
     "geo_length_path": q_geo_length_path,
     "geo_distance": q_geo_distance,
@@ -1662,7 +1694,6 @@ QUERIES = {
     "geo_utm": q_geo_utm,
     "geo_geojson": q_geo_geojson,
     "geo_exterior_len": q_geo_exterior_len,
-    "geo_scale": q_geo_scale,
     "geo_type_flags": q_geo_type_flags,
     "geo_sjoin_part": q_geo_sjoin_part,
     "rel_sessions": q_rel_sessions,
@@ -1686,6 +1717,9 @@ QUERIES = {
     "dd_exact_docs": q_dd_exact_docs,
     "txt_tokens": q_txt_tokens,
     "txt_quality": q_txt_quality,
+    "txt_repetition": q_txt_repetition,
+    "txt_pii": q_txt_pii,
+    "dd_paragraph": q_dd_paragraph,
     "txt_langid": q_txt_langid,
     "txt_fingerprint": q_txt_fingerprint,
     "dd_minhash_docs": q_dd_minhash_docs,
@@ -1699,13 +1733,15 @@ QUERIES = {
 _PIP_COND = "c.x > r.xmin AND c.x < r.xmin + r.w AND c.y > r.ymin AND c.y < r.ymin + r.h"
 
 ORACLE_SQL = {
-    "geo_xy": f"SELECT c_custkey, {_CX} AS px, {_CY} AS py FROM customer",
     "geo_affine": (
         f"SELECT c_custkey, ({_CX}) + 1.25 AS xt, ({_CY}) - 2.5 AS yt, "
         f"2.0*(({_CX}) + 1.25) + 10.25 AS xa, 0.5*(({_CY}) - 2.5) - 3.5 AS ya FROM customer"
     ),
-    "geo_rotate": f"SELECT c_custkey, -({_CY}) AS xr, ({_CX}) AS yr FROM customer",
-    "geo_skew": f"SELECT c_custkey, ({_CX}) + ({_CY}) AS xk, ({_CY}) AS yk FROM customer",
+    "geo_rotate": (
+        f"SELECT c_custkey, -({_CY}) AS xr, ({_CX}) AS yr, "
+        f"-({_CY}) + ({_CX}) AS xk, ({_CX}) AS yk, "
+        f"2.0*(-({_CY}) + ({_CX})) AS xs, -0.5*({_CX}) AS ys FROM customer"
+    ),
     "geo_rect_stats": (
         f"SELECT n_nationkey, w*h AS area, 2.0*(w+h) AS perimeter, "
         "xmin + w/2.0 AS cx, ymin + h/2.0 AS cy, "
@@ -1774,7 +1810,6 @@ ORACLE_SQL = {
         f"UNION ALL SELECT c_custkey, 'gpkg' AS fmt, {_CX} AS gx, {_CY} AS gy FROM customer"
     ),
     "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
-    "geo_scale": f"SELECT c_custkey, ({_CX})*2.0 AS xs, ({_CY})*-0.5 AS ys FROM customer",
     "geo_type_flags": (
         "SELECT c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring FROM customer"
     ),
@@ -1859,6 +1894,48 @@ ORACLE_SQL = {
     "txt_tokens": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens, "
         "CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"
+    ),
+    "txt_repetition": (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "f AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "g AS (SELECT doc_id, tok, count(*) AS c FROM f GROUP BY doc_id, tok), "
+        "d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, CAST(count(*) AS BIGINT) AS n_distinct_tok, "
+        "CAST(max(c) AS BIGINT) AS top_tok_n FROM g GROUP BY doc_id), "
+        "b AS (SELECT doc_id, unnest(list_transform(list_zip(toks[:len(toks)-1], toks[2:]), "
+        "s -> s[1] || ' ' || s[2])) AS bg FROM t), "
+        "bg AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg), "
+        "bd AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bg GROUP BY doc_id) "
+        "SELECT d.doc_id, n_tok, n_distinct_tok, "
+        "(n_tok - n_distinct_tok) / CAST(n_tok AS DOUBLE) AS dup_token_frac, "
+        "top_tok_n, coalesce(bd.top_bigram_n, 0) AS top_bigram_n "
+        "FROM d LEFT JOIN bd ON d.doc_id = bd.doc_id"
+    ),
+    "txt_pii": (
+        "WITH inj AS (SELECT doc_id, text || ' user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com at 192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.' || "
+        "CAST(doc_id % 100 AS VARCHAR) || ' tel +1 555 013 ' || "
+        "CAST(1000 + doc_id % 9000 AS VARCHAR) AS t FROM documents) "
+        "SELECT doc_id, "
+        "CAST(length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, "
+        "CAST(length(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4, "
+        "CAST(length(regexp_extract_all(t, '\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{3,4}\\b')) AS BIGINT) AS n_phone, "
+        "regexp_replace(regexp_replace(regexp_replace(t, "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'), "
+        "'\\+?\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}[ -]\\d{3,4}\\b', '<PHONE>', 'g') AS text_redacted "
+        "FROM inj"
+    ),
+    "dd_paragraph": (
+        "WITH S AS (SELECT doc_id, string_split(text, ' a ') AS parts FROM documents), "
+        "P AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pidx, unnest(parts) AS seg FROM S), "
+        "M AS (SELECT seg, min(doc_id * 1048576 + pidx) AS mr FROM P GROUP BY seg), "
+        "K AS (SELECT P.doc_id, P.pidx, P.seg FROM P JOIN M ON P.seg = M.seg "
+        "AND P.doc_id * 1048576 + P.pidx = M.mr), "
+        "R AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(seg, ' a ' ORDER BY pidx) AS text_dedup FROM K GROUP BY doc_id) "
+        "SELECT s.doc_id, CAST(len(s.parts) AS BIGINT) AS n_seg, "
+        "coalesce(r.n_kept, 0) AS n_kept, coalesce(r.text_dedup, '') AS text_dedup "
+        "FROM S s LEFT JOIN R r ON s.doc_id = r.doc_id"
     ),
     "txt_quality": (
         "WITH f AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n, "

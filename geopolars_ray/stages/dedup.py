@@ -563,3 +563,155 @@ def semantic_dedup(
     return dedup_keep_representatives(
         target, pairs, key, src="a", dst="b", num_partitions=num_partitions
     )
+
+
+# ------------------------------------------------------------ paragraph dedup
+
+
+def paragraph_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_partitions: int = 32,
+    max_segment_bits: int = 20,
+):
+    """Corpus-level paragraph dedup (CCNet-style): split every document on
+    ``sep``, keep each distinct segment only at its FIRST global occurrence
+    (minimum ``(id, position)`` over the whole corpus), and reassemble the
+    surviving segments per document in original order.
+
+    Returns a Dataset ``(id_col, n_seg, n_kept, text_dedup)`` — one row per
+    input document; documents whose every segment appeared earlier elsewhere
+    come back with ``n_kept = 0`` and ``text_dedup = ''``.
+
+    Scale shape: the only all-to-alls are (a) a combiner-first min-rank
+    aggregate over DISTINCT segments, (b) a hash join of segment rows
+    against that (distinct-sized) table, and (c) the per-document
+    reassembly exchange — all hash-partitioned, never gated on corpus size.
+    Reassembly is vectorized: lexsort + ListArray offsets + one
+    ``pc.binary_join`` per partition, no per-document Python. Requires an
+    integer ``id_col`` and < 2**max_segment_bits segments per document (the
+    global rank packs ``id << bits | position``).
+    """
+    import pyarrow.compute as pc
+
+    from .agg import hash_aggregate, hash_partitioned_map
+    from .hashjoin import hash_join
+
+    sch = ds.schema()
+    arrow_schema = getattr(sch, "base_schema", sch)
+    id_type = arrow_schema.field(id_col).type
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        lists = pc.split_pattern(s, sep)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        if counts.size and counts.max() >= (1 << max_segment_bits):
+            raise ValueError(
+                f"document with {counts.max()} segments exceeds "
+                f"2**{max_segment_bits}; raise max_segment_bits"
+            )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = np.repeat(ids, counts)
+        pidx = np.arange(len(rid), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        return pa.table(
+            {
+                id_col: pa.array(rid).cast(id_type),
+                "pidx": pa.array(pidx),
+                "seg": flat,
+                "rank": pa.array((rid << max_segment_bits) | pidx),
+            }
+        )
+
+    flat_schema = pa.schema(
+        [(id_col, id_type), ("pidx", pa.int64()), ("seg", pa.string()), ("rank", pa.int64())]
+    )
+    base = ds.select_columns([id_col, text_col])
+    flat = base.map_batches(explode, batch_format="pyarrow")
+
+    firsts = hash_aggregate(
+        flat.select_columns(["seg", "rank"]),
+        ["seg"],
+        [("rank", "min", "min_rank")],
+        num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        flat,
+        firsts,
+        on=["seg"],
+        num_partitions=num_partitions,
+        left_schema=flat_schema,
+        right_schema=pa.schema([("seg", pa.string()), ("min_rank", pa.int64())]),
+    )
+    kept = joined.map_batches(
+        lambda b: b.filter(pc.equal(b["rank"], b["min_rank"])).drop_columns(
+            ["rank", "min_rank"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def reassemble(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], id_type),
+                    "n_kept": pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                }
+            )
+        ids = part[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pidx = part["pidx"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pidx, ids))
+        segs = part["seg"].take(pa.array(order))
+        sids = ids[order]
+        bounds = np.flatnonzero(np.diff(sids, prepend=sids[0] - 1))
+        offsets = np.append(bounds, len(sids)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), segs.combine_chunks() if isinstance(segs, pa.ChunkedArray) else segs)
+        joined_txt = pc.binary_join(lst, sep)
+        return pa.table(
+            {
+                id_col: pa.array(sids[bounds]).cast(id_type),
+                "n_kept": pa.array(np.diff(np.append(bounds, len(sids))).astype(np.int64)),
+                "text_dedup": joined_txt,
+            }
+        )
+
+    reassembled = hash_partitioned_map(
+        kept, [id_col], reassemble, num_partitions=num_partitions
+    )
+
+    def seg_counts(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        n = pc.cast(pc.list_value_length(pc.split_pattern(s, sep)), pa.int64())
+        return pa.table({id_col: batch[id_col], "n_seg": n})
+
+    counts_ds = base.map_batches(seg_counts, batch_format="pyarrow")
+    out = hash_join(
+        counts_ds,
+        reassembled,
+        on=[id_col],
+        how="left",
+        num_partitions=num_partitions,
+        left_schema=pa.schema([(id_col, id_type), ("n_seg", pa.int64())]),
+        right_schema=pa.schema(
+            [(id_col, id_type), ("n_kept", pa.int64()), ("text_dedup", pa.string())]
+        ),
+    )
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("n_kept"),
+            "n_kept",
+            pc.coalesce(b["n_kept"], pa.scalar(0, pa.int64())),
+        ).set_column(
+            b.schema.get_field_index("text_dedup"),
+            "text_dedup",
+            pc.coalesce(b["text_dedup"], pa.scalar("", pa.string())),
+        ),
+        batch_format="pyarrow",
+    )

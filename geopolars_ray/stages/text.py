@@ -70,6 +70,127 @@ def quality_score(text_col: str = "text") -> Callable[[pa.Table], pa.Table]:
     return fn
 
 
+def repetition_stats(text_col: str = "text", sep: str = " ") -> Callable[[pa.Table], pa.Table]:
+    """Gopher-style within-document repetition signals, fully vectorized.
+
+    Per document: ``n_tok`` (separator-split tokens), ``n_distinct_tok``,
+    ``dup_token_frac`` = (n - distinct)/n, ``top_tok_n`` (occurrences of the
+    most frequent token) and ``top_bigram_n`` (most frequent adjacent token
+    pair). High duplicate/top-n-gram fractions flag boilerplate and
+    degenerate pages (Rae et al. 2021, Gopher §A1.1 repetition filters).
+
+    Implementation: one ``pc.split_pattern`` over the column, dictionary-encode
+    the flattened tokens to int codes, then all per-doc statistics are
+    sort/`reduceat` passes over ``doc_idx * V + code`` — no Python loop.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        lists = pc.split_pattern(s, sep)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_rows = len(batch)
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+        vocab = int(codes.max()) + 1 if len(codes) else 1
+        combined = doc_idx * vocab + codes
+        combined.sort(kind="stable")
+        if len(combined):
+            uniq_mask = np.empty(len(combined), dtype=bool)
+            uniq_mask[0] = True
+            np.not_equal(combined[1:], combined[:-1], out=uniq_mask[1:])
+            uniq = combined[uniq_mask]
+            # run length of each (doc, token) pair
+            run_starts = np.flatnonzero(uniq_mask)
+            run_len = np.diff(np.append(run_starts, len(combined)))
+            docs_of_uniq = uniq // vocab
+            nd = np.bincount(docs_of_uniq, minlength=n_rows)
+            # per-doc max run length: reduceat over runs grouped by doc
+            doc_bounds = np.flatnonzero(
+                np.diff(docs_of_uniq, prepend=np.int64(-1))
+            )
+            top = np.zeros(n_rows, dtype=np.int64)
+            top[docs_of_uniq[doc_bounds]] = np.maximum.reduceat(run_len, doc_bounds)
+        else:
+            nd = np.zeros(n_rows, dtype=np.int64)
+            top = np.zeros(n_rows, dtype=np.int64)
+        # bigrams: adjacent codes within a doc (drop the seam between docs)
+        top2 = np.zeros(n_rows, dtype=np.int64)
+        if len(codes) > 1:
+            same_doc = doc_idx[1:] == doc_idx[:-1]
+            if same_doc.any():
+                bi = (doc_idx[:-1] * vocab + codes[:-1]) * vocab + codes[1:]
+                bi = bi[same_doc]
+                bi.sort(kind="stable")
+                bm = np.empty(len(bi), dtype=bool)
+                bm[0] = True
+                np.not_equal(bi[1:], bi[:-1], out=bm[1:])
+                bstarts = np.flatnonzero(bm)
+                blen = np.diff(np.append(bstarts, len(bi)))
+                bdocs = bi[bm] // (vocab * vocab)
+                bbounds = np.flatnonzero(np.diff(bdocs, prepend=np.int64(-1)))
+                top2[bdocs[bbounds]] = np.maximum.reduceat(blen, bbounds)
+        n_tok = counts.astype(np.int64)
+        dup_frac = (n_tok - nd) / np.maximum(n_tok, 1).astype(np.float64)
+        for name, v in (
+            ("n_tok", pa.array(n_tok)),
+            ("n_distinct_tok", pa.array(nd.astype(np.int64))),
+            ("dup_token_frac", pa.array(dup_frac)),
+            ("top_tok_n", pa.array(top)),
+            ("top_bigram_n", pa.array(top2)),
+        ):
+            batch = batch.append_column(name, v)
+        return batch
+
+    return fn
+
+
+# PII patterns (RE2-compatible — pyarrow and DuckDB both run RE2, so counts
+# and replacements are engine-identical)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}\b",
+}
+
+
+def pii_stats(text_col: str = "text", kinds: tuple = ("email", "ipv4", "phone")) -> Callable[[pa.Table], pa.Table]:
+    """Count PII matches per document (``n_<kind>`` columns), vectorized RE2."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        for k in kinds:
+            batch = batch.append_column(
+                f"n_{k}", pc.cast(pc.count_substring_regex(s, PII_PATTERNS[k]), pa.int64())
+            )
+        return batch
+
+    return fn
+
+
+def redact_pii(
+    text_col: str = "text",
+    out_col: str = "text_redacted",
+    kinds: tuple = ("email", "ipv4", "phone"),
+) -> Callable[[pa.Table], pa.Table]:
+    """Replace PII matches with ``<KIND>`` tokens — the standard scrub stage.
+
+    Patterns apply in ``kinds`` order, each as one global vectorized RE2
+    replacement (non-overlapping leftmost matches, same semantics as
+    DuckDB's ``regexp_replace(..., 'g')``).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[text_col], pa.string())
+        for k in kinds:
+            s = pc.replace_substring_regex(s, PII_PATTERNS[k], f"<{k.upper()}>")
+        return batch.append_column(out_col, s)
+
+    return fn
+
+
 # language-marker word lists (tiny n-gram-ish heuristic; deterministic)
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "is", "that", "with"],

@@ -359,3 +359,70 @@ def test_shingle_hashes_batch_matches_per_doc():
     off = np.concatenate([[0], np.cumsum(lens)])
     for i, t in enumerate(texts):
         assert np.array_equal(flat[off[i]:off[i + 1]], _shingle_hashes(t, 5)), t
+
+
+def test_repetition_stats_hand_computed():
+    import pyarrow as pa
+    from geopolars_ray.stages.text import repetition_stats
+
+    t = pa.table({"doc_id": [0, 1, 2], "text": ["a b a b c", "x x x", "q"]})
+    out = repetition_stats()(t)
+    assert out["n_tok"].to_pylist() == [5, 3, 1]
+    assert out["n_distinct_tok"].to_pylist() == [3, 1, 1]
+    assert out["top_tok_n"].to_pylist() == [2, 3, 1]
+    # "a b" twice in doc0; "x x" twice in doc1; single-token doc has none
+    assert out["top_bigram_n"].to_pylist() == [2, 2, 0]
+    fr = out["dup_token_frac"].to_pylist()
+    assert fr[0] == (5 - 3) / 5.0 and fr[2] == 0.0
+
+
+def test_pii_redact_and_counts():
+    import pyarrow as pa
+    from geopolars_ray.stages.text import pii_stats, redact_pii
+
+    t = pa.table({
+        "text": [
+            "mail bob@corp.io or alice.smith@sub.example.org now",
+            "server at 10.0.255.1 and 192.168.1.2, call +44 123 4567 8901",
+            "nothing here",
+        ]
+    })
+    c = pii_stats()(t)
+    assert c["n_email"].to_pylist() == [2, 0, 0]
+    assert c["n_ipv4"].to_pylist() == [0, 2, 0]
+    assert c["n_phone"].to_pylist() == [0, 1, 0]
+    r = redact_pii()(t)["text_redacted"].to_pylist()
+    assert r[0] == "mail <EMAIL> or <EMAIL> now"
+    assert r[1] == "server at <IPV4> and <IPV4>, call <PHONE>"
+    assert r[2] == "nothing here"
+
+
+def test_paragraph_dedup_first_global_occurrence(ray_session):
+    import pyarrow as pa
+    import ray
+    from geopolars_ray.stages.dedup import paragraph_dedup
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["p1\np2\np3", "p2\np4", "p1\np4\np5", "p2"],
+    }))
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="\n", num_partitions=4).take_all()}
+    assert out[1]["text_dedup"] == "p1\np2\np3" and out[1]["n_kept"] == 3
+    assert out[2]["text_dedup"] == "p4" and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "p5" and out[3]["n_seg"] == 3
+    # doc4's only segment is a global duplicate -> empty doc survives with ''
+    assert out[4]["n_kept"] == 0 and out[4]["text_dedup"] == ""
+
+
+def test_paragraph_dedup_order_preserved_within_doc(ray_session):
+    import pyarrow as pa
+    import ray
+    from geopolars_ray.stages.dedup import paragraph_dedup
+
+    # doc 10 defines seg B; doc 11 contains (A, B, C) -> keeps A and C in order
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": [10, 11],
+        "text": ["B", "A\nB\nC"],
+    }))
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="\n", num_partitions=2).take_all()}
+    assert out[11]["text_dedup"] == "A\nC"
