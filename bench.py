@@ -150,7 +150,7 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     K.translate(ga, 1.0, 2.0)
     out["translate_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
-    s2_mod.s2_cell_id(x[:4096], y[:4096], 12)  # untimed warm-up
+    s2_mod.s2_cell_id(x, y, 12)  # untimed warm-up (page-fault cost scales with n)
     t0 = time.time()
     s2_mod.s2_cell_id(x, y, 12)
     out["s2_cell_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
@@ -183,8 +183,9 @@ def kernel_benchmarks() -> dict:
     out["exterior_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
     from geopolars_ray.geom import h3ish
 
-    # untimed warm-up: first call pays one-time BLAS thread-pool spinup
-    h3ish.h3ish_cell_id(x[:4096], y[:4096], 7)
+    # untimed full-size warm-up: first pass pays BLAS pool spinup + page
+    # faults on the fresh (n,20) dots allocation
+    h3ish.h3ish_cell_id(x, y, 7)
     t0 = time.time()
     h3ish.h3ish_cell_id(x, y, 7)
     out["h3ish_r7_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
@@ -256,6 +257,23 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     _mg_summarize(cnts, 4096)
     out["misra_gries_mkeys_s"] = round(len(cnts) / (time.time() - t0) / 1e6, 2)
+
+    # late-r3 text ops: repetition signals + PII redaction over word-soup docs
+    from geopolars_ray.stages.text import redact_pii, repetition_stats
+
+    words = np.array(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+    soup = [" ".join(words[rng.integers(0, len(words), 400)]) for _ in range(2048)]
+    tb = pa.table({"doc_id": pa.array(np.arange(len(soup))), "text": pa.array(soup)})
+    rep = repetition_stats()
+    rep(tb.slice(0, 64))  # warm-up
+    t0 = time.time()
+    rep(tb)
+    out["repetition_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
+    red = redact_pii()
+    red(tb.slice(0, 64))  # warm-up
+    t0 = time.time()
+    red(tb)
+    out["pii_redact_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
     return out
 
 
