@@ -426,3 +426,14 @@ def test_paragraph_dedup_order_preserved_within_doc(ray_session):
     }))
     out = {r["doc_id"]: r for r in paragraph_dedup(docs, sep="\n", num_partitions=2).take_all()}
     assert out[11]["text_dedup"] == "A\nC"
+
+
+def test_bpe_token_stats():
+    import pyarrow as pa
+    from geopolars_ray.stages.text import bpe_token_stats
+
+    t = pa.table({"text": ["Hello world's 42 tests!!", "", "a b"]})
+    out = bpe_token_stats()(t)
+    # Hello | " world" | 's | " 42" | " tests" | "!!"  -> 6
+    # "a" | " b" — the leading space attaches to the following word token
+    assert out["n_bpe_tokens"].to_pylist() == [6, 0, 2]
