@@ -36,13 +36,21 @@ def run_curation(
     *,
     quality_min: float = 0.0,
     lang_fracs: dict | None = None,
-    dedup: bool = True,
+    dedup: bool | str = True,
     minhash_threshold: float = 0.7,
+    paragraph_sep: str = "\n",
     num_partitions: int = 16,
     seed: int = 0,
 ):
     """Curate ``{sf_dir}/documents.parquet``; returns the Dataset (and
-    writes partitioned parquet when ``out_path`` is given)."""
+    writes partitioned parquet when ``out_path`` is given).
+
+    ``dedup``: ``True``/``"minhash"`` = document-level near-dup removal
+    (MinHash-LSH -> connected components -> keep one per cluster);
+    ``"paragraph"`` = CCNet-style paragraph-level dedup (each distinct
+    segment survives only at its first global occurrence; documents keep
+    their residual text); ``False`` = skip.
+    """
     from geopolars_ray.stages.cc import dedup_keep_representatives
     from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs
     from geopolars_ray.stages.sample import stratified_sample_frac
@@ -68,8 +76,20 @@ def run_curation(
     if not dedup:
         out = docs
     else:
-        # two consumers below -> materialize the stage boundary once
+        # both dedup modes consume the curated corpus TWICE (signature pass +
+        # dedup target, or segment explode + per-doc counts) — materialize
+        # the stage boundary once so the lazy actor-pool chain above never
+        # re-executes, and so two concurrent consumers can't each reserve an
+        # actor pool and starve a small session (see ray-data-perf notes)
         docs = docs.materialize()
+    if dedup == "paragraph":
+        from geopolars_ray.stages.dedup import paragraph_dedup
+
+        out = paragraph_dedup(
+            docs, "doc_id", "text", sep=paragraph_sep,
+            num_partitions=num_partitions,
+        )
+    elif dedup:
         bands = docs.select_columns(["doc_id", "text"]).map_batches(
             MinHasher, batch_format="pyarrow", concurrency=2,
         )

@@ -593,6 +593,12 @@ def paragraph_dedup(
     ``pc.binary_join`` per partition, no per-document Python. Requires an
     integer ``id_col`` and < 2**max_segment_bits segments per document (the
     global rank packs ``id << bits | position``).
+
+    ``ds`` is consumed TWICE (segment explode + per-doc counts). When the
+    upstream pipeline contains actor-pool stages, ``.materialize()`` it
+    first: two concurrent consumers each instantiate the pool and the CPU
+    reservations can starve a small cluster (plain task/read pipelines
+    re-execute fine).
     """
     import pyarrow.compute as pc
 

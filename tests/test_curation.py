@@ -65,3 +65,16 @@ def test_curation_writes_partitioned(ray_session, tmp_path):
 
     back = _ray.data.read_parquet(out_dir)
     assert back.count() == run_curation(SF, dedup=False).count()
+
+
+def test_curation_paragraph_mode(ray_session):
+    out = run_curation(
+        SF, dedup="paragraph", paragraph_sep=" a ", num_partitions=4
+    ).materialize()
+    t = _table(out)
+    assert t.num_rows > 0
+    for col in ("n_seg", "n_kept", "text_dedup"):
+        assert col in t.column_names
+    import pyarrow.compute as _pc
+
+    assert _pc.min(_pc.subtract(t["n_seg"], t["n_kept"])).as_py() >= 0
