@@ -382,6 +382,9 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
         "rel_sliding",
         "rel_interval",
         "rel_group_topk",
+        "txt_repetition",
+        "txt_pii",
+        "dd_paragraph",
     ]
     out = {}
     for name in picks:

@@ -594,11 +594,10 @@ def paragraph_dedup(
     integer ``id_col`` and < 2**max_segment_bits segments per document (the
     global rank packs ``id << bits | position``).
 
-    ``ds`` is consumed TWICE (segment explode + per-doc counts). When the
-    upstream pipeline contains actor-pool stages, ``.materialize()`` it
-    first: two concurrent consumers each instantiate the pool and the CPU
-    reservations can starve a small cluster (plain task/read pipelines
-    re-execute fine).
+    ``ds`` is consumed exactly once: reassembly receives EVERY segment row
+    of each document (keep flag attached by the rank join), so per-doc
+    totals, kept counts and the joined residual text all come out of the
+    one partition pass — no second scan, no left join for empty docs.
     """
     import pyarrow.compute as pc
 
@@ -655,10 +654,10 @@ def paragraph_dedup(
         left_schema=flat_schema,
         right_schema=pa.schema([("seg", pa.string()), ("min_rank", pa.int64())]),
     )
-    kept = joined.map_batches(
-        lambda b: b.filter(pc.equal(b["rank"], b["min_rank"])).drop_columns(
-            ["rank", "min_rank"]
-        ),
+    flagged = joined.map_batches(
+        lambda b: b.append_column(
+            "keep", pc.equal(b["rank"], b["min_rank"])
+        ).drop_columns(["rank", "min_rank"]),
         batch_format="pyarrow",
     )
 
@@ -667,6 +666,7 @@ def paragraph_dedup(
             return pa.table(
                 {
                     id_col: pa.array([], id_type),
+                    "n_seg": pa.array([], pa.int64()),
                     "n_kept": pa.array([], pa.int64()),
                     "text_dedup": pa.array([], pa.string()),
                 }
@@ -674,50 +674,29 @@ def paragraph_dedup(
         ids = part[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         pidx = part["pidx"].to_numpy(zero_copy_only=False)
         order = np.lexsort((pidx, ids))
-        segs = part["seg"].take(pa.array(order))
         sids = ids[order]
+        keep = (
+            part["keep"].to_numpy(zero_copy_only=False).astype(bool)[order]
+        )
         bounds = np.flatnonzero(np.diff(sids, prepend=sids[0] - 1))
-        offsets = np.append(bounds, len(sids)).astype(np.int32)
-        lst = pa.ListArray.from_arrays(pa.array(offsets), segs.combine_chunks() if isinstance(segs, pa.ChunkedArray) else segs)
-        joined_txt = pc.binary_join(lst, sep)
+        n_seg = np.diff(np.append(bounds, len(sids))).astype(np.int64)
+        n_kept = np.add.reduceat(keep.astype(np.int64), bounds)
+        segs = part["seg"].take(pa.array(order[keep]))
+        if isinstance(segs, pa.ChunkedArray):
+            segs = segs.combine_chunks()
+        offsets = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        joined_txt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), segs), sep
+        )
         return pa.table(
             {
                 id_col: pa.array(sids[bounds]).cast(id_type),
-                "n_kept": pa.array(np.diff(np.append(bounds, len(sids))).astype(np.int64)),
+                "n_seg": pa.array(n_seg),
+                "n_kept": pa.array(n_kept),
                 "text_dedup": joined_txt,
             }
         )
 
-    reassembled = hash_partitioned_map(
-        kept, [id_col], reassemble, num_partitions=num_partitions
-    )
-
-    def seg_counts(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch[text_col], pa.string())
-        n = pc.cast(pc.list_value_length(pc.split_pattern(s, sep)), pa.int64())
-        return pa.table({id_col: batch[id_col], "n_seg": n})
-
-    counts_ds = base.map_batches(seg_counts, batch_format="pyarrow")
-    out = hash_join(
-        counts_ds,
-        reassembled,
-        on=[id_col],
-        how="left",
-        num_partitions=num_partitions,
-        left_schema=pa.schema([(id_col, id_type), ("n_seg", pa.int64())]),
-        right_schema=pa.schema(
-            [(id_col, id_type), ("n_kept", pa.int64()), ("text_dedup", pa.string())]
-        ),
-    )
-    return out.map_batches(
-        lambda b: b.set_column(
-            b.schema.get_field_index("n_kept"),
-            "n_kept",
-            pc.coalesce(b["n_kept"], pa.scalar(0, pa.int64())),
-        ).set_column(
-            b.schema.get_field_index("text_dedup"),
-            "text_dedup",
-            pc.coalesce(b["text_dedup"], pa.scalar("", pa.string())),
-        ),
-        batch_format="pyarrow",
+    return hash_partitioned_map(
+        flagged, [id_col], reassemble, num_partitions=num_partitions
     )
