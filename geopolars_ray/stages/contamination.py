@@ -27,7 +27,9 @@ def _token_hashes(texts_arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     array; tokens are whitespace-split."""
     import polars as pl
 
-    lists = pc.split_pattern_regex(pc.cast(texts_arr, pa.string()), r"\s+")
+    lists = pc.split_pattern_regex(
+        pc.coalesce(pc.cast(texts_arr, pa.string()), ""), r"\s+"
+    )
     flat = pc.list_flatten(lists)
     if isinstance(flat, pa.ChunkedArray):
         flat = flat.combine_chunks()

@@ -609,7 +609,8 @@ def paragraph_dedup(
     id_type = arrow_schema.field(id_col).type
 
     def explode(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch[text_col], pa.string())
+        # null text -> "" (a null list would NaN the count vector)
+        s = pc.coalesce(pc.cast(batch[text_col], pa.string()), "")
         lists = pc.split_pattern(s, sep)
         flat = pc.list_flatten(lists)
         if isinstance(flat, pa.ChunkedArray):

@@ -107,7 +107,8 @@ def repetition_stats(text_col: str = "text", sep: str = " ") -> Callable[[pa.Tab
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        s = pc.cast(batch[text_col], pa.string())
+        # null text -> "" (null split lists would NaN the count vector)
+        s = pc.coalesce(pc.cast(batch[text_col], pa.string()), "")
         lists = pc.split_pattern(s, sep)
         flat = pc.list_flatten(lists)
         if isinstance(flat, pa.ChunkedArray):
