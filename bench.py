@@ -274,6 +274,21 @@ def kernel_benchmarks() -> dict:
     t0 = time.time()
     red(tb)
     out["pii_redact_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
+
+    from geopolars_ray.stages.contamination import (
+        _ngram_hashes,
+        _token_hashes,
+        probe_ngram_set,
+    )
+
+    probe = probe_ngram_set(soup[:16], n=13)
+    th, cnt = _token_hashes(tb["text"].combine_chunks())
+    t0 = time.time()
+    h, _nw = _ngram_hashes(th, cnt, 13)
+    idx = np.searchsorted(probe, h)
+    idx[idx == len(probe)] = 0
+    (probe[idx] == h).sum()
+    out["contamination_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
     return out
 
 
