@@ -27,6 +27,7 @@ import pyarrow as pa
 _ACERO_TYPE = {
     "inner": "inner",
     "left": "left outer",
+    "full_outer": "full outer",
     "left_anti": "left anti",
     "left_semi": "left semi",
 }
@@ -46,9 +47,10 @@ def hash_join(
 ):
     """Join two Datasets on equality keys; robust to empty hash partitions.
 
-    Output columns: all left columns, plus (for inner/left) every non-key
-    right column — renamed with ``r_suffix`` when it collides with a left
-    column name. Key columns appear once, under their LEFT names.
+    Output columns: all left columns, plus (for inner/left/full_outer)
+    every non-key right column — renamed with ``r_suffix`` when it collides
+    with a left column name. Key columns appear once, under their LEFT
+    names (full_outer coalesces keys, so right-only rows carry their key).
 
     ``left_schema``/``right_schema``: pass explicit Arrow schemas when known —
     ``Dataset.schema()`` on a lazy pipeline can return None (e.g. when the
@@ -71,7 +73,7 @@ def hash_join(
     rtypes = dict(zip(rs.names, rs.types))
     r_vals = [c for c in rs.names if c not in right_on]
     out_rname = {c: (c + r_suffix if c in lnames else c) for c in r_vals}
-    keep_r_vals = how in ("inner", "left")
+    keep_r_vals = how in ("inner", "left", "full_outer")
 
     def pad_left(b: pa.Table) -> pa.Table:
         out = b.select(lnames)

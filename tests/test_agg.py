@@ -190,6 +190,19 @@ def test_hash_join_modes(ray_session):
     assert sorted(r["k"] for r in anti) == [1, 3]
     # semi/anti outputs carry ONLY left columns
     assert set(semi[0].keys()) == {"k", "lv"}
+    # full outer: every left row plus right-only keys, keys coalesced
+    fo = hash_join(
+        L(),
+        ray.data.from_arrow(pa.table({
+            "k": pa.array([2, 7, 1000003], pa.int64()),
+            "rv": pa.array([20.0, 70.0, 30.0]),
+        })),
+        on=["k"], how="full_outer", num_partitions=8,
+    ).take_all()
+    assert sorted(r["k"] for r in fo) == [1, 2, 3, 7, 1000003]
+    by_k = {r["k"]: r for r in fo}
+    assert by_k[7]["lv"] is None and by_k[7]["rv"] == 70.0
+    assert by_k[1]["rv"] is None and by_k[2]["rv"] == 20.0
 
 
 def test_sliding_window_aggregate(ray_session):
