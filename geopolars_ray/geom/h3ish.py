@@ -122,16 +122,33 @@ def h3ish_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
     """Aperture-7 icosahedral hex cell id per point (int64), vectorized."""
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}]")
-    v = _lonlat_to_xyz(lon, lat)
-    dots = v @ _CENTERS.T  # (n, 20)
-    face = np.argmax(dots, axis=1)
-    c = _CENTERS[face]
-    # gnomonic projection onto the face tangent plane; v.c is the argmax dot
-    # already computed above — gather it instead of a second row-wise product
-    scale = 1.0 / dots[np.arange(len(face)), face]
-    p = v * scale[:, None] - c
-    u = np.einsum("ij,ij->i", p, _E1[face])
-    w = np.einsum("ij,ij->i", p, _E2[face])
+    lam = np.radians(np.asarray(lon, np.float64))
+    phi = np.radians(np.asarray(lat, np.float64))
+    cp = np.cos(phi)
+    vx = cp * np.cos(lam)
+    vy = cp * np.sin(lam)
+    vz = np.sin(phi)
+    # nearest face center by running max over the 20 faces — avoids the
+    # (n, 20) dots matrix + argmax scan (320 MB of traffic at 2M points; the
+    # big temporaries were the kernel's bottleneck in long-running processes)
+    best = vx * _CENTERS[0, 0] + vy * _CENTERS[0, 1] + vz * _CENTERS[0, 2]
+    face = np.zeros(len(best), dtype=np.int64)
+    for f in range(1, 20):
+        d = vx * _CENTERS[f, 0] + vy * _CENTERS[f, 1] + vz * _CENTERS[f, 2]
+        m = d > best
+        np.copyto(best, d, where=m)
+        face[m] = f
+    # gnomonic projection onto the face tangent plane; v.c is the running
+    # max itself — no second row-wise product
+    scale = 1.0 / best
+    cg = _CENTERS[face]
+    e1 = _E1[face]
+    e2 = _E2[face]
+    px = vx * scale - cg[:, 0]
+    py = vy * scale - cg[:, 1]
+    pz = vz * scale - cg[:, 2]
+    u = px * e1[:, 0] + py * e1[:, 1] + pz * e1[:, 2]
+    w = px * e2[:, 0] + py * e2[:, 1] + pz * e2[:, 2]
     s, theta = _res_scale_rot(res)
     ct, st = np.cos(theta), np.sin(theta)
     ur = (ct * u + st * w) / s
