@@ -52,7 +52,11 @@ def run_curation(
     their residual text); ``False`` = skip.
     """
     from geopolars_ray.stages.cc import dedup_keep_representatives
-    from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs
+    from geopolars_ray.stages.dedup import (
+        MinHasher,
+        jaccard_verify,
+        lsh_candidate_pairs,
+    )
     from geopolars_ray.stages.sample import stratified_sample_frac
     from geopolars_ray.stages.text import LangId, quality_score, token_stats
 
@@ -73,6 +77,8 @@ def run_curation(
             docs, "doc_id", "lang_pred", lang_fracs, seed=seed, default_frac=1.0
         )
 
+    if dedup not in (False, True, "minhash", "paragraph"):
+        raise ValueError(f"unknown dedup mode {dedup!r}")
     if not dedup:
         out = docs
     else:
@@ -90,10 +96,21 @@ def run_curation(
             num_partitions=num_partitions,
         )
     elif dedup:
+        # task-based MinHasher: its state is 64 seeded ints, so tasks beat
+        # an actor pool (spin-up + a second pool next to LangId would
+        # starve small sessions; measured in queries.py q_dd_minhash_docs)
         bands = docs.select_columns(["doc_id", "text"]).map_batches(
-            MinHasher, batch_format="pyarrow", concurrency=2,
+            MinHasher(), batch_format="pyarrow", batch_size=512,
         )
         pairs = lsh_candidate_pairs(bands, num_partitions=num_partitions)
+        # LSH candidates are band-collision guesses (false positives by
+        # design) — verify exact Jaccard before anything is deleted
+        pairs = jaccard_verify(
+            pairs,
+            docs.select_columns(["doc_id", "text"]),
+            threshold=minhash_threshold,
+            num_partitions=num_partitions,
+        )
         out = dedup_keep_representatives(
             docs, pairs, "doc_id", src="a", dst="b",
             num_partitions=num_partitions,

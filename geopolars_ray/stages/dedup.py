@@ -609,6 +609,8 @@ def paragraph_dedup(
     id_type = arrow_schema.field(id_col).type
 
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=flat_schema)
         # null text -> "" (a null list would NaN the count vector)
         s = pc.coalesce(pc.cast(batch[text_col], pa.string()), "")
         lists = pc.split_pattern(s, sep)

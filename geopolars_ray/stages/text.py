@@ -144,15 +144,20 @@ def repetition_stats(text_col: str = "text", sep: str = " ") -> Callable[[pa.Tab
         if len(codes) > 1:
             same_doc = doc_idx[1:] == doc_idx[:-1]
             if same_doc.any():
-                bi = (doc_idx[:-1] * vocab + codes[:-1]) * vocab + codes[1:]
-                bi = bi[same_doc]
+                # densify pairs before packing with doc_idx: (doc*V + c0)*V
+                # + c1 overflows int64 at ~5M docs x 1e7 vocab, so rank the
+                # pair keys first (pair count <= token count, always safe)
+                pair = (codes[:-1] * vocab + codes[1:])[same_doc]
+                _, pair_rank = np.unique(pair, return_inverse=True)
+                n_pairs = int(pair_rank.max()) + 1 if len(pair_rank) else 1
+                bi = doc_idx[:-1][same_doc] * n_pairs + pair_rank
                 bi.sort(kind="stable")
                 bm = np.empty(len(bi), dtype=bool)
                 bm[0] = True
                 np.not_equal(bi[1:], bi[:-1], out=bm[1:])
                 bstarts = np.flatnonzero(bm)
                 blen = np.diff(np.append(bstarts, len(bi)))
-                bdocs = bi[bm] // (vocab * vocab)
+                bdocs = bi[bm] // n_pairs
                 bbounds = np.flatnonzero(np.diff(bdocs, prepend=np.int64(-1)))
                 top2[bdocs[bbounds]] = np.maximum.reduceat(blen, bbounds)
         n_tok = counts.astype(np.int64)

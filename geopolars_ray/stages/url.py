@@ -104,7 +104,17 @@ def url_normalize(
         st = pc.extract_regex(s, _URL_RE)
         scheme = pc.utf8_lower(pc.struct_field(st, "scheme"))
         host = pc.utf8_lower(pc.struct_field(st, "host"))
-        host = pc.replace_substring_regex(host, r":(80|443)$", "")
+        # strip only the scheme's OWN default port — http://x:443 is a
+        # distinct endpoint and must stay a distinct dedup key
+        host = pc.if_else(
+            pc.equal(scheme, "http"),
+            pc.replace_substring_regex(host, r":80$", ""),
+            pc.if_else(
+                pc.equal(scheme, "https"),
+                pc.replace_substring_regex(host, r":443$", ""),
+                host,
+            ),
+        )
         path = pc.struct_field(st, "path")
         path = pc.if_else(pc.equal(path, ""), pa.scalar("/", pa.string()), path)
         # RE2 gives "" for both a missing and an empty query — drop both

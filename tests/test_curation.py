@@ -78,3 +78,10 @@ def test_curation_paragraph_mode(ray_session):
     import pyarrow.compute as _pc
 
     assert _pc.min(_pc.subtract(t["n_seg"], t["n_kept"])).as_py() >= 0
+
+
+def test_curation_rejects_unknown_dedup_mode(ray_session):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dedup mode"):
+        run_curation(SF, dedup="exact")

@@ -46,12 +46,16 @@ def test_url_normalize_canonical_forms():
         "http://a.net:80/x?b=2#frag",
         "https://a.net/x",
         "not a url",
+        "http://b.com:443/y",  # NOT http's default port -> distinct endpoint
+        "https://c.com:80/z",  # NOT https's default port
     ]))
     assert o["url_norm"].to_pylist() == [
         "https://www.site.com/Path/",
         "http://a.net/x?b=2",
         "https://a.net/x",
         "not a url",
+        "http://b.com:443/y",
+        "https://c.com:80/z",
     ]
 
 
