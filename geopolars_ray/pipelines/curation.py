@@ -8,6 +8,8 @@ standard web-corpus curation recipe:
       → language id (actor pool, markers compiled once per worker)
       → quality floor filter (streaming)
       → per-language stratified downsampling (deterministic, zero-shuffle)
+      → optional benchmark decontamination (n-gram overlap vs broadcast
+        probe set, streaming filter)
       → MinHash-LSH near-dup pairs → connected components → keep one per
         cluster
       → partitioned parquet write (resumable layout) or a Dataset
@@ -36,6 +38,8 @@ def run_curation(
     *,
     quality_min: float = 0.0,
     lang_fracs: dict | None = None,
+    decontaminate: list | None = None,
+    contamination_ngram: int = 13,
     dedup: bool | str = True,
     minhash_threshold: float = 0.7,
     paragraph_sep: str = "\n",
@@ -75,6 +79,17 @@ def run_curation(
     if lang_fracs:
         docs = stratified_sample_frac(
             docs, "doc_id", "lang_pred", lang_fracs, seed=seed, default_frac=1.0
+        )
+    if decontaminate:
+        from geopolars_ray.stages.contamination import ngram_contamination
+
+        docs = ngram_contamination(
+            docs, decontaminate, n=contamination_ngram
+        ).map_batches(
+            lambda b: b.filter(pc.invert(b["contaminated"])).drop_columns(
+                ["n_contaminated_ngrams", "contaminated"]
+            ),
+            batch_format="pyarrow",
         )
 
     if dedup not in (False, True, "minhash", "paragraph"):
