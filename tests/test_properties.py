@@ -232,3 +232,71 @@ def test_kml_round_trip_fuzz(geoms):
     rows = [_placemark_row(pm) for pm in _iter_placemarks(ET.parse(path).getroot())]
     assert [r[0] for r in rows] == ga.to_pylist()
     assert [r[1]["i"] for r in rows] == [str(i) for i in range(len(geoms))]
+
+
+# ---------------------------------------------------------------- text ops
+
+word = st.text(alphabet="abcdef", min_size=1, max_size=3)
+doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+
+
+@given(st.lists(doc, min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_matches_python_reference(texts):
+    import collections
+
+    import pyarrow as pa
+
+    from geopolars_ray.stages.text import repetition_stats
+
+    out = repetition_stats()(pa.table({"text": pa.array(texts, pa.string())}))
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # '' splits to [''] — same as the kernel
+        c = collections.Counter(toks)
+        bi = collections.Counter(zip(toks, toks[1:]))
+        assert out["n_tok"][i].as_py() == len(toks)
+        assert out["n_distinct_tok"][i].as_py() == len(c)
+        assert out["top_tok_n"][i].as_py() == max(c.values())
+        assert out["top_bigram_n"][i].as_py() == (max(bi.values()) if bi else 0)
+        assert out["dup_token_frac"][i].as_py() == (len(toks) - len(c)) / len(toks)
+
+
+@given(st.lists(st.from_regex(r"https?://[a-z]{1,8}(\.[a-z]{1,5}){0,3}(:\d{1,4})?(/[a-z0-9]{0,6}){0,3}(\?[a-z]=[0-9])?(#[a-z]{0,4})?", fullmatch=True), min_size=1, max_size=10))
+@settings(max_examples=60, deadline=None)
+def test_url_normalize_idempotent(urls):
+    import pyarrow as pa
+
+    from geopolars_ray.stages.url import url_normalize
+
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    once = url_normalize()(t)["url_norm"]
+    twice = url_normalize("url_norm", "url_norm2")(
+        t.append_column("url_norm", once)
+    )["url_norm2"]
+    assert once.to_pylist() == twice.to_pylist()
+
+
+@given(st.lists(st.lists(st.sampled_from("pqrs"), min_size=1, max_size=4).map("".join), min_size=1, max_size=6), st.integers(0, 5))
+@settings(max_examples=30, deadline=None)
+def test_paragraph_dedup_partition_invariance_and_coverage(ray_session, seg_lists, seed):
+    """Distinct segments survive exactly once corpus-wide; result is
+    independent of num_partitions."""
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.dedup import paragraph_dedup
+
+    texts = ["\n".join(s) for s in seg_lists]
+    tbl = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl)
+        rows = paragraph_dedup(ds, sep="\n", num_partitions=parts).take_all()
+        return sorted((r["doc_id"], r["n_seg"], r["n_kept"], r["text_dedup"]) for r in rows)
+
+    a = run(2)
+    assert a == run(5)
+    # coverage: every distinct segment appears exactly once across outputs
+    kept = [seg for _d, _ns, nk, txt in a if nk for seg in txt.split("\n")]
+    distinct = {seg for s in seg_lists for seg in s}
+    assert sorted(kept) == sorted(distinct)
