@@ -111,3 +111,55 @@ def hash_join(
         return l.join(r, keys=on, join_type=acero_how)
 
     return hash_partitioned_map(both, on, per_partition, num_partitions)
+
+
+def broadcast_hash_join(
+    left_ds,
+    right: pa.Table,
+    on: Sequence[str],
+    *,
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    r_suffix: str = "_r",
+):
+    """Zero-shuffle equi-join against a SMALL in-memory right side.
+
+    The right table is ``ray.put`` once and every task joins its batch
+    against the shared copy (one zero-copy object-store read per worker) —
+    no exchange at all, vs hash_join's all-to-all. The right primitive
+    whenever the right side fits comfortably in the object store
+    (dimension tables, admin lookups, dedup'd key sets); for two big sides
+    use :func:`hash_join`.
+
+    Same output-column contract as :func:`hash_join` (keys once under left
+    names; right value columns suffixed on collision). ``full_outer`` is
+    NOT supported — right-only rows would need a global view.
+    """
+    import ray
+
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"unsupported broadcast join type {how!r}")
+    on = list(on)
+    right_on = list(right_on or on)
+    # pre-rename right columns to the output contract, keys to LEFT names
+    rename = {}
+    for lk, rk in zip(on, right_on):
+        rename[rk] = lk
+    r_tbl = right.rename_columns([rename.get(c, c) for c in right.column_names])
+    ref = ray.put(r_tbl)
+    acero_how = _ACERO_TYPE[how]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = ray.get(ref)
+        keep = [c for c in r.column_names if c in on] + [
+            c for c in r.column_names if c not in on
+        ]
+        lcols = set(batch.column_names)
+        out_names = {
+            c: (c + r_suffix if c in lcols and c not in on else c)
+            for c in keep
+        }
+        r2 = r.select(keep).rename_columns([out_names[c] for c in keep])
+        return batch.join(r2, keys=on, join_type=acero_how)
+
+    return left_ds.map_batches(fn, batch_format="pyarrow")

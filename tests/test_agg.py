@@ -297,3 +297,27 @@ def test_sliding_window_fanout_three(ray_session):
     # event@0.5h -> windows -2,-1,0 ; event@3.5h -> windows 1,2,3
     assert out["window_start"].tolist() == [-2, -1, 0, 1, 2, 3]
     assert out["s"].tolist() == [1, 1, 1, 10, 10, 10]
+
+
+def test_broadcast_hash_join_matches_hash_join(ray_session):
+    import ray
+    from geopolars_ray.stages.hashjoin import broadcast_hash_join, hash_join
+
+    left = pa.table({
+        "k": pa.array([1, 2, 3, 7, 7], pa.int64()),
+        "rv": pa.array(["L1", "L2", "L3", "L7a", "L7b"]),  # collides with right col
+    })
+    right = pa.table({
+        "kk": pa.array([2, 7, 7], pa.int64()),
+        "rv": pa.array([20.0, 70.0, 71.0]),
+    })
+    L = lambda: ray.data.from_arrow(left).repartition(3)
+    R = lambda: ray.data.from_arrow(right)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        b = broadcast_hash_join(L(), right, on=["k"], right_on=["kk"], how=how).take_all()
+        h = hash_join(L(), R(), on=["k"], right_on=["kk"], how=how, num_partitions=4).take_all()
+        key = lambda r: tuple(sorted(r.items(), key=lambda kv: kv[0]))
+        assert sorted(map(key, b)) == sorted(map(key, h)), how
+    # collision renaming: right rv arrives as rv_r
+    inner = broadcast_hash_join(L(), right, on=["k"], right_on=["kk"], how="inner").take_all()
+    assert {"k", "rv", "rv_r"} <= set(inner[0].keys())
