@@ -96,3 +96,29 @@ def pivot(
         return pa.table(cols)
 
     return hash_partitioned_map(cells, index, reshape, num_partitions=num_partitions)
+
+
+def melt(
+    ds,
+    id_vars: Sequence[str],
+    value_vars: Sequence[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+):
+    """Long table from wide columns (the host-Polars ``melt``/``unpivot``
+    analogue; inverse of :func:`pivot`). Pure stateless ``map_batches`` —
+    each batch emits ``len(value_vars)`` stacked copies; no shuffle."""
+    id_vars = list(id_vars)
+    value_vars = list(value_vars)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        parts = []
+        for v in value_vars:
+            cols = {c: batch[c] for c in id_vars}
+            cols[var_name] = pa.array(np.full(n, v, dtype=object), pa.string())
+            cols[value_name] = batch[v]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

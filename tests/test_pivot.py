@@ -64,3 +64,23 @@ def test_pivot_rejects_wide_column(ray_session):
     with pytest.raises(ValueError, match="max_columns"):
         pivot(ray.data.from_arrow(t), "i", "c", "v", num_partitions=2,
               max_columns=10)
+
+
+def test_melt_roundtrips_pivot(ray_session):
+    import ray
+
+    t = _tbl(1000)
+    wide = pivot(ray.data.from_arrow(t), "nation", "status", "amt", "sum",
+                 num_partitions=4).materialize()
+    from geopolars_ray.stages.pivot import melt
+
+    long = melt(wide, ["nation"], [f"status_{s}" for s in "ABC"]).take_all()
+    # every (nation, status) sum appears exactly once
+    ref = t.to_pandas().groupby(["nation", "status"])["amt"].sum()
+    got = {
+        (r["nation"], r["variable"].removeprefix("status_")): r["value"]
+        for r in long if r["value"] is not None
+    }
+    assert len(got) == len(ref)
+    for (nation, s), v in ref.items():
+        assert abs(got[(nation, s)] - v) < 1e-9
