@@ -409,3 +409,27 @@ def bm25_score(docs_ds, terms, text_col: str = "text", out_col: str = "bm25",
         return batch.append_column(out_col, pa.array(total))
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def json_extract(
+    col: str, path: str, out_col: str, dtype: pa.DataType | None = None
+) -> Callable[[pa.Table], pa.Table]:
+    """Vectorized JSON-path extraction from a string column (the engine's
+    scalar-JSON surface, e.g. ``events.props``). Runs polars'
+    ``str.json_path_match`` (Rust, whole-column); result is a string column
+    unless ``dtype`` is given (then cast, invalid -> null).
+
+    ``path`` is a JSONPath like ``"$.k"`` / ``"$.a.b[0]"`` — the same
+    dialect as DuckDB's ``json_extract_string``.
+    """
+    import polars as pl
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch.select([col]))[col]
+        out = s.str.json_path_match(path).to_arrow()
+        if dtype is not None:
+            out = pc.cast(out, pa.string())
+            out = pc.cast(out, dtype, safe=False)
+        return batch.append_column(out_col, out)
+
+    return fn

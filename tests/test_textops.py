@@ -437,3 +437,18 @@ def test_bpe_token_stats():
     # Hello | " world" | 's | " 42" | " tests" | "!!"  -> 6
     # "a" | " b" — the leading space attaches to the following word token
     assert out["n_bpe_tokens"].to_pylist() == [6, 0, 2]
+
+
+def test_json_extract(ray_session):
+    import ray
+    from geopolars_ray.stages.text import json_extract
+
+    t = pa.table({"props": ['{"k": 69, "t": "x"}', '{"k": 89}', 'bad', None]})
+    ds = ray.data.from_arrow(t).map_batches(
+        json_extract("props", "$.k", "k", pa.int64()), batch_format="pyarrow"
+    ).map_batches(
+        json_extract("props", "$.t", "t"), batch_format="pyarrow"
+    )
+    rows = ds.take_all()
+    assert [r["k"] for r in rows] == [69, 89, None, None]
+    assert [r["t"] for r in rows] == ["x", None, None, None]
