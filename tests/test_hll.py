@@ -56,3 +56,27 @@ def test_multi_column_keys(ray_session):
     })
     est = approx_distinct(ray.data.from_arrow(t), ["a", "b"], p=12)
     assert abs(est - 4) < 0.5
+
+
+def test_grouped_distinct_matches_exact_within_tolerance(ray_session):
+    import pandas as pd
+    import ray
+
+    from geopolars_ray.stages.hll import approx_distinct_grouped
+
+    rng = np.random.default_rng(2)
+    n = 200_000
+    key = rng.integers(0, 5, n)
+    val = rng.integers(0, (key + 1) * 2000)
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    out = {
+        r["k"]: r["approx_distinct"]
+        for r in approx_distinct_grouped(
+            ray.data.from_arrow(t).repartition(6), "k", "v", p=11,
+            num_partitions=4,
+        ).take_all()
+    }
+    exact = pd.DataFrame({"k": key, "v": val}).groupby("k")["v"].nunique()
+    assert set(out) == set(exact.index)
+    for k, e in exact.items():
+        assert abs(out[k] - e) / e < 0.08, (k, out[k], e)
