@@ -171,7 +171,9 @@ def build_bloom(build_ds, on, *, n_keys_hint: int | None = None,
     def or_batch(batch: pa.Table) -> pa.Table:
         acc = np.zeros(n_words, dtype=np.uint64)
         flat = batch["bits"].combine_chunks()
-        vals = np.asarray(flat.values, dtype=np.uint64).reshape(len(batch), n_words)
+        # flatten() is slice-offset-aware; .values on a sliced ListArray
+        # would read from word 0 of the parent buffer and misalign.
+        vals = np.asarray(flat.flatten(), dtype=np.uint64).reshape(len(batch), n_words)
         np.bitwise_or.reduce(vals, axis=0, out=acc)
         return pa.table({"bits": pa.array([acc], pa.list_(pa.uint64()))})
 

@@ -131,7 +131,11 @@ def approx_distinct_grouped(
         kh = _hash_columns(batch, keys)
         order = np.argsort(kh, kind="stable")
         kh_s = kh[order]
-        bounds = np.flatnonzero(np.diff(kh_s, prepend=np.uint64(kh_s[0] + 1) if len(kh_s) else 0)) if len(kh_s) else np.array([], np.int64)
+        # Sentinel must stay in the uint64 ring: `kh_s[0] + 1` with a Python
+        # int promotes through float64 on NumPy<2 and can round back to
+        # kh_s[0], silently dropping the first key group. XOR never equals
+        # its operand and never leaves uint64.
+        bounds = np.flatnonzero(np.diff(kh_s, prepend=kh_s[0] ^ np.uint64(1))) if len(kh_s) else np.array([], np.int64)
         regs_rows = []
         take_rows = []
         ends = np.append(bounds[1:], len(kh_s))
@@ -156,7 +160,7 @@ def approx_distinct_grouped(
         kh = _hash_columns(part, keys)
         order = np.argsort(kh, kind="stable")
         kh_s = kh[order]
-        bounds = np.flatnonzero(np.diff(kh_s, prepend=np.uint64(kh_s[0] + 1)))
+        bounds = np.flatnonzero(np.diff(kh_s, prepend=kh_s[0] ^ np.uint64(1)))
         ends = np.append(bounds[1:], len(kh_s))
         regs_col = part["_regs"].to_pylist()
         ests = np.empty(len(bounds))

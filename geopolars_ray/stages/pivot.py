@@ -45,7 +45,7 @@ def pivot(
         num_partitions=num_partitions,
     ).materialize()  # distinct-pair-sized; consumed twice below
 
-    col_vals = sorted(
+    raw_vals = [
         r[column]
         for r in hash_aggregate(
             cells.select_columns([column]),
@@ -53,7 +53,13 @@ def pivot(
             [(column, "count", "_n")],
             num_partitions=num_partitions,
         ).select_columns([column]).take_all()
-    )
+    ]
+    if any(v is None for v in raw_vals):
+        raise ValueError(
+            f"pivot column {column!r} contains nulls — nulls have no output "
+            "column name and no sort position; filter them or fill first"
+        )
+    col_vals = sorted(raw_vals)
     if len(col_vals) > max_columns:
         raise ValueError(
             f"pivot column {column!r} has {len(col_vals)} distinct values "

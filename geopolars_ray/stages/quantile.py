@@ -58,10 +58,14 @@ class TDigest:
 
     def add(self, values: np.ndarray, weights: np.ndarray | None = None) -> "TDigest":
         values = np.asarray(values, dtype=np.float64)
-        values = values[~np.isnan(values)]
+        mask = ~np.isnan(values)
+        values = values[mask]
         if len(values) == 0:
             return self
-        w = np.ones(len(values)) if weights is None else np.asarray(weights, np.float64)
+        # Apply the same NaN mask to explicit weights so values/weights stay
+        # aligned (a raw-values caller passing weights would otherwise get
+        # misassigned centroid weights or a concat length mismatch).
+        w = np.ones(len(values)) if weights is None else np.asarray(weights, np.float64)[mask]
         self._min = min(self._min, float(values.min()))
         self._max = max(self._max, float(values.max()))
         self.means = np.concatenate([self.means, values])

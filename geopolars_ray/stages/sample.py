@@ -5,9 +5,15 @@ but its accept/reject depends on Ray's internal block RNG stream — the result
 changes with block layout, so it cannot be oracle-checked and a re-run with a
 different partitioning samples different rows. ``deterministic_sample`` is
 the reproducible alternative for keyed tables: accept/reject is a pure
-function of the KEY (Knuth multiplicative hash, exact int64 arithmetic), so
-the sample is stable under any repartitioning, restart, or engine — the same
-predicate runs in SQL (``((key * 2654435761 + seed) % 4294967296) % m < n``).
+function of the KEY (Knuth multiplicative hash in the uint64 ring), so the
+sample is stable under any repartitioning, restart, or engine — the same
+predicate runs in SQL. For keys in [0, ~3.4e9] the hash never wraps and the
+plain-int64 form ``((key * 2654435761 + seed) % 4294967296) % m < n``
+matches; for the full int64 domain the exact replay is HUGEINT arithmetic:
+``(((CASE WHEN k < 0 THEN k + 18446744073709551616 ELSE k END)
+* 2654435761 + seed) % 18446744073709551616) % 4294967296 % m < n``
+(negative keys map by two's complement, products reduce mod 2^64 exactly
+like the uint64 multiply below).
 
 At 100 TB this is also the property you want for resumable pipelines: a
 re-run samples exactly the same rows without coordinating state.
@@ -22,17 +28,30 @@ KNUTH = 2654435761  # 2^32 / phi, the classic multiplicative-hash constant
 MOD32 = 4294967296
 
 
+def _knuth_hash32(col: pa.ChunkedArray, seed: int) -> np.ndarray:
+    """hash(key) in [0, 2^32) as uint64, exact for the FULL int64 key domain.
+
+    All arithmetic stays in the uint64 ring (np.uint64 constants — a bare
+    Python int would promote uint64 ops through float64 on NumPy<2 and
+    silently lose low bits). Negative keys map by two's complement
+    (``view(np.uint64)``), the multiply wraps mod 2^64 — both replayable in
+    SQL with HUGEINT (module docstring has the exact form).
+    """
+    k = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+    return (k * np.uint64(KNUTH) + np.uint64(seed)) % np.uint64(MOD32)
+
+
 def deterministic_sample(ds, key_col: str, numerator: int = 1, denominator: int = 10, seed: int = 0):
     """Keep rows where hash(key) mod ``denominator`` < ``numerator``.
 
-    Exact int64 arithmetic throughout (no overflow for keys < ~3.4e9 since
-    key*2654435761 + seed must stay under 2^63); vectorized per batch.
+    Computed in the uint64 ring (wraparound is well-defined and
+    SQL-replayable via HUGEINT mod 2^64 — see module docstring), so keys
+    anywhere in the int64 domain hash exactly; vectorized per batch.
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (k * KNUTH + seed) % MOD32
-        return batch.filter(pa.array((h % denominator) < numerator))
+        h = _knuth_hash32(batch[key_col], seed)
+        return batch.filter(pa.array((h % np.uint64(denominator)) < np.uint64(numerator)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -55,8 +74,7 @@ def stratified_sample_frac(ds, key_col: str, strata_col: str, fracs, seed: int =
         fracs = None if fracs is None else float(fracs)
 
     def fn(batch: pa.Table) -> pa.Table:
-        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = ((k * KNUTH + seed) % MOD32) / MOD32
+        h = _knuth_hash32(batch[key_col], seed).astype(np.float64) / MOD32
         if isinstance(fracs, dict):
             strata = batch[strata_col].to_pylist()
             thr = np.fromiter(
@@ -86,9 +104,8 @@ def stratified_sample_n(ds, key_col: str, strata_col: str, n_per_stratum: int,
     def per_partition(part: pa.Table) -> pa.Table:
         if len(part) == 0:
             return part
-        k = part[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (k * KNUTH + seed) % MOD32
-        part = part.append_column("_h", pa.array(h))
+        h = _knuth_hash32(part[key_col], seed)
+        part = part.append_column("_h", pa.array(h.astype(np.int64)))
         order = pc.sort_indices(
             part, sort_keys=[(strata_col, "ascending"), ("_h", "ascending"),
                              (key_col, "ascending")]
