@@ -54,8 +54,10 @@ class BruteForceTopK:
         self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from geopolars_ray.stages.vec import decode_embeddings
+
         ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        emb = decode_embeddings(batch[self.emb_col])
         if self.metric == "cosine":
             norm = np.linalg.norm(emb, axis=1, keepdims=True)
             norm[norm == 0] = 1.0
@@ -199,7 +201,9 @@ class IVFAssign:
         self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        from geopolars_ray.stages.vec import decode_embeddings
+
+        emb = decode_embeddings(batch[self.emb_col])
         if self.metric == "cosine":
             norm = np.linalg.norm(emb, axis=1, keepdims=True)
             norm[norm == 0] = 1.0
@@ -277,7 +281,7 @@ def lsh_knn(ds, queries: dict, dim: int, k: int = 10, n_planes: int = 8, concurr
         concurrency=concurrency,
     )
     filtered = bucketed.map_batches(
-        lambda t: t.filter(pa.array(np.isin(np.asarray(t["lsh_bucket"].to_pylist()), list(wanted)))),
+        lambda t: t.filter(pa.array(np.isin(t["lsh_bucket"].to_numpy(zero_copy_only=False), list(wanted)))),
         batch_format="pyarrow",
     )
     return brute_force_knn(filtered, queries, k=k, concurrency=concurrency, id_col=id_col, emb_col=emb_col)

@@ -462,7 +462,9 @@ class EmbeddingLSH:
         self.emb_col = emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.asarray(batch[self.emb_col].to_pylist(), dtype=np.float64)
+        from geopolars_ray.stages.vec import decode_embeddings
+
+        emb = decode_embeddings(batch[self.emb_col])
         if self.quantize is not None:
             qe = np.floor(emb * self.quantize).astype(np.int64)
             proj = qe @ self.qplanes
@@ -477,37 +479,74 @@ class EmbeddingLSH:
 
 
 def cosine_pairs_within_bucket(threshold: float = 0.95, id_col: str = "vec_id", emb_col: str = "embedding",
-                               quantize: int | None = None):
+                               quantize: int | None = None, max_bucket: int = 1000,
+                               strip: int = 256):
     """map_groups fn: exact pairwise cosine inside one LSH bucket.
 
     ``quantize=Q``: cosine of the floor(x*Q)-quantized integer vectors —
     qdot / (sqrt(qnorm_a) * sqrt(qnorm_b)). Numerator and norms are exact
     integers, sqrt/division are correctly rounded, so the scores are
-    bit-reproducible and match a SQL oracle exactly."""
+    bit-reproducible and match a SQL oracle exactly.
+
+    Scale guards (same contract as ``lsh_candidate_pairs``): buckets larger
+    than ``max_bucket`` are truncated to the ``max_bucket`` LOWEST ids with a
+    loud warning (deterministic under any row order; recall inside that
+    bucket is partial), and scoring is strip-chunked — peak extra memory is
+    one ``(strip, n)`` block (~2 MB at the defaults), never a dense n×n
+    matrix, so one hot bucket can't blow a task heap.
+    """
+
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64())})
 
     def fn(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
-        emb = np.asarray(group[emb_col].to_pylist(), dtype=np.float64)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return empty
+        from geopolars_ray.stages.vec import decode_embeddings
+
+        emb = decode_embeddings(group[emb_col])
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger("geopolars_ray.dedup").warning(
+                "cosine_pairs_within_bucket: bucket of %d rows truncated to "
+                "max_bucket=%d (lowest ids kept); near-dup recall inside this "
+                "bucket is partial — raise n_planes to shrink buckets",
+                len(ids),
+                max_bucket,
+            )
+            keep_rows = np.argsort(ids, kind="stable")[:max_bucket]
+            keep_rows.sort()
+            ids, emb = ids[keep_rows], emb[keep_rows]
+        n = len(ids)
         if quantize is not None:
-            q = np.floor(emb * quantize)
-            d = q @ q.T  # exact integer-valued doubles
-            n = np.sqrt(np.diag(d))
-            n = np.where(n == 0, 1.0, n)
-            sim = d / (n[:, None] * n[None, :])
+            u = np.floor(emb * quantize)  # exact integer-valued doubles
+            norms = np.sqrt(np.einsum("ij,ij->i", u, u))
         else:
-            norm = np.linalg.norm(emb, axis=1, keepdims=True)
-            norm[norm == 0] = 1.0
-            u = emb / norm
-            sim = u @ u.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sim[ii, jj] >= threshold
-        order = np.argsort(ids)
-        a = np.minimum(ids[ii[keep]], ids[jj[keep]])
-        b = np.maximum(ids[ii[keep]], ids[jj[keep]])
-        return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(sim[ii, jj][keep])})
+            norms = np.linalg.norm(emb, axis=1)
+            u = emb
+        norms = np.where(norms == 0, 1.0, norms)
+        a_out, b_out, c_out = [], [], []
+        for s in range(0, n - 1, strip):
+            e = min(s + strip, n)
+            d = u[s:e] @ u.T  # (strip, n) — bounded regardless of bucket size
+            sim = d / (norms[s:e, None] * norms[None, :])
+            # upper triangle only: global j > global i
+            ii, jj = np.nonzero(sim >= threshold)
+            upper = jj > (ii + s)
+            ii, jj = ii[upper], jj[upper]
+            if len(ii):
+                gi = ids[ii + s]
+                gj = ids[jj]
+                a_out.append(np.minimum(gi, gj))
+                b_out.append(np.maximum(gi, gj))
+                c_out.append(sim[ii, jj])
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out)),
+                         "b": pa.array(np.concatenate(b_out)),
+                         "cosine": pa.array(np.concatenate(c_out))})
 
     return fn
 
@@ -524,6 +563,7 @@ def semantic_dedup(
     concurrency: int = 2,
     docs_ds=None,
     doc_id_col: str | None = None,
+    max_bucket: int = 1000,
 ):
     """Embedding-space near-dup removal, end to end.
 
@@ -539,7 +579,10 @@ def semantic_dedup(
 
     Recall caveat (inherent to LSH dedup): only pairs sharing a bucket are
     scored — raise recall with fewer planes (bigger buckets) at quadratic
-    in-bucket cost, exactly the knob the ANN IVF path exposes too.
+    in-bucket cost, exactly the knob the ANN IVF path exposes too. Hot
+    buckets are bounded twice over: scoring is strip-chunked (no dense n×n
+    ever materializes) and buckets beyond ``max_bucket`` rows are loudly
+    truncated — same contract as the MinHash path's ``lsh_candidate_pairs``.
     """
     from geopolars_ray.stages.cc import dedup_keep_representatives
 
@@ -555,7 +598,8 @@ def semantic_dedup(
         concurrency=concurrency,
     )
     pairs = bucketed.groupby("lsh_bucket").map_groups(
-        cosine_pairs_within_bucket(threshold=threshold, id_col=id_col, emb_col=emb_col),
+        cosine_pairs_within_bucket(threshold=threshold, id_col=id_col,
+                                   emb_col=emb_col, max_bucket=max_bucket),
         batch_format="pyarrow",
     )
     target = vecs_ds if docs_ds is None else docs_ds
