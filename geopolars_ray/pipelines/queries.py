@@ -1129,29 +1129,15 @@ def q_geo_sjoin_part(sf_dir: str):
 
 
 def q_rel_sessions(sf_dir: str):
-    """Gap-based sessionization per user (30-minute gap): streaming-shaped
-    map_groups over ts-sorted events; oracle via window functions."""
-    GAP_US = 30 * 60 * 1_000_000
-    ds = _read_exchange(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    """Gap-based sessionization per user (30-minute gap): one hash
+    co-partition + a single vectorized kernel per partition
+    (``stages/window.sessionize`` — no per-group Python dispatch); oracle
+    via window functions."""
+    from geopolars_ray.stages.window import sessionize
 
-    def sessions(g: pa.Table) -> pa.Table:
-        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(us, kind="stable")
-        us = us[order]
-        new_sess = np.ones(len(us), dtype=np.int64)
-        new_sess[1:] = (np.diff(us) > GAP_US).astype(np.int64)
-        sess_id = np.cumsum(new_sess)
-        n_sessions = int(sess_id[-1]) if len(sess_id) else 0
-        ev_per = np.bincount(sess_id)[1:]
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
-                "max_session_events": pa.array([int(ev_per.max()) if len(ev_per) else 0], pa.int64()),
-            }
-        )
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    ds = _read_exchange(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", gap_us=30 * 60 * 1_000_000,
+                      num_partitions=8)
 
 
 def q_rel_asof(sf_dir: str):

@@ -1,0 +1,57 @@
+"""sessionize: vectorized per-partition sessionization (no per-group Python).
+
+Pins equality with a plain per-user reference fold on randomized data
+(duplicate timestamps, single-event users, gap-boundary ties) across
+multiple partitions and input block layouts.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.stages.window import sessionize
+
+GAP = 1000
+
+
+def _reference(uid, ts, gap):
+    out = {}
+    for u in np.unique(uid):
+        t = np.sort(ts[uid == u])
+        breaks = np.ones(len(t), dtype=bool)
+        breaks[1:] = np.diff(t) > gap
+        lens = np.diff(np.append(np.flatnonzero(breaks), len(t)))
+        out[int(u)] = (len(lens), int(lens.max()))
+    return out
+
+
+def test_sessionize_matches_reference(ray_session):
+    import ray
+
+    rng = np.random.default_rng(11)
+    n = 20_000
+    uid = rng.integers(0, 900, n).astype(np.int64)
+    ts = rng.integers(0, 200_000, n).astype(np.int64)  # plenty of exact ties
+    want = _reference(uid, ts, GAP)
+
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": uid, "ts": ts})
+    ).repartition(7)
+    got = sessionize(ds, "user_id", "ts", gap_us=GAP, num_partitions=5).take_all()
+    assert len(got) == len(want)
+    for r in got:
+        assert (r["n_sessions"], r["max_session_events"]) == want[r["user_id"]], r
+
+
+def test_sessionize_edge_cases(ray_session):
+    import ray
+
+    # single event user, all-one-session user, gap-exactly-equal (NOT a break:
+    # the predicate is diff > gap), empty-partition schemas
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2, 2, 3, 3], pa.int64()),
+        "ts": pa.array([5, 0, GAP, 2 * GAP, 0, GAP + 1], pa.int64()),
+    })
+    got = {r["user_id"]: (r["n_sessions"], r["max_session_events"])
+           for r in sessionize(ray.data.from_arrow(t), "user_id", "ts",
+                               gap_us=GAP, num_partitions=4).take_all()}
+    assert got == {1: (1, 1), 2: (1, 3), 3: (2, 1)}
