@@ -897,6 +897,28 @@ def q_dd_paragraph(sf_dir: str):
     return paragraph_dedup(ds, sep=" a ", num_partitions=8)
 
 
+def q_pipe_curation(sf_dir: str):
+    """COMPOSED curation pipeline gate (r4): quality floor → per-language
+    deterministic downsample → paragraph dedup, end to end through
+    ``pipelines/curation.run_curation``. Every stage is individually
+    oracle-checked elsewhere (txt_quality, txt_langid, rel_sample,
+    dd_paragraph); this entry pins their COMPOSITION — the paragraph
+    min-rank is computed over the filtered+sampled corpus, so a wrong
+    filter or sample changes every downstream text_dedup. The oracle
+    chains the same four SQL replays as CTEs."""
+    from geopolars_ray.pipelines.curation import run_curation
+
+    return run_curation(
+        sf_dir,
+        quality_min=0.62,
+        lang_fracs={"en": 0.5},
+        dedup="paragraph",
+        paragraph_sep=" a ",
+        num_partitions=8,
+        seed=12345,
+    ).select_columns(["doc_id", "n_seg", "n_kept", "text_dedup"])
+
+
 def q_txt_langid(sf_dir: str):
     """Marker-word language id; emits prediction + confidence (exact integer
     count ratios — oracle-checkable when the corpus is ASCII, where Python
@@ -1699,7 +1721,10 @@ QUERIES = {
     "rel_q1": q_rel_q1,
     "rel_topk": q_rel_topk,
     "rel_join_agg": q_rel_join_agg,
-    "rel_distinct_types": q_rel_distinct_types,
+    # rel_distinct_types was swapped out in r4 for the composed curation
+    # pipeline: distinct is still gate-covered by rel_union_distinct, and
+    # the 50-entry driver cap is full (see COVERAGE.md "Registry note")
+    "pipe_curation": q_pipe_curation,
     "dd_exact_docs": q_dd_exact_docs,
     "txt_tokens": q_txt_tokens,
     "txt_quality": q_txt_quality,
@@ -1871,8 +1896,54 @@ ORACLE_SQL = {
         "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
         "GROUP BY n_name"
     ),
-    "rel_distinct_types": (
-        "SELECT user_id, count(DISTINCT event_type) AS n_types FROM events GROUP BY user_id"
+    "pipe_curation": (
+        # composition of the txt_quality, txt_langid, rel_sample and
+        # dd_paragraph replays: quality floor (0.62) -> keep 50% of docs
+        # whose PREDICTED language is en (Knuth-hash predicate, seed 12345)
+        # -> paragraph dedup (sep ' a ') over the SURVIVING corpus only
+        "WITH f AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n, "
+        "greatest(CAST(length(text) AS DOUBLE), 1.0) AS n_safe, "
+        "CAST(length(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha, "
+        "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit, "
+        "CAST(length(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space, "
+        "CAST(length(regexp_extract_all(text, '\\b(the|and|of|a|to|in|is|it|for|on)\\b')) AS BIGINT) AS n_stop, "
+        "greatest(CAST(length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT), 1) AS words FROM documents), "
+        "r AS (SELECT doc_id, CAST(n_alpha AS DOUBLE)/n_safe AS alpha_ratio, "
+        "CAST(n_digit AS DOUBLE)/n_safe AS digit_ratio, "
+        "CAST(n_stop AS DOUBLE)/CAST(words AS DOUBLE) AS stop_ratio, "
+        "least(greatest(n/500.0, 0.0), 1.0) AS length_prior FROM f), "
+        "qual AS (SELECT doc_id, 0.35*alpha_ratio + 0.25*least(greatest(stop_ratio*3.0, 0.0), 1.0) "
+        "+ 0.2*length_prior + 0.2*(1.0 - least(greatest(digit_ratio*4.0, 0.0), 1.0)) AS quality FROM r), "
+        "la AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g') AS text FROM documents), "
+        "ls AS (SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\b(the|and|of|to|is|that|with)\\b', 0, 'i')) AS BIGINT) AS s_en, "
+        "CAST(length(regexp_extract_all(text, '\\b(der|die|und|das|ist|nicht|ein)\\b', 0, 'i')) AS BIGINT) AS s_de, "
+        "CAST(length(regexp_extract_all(text, '\\b(le|la|les|et|est|une|que)\\b', 0, 'i')) AS BIGINT) AS s_fr, "
+        "CAST(length(regexp_extract_all(text, '\\b(el|la|los|y|es|una|que)\\b', 0, 'i')) AS BIGINT) AS s_es, "
+        "CAST(length(regexp_extract_all(text, '\\b(o|a|os|e|uma|n\u00e3o|que)\\b', 0, 'i')) AS BIGINT) AS s_pt, "
+        "CAST(length(regexp_extract_all(text, '\\b(il|la|e|che|di|un|per)\\b', 0, 'i')) AS BIGINT) AS s_it "
+        "FROM la), lt AS (SELECT *, s_en+s_de+s_fr+s_es+s_pt+s_it AS total FROM ls), "
+        "lid AS (SELECT doc_id, CASE WHEN total = 0 THEN 'und' "
+        "WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_pt AND s_en >= s_it THEN 'en' "
+        "WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_pt AND s_de >= s_it THEN 'de' "
+        "WHEN s_fr >= s_es AND s_fr >= s_pt AND s_fr >= s_it THEN 'fr' "
+        "WHEN s_es >= s_pt AND s_es >= s_it THEN 'es' "
+        "WHEN s_pt >= s_it THEN 'pt' ELSE 'it' END AS lang_pred FROM lt), "
+        "filt AS (SELECT d.doc_id, d.text FROM documents d "
+        "JOIN qual USING (doc_id) JOIN lid USING (doc_id) "
+        "WHERE qual.quality >= 0.62 AND "
+        "CAST(((d.doc_id * 2654435761 + 12345) % 4294967296) AS DOUBLE) / 4294967296.0 < "
+        "CASE WHEN lid.lang_pred = 'en' THEN 0.5 ELSE 1.0 END), "
+        "PS AS (SELECT doc_id, string_split(text, ' a ') AS parts FROM filt), "
+        "PP AS (SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pidx, unnest(parts) AS seg FROM PS), "
+        "PM AS (SELECT seg, min(doc_id * 1048576 + pidx) AS mr FROM PP GROUP BY seg), "
+        "PK AS (SELECT PP.doc_id, PP.pidx, PP.seg FROM PP JOIN PM ON PP.seg = PM.seg "
+        "AND PP.doc_id * 1048576 + PP.pidx = PM.mr), "
+        "PR AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(seg, ' a ' ORDER BY pidx) AS text_dedup FROM PK GROUP BY doc_id) "
+        "SELECT ps.doc_id, CAST(len(ps.parts) AS BIGINT) AS n_seg, "
+        "coalesce(pr.n_kept, 0) AS n_kept, coalesce(pr.text_dedup, '') AS text_dedup "
+        "FROM PS ps LEFT JOIN PR pr ON ps.doc_id = pr.doc_id"
     ),
     "dd_exact_docs": (
         "SELECT text, min(doc_id) AS min_doc_id, count(*) AS n_copies FROM documents GROUP BY text"
