@@ -1,0 +1,679 @@
+"""Pure-Python FlatGeobuf reader/writer, from the public format spec
+(https://flatgeobuf.org / flatgeobuf/flatgeobuf `format.md`, `header.fbs`,
+`feature.fbs`, `packedrtree.h`) — no GDAL / flatbuffers runtime in this
+environment, so the flatbuffers wire format and the packed Hilbert R-tree
+are implemented by hand.
+
+`read_file` analogue for the reference's any-OGR-source reader
+(``py-geopolars/python/geopolars/io/file.py:15-119``). FlatGeobuf is the
+one long-tail format with a REAL spatial index in the file: the packed
+Hilbert R-tree after the header means ``bbox`` pushdown reads only the
+index bytes plus the intersecting feature byte ranges — no other reader
+here can skip feature bytes on disk.
+
+File layout (spec `format.md`):
+
+    magic    8 bytes: "fgb" 0x03 "fgb" <patch> (byte 3 = spec major version)
+    header   uint32 LE size + flatbuffer Header table
+    index    (optional) packed Hilbert R-tree: num_nodes x 40-byte nodes
+             (minx,miny,maxx,maxy float64 + uint64 offset), root level
+             first, leaves last; leaf offset = feature byte offset within
+             the features section, internal offset = first-child node index
+             x 40
+    features sequence of uint32 LE size + flatbuffer Feature table
+
+Geometry coordinates are interleaved xy doubles with ring/part `ends`
+(cumulative coordinate-pair indices); MultiPolygon nests per-polygon
+`parts` Geometry tables. Properties are a packed byte vector: per present
+column uint16 LE column index then the fixed-size scalar or
+uint32-length-prefixed bytes.
+
+Scale shape: the writer is driver-side (side tables, same contract as the
+shapefile/KML writers); the READ is distributed — the driver parses only
+header + index (40 bytes/feature), computes contiguous byte-range shards
+(bbox-filtered via the R-tree when given), and each Ray task reads and
+parses just its range. Hilbert cell order affects only locality, never
+which features a search returns (the tree stores true boxes and an exact
+envelope filter runs after parsing), so query correctness is independent
+of the curve implementation.
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+
+MAGIC = b"fgb\x03fgb\x01"
+NODE_BYTES = 40
+HILBERT_MAX = (1 << 16) - 1
+
+# GeometryType enum (header.fbs)
+_GT_UNKNOWN, _GT_POINT, _GT_LINESTRING, _GT_POLYGON = 0, 1, 2, 3
+_GT_MULTIPOINT, _GT_MULTILINESTRING, _GT_MULTIPOLYGON = 4, 5, 6
+
+_KIND_TO_GT = {
+    "point": _GT_POINT, "linestring": _GT_LINESTRING, "polygon": _GT_POLYGON,
+    "multipoint": _GT_MULTIPOINT, "multilinestring": _GT_MULTILINESTRING,
+    "multipolygon": _GT_MULTIPOLYGON,
+}
+
+# ColumnType enum (header.fbs)
+_CT_BOOL, _CT_INT, _CT_LONG, _CT_FLOAT, _CT_DOUBLE = 2, 5, 7, 9, 10
+_CT_STRING, _CT_BINARY = 11, 14
+
+_ARROW_TO_CT = [
+    (pa.types.is_boolean, _CT_BOOL),
+    (pa.types.is_int32, _CT_INT),
+    (pa.types.is_int64, _CT_LONG),
+    (pa.types.is_float32, _CT_FLOAT),
+    (pa.types.is_float64, _CT_DOUBLE),
+    (lambda t: pa.types.is_string(t) or pa.types.is_large_string(t), _CT_STRING),
+    (lambda t: pa.types.is_binary(t) or pa.types.is_large_binary(t), _CT_BINARY),
+]
+_CT_TO_ARROW = {
+    _CT_BOOL: pa.bool_(), _CT_INT: pa.int32(), _CT_LONG: pa.int64(),
+    _CT_FLOAT: pa.float32(), _CT_DOUBLE: pa.float64(),
+    _CT_STRING: pa.string(), _CT_BINARY: pa.binary(),
+}
+_CT_SCALAR_FMT = {_CT_BOOL: "<?", _CT_INT: "<i", _CT_LONG: "<q",
+                  _CT_FLOAT: "<f", _CT_DOUBLE: "<d"}
+
+
+# --------------------------------------------------------- flatbuffers: write
+class _FB:
+    """Minimal forward-building flatbuffers writer.
+
+    Parents are emitted before children: a uoffset is ``target - position``
+    (uint32), so pointing forward to higher addresses is valid wire format.
+    Child emitters run after their table body and RETURN the target
+    position (table position for tables — the vtable sits just before it —
+    or payload start for strings/vectors), which is patched into the slot.
+    """
+
+    def __init__(self):
+        self.buf = bytearray(4)  # root uoffset placeholder
+
+    def _pad(self, align: int) -> None:
+        while len(self.buf) % align:
+            self.buf.append(0)
+
+    _SLOT = {"u8": ("<B", 1), "u16": ("<H", 2), "u32": ("<I", 4),
+             "u64": ("<Q", 8), "i32": ("<i", 4), "f64": ("<d", 8),
+             "bool": ("<?", 1), "child": ("<I", 4)}
+
+    def table(self, fields) -> int:
+        """fields: [(fid, kind, value)]; scalar kinds are written inline,
+        kind "child" defers to a callable that emits the child and returns
+        its target position. Returns the table position."""
+        fields = [f for f in fields if f[2] is not None]
+        max_fid = max((f[0] for f in fields), default=-1)
+        vt_bytes = 4 + 2 * (max_fid + 1)
+        offsets = {}
+        off = 4  # after the soffset
+        for fid, kind, _ in sorted(fields, key=lambda f: -self._SLOT[f[1]][1]):
+            size = self._SLOT[kind][1]
+            off = (off + size - 1) // size * size
+            offsets[fid] = off
+            off += size
+        t_bytes = off
+        self._pad(2)
+        vt_pos = len(self.buf)
+        self.buf += struct.pack("<HH", vt_bytes, t_bytes)
+        slots = bytearray(2 * (max_fid + 1))
+        for fid, _, _ in fields:
+            struct.pack_into("<H", slots, 2 * fid, offsets[fid])
+        self.buf += slots
+        self._pad(4)
+        t_pos = len(self.buf)
+        self.buf += struct.pack("<i", t_pos - vt_pos)
+        self.buf += bytes(t_bytes - 4)
+        pending = []
+        for fid, kind, value in fields:
+            at = t_pos + offsets[fid]
+            if kind == "child":
+                pending.append((at, value))
+            else:
+                struct.pack_into(self._SLOT[kind][0], self.buf, at, value)
+        for at, emit in pending:
+            target = emit()
+            struct.pack_into("<I", self.buf, at, target - at)
+        return t_pos
+
+    def string(self, s: str) -> int:
+        self._pad(4)
+        pos = len(self.buf)
+        b = s.encode("utf-8")
+        self.buf += struct.pack("<I", len(b)) + b + b"\x00"
+        return pos
+
+    def vector(self, np_dtype, values) -> int:
+        self._pad(4)
+        pos = len(self.buf)
+        arr = np.asarray(values)
+        self.buf += struct.pack("<I", len(arr))
+        self.buf += arr.astype(np.dtype(np_dtype).newbyteorder("<")).tobytes()
+        return pos
+
+    def byte_vector(self, b: bytes) -> int:
+        self._pad(4)
+        pos = len(self.buf)
+        self.buf += struct.pack("<I", len(b)) + bytes(b)
+        return pos
+
+    def table_vector(self, emitters) -> int:
+        """Vector of tables: slots written first, each child table emitted
+        after and patched."""
+        self._pad(4)
+        pos = len(self.buf)
+        self.buf += struct.pack("<I", len(emitters))
+        slots = len(self.buf)
+        self.buf += bytes(4 * len(emitters))
+        for j, emit in enumerate(emitters):
+            t = emit()
+            struct.pack_into("<I", self.buf, slots + 4 * j, t - (slots + 4 * j))
+        return pos
+
+    def finish(self, root_pos: int) -> bytes:
+        struct.pack_into("<I", self.buf, 0, root_pos)
+        return bytes(self.buf)
+
+
+# --------------------------------------------------------- flatbuffers: read
+def _fb_root(buf, base: int = 0) -> int:
+    return base + struct.unpack_from("<I", buf, base)[0]
+
+
+def _fb_field(buf, tpos: int, fid: int) -> int | None:
+    vt = tpos - struct.unpack_from("<i", buf, tpos)[0]
+    vt_bytes = struct.unpack_from("<H", buf, vt)[0]
+    slot = 4 + 2 * fid
+    if slot + 2 > vt_bytes:
+        return None
+    fo = struct.unpack_from("<H", buf, vt + slot)[0]
+    return tpos + fo if fo else None
+
+
+def _fb_scalar(buf, tpos, fid, fmt, default):
+    p = _fb_field(buf, tpos, fid)
+    return default if p is None else struct.unpack_from(fmt, buf, p)[0]
+
+
+def _fb_indirect(buf, pos: int) -> int:
+    return pos + struct.unpack_from("<I", buf, pos)[0]
+
+
+def _fb_string(buf, tpos, fid) -> str | None:
+    p = _fb_field(buf, tpos, fid)
+    if p is None:
+        return None
+    sp = _fb_indirect(buf, p)
+    n = struct.unpack_from("<I", buf, sp)[0]
+    return bytes(buf[sp + 4:sp + 4 + n]).decode("utf-8")
+
+
+def _fb_vector(buf, tpos, fid):
+    """(data_pos, count) of a vector field, or None when absent."""
+    p = _fb_field(buf, tpos, fid)
+    if p is None:
+        return None
+    vp = _fb_indirect(buf, p)
+    return vp + 4, struct.unpack_from("<I", buf, vp)[0]
+
+
+def _fb_numeric_vector(buf, tpos, fid, dtype) -> np.ndarray:
+    v = _fb_vector(buf, tpos, fid)
+    if v is None:
+        return np.empty(0, dtype=dtype)
+    pos, n = v
+    dt = np.dtype(dtype).newbyteorder("<")
+    return np.frombuffer(buf, dtype=dt, count=n, offset=pos).astype(dtype)
+
+
+# ------------------------------------------------------------- Hilbert curve
+def _interleave16(x: np.ndarray) -> np.ndarray:
+    x = (x | (x << np.uint32(8))) & np.uint32(0x00FF00FF)
+    x = (x | (x << np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    x = (x | (x << np.uint32(2))) & np.uint32(0x33333333)
+    x = (x | (x << np.uint32(1))) & np.uint32(0x55555555)
+    return x
+
+
+def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Hilbert distance of 16-bit (x, y) — the flatbush/FGB curve
+    (rawrunprotected/hilbert_curves, public domain). Vectorized uint32.
+    Only affects on-disk feature locality, never search results."""
+    x = x.astype(np.uint32)
+    y = y.astype(np.uint32)
+    M = np.uint32(0xFFFF)
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> np.uint32(1))
+    B = (a >> np.uint32(1)) ^ a
+    C = ((c >> np.uint32(1)) ^ (b & (d >> np.uint32(1)))) ^ c
+    D = ((a & (c >> np.uint32(1))) ^ (d >> np.uint32(1))) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(2))) ^ (b & (b >> np.uint32(2)))
+    B = (a & (b >> np.uint32(2))) ^ (b & ((a ^ b) >> np.uint32(2)))
+    C = C ^ ((a & (c >> np.uint32(2))) ^ (b & (d >> np.uint32(2))))
+    D = D ^ ((b & (c >> np.uint32(2))) ^ ((a ^ b) & (d >> np.uint32(2))))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> np.uint32(4))) ^ (b & (b >> np.uint32(4)))
+    B = (a & (b >> np.uint32(4))) ^ (b & ((a ^ b) >> np.uint32(4)))
+    C = C ^ ((a & (c >> np.uint32(4))) ^ (b & (d >> np.uint32(4))))
+    D = D ^ ((b & (c >> np.uint32(4))) ^ ((a ^ b) & (d >> np.uint32(4))))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> np.uint32(8))) ^ (b & (d >> np.uint32(8))))
+    D = D ^ ((b & (c >> np.uint32(8))) ^ ((a ^ b) & (d >> np.uint32(8))))
+    a = C ^ (C >> np.uint32(1))
+    b = D ^ (D >> np.uint32(1))
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+    return (_interleave16(i1) << np.uint32(1)) | _interleave16(i0)
+
+
+# ------------------------------------------------------- packed Hilbert tree
+def _level_offsets(n_items: int, node_size: int) -> list[int]:
+    """Start index of each level in the node array, root level FIRST and
+    leaf level LAST: [0, ..., leaf_start]."""
+    sizes = [n_items]
+    n = n_items
+    while n != 1:
+        n = (n + node_size - 1) // node_size
+        sizes.append(n)
+    starts, pos = [], 0
+    for s in reversed(sizes):
+        starts.append(pos)
+        pos += s
+    return starts
+
+
+_NODE_DT = np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                     ("maxx", "<f8"), ("maxy", "<f8"), ("off", "<u8")])
+
+
+def _build_index(boxes: np.ndarray, feat_offsets: np.ndarray, node_size: int) -> bytes:
+    """Packed Hilbert R-tree bytes over hilbert-PRE-SORTED leaf boxes.
+    ``boxes``: (n, 4) minx/miny/maxx/maxy; ``feat_offsets``: byte offset of
+    each feature within the features section (same order)."""
+    n = len(boxes)
+    starts = _level_offsets(n, node_size)
+    total = starts[-1] + n
+    nodes = np.zeros(total, dtype=_NODE_DT)
+    leaf0 = starts[-1]
+    nodes["minx"][leaf0:], nodes["miny"][leaf0:] = boxes[:, 0], boxes[:, 1]
+    nodes["maxx"][leaf0:], nodes["maxy"][leaf0:] = boxes[:, 2], boxes[:, 3]
+    nodes["off"][leaf0:] = feat_offsets.astype(np.uint64)
+    ends = starts[1:] + [total]
+    for li in range(len(starts) - 1, 0, -1):
+        child0, child_end = starts[li], ends[li]
+        parent0 = starts[li - 1]
+        for p in range((child_end - child0 + node_size - 1) // node_size):
+            s = child0 + p * node_size
+            e = min(s + node_size, child_end)
+            i = parent0 + p
+            nodes["minx"][i] = nodes["minx"][s:e].min()
+            nodes["miny"][i] = nodes["miny"][s:e].min()
+            nodes["maxx"][i] = nodes["maxx"][s:e].max()
+            nodes["maxy"][i] = nodes["maxy"][s:e].max()
+            nodes["off"][i] = np.uint64(s * NODE_BYTES)
+    return nodes.tobytes()
+
+
+def _search_index(index: bytes, n_items: int, node_size: int, bbox) -> np.ndarray:
+    """Feature byte offsets (sorted) whose leaf boxes intersect bbox —
+    touches only index bytes."""
+    nodes = np.frombuffer(index, dtype=_NODE_DT)
+    starts = _level_offsets(n_items, node_size)
+    total = starts[-1] + n_items
+    ends = starts[1:] + [total]
+    leaf_level = len(starts) - 1
+    xmin, ymin, xmax, ymax = bbox
+    hits = []
+    stack = [(0, 0)]  # (node index, level); level 0 = root
+    while stack:
+        i, lvl = stack.pop()
+        nd = nodes[i]
+        if nd["maxx"] < xmin or nd["maxy"] < ymin or nd["minx"] > xmax or nd["miny"] > ymax:
+            continue
+        if lvl == leaf_level:
+            hits.append(int(nd["off"]))
+        else:
+            child0 = int(nd["off"]) // NODE_BYTES
+            e = min(child0 + node_size, ends[lvl + 1])
+            stack.extend((c, lvl + 1) for c in range(child0, e))
+    return np.array(sorted(hits), dtype=np.int64)
+
+
+# ------------------------------------------------------------------ geometry
+def _write_geometry(fb: _FB, kind: str, body) -> int:
+    gt = _KIND_TO_GT[kind]
+    if kind == "multipolygon":
+        emitters = [(lambda poly=poly: _write_geometry(fb, "polygon", poly)) for poly in body]
+        return fb.table([(7, "child", lambda: fb.table_vector(emitters)),
+                         (6, "u8", gt)])
+    if kind == "point":
+        xy, ends = np.asarray([body], dtype=np.float64).reshape(-1, 2), None
+    elif kind in ("multipoint", "linestring"):
+        xy, ends = np.asarray(body, dtype=np.float64).reshape(-1, 2), None
+    else:  # polygon / multilinestring: list of rings/lines
+        xy = np.concatenate([np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in body])
+        cum = np.cumsum([len(r) for r in body]).astype(np.uint32)
+        ends = cum if len(body) > 1 else None  # single ring: ends optional per spec
+    fields = []
+    if ends is not None:
+        fields.append((0, "child", lambda: fb.vector(np.uint32, ends)))
+    fields.append((1, "child", lambda: fb.vector(np.float64, xy.reshape(-1))))
+    fields.append((6, "u8", gt))
+    return fb.table(fields)
+
+
+def _parse_geometry(buf, gpos: int, default_gt: int):
+    gt = _fb_scalar(buf, gpos, 6, "<B", 0) or default_gt
+    if gt == _GT_MULTIPOLYGON:
+        v = _fb_vector(buf, gpos, 7)
+        polys = []
+        if v is not None:
+            pos, n = v
+            for j in range(n):
+                ppos = _fb_indirect(buf, pos + 4 * j)
+                polys.append(_parse_geometry(buf, ppos, _GT_POLYGON)[1])
+        return "multipolygon", polys
+    xy = _fb_numeric_vector(buf, gpos, 1, np.float64).reshape(-1, 2)
+    ends = _fb_numeric_vector(buf, gpos, 0, np.uint32).astype(np.int64)
+    pts = [tuple(p) for p in xy]
+    if gt == _GT_POINT:
+        return "point", pts[0]
+    if gt == _GT_MULTIPOINT:
+        return "multipoint", pts
+    if gt == _GT_LINESTRING:
+        return "linestring", pts
+    if len(ends) == 0:
+        ends = np.array([len(pts)], dtype=np.int64)
+    rings = [pts[s:e] for s, e in zip(np.concatenate([[0], ends[:-1]]), ends)]
+    if gt == _GT_MULTILINESTRING:
+        return "multilinestring", rings
+    if gt == _GT_POLYGON:
+        return "polygon", rings
+    raise ValueError(f"unsupported FlatGeobuf geometry type {gt}")
+
+
+# ---------------------------------------------------------------- properties
+def _encode_properties(cols: list[tuple[str, int]], row: dict) -> bytes:
+    out = bytearray()
+    for idx, (name, ct) in enumerate(cols):
+        v = row.get(name)
+        if v is None:
+            continue
+        out += struct.pack("<H", idx)
+        if ct in _CT_SCALAR_FMT:
+            out += struct.pack(_CT_SCALAR_FMT[ct], v)
+        else:
+            b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            out += struct.pack("<I", len(b)) + b
+    return bytes(out)
+
+
+def _decode_properties(cols: list[tuple[str, int]], raw: bytes) -> dict:
+    out, pos, n = {}, 0, len(raw)
+    while pos + 2 <= n:
+        idx = struct.unpack_from("<H", raw, pos)[0]
+        pos += 2
+        name, ct = cols[idx]
+        if ct in _CT_SCALAR_FMT:
+            fmt = _CT_SCALAR_FMT[ct]
+            out[name] = struct.unpack_from(fmt, raw, pos)[0]
+            pos += struct.calcsize(fmt)
+        else:
+            ln = struct.unpack_from("<I", raw, pos)[0]
+            pos += 4
+            b = raw[pos:pos + ln]
+            pos += ln
+            out[name] = b.decode("utf-8") if ct == _CT_STRING else bytes(b)
+    return out
+
+
+# -------------------------------------------------------------------- writer
+def write_flatgeobuf(table: pa.Table, path: str, geometry_col: str = "geometry",
+                     index_node_size: int = 16, name: str = "layer",
+                     crs_code: int | None = 4326) -> None:
+    """Write one Arrow table (WKB geometry + property columns) as a
+    spatially indexed .fgb (driver-side; side tables / fixtures, same
+    contract as the shapefile and KML writers). Features are Hilbert-sorted
+    so the packed R-tree gives tight byte-range pushdown on read;
+    ``index_node_size=0`` writes no index (sequential-scan file)."""
+    from geopolars_ray.geom import kernels as K
+
+    ga = decode_wkb(table[geometry_col])
+    geoms = ga.to_pylist()
+    n = len(geoms)
+    if any(g is None for g in geoms):
+        raise ValueError("FlatGeobuf features require non-null geometry")
+    cols: list[tuple[str, int]] = []
+    for f in table.schema:
+        if f.name == geometry_col:
+            continue
+        for pred, ct in _ARROW_TO_CT:
+            if pred(f.type):
+                cols.append((f.name, ct))
+                break
+        else:
+            raise ValueError(f"unsupported FlatGeobuf property type {f.type} for {f.name!r}")
+
+    bx0, by0, bx1, by1 = K.bounds(ga)
+    env = np.stack([bx0, by0, bx1, by1], axis=1)
+    if n:
+        gminx, gminy = float(env[:, 0].min()), float(env[:, 1].min())
+        gmaxx, gmaxy = float(env[:, 2].max()), float(env[:, 3].max())
+    else:
+        gminx = gminy = gmaxx = gmaxy = 0.0
+    w = max(gmaxx - gminx, 1e-300)
+    h = max(gmaxy - gminy, 1e-300)
+    if index_node_size and n:
+        cx = np.clip(((env[:, 0] + env[:, 2]) / 2 - gminx) / w, 0.0, 1.0)
+        cy = np.clip(((env[:, 1] + env[:, 3]) / 2 - gminy) / h, 0.0, 1.0)
+        hd = hilbert_d(np.floor(cx * HILBERT_MAX).astype(np.uint32),
+                       np.floor(cy * HILBERT_MAX).astype(np.uint32))
+        order = np.argsort(hd, kind="stable")
+    else:
+        order = np.arange(n)
+
+    rows = table.drop_columns([geometry_col]).to_pylist() if cols else [{}] * n
+
+    feat_bufs: list[bytes] = []
+    for i in order:
+        kind, body = geoms[i]
+        fb = _FB()
+        props = _encode_properties(cols, rows[i])
+        fields = [(0, "child", lambda fbb=fb, k=kind, b=body: _write_geometry(fbb, k, b))]
+        if props:
+            fields.append((1, "child", lambda fbb=fb, p=props: fbb.byte_vector(p)))
+        body_bytes = fb.finish(fb.table(fields))
+        feat_bufs.append(struct.pack("<I", len(body_bytes)) + body_bytes)
+
+    sizes = np.array([len(b) for b in feat_bufs], dtype=np.int64)
+    feat_offsets = (np.concatenate([[0], np.cumsum(sizes)[:-1]])
+                    if n else np.empty(0, dtype=np.int64))
+
+    gts = {g[0] for g in geoms}
+    header_gt = _KIND_TO_GT[next(iter(gts))] if len(gts) == 1 else _GT_UNKNOWN
+    fb = _FB()
+    fields = [
+        (0, "child", lambda: fb.string(name)),
+        (1, "child", lambda: fb.vector(np.float64, np.array([gminx, gminy, gmaxx, gmaxy]))),
+        (2, "u8", header_gt),
+        (8, "u64", n),
+        (9, "u16", index_node_size),
+    ]
+    if cols:
+        fields.append((7, "child", lambda: fb.table_vector([
+            (lambda c=c: fb.table([(0, "child", lambda cc=c: fb.string(cc[0])),
+                                   (1, "u8", c[1])]))
+            for c in cols
+        ])))
+    if crs_code is not None:
+        fields.append((10, "child", lambda: fb.table(
+            [(0, "child", lambda: fb.string("EPSG")), (1, "i32", crs_code)]
+        )))
+    header = fb.finish(fb.table(fields))
+
+    index = b""
+    if index_node_size and n:
+        index = _build_index(env[order], feat_offsets, index_node_size)
+
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<I", len(header)))
+        f.write(header)
+        f.write(index)
+        for b in feat_bufs:
+            f.write(b)
+
+
+# -------------------------------------------------------------------- reader
+def _parse_header(buf: bytes):
+    if buf[:3] != b"fgb" or buf[3] != 3:
+        raise ValueError("not a FlatGeobuf file (bad magic / unsupported version)")
+    hlen = struct.unpack_from("<I", buf, 8)[0]
+    hpos = _fb_root(buf, 12)
+    gt = _fb_scalar(buf, hpos, 2, "<B", 0)
+    n = _fb_scalar(buf, hpos, 8, "<Q", 0)
+    node_size = _fb_scalar(buf, hpos, 9, "<H", 16)
+    cols: list[tuple[str, int]] = []
+    v = _fb_vector(buf, hpos, 7)
+    if v is not None:
+        pos, cnt = v
+        for j in range(cnt):
+            cpos = _fb_indirect(buf, pos + 4 * j)
+            cols.append((_fb_string(buf, cpos, 0) or f"col{j}",
+                         _fb_scalar(buf, cpos, 1, "<B", 0)))
+    crs_code = None
+    cp = _fb_field(buf, hpos, 10)
+    if cp is not None:
+        crs_code = _fb_scalar(buf, _fb_indirect(buf, cp), 1, "<i", 0)
+    header_end = 12 + hlen
+    index_len = 0
+    if node_size and n:
+        starts = _level_offsets(n, node_size)
+        index_len = (starts[-1] + n) * NODE_BYTES
+    return dict(gt=gt, n=n, node_size=node_size, cols=cols, crs_code=crs_code,
+                index_pos=header_end, index_len=index_len,
+                features_pos=header_end + index_len)
+
+
+def _parse_features(buf, offsets, hdr_cols, default_gt, columns, geometry_col) -> pa.Table:
+    """Parse features at byte offsets relative to the start of ``buf``."""
+    geoms, props = [], []
+    for off in offsets:
+        p = int(off)
+        fpos = _fb_root(buf, p + 4)  # skip the uint32 size prefix
+        gfield = _fb_field(buf, fpos, 0)
+        if gfield is None:
+            raise ValueError("FlatGeobuf feature without geometry")
+        geoms.append(_parse_geometry(buf, _fb_indirect(buf, gfield), default_gt))
+        v = _fb_vector(buf, fpos, 1)
+        raw = b"" if v is None else bytes(buf[v[0]:v[0] + v[1]])
+        props.append(_decode_properties(hdr_cols, raw))
+    ga = GeometryArray.from_pylist(geoms)
+    cols = {}
+    for cname, ct in hdr_cols:
+        if columns is not None and cname not in columns:
+            continue
+        cols[cname] = pa.array([r.get(cname) for r in props], _CT_TO_ARROW[ct])
+    cols[geometry_col] = encode_wkb(ga)
+    return pa.table(cols)
+
+
+def _empty_table(hdr, columns, geometry_col) -> pa.Table:
+    cols = {c: pa.array([], _CT_TO_ARROW[ct]) for c, ct in hdr["cols"]
+            if columns is None or c in columns}
+    cols[geometry_col] = pa.array([], pa.binary())
+    return pa.table(cols)
+
+
+def read_flatgeobuf(
+    path: str,
+    columns: list[str] | None = None,
+    bbox: tuple[float, float, float, float] | None = None,
+    geometry_col: str = "geometry",
+    features_per_shard: int = 4096,
+):
+    """Read a .fgb into a Dataset (WKB ``geometry`` + property columns).
+
+    The driver reads only header + index bytes; ``bbox`` is answered FROM
+    the packed R-tree, so tasks read just the intersecting feature byte
+    ranges — the one reader here whose bbox pushdown skips feature bytes on
+    disk (every other format post-filters). The R-tree search is
+    conservative (box overlap), and the exact envelope filter still runs
+    after parsing, so results equal full-scan + filter exactly. Files
+    without an index fall back to one driver-side offsets walk + a full
+    distributed parse.
+    """
+    import ray
+    import ray.data
+
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:3] != b"fgb" or head[3] != 3:
+            raise ValueError("not a FlatGeobuf file (bad magic / unsupported version)")
+        hlen = struct.unpack("<I", head[8:12])[0]
+        f.seek(0)
+        hdr = _parse_header(f.read(12 + hlen))
+        index = f.read(hdr["index_len"]) if hdr["index_len"] else b""
+
+    if hdr["n"] == 0:
+        return ray.data.from_arrow(_empty_table(hdr, columns, geometry_col))
+
+    if index:
+        if bbox is not None:
+            offsets = _search_index(index, hdr["n"], hdr["node_size"], bbox)
+        else:
+            nodes = np.frombuffer(index, dtype=_NODE_DT)
+            leaf0 = _level_offsets(hdr["n"], hdr["node_size"])[-1]
+            offsets = np.sort(nodes["off"][leaf0:].astype(np.int64))
+    else:
+        # no index: one sequential size-prefix walk on the driver
+        buf = Path(path).read_bytes()
+        offs, pos, end = [], hdr["features_pos"], len(buf)
+        while pos < end:
+            offs.append(pos - hdr["features_pos"])
+            pos += 4 + struct.unpack_from("<I", buf, pos)[0]
+        offsets = np.array(offs, dtype=np.int64)
+
+    if len(offsets) == 0:
+        return ray.data.from_arrow(_empty_table(hdr, columns, geometry_col))
+
+    shards = [offsets[i:i + features_per_shard].tolist()
+              for i in range(0, len(offsets), features_per_shard)]
+    base = hdr["features_pos"]
+    hdr_cols, default_gt = hdr["cols"], hdr["gt"]
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        out = []
+        with open(path, "rb") as f:
+            for offs in batch["offs"].to_pylist():
+                # one contiguous range read per shard: [first, last + last_size)
+                f.seek(base + offs[-1])
+                last_len = struct.unpack("<I", f.read(4))[0]
+                start, end = offs[0], offs[-1] + 4 + last_len
+                f.seek(base + start)
+                blob = f.read(end - start)
+                rel = [o - start for o in offs]
+                out.append(_parse_features(blob, rel, hdr_cols, default_gt,
+                                           columns, geometry_col))
+        return pa.concat_tables(out)
+
+    ds = ray.data.from_items([{"offs": s} for s in shards]).map_batches(
+        parse_shard, batch_format="pyarrow", batch_size=1
+    )
+    if bbox is not None:
+        from geopolars_ray.sources.io import bbox_envelope_filter
+
+        ds = ds.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
+    return ds

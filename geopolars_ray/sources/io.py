@@ -231,6 +231,16 @@ def read_file(
         from geopolars_ray.sources.kml import read_kml
 
         out = read_kml(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **sel, **kw)
+    elif suffix == "fgb":
+        from geopolars_ray.sources.flatgeobuf import read_flatgeobuf
+
+        # bbox is answered from the file's packed Hilbert R-tree: only the
+        # intersecting feature byte ranges are read (true on-disk pushdown)
+        out = read_flatgeobuf(paths_list[0], columns=columns, bbox=bbox,
+                              geometry_col=geometry_col, **kw)
+        for p in paths_list[1:]:
+            out = out.union(read_flatgeobuf(p, columns=columns, bbox=bbox,
+                                            geometry_col=geometry_col, **kw))
     elif suffix == "shp":
         from geopolars_ray.sources.shapefile import read_shapefile
 
