@@ -127,6 +127,13 @@ def kernel_benchmarks() -> dict:
     Contrast with the reference's per-row WKB decode bottleneck
     (`README.md:82-83`): these are whole-column rates on 2M points / 200k
     16-vertex polygons.
+
+    Every timing is BEST-OF-3 after one untimed full-size warm-up
+    (r4, VERDICT r3 #3): single-shot micros on this shared-host VM recorded
+    window artifacts (decode_wkb 1.72 vs ~20 Mrows/s with unchanged code);
+    the max rate over three reps is the engine-attributable number — a
+    loaded window can depress it, but can't fabricate a regression out of
+    one descheduled slice.
     """
     import numpy as np
 
@@ -134,26 +141,26 @@ def kernel_benchmarks() -> dict:
     from geopolars_ray.geom import kernels as K
     from geopolars_ray.geom import s2 as s2_mod
 
+    def best_rate(fn, units: float, reps: int = 3) -> float:
+        fn()  # untimed warm-up: allocator/page faults/BLAS pool spin-up
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return units / best
+
     rng = np.random.default_rng(0)
     n = 2_000_000
     x, y = rng.uniform(-180, 180, n), rng.uniform(-85, 85, n)
     pts = GeometryArray.from_points(x, y)
     out = {}
-    encode_wkb(pts)  # untimed warm-up: first pass pays allocator/page faults
-    t0 = time.time()
+    out["encode_wkb_points_mrows_s"] = round(best_rate(lambda: encode_wkb(pts), n) / 1e6, 2)
     wkb = encode_wkb(pts)
-    out["encode_wkb_points_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
-    decode_wkb(wkb)  # untimed warm-up
-    t0 = time.time()
+    out["decode_wkb_points_mrows_s"] = round(best_rate(lambda: decode_wkb(wkb), n) / 1e6, 2)
     ga = decode_wkb(wkb)
-    out["decode_wkb_points_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
-    t0 = time.time()
-    K.translate(ga, 1.0, 2.0)
-    out["translate_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
-    s2_mod.s2_cell_id(x, y, 12)  # untimed warm-up (page-fault cost scales with n)
-    t0 = time.time()
-    s2_mod.s2_cell_id(x, y, 12)
-    out["s2_cell_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    out["translate_mrows_s"] = round(best_rate(lambda: K.translate(ga, 1.0, 2.0), n) / 1e6, 2)
+    out["s2_cell_mrows_s"] = round(best_rate(lambda: s2_mod.s2_cell_id(x, y, 12), n) / 1e6, 2)
     # polygons: 200k 16-gon rings
     m, v = 200_000, 16
     ang = np.linspace(0, 2 * np.pi, v + 1)
@@ -169,94 +176,73 @@ def kernel_benchmarks() -> dict:
         ring_offsets=seq * (v + 1),
         coords=coords,
     )
-    t0 = time.time()
-    K.area(polys)
-    out["area_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
-    t0 = time.time()
-    K.centroid(polys)
-    out["centroid_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
-    t0 = time.time()
-    K.envelope(polys)
-    out["envelope_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
-    t0 = time.time()
-    K.exterior(polys)
-    out["exterior_polygons_mrows_s"] = round(m / (time.time() - t0) / 1e6, 2)
+    out["area_polygons_mrows_s"] = round(best_rate(lambda: K.area(polys), m) / 1e6, 2)
+    out["centroid_polygons_mrows_s"] = round(best_rate(lambda: K.centroid(polys), m) / 1e6, 2)
+    out["envelope_polygons_mrows_s"] = round(best_rate(lambda: K.envelope(polys), m) / 1e6, 2)
+    out["exterior_polygons_mrows_s"] = round(best_rate(lambda: K.exterior(polys), m) / 1e6, 2)
     from geopolars_ray.geom import h3ish
 
-    # untimed full-size warm-up: first pass pays BLAS pool spinup + page
-    # faults on the fresh (n,20) dots allocation
-    h3ish.h3ish_cell_id(x, y, 7)
-    t0 = time.time()
-    h3ish.h3ish_cell_id(x, y, 7)
-    out["h3ish_r7_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    out["h3ish_r7_mrows_s"] = round(best_rate(lambda: h3ish.h3ish_cell_id(x, y, 7), n) / 1e6, 2)
     from geopolars_ray.geom import crs as crs_mod
 
-    t0 = time.time()
-    crs_mod.utm_forward(np.clip(x, 3.0, 9.0), np.clip(y, -80, 84), zone=32)
-    out["utm_forward_mrows_s"] = round(n / (time.time() - t0) / 1e6, 2)
+    xc, yc = np.clip(x, 3.0, 9.0), np.clip(y, -80, 84)
+    out["utm_forward_mrows_s"] = round(best_rate(lambda: crs_mod.utm_forward(xc, yc, zone=32), n) / 1e6, 2)
     from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]
     mh = MinHasher()
-    t0 = time.time()
-    mh.signatures(docs)
-    out["minhash_sig_docs_s"] = round(len(docs) / (time.time() - t0), 1)
+    out["minhash_sig_docs_s"] = round(best_rate(lambda: mh.signatures(docs), len(docs)), 1)
     import pyarrow as pa
 
     sb = pa.table({"doc_id": pa.array(np.arange(len(docs))), "text": pa.array(docs)})
     sh = SimHasher()
-    sh(sb)  # warm-up
-    t0 = time.time()
-    sh(sb)
-    out["simhash_docs_s"] = round(len(docs) / (time.time() - t0), 1)
+    out["simhash_docs_s"] = round(best_rate(lambda: sh(sb), len(docs)), 1)
     from geopolars_ray.sources.pages import pages_batch
     from geopolars_ray.stages.extract import ExtractGeoTags
 
     pb = pages_batch(np.arange(20_000))
     ex = ExtractGeoTags()
-    ex(pb)  # warm-up
-    t0 = time.time()
-    ex(pb)
-    out["extract_geotags_krows_s"] = round(20_000 / (time.time() - t0) / 1e3, 1)
+    out["extract_geotags_krows_s"] = round(best_rate(lambda: ex(pb), 20_000) / 1e3, 1)
 
     # r3 training-data additions: t-digest fold, bloom add+probe, BM25 score,
     # Misra-Gries block summary
     from geopolars_ray.stages.quantile import TDigest
 
     vals = rng.lognormal(0, 2, 1_000_000)
-    TDigest(200).add(vals[:10_000])  # warm-up
-    t0 = time.time()
-    d = TDigest(200)
-    for chunk in np.array_split(vals, 16):
-        d.add(chunk)
-    d.quantile([0.5])
-    out["tdigest_mvals_s"] = round(len(vals) / (time.time() - t0) / 1e6, 2)
+
+    def tdigest_fold():
+        d = TDigest(200)
+        for chunk in np.array_split(vals, 16):
+            d.add(chunk)
+        d.quantile([0.5])
+
+    out["tdigest_mvals_s"] = round(best_rate(tdigest_fold, len(vals)) / 1e6, 2)
 
     from geopolars_ray.stages.bloom import BloomFilter
 
     keys = rng.integers(0, 2**62, 2_000_000).astype(np.uint64)
-    bf = BloomFilter.for_capacity(len(keys))
-    bf.add(keys[:1000])  # warm-up
-    t0 = time.time()
-    bf.add(keys)
-    bf.contains(keys)
-    out["bloom_add_probe_mkeys_s"] = round(len(keys) / (time.time() - t0) / 1e6, 2)
 
-    from geopolars_ray.stages.text import bm25_score  # noqa: F401  (scoring map below)
+    def bloom_add_probe():
+        bf = BloomFilter.for_capacity(len(keys))
+        bf.add(keys)
+        bf.contains(keys)
+
+    out["bloom_add_probe_mkeys_s"] = round(best_rate(bloom_add_probe, len(keys)) / 1e6, 2)
+
     import pyarrow.compute as _pc
 
     s = pa.array(docs)
-    t0 = time.time()
-    for pat in (r"(?i)\babc\b", r"(?i)\bxyz\b", r"(?i)\bqrs\b"):
-        _pc.count_substring_regex(s, pat)
-    out["bm25_term_count_kdocs_s"] = round(3 * len(docs) / (time.time() - t0) / 1e3, 1)
+
+    def bm25_counts():
+        for pat in (r"(?i)\babc\b", r"(?i)\bxyz\b", r"(?i)\bqrs\b"):
+            _pc.count_substring_regex(s, pat)
+
+    out["bm25_term_count_kdocs_s"] = round(best_rate(bm25_counts, 3 * len(docs)) / 1e3, 1)
 
     from geopolars_ray.stages.freq import _mg_summarize
 
     cnts = rng.integers(1, 10_000, 1_000_000).astype(np.int64)
-    t0 = time.time()
-    _mg_summarize(cnts, 4096)
-    out["misra_gries_mkeys_s"] = round(len(cnts) / (time.time() - t0) / 1e6, 2)
+    out["misra_gries_mkeys_s"] = round(best_rate(lambda: _mg_summarize(cnts, 4096), len(cnts)) / 1e6, 2)
 
     # late-r3 text ops: repetition signals + PII redaction over word-soup docs
     from geopolars_ray.stages.text import redact_pii, repetition_stats
@@ -265,15 +251,9 @@ def kernel_benchmarks() -> dict:
     soup = [" ".join(words[rng.integers(0, len(words), 400)]) for _ in range(2048)]
     tb = pa.table({"doc_id": pa.array(np.arange(len(soup))), "text": pa.array(soup)})
     rep = repetition_stats()
-    rep(tb.slice(0, 64))  # warm-up
-    t0 = time.time()
-    rep(tb)
-    out["repetition_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
+    out["repetition_kdocs_s"] = round(best_rate(lambda: rep(tb), len(soup)) / 1e3, 1)
     red = redact_pii()
-    red(tb.slice(0, 64))  # warm-up
-    t0 = time.time()
-    red(tb)
-    out["pii_redact_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
+    out["pii_redact_kdocs_s"] = round(best_rate(lambda: red(tb), len(soup)) / 1e3, 1)
 
     from geopolars_ray.stages.contamination import (
         _ngram_hashes,
@@ -283,12 +263,26 @@ def kernel_benchmarks() -> dict:
 
     probe = probe_ngram_set(soup[:16], n=13)
     th, cnt = _token_hashes(tb["text"].combine_chunks())
-    t0 = time.time()
-    h, _nw = _ngram_hashes(th, cnt, 13)
-    idx = np.searchsorted(probe, h)
-    idx[idx == len(probe)] = 0
-    (probe[idx] == h).sum()
-    out["contamination_kdocs_s"] = round(len(soup) / (time.time() - t0) / 1e3, 1)
+
+    def contamination_scan():
+        h, _nw = _ngram_hashes(th, cnt, 13)
+        idx = np.searchsorted(probe, h)
+        idx[idx == len(probe)] = 0
+        (probe[idx] == h).sum()
+
+    out["contamination_kdocs_s"] = round(best_rate(contamination_scan, len(soup)) / 1e3, 1)
+    # r4: zero-copy embedding decode (stages/vec.py)
+    from geopolars_ray.stages.vec import decode_embeddings
+
+    emb = rng.standard_normal((200_000, 64)).astype(np.float32)
+    earr = pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 64)
+    le = pa.array(emb.tolist(), pa.list_(pa.float32()))
+    out["embed_decode_zerocopy_mrows_s"] = round(best_rate(lambda: decode_embeddings(le), len(emb)) / 1e6, 2)
+
+    def pylist_decode():
+        np.asarray(le.to_pylist(), dtype=np.float64)
+
+    out["embed_decode_pylist_mrows_s"] = round(best_rate(pylist_decode, len(emb), reps=1) / 1e6, 2)
     return out
 
 

@@ -194,7 +194,7 @@ def _sorted_key_coords(g: pa.Table, key: str = "c_nationkey"):
     """Partition table -> (keys, key_arrow_type, flat (c,2) coords, offsets):
     rows sorted by (key, c_custkey), one offset range per distinct key.
     Vectorized (np.lexsort + column_stack); no per-coordinate Python objects
-    (VERDICT r2 #5) — a partition holds ~(#keys/P) keys' rows, never built
+    — a partition holds ~(#keys/P) keys' rows, never built
     into Python lists."""
     nk = g[key].to_numpy(zero_copy_only=False).astype(np.int64)
     ck = g["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -212,7 +212,7 @@ def q_geo_length_path(sf_dir: str):
     """Per-nation path length + envelope bounds in one gate entry (r3 merge
     of the former geo_envelope_group; both halves oracle-checked).
 
-    Scale shape (VERDICT r2 #5): the path half runs through
+    Scale shape: the path half runs through
     ``hash_partitioned_map`` with vectorized multi-LineString construction
     (partition-level, not per-key-task, materialization — holding a key's
     rows together is inherent to a per-key path); the envelope half is a
@@ -582,7 +582,7 @@ def q_geo_geodesic(sf_dir: str):
     (same generated-SQL technique as the S2 Hilbert oracle). Pytest anchors
     (JFK-LHR, meridian arcs) validate absolute correctness of the kernels.
     Vectorized multi-LineString construction via hash_partitioned_map
-    (VERDICT r2 #5)."""
+    per partition."""
     from geopolars_ray.stages.agg import hash_partitioned_map
 
     def path(g: pa.Table) -> pa.Table:
@@ -661,7 +661,7 @@ def q_geo_simplify(sf_dir: str):
     on a 0.25-degree lattice so x*4 is an exact small integer and the
     float sum is exact in ANY accumulation order.
 
-    Vectorized construction via hash_partitioned_map (VERDICT r2 #5)."""
+    Vectorized construction via hash_partitioned_map per partition."""
     from geopolars_ray.stages.agg import hash_partitioned_map
 
     def simp(g: pa.Table) -> pa.Table:
@@ -941,7 +941,7 @@ def q_txt_fingerprint(sf_dir: str):
 def q_dd_minhash_docs(sf_dir: str):
     """MinHash-LSH near-dup candidates over documents, Jaccard-verified.
 
-    ASCII projection first (mirrors txt_langid, review r3): the library
+    ASCII projection first (mirrors txt_langid): the library
     shingles UTF-8 BYTES while the SQL oracle shingles characters via
     ``ord`` — identical only for pure-ASCII text. Replacing every non-ASCII
     codepoint with a space on BOTH sides (same RE2 pattern) makes byte- and
@@ -970,7 +970,7 @@ def q_dd_minhash_docs(sf_dir: str):
     bands = docs.map_batches(MinHasher(), batch_format="pyarrow", batch_size=512)
     cand = lsh_candidate_pairs(bands)
     # raw jaccard: inter/union of exact integers — correctly-rounded division
-    # is deterministic, so no rounding is needed for the (r3) SQL oracle,
+    # is deterministic, so no rounding is needed for the SQL oracle,
     # which replays the ENTIRE pipeline (ring shingles -> 64 permutation
     # minima -> FNV band hashes -> bucket self-join -> set-intersection
     # verify) with inlined permutation literals
@@ -990,7 +990,7 @@ def _smallest_vec_rows(path: str, n: int) -> pa.Table:
 
     Reads the narrow vec_id column first and fetches ONLY the selected rows'
     embeddings via a parquet filter — at larger sf the driver never holds
-    the wide embedding column for the whole corpus (review r3)."""
+    the wide embedding column for the whole corpus."""
     import pyarrow.parquet as pq
 
     ids = pq.read_table(path, columns=["vec_id"])["vec_id"].to_numpy(zero_copy_only=False)

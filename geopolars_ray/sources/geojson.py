@@ -127,7 +127,7 @@ def _sniff_prop_schema(paths: list[str], columns: list[str] | None, n: int = 256
     """Infer ONE property schema from the first ``n`` features across the
     input files (driver-side).  Per-batch inference yields conflicting block
     schemas when feature property sets/types differ between line blocks
-    (ADVICE r2); a single sniffed schema makes every block agree.  Callers
+    (conflicting block schemas break the stream); a single sniffed schema makes every block agree.  Callers
     with heterogeneous tails beyond the sniff window should pass ``schema=``
     explicitly."""
     props: list[dict] = []

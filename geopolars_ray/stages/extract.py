@@ -39,7 +39,7 @@ class ExtractGeoTags:
         import pyarrow.compute as pc
 
         n = len(batch)
-        # FAST PATH (VERDICT r2 #6): one vectorized RE2 extraction over the
+        # FAST PATH: one vectorized RE2 extraction over the
         # raw html column. Sound because html.escape only rewrites &<>, so a
         # "coordinates: lat,lon" line appears byte-verbatim inside the body
         # markup and nowhere else (titles/urls can't produce the pattern) —
