@@ -70,7 +70,17 @@ def ensure_pages() -> tuple[str, int]:
 
     os.makedirs(d, exist_ok=True)
     step = 50_000
-    ray.get([gen_shard.remote(s, min(s + step, n)) for s in range(0, n, step)])
+    # resumable: skip shards already fully written (a killed run leaves the
+    # marker absent; partially-written shards are re-generated because only
+    # shards from COMPLETED tasks are recorded in _DONE)
+    done_file = Path(d) / "_DONE"
+    done = set(done_file.read_text().split()) if done_file.exists() else set()
+    todo = [s for s in range(0, n, step) if f"{s:012d}" not in done]
+    for chunk_start in range(0, len(todo), 512):
+        chunk = todo[chunk_start:chunk_start + 512]
+        ray.get([gen_shard.remote(s, min(s + step, n)) for s in chunk])
+        done.update(f"{s:012d}" for s in chunk)
+        done_file.write_text("\n".join(sorted(done)))
     marker.write_text(str(n))
     return d, n
 

@@ -1,16 +1,18 @@
 """sf1 scale-sanity run (VERDICT r3 #7): one order of magnitude above the
 per-round bench scale, as actual evidence for the streaming-safety claims.
 
-- Fused flagship over 240M synthesized pages (~15 GB parquet in /tmp),
-  at TWO parallelism levels with byte-identical-output verification.
-- MinHash-LSH dedup + paragraph dedup over a 10x-replicated documents
-  corpus (50k docs, heavy near-dup density by construction).
-- Peak memory tracked two ways: driver ru_maxrss and a /proc/meminfo
-  sampler (system-wide used = total - available, covering Ray workers and
-  the object store).
+Phased so each invocation is bounded (~minutes) and resumable:
 
-Usage: python scripts/sf1_sanity.py [--skip-flagship] [--skip-dedup]
-Prints one JSON line; paste the numbers into BASELINE.md's sf1 section.
+    python scripts/sf1_sanity.py --gen            # synthesize 240M pages (resumable)
+    python scripts/sf1_sanity.py --flagship 8     # one timed fused-flagship run
+    python scripts/sf1_sanity.py --flagship 32
+    python scripts/sf1_sanity.py --dedup          # minhash + paragraph over 50k docs
+    python scripts/sf1_sanity.py --report         # assemble + compare output hashes
+
+Each phase prints one JSON line and saves it under /tmp/sf1_*.json; --report
+merges them (flagship output hashes compared across parallelism levels).
+Peak memory is tracked system-wide via /proc/meminfo (covers Ray workers
+and the object store), plus driver ru_maxrss.
 """
 
 from __future__ import annotations
@@ -65,40 +67,100 @@ class MemSampler:
 
 
 def _hash_output_dir(d: str) -> str:
+    """Hash the ENGINE-EXACT columns (tile, admin_id, n_pages) — same
+    contract as bench.py's scaling compare. The float sum_lat/sum_lon
+    columns legitimately differ in final ULPs between parallelism levels
+    (per-shard vs per-block accumulation association; flagship docstring)
+    and are compared separately at rtol=1e-12 by _float_cols_close."""
     import hashlib
 
     import pyarrow.parquet as pq
 
     h = hashlib.sha256()
-    t = pq.read_table(d)
-    t = t.sort_by([(c, "ascending") for c in sorted(t.column_names)])
-    for c in sorted(t.column_names):
+    t = pq.read_table(d, columns=["tile", "admin_id", "n_pages"])
+    t = t.sort_by([("tile", "ascending"), ("admin_id", "ascending")])
+    for c in ("tile", "admin_id", "n_pages"):
         h.update(c.encode())
         for chunk in t[c].chunks:
             h.update(str(chunk.to_pylist()).encode())
     return h.hexdigest()[:16]
 
 
-def flagship_sf1() -> dict:
+def _float_cols_close(a_dir: str, b_dir: str, rtol: float = 1e-12) -> bool:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    cols = ["tile", "admin_id", "sum_lat", "sum_lon"]
+    ta = pq.read_table(a_dir, columns=cols).sort_by(
+        [("tile", "ascending"), ("admin_id", "ascending")])
+    tb = pq.read_table(b_dir, columns=cols).sort_by(
+        [("tile", "ascending"), ("admin_id", "ascending")])
+    if ta.num_rows != tb.num_rows:
+        return False
+    for c in ("sum_lat", "sum_lon"):
+        va = ta[c].to_numpy(zero_copy_only=False)
+        vb = tb[c].to_numpy(zero_copy_only=False)
+        # atol guards sums that cancel near zero (lat/lon sums do)
+        if not np.allclose(va, vb, rtol=rtol, atol=1e-9):
+            return False
+    return True
+
+
+def _save(name: str, obj: dict) -> None:
+    Path(f"/tmp/sf1_{name}.json").write_text(json.dumps(obj))
+    print(json.dumps(obj))
+
+
+def gen_phase() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
     import bench
 
-    out = {}
-    hashes = {}
-    for cpus in (8, 32):
-        with MemSampler() as ms:
-            r = bench.run_headline(cpus)
-        out[f"flagship_{cpus}cpus"] = {
-            "sec": round(r["sec"], 2),
-            "rows": r["pages_rows"],
-            "mrows_per_s": round(r["rows_per_s"] / 1e6, 2),
-            "peak_sys_used_gib": round(ms.peak_used_gib, 1),
-        }
-        hashes[cpus] = _hash_output_dir(r["out_dir"])
-    out["outputs_identical_8_vs_32"] = hashes[8] == hashes[32]
-    out["scaling_efficiency_8_to_32"] = round(
-        (out["flagship_32cpus"]["mrows_per_s"] / out["flagship_8cpus"]["mrows_per_s"]) / 4.0, 3
-    )
-    return out
+    t0 = time.time()
+    d, n = bench.ensure_pages()
+    ray.shutdown()
+    _save("gen", {"dir": d, "rows": n, "gen_sec": round(time.time() - t0, 1)})
+
+
+def flagship_phase(cpus: int) -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    import shutil
+    import tempfile
+
+    import bench
+    from geopolars_ray.pipelines.flagship import run_flagship_fused
+
+    probe0 = bench.hardware_probe()
+    pdir, n = bench.pages_dir()
+    assert (Path(pdir) / "_COMPLETE").exists(), "run --gen first"
+    shards = sorted(Path(pdir).glob("*.parquet"))
+    # worker warm (untimed): mini run of the same pipeline on a few shards
+    with tempfile.TemporaryDirectory() as warm_dir:
+        for f in shards[: max(2, cpus)]:
+            shutil.copy(f, warm_dir)
+        run_flagship_fused(warm_dir, num_partitions=4).count()
+    out_dir = f"/tmp/sf1_flagship_out_{cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    with MemSampler() as ms:
+        t0 = time.time()
+        run_flagship_fused(pdir, num_partitions=max(8, cpus), out_path=out_dir)
+        dt = time.time() - t0
+    probe1 = bench.hardware_probe()
+    ray.shutdown()
+    _save(f"flagship_{cpus}", {
+        "cpus": cpus, "rows": n, "sec": round(dt, 1),
+        "mrows_per_s": round(n / dt / 1e6, 2),
+        "peak_sys_used_gib": round(ms.peak_used_gib, 1),
+        "out_hash": _hash_output_dir(out_dir),
+        "probe_before": probe0, "probe_after": probe1,
+        "driver_maxrss_gib": round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2),
+    })
 
 
 def _docs_x10(sf_dir: str, out_path: str, reps: int = 10) -> str:
@@ -128,11 +190,10 @@ def _docs_x10(sf_dir: str, out_path: str, reps: int = 10) -> str:
     return out_path
 
 
-def dedup_sf1() -> dict:
+def dedup_phase() -> None:
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
@@ -173,19 +234,38 @@ def dedup_sf1() -> dict:
             "peak_sys_used_gib": round(ms.peak_used_gib, 1),
         }
     ray.shutdown()
-    return out
+    _save("dedup", out)
+
+
+def report_phase() -> None:
+    merged = {}
+    for p in sorted(Path("/tmp").glob("sf1_*.json")):
+        merged[p.stem.replace("sf1_", "")] = json.loads(p.read_text())
+    f8, f32 = merged.get("flagship_8"), merged.get("flagship_32")
+    if f8 and f32:
+        # recompute exact-column hashes from the dirs (out_hash fields from
+        # older runs may predate the exact-columns contract)
+        h8 = _hash_output_dir("/tmp/sf1_flagship_out_8")
+        h32 = _hash_output_dir("/tmp/sf1_flagship_out_32")
+        merged["outputs_identical_8_vs_32"] = h8 == h32
+        merged["float_sums_close_rtol1e12"] = _float_cols_close(
+            "/tmp/sf1_flagship_out_8", "/tmp/sf1_flagship_out_32")
+        merged["scaling_efficiency_8_to_32"] = round(
+            (f32["mrows_per_s"] / f8["mrows_per_s"]) / 4.0, 3)
+    print(json.dumps(merged))
 
 
 def main():
-    results = {"driver_maxrss_gib_start": round(
-        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)}
-    if "--skip-flagship" not in sys.argv:
-        results["flagship"] = flagship_sf1()
-    if "--skip-dedup" not in sys.argv:
-        results["dedup"] = dedup_sf1()
-    results["driver_maxrss_gib"] = round(
-        resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
-    print(json.dumps(results))
+    if "--gen" in sys.argv:
+        gen_phase()
+    elif "--flagship" in sys.argv:
+        flagship_phase(int(sys.argv[sys.argv.index("--flagship") + 1]))
+    elif "--dedup" in sys.argv:
+        dedup_phase()
+    elif "--report" in sys.argv:
+        report_phase()
+    else:
+        print(__doc__)
 
 
 if __name__ == "__main__":
