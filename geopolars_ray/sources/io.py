@@ -202,11 +202,11 @@ def read_file(
         return out
     sel = {}
     if fids is not None or has_window:
-        if suffix not in ("shp", "kml", "geojson", "json"):
+        if suffix not in ("shp", "kml", "gml", "geojson", "json"):
             raise ValueError(
                 f"fids/skip_features/max_features unsupported for .{suffix} "
-                "(feature-addressable formats: .gpkg, .shp, .kml, GeoJSON "
-                "FeatureCollection)"
+                "(feature-addressable formats: .gpkg, .shp, .kml, .gml, "
+                "GeoJSON FeatureCollection)"
             )
         sel = {"fids": fids, "skip_features": skip_features, "max_features": max_features}
     if isinstance(where, str):
@@ -231,6 +231,10 @@ def read_file(
         from geopolars_ray.sources.kml import read_kml
 
         out = read_kml(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **sel, **kw)
+    elif suffix == "gml":
+        from geopolars_ray.sources.gml import read_gml
+
+        out = read_gml(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **sel, **kw)
     elif suffix == "fgb":
         from geopolars_ray.sources.flatgeobuf import read_flatgeobuf
 
