@@ -778,13 +778,9 @@ def q_rel_join_agg(sf_dir: str):
     )
 
 
-def q_rel_distinct_types(sf_dir: str):
-    """count(DISTINCT event_type) per user via two-level groupby."""
-    ds = _read_exchange(sf_dir, "events", columns=["user_id", "event_type"])
-    from geopolars_ray.stages.agg import hash_aggregate
-
-    lvl1 = hash_aggregate(ds, ["user_id", "event_type"], [("user_id", "count", "_c")], num_partitions=8)
-    return hash_aggregate(lvl1, ["user_id"], [("event_type", "count", "n_types")], num_partitions=8)
+# q_rel_distinct_types (two-level hash_aggregate COUNT DISTINCT) was retired
+# from the registry in r4 in favor of pipe_curation; the operator shape stays
+# gate-covered by rel_union_distinct and the hash_aggregate entries.
 
 
 # --------------------------------------------------------------------------

@@ -121,15 +121,22 @@ class _FB:
             offsets[fid] = off
             off += size
         t_bytes = off
-        self._pad(2)
+        # absolute alignment: in-table offsets are natural-aligned relative
+        # to the table start, so the table start itself must be aligned to
+        # the largest scalar in it (flatbuffers verifier checks absolute
+        # element alignment). vtable (2-aligned) sits immediately before.
+        max_align = max((self._SLOT[k][1] for _, k, _ in fields), default=4)
+        vt_len = 4 + 2 * (max_fid + 1)
+        while (len(self.buf) + vt_len) % max_align:
+            self.buf.append(0)
         vt_pos = len(self.buf)
         self.buf += struct.pack("<HH", vt_bytes, t_bytes)
         slots = bytearray(2 * (max_fid + 1))
         for fid, _, _ in fields:
             struct.pack_into("<H", slots, 2 * fid, offsets[fid])
         self.buf += slots
-        self._pad(4)
         t_pos = len(self.buf)
+        assert t_pos % max_align == 0
         self.buf += struct.pack("<i", t_pos - vt_pos)
         self.buf += bytes(t_bytes - 4)
         pending = []
@@ -152,9 +159,13 @@ class _FB:
         return pos
 
     def vector(self, np_dtype, values) -> int:
-        self._pad(4)
-        pos = len(self.buf)
         arr = np.asarray(values)
+        # element data (after the 4-byte length) must be aligned to the
+        # element size (flatbuffers alignment rule; float64 vectors -> 8)
+        elem = np.dtype(np_dtype).itemsize
+        while (len(self.buf) + 4) % max(elem, 4):
+            self.buf.append(0)
+        pos = len(self.buf)
         self.buf += struct.pack("<I", len(arr))
         self.buf += arr.astype(np.dtype(np_dtype).newbyteorder("<")).tobytes()
         return pos
@@ -282,6 +293,9 @@ def hilbert_d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 def _level_offsets(n_items: int, node_size: int) -> list[int]:
     """Start index of each level in the node array, root level FIRST and
     leaf level LAST: [0, ..., leaf_start]."""
+    if node_size < 2:
+        raise ValueError(f"index_node_size must be >= 2 (spec minimum), got {node_size}; "
+                         "use 0 for no index")
     sizes = [n_items]
     n = n_items
     while n != 1:
@@ -421,6 +435,17 @@ def _encode_properties(cols: list[tuple[str, int]], row: dict) -> bytes:
 
 
 def _decode_properties(cols: list[tuple[str, int]], raw: bytes) -> dict:
+    # Properties are an interleaved stream — ONE column of unknown width
+    # desynchronizes everything after it, so unsupported ColumnTypes must
+    # fail loudly (even unselected ones; they can't be skipped).
+    bad = [(c, ct) for c, ct in cols if ct not in _CT_SCALAR_FMT
+           and ct not in (_CT_STRING, _CT_BINARY)]
+    if bad:
+        raise ValueError(
+            f"unsupported FlatGeobuf property ColumnType(s) {bad}: the packed "
+            "property stream cannot be skipped past an unknown-width column "
+            "(supported: Bool/Int/Long/Float/Double/String/Binary)"
+        )
     out, pos, n = {}, 0, len(raw)
     while pos + 2 <= n:
         idx = struct.unpack_from("<H", raw, pos)[0]
@@ -448,6 +473,8 @@ def write_flatgeobuf(table: pa.Table, path: str, geometry_col: str = "geometry",
     contract as the shapefile and KML writers). Features are Hilbert-sorted
     so the packed R-tree gives tight byte-range pushdown on read;
     ``index_node_size=0`` writes no index (sequential-scan file)."""
+    if index_node_size and not (2 <= index_node_size <= 65535):
+        raise ValueError("index_node_size must be 0 (no index) or in [2, 65535]")
     from geopolars_ray.geom import kernels as K
 
     ga = decode_wkb(table[geometry_col])
@@ -649,8 +676,22 @@ def read_flatgeobuf(
     if len(offsets) == 0:
         return ray.data.from_arrow(_empty_table(hdr, columns, geometry_col))
 
-    shards = [offsets[i:i + features_per_shard].tolist()
-              for i in range(0, len(offsets), features_per_shard)]
+    # contiguous runs only: each shard is read as ONE byte range, so a run
+    # must break wherever consecutive hit offsets are far apart (a sparse
+    # bbox hitting Hilbert-order extremes would otherwise drag the whole
+    # gap — up to the entire file — into one task's read)
+    max_gap = 4 << 20
+    shards: list[list[int]] = []
+    cur: list[int] = []
+    prev = None
+    for off in offsets.tolist():
+        if cur and (off - prev > max_gap or len(cur) >= features_per_shard):
+            shards.append(cur)
+            cur = []
+        cur.append(off)
+        prev = off
+    if cur:
+        shards.append(cur)
     base = hdr["features_pos"]
     hdr_cols, default_gt = hdr["cols"], hdr["gt"]
 

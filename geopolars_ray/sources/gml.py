@@ -61,21 +61,33 @@ def _pairs_from_poslist(text: str, dim: int, swap: bool) -> list[tuple[float, fl
     return [(y, x) for x, y in pts] if swap else pts
 
 
-def _pairs_from_coordinates(text: str, swap: bool) -> list[tuple[float, float]]:
-    # GML2 coordinates: tuples separated by whitespace (ts), ordinates by
-    # comma (cs) — the defaults; cs/ts attributes are honored by the caller
+def _pairs_from_coordinates(el: ET.Element, swap: bool) -> list[tuple[float, float]]:
+    # GML2 coordinates: tuples separated by ts (default whitespace),
+    # ordinates by cs (default comma) — both overridable by attribute
+    cs = el.get("cs", ",")
+    ts = el.get("ts")  # None -> any whitespace
+    text = el.text or ""
+    tuples = text.split(ts) if ts is not None else text.split()
     pts = []
-    for tup in (text or "").split():
-        parts = tup.split(",")
+    for tup in tuples:
+        tup = tup.strip()
+        if not tup:
+            continue
+        parts = tup.split(cs)
         if len(parts) < 2:
-            raise ValueError(f"bad GML coordinate tuple {tup!r}")
+            raise ValueError(f"bad GML coordinate tuple {tup!r} (cs={cs!r})")
         x, y = float(parts[0]), float(parts[1])
         pts.append((y, x) if swap else (x, y))
     return pts
 
 
 def _ring_coords(el: ET.Element, swap: bool) -> list[tuple[float, float]]:
-    """Coordinates of a Point/LineString/LinearRing element body."""
+    """Coordinates of a Point/LineString/LinearRing element body.
+
+    Repeated ``<gml:pos>`` children (spec-valid GML3, emitted by common WFS
+    servers for rings/lines) ACCUMULATE — returning after the first one
+    would silently collapse a ring to a single vertex."""
+    pts: list[tuple[float, float]] = []
     for c in el:
         name = _ln(c.tag)
         if name == "posList":
@@ -83,10 +95,10 @@ def _ring_coords(el: ET.Element, swap: bool) -> list[tuple[float, float]]:
             return _pairs_from_poslist(c.text, dim, swap)
         if name == "pos":
             dim = int(c.get("srsDimension", "2")) or 2
-            return _pairs_from_poslist(c.text, max(dim, 2), swap)
-        if name == "coordinates":
-            return _pairs_from_coordinates(c.text, swap)
-    return []
+            pts.extend(_pairs_from_poslist(c.text, max(dim, 2), swap))
+        elif name == "coordinates":
+            return _pairs_from_coordinates(c, swap)
+    return pts
 
 
 def _find_desc(el: ET.Element, names: set[str]):
@@ -155,11 +167,13 @@ def _feature_row(feat: ET.Element, swap: bool):
     for prop in feat:
         name = _ln(prop.tag)
         if name in _GEOM_TAGS:  # geometry directly under the feature
-            geom = _parse_geometry(prop, swap)
+            if geom is None:  # FIRST geometry wins (docstring + OGR semantics)
+                geom = _parse_geometry(prop, swap)
             continue
         sub_geoms = [c for c in prop if _ln(c.tag) in _GEOM_TAGS]
         if sub_geoms:
-            geom = _parse_geometry(sub_geoms[0], swap)
+            if geom is None:
+                geom = _parse_geometry(sub_geoms[0], swap)
         elif prop.text is not None and prop.text.strip():
             props[name] = prop.text.strip()
     return geom, props

@@ -38,7 +38,9 @@ def _knuth_hash32(col: pa.ChunkedArray, seed: int) -> np.ndarray:
     SQL with HUGEINT (module docstring has the exact form).
     """
     k = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-    return (k * np.uint64(KNUTH) + np.uint64(seed)) % np.uint64(MOD32)
+    # map the seed into the ring explicitly: np.uint64(-7) raises on NumPy>=2
+    seed_u = np.uint64(int(seed) & 0xFFFFFFFFFFFFFFFF)
+    return (k * np.uint64(KNUTH) + seed_u) % np.uint64(MOD32)
 
 
 def deterministic_sample(ds, key_col: str, numerator: int = 1, denominator: int = 10, seed: int = 0):

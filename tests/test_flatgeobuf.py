@@ -184,3 +184,78 @@ def test_empty_and_null_geometry(ray_session, tmp_path):
             pa.table({"geometry": pa.array([None], pa.binary())}),
             str(tmp_path / "x.fgb"),
         )
+
+
+def test_written_vectors_are_element_aligned(tmp_path):
+    # review r4 finding: flatbuffers requires vector element data aligned to
+    # the element size; scan every float64 xy vector in the written file
+    import struct as _s
+
+    t = _mixed_table()
+    p = str(tmp_path / "align.fgb")
+    write_flatgeobuf(t, p)
+    raw = open(p, "rb").read()
+    # walk features, check each Geometry xy vector's data offset % 8 == 0
+    from geopolars_ray.sources.flatgeobuf import (
+        _fb_field,
+        _fb_indirect,
+        _fb_root,
+        _parse_header,
+    )
+
+    hdr = _parse_header(raw)
+    pos = hdr["features_pos"]
+    checked = 0
+    while pos < len(raw):
+        ln = _s.unpack_from("<I", raw, pos)[0]
+        fstart = pos + 4  # flatbuffers alignment is buffer-relative
+        fpos = _fb_root(raw, fstart)
+        gref = _fb_field(raw, fpos, 0)
+        gpos = _fb_indirect(raw, gref)
+        xyref = _fb_field(raw, gpos, 1)
+        if xyref is not None:
+            vp = _fb_indirect(raw, xyref)
+            assert (vp - fstart + 4) % 8 == 0, f"xy data misaligned at feature {checked}"
+            checked += 1
+        pos += 4 + ln
+    assert checked > 0
+
+
+def test_node_size_validation(tmp_path):
+    t = _mixed_table()
+    with pytest.raises(ValueError, match="node_size"):
+        write_flatgeobuf(t, str(tmp_path / "x.fgb"), index_node_size=1)
+    with pytest.raises(ValueError, match="node_size"):
+        _level_offsets(5, 1)
+
+
+def test_unsupported_property_type_is_loud():
+    from geopolars_ray.sources.flatgeobuf import _decode_properties
+
+    with pytest.raises(ValueError, match="unsupported FlatGeobuf property"):
+        _decode_properties([("a", 3)], b"\x00\x00\x01\x00")  # Short(3)
+
+
+def test_sparse_bbox_splits_shards_on_gaps(ray_session, tmp_path):
+    # review r4 finding: hits at Hilbert-order extremes must not drag the
+    # whole gap into one byte-range read — shards split on >4MB gaps
+    rng = np.random.default_rng(3)
+    n = 3000
+    x = rng.uniform(0, 100, n)
+    y = rng.uniform(0, 100, n)
+    pts = [("point", (float(a), float(b))) for a, b in zip(x, y)]
+    # pad each feature with a fat string property so offsets spread out
+    t = pa.table({
+        "fid": pa.array(range(n), pa.int64()),
+        "pad": pa.array(["z" * 4000] * n, pa.string()),
+        "geometry": encode_wkb(GeometryArray.from_pylist(pts)),
+    })
+    p = str(tmp_path / "sparse.fgb")
+    write_flatgeobuf(t, p)
+    # two tiny far-apart rectangles -> hits at both curve extremes
+    for bbox in [(0.0, 0.0, 3.0, 3.0), (97.0, 97.0, 100.0, 100.0),
+                 (0.0, 97.0, 3.0, 100.0)]:
+        got = sorted(r["fid"] for r in read_flatgeobuf(p, bbox=bbox).take_all())
+        want = sorted(int(i) for i in np.flatnonzero(
+            (x >= bbox[0]) & (x <= bbox[2]) & (y >= bbox[1]) & (y <= bbox[3])))
+        assert got == want

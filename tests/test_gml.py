@@ -136,3 +136,61 @@ def test_gml_selection_bbox_and_dispatch(ray_session, tmp_path):
     # columns projection
     got = read_file(p, columns=["name"]).take_all()
     assert set(got[0].keys()) == {"name", "geometry"}
+
+
+GML3_REPEATED_POS = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2">
+  <gml:featureMember>
+    <area>
+      <label>ring</label>
+      <geom><gml:Polygon><gml:exterior><gml:LinearRing>
+        <gml:pos>0 0</gml:pos><gml:pos>4 0</gml:pos>
+        <gml:pos>4 4</gml:pos><gml:pos>0 0</gml:pos>
+      </gml:LinearRing></gml:exterior></gml:Polygon></geom>
+    </area>
+  </gml:featureMember>
+</gml:FeatureCollection>
+"""
+
+
+def test_gml_repeated_pos_accumulates(ray_session, tmp_path):
+    # review r4 finding: repeated <gml:pos> children must accumulate, not
+    # collapse to the first vertex
+    p = tmp_path / "rp.gml"
+    p.write_text(GML3_REPEATED_POS)
+    got = read_gml(str(p)).take_all()
+    poly = decode_wkb(pa.array([got[0]["geometry"]])).to_pylist()[0]
+    assert poly == ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]])
+
+
+def test_gml2_custom_cs_ts_separators(ray_session, tmp_path):
+    doc = """<?xml version="1.0"?>
+<FeatureCollection xmlns:gml="http://www.opengis.net/gml">
+  <gml:featureMember><f><n>s</n><g>
+    <gml:LineString><gml:coordinates cs=" " ts=",">1 2,3 4</gml:coordinates></gml:LineString>
+  </g></f></gml:featureMember>
+</FeatureCollection>
+"""
+    p = tmp_path / "cs.gml"
+    p.write_text(doc)
+    got = read_gml(str(p)).take_all()
+    ls = decode_wkb(pa.array([got[0]["geometry"]])).to_pylist()[0]
+    assert ls == ("linestring", [(1.0, 2.0), (3.0, 4.0)])
+
+
+def test_gml_first_geometry_property_wins(ray_session, tmp_path):
+    doc = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2">
+  <gml:featureMember><f>
+    <location><gml:Point><gml:pos>1 2</gml:pos></gml:Point></location>
+    <extent><gml:Polygon><gml:exterior><gml:LinearRing>
+      <gml:posList>0 0 9 0 9 9 0 0</gml:posList>
+    </gml:LinearRing></gml:exterior></gml:Polygon></extent>
+  </f></gml:featureMember>
+</gml:FeatureCollection>
+"""
+    p = tmp_path / "two.gml"
+    p.write_text(doc)
+    got = read_gml(str(p)).take_all()
+    g = decode_wkb(pa.array([got[0]["geometry"]])).to_pylist()[0]
+    assert g == ("point", (1.0, 2.0))
