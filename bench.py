@@ -360,8 +360,14 @@ def sjoin_large_large(num_partitions: int) -> dict:
         ray.data.from_arrow(pts), ray.data.from_arrow(admin), cell_deg=5.0, num_partitions=num_partitions
     ).count()
     t_part = time.time() - t0
+    # from_arrow yields ONE block; without a repartition the broadcast pool
+    # can launch exactly one task (r4: this single-block artifact, not the
+    # operator, was the 15-18s "broadcast slower than partitioned" readings
+    # in the r2/r3 snapshots — the partitioned path was immune because its
+    # internal hash exchange re-splits)
+    pts_ds = ray.data.from_arrow(pts).repartition(num_partitions)
     t0 = time.time()
-    n_b = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner", concurrency=4).count()
+    n_b = broadcast_spatial_join(pts_ds, admin, how="inner", concurrency=4).count()
     t_b = time.time() - t0
     return {
         "partitioned_sec": round(t_part, 3),

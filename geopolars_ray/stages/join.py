@@ -356,6 +356,11 @@ def broadcast_spatial_join(
     Default ``concurrency=(1, 4)`` autoscales from ONE actor: a fixed actor
     count is a hard CPU reservation, and a pool of 4 deadlocks a 4-CPU
     cluster when any other operator needs a slot.
+
+    Parallelism note: the pool can launch at most one task PER INPUT BLOCK.
+    An in-memory single-block source (``from_arrow`` of one table) therefore
+    serializes the whole join onto one actor — ``repartition(...)`` such
+    inputs first (file-backed reads are already multi-block).
     """
     ref = ray.put(polygons)
     return points_ds.map_batches(
