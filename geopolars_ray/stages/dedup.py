@@ -346,7 +346,14 @@ def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int =
             out = batch.select(["a", "b"]).append_column("jaccard", pa.array(jac))
             return out.filter(pa.array(jac >= threshold))
 
-        return pairs_ds.map_batches(verify_broadcast, batch_format="pyarrow", batch_size=8192)
+        # the pairs table usually arrives as ONE block (it is the tail of a
+        # hash_aggregate); a task runs per input BLOCK, so without a split
+        # the whole verify serializes onto one core (measured 3.4s of a
+        # 4.9s dd_minhash wall at sf0.1) — repartition is an exchange over
+        # id-pair rows only, trivially cheap next to the per-pair scoring
+        return pairs_ds.repartition(num_partitions).map_batches(
+            verify_broadcast, batch_format="pyarrow", batch_size=4096
+        )
     del ids_parts, vals_parts, len_parts  # free the partial broadcast buffers
     # union-based hash_join, not Dataset.join (Ray 2.49's native hash-shuffle
     # join crashes when a hash partition receives no rows on one side)
