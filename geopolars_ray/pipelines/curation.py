@@ -7,6 +7,8 @@ standard web-corpus curation recipe:
       → token/quality stats (stateless vectorized kernels)
       → language id (actor pool, markers compiled once per worker)
       → quality floor filter (streaming)
+      → optional unigram-LM perplexity band (train on the floored corpus,
+        broadcast, keep the middle of the score distribution)
       → per-language stratified downsampling (deterministic, zero-shuffle)
       → optional benchmark decontamination (n-gram overlap vs broadcast
         probe set, streaming filter)
@@ -37,6 +39,7 @@ def run_curation(
     out_path: str | None = None,
     *,
     quality_min: float = 0.0,
+    lm_band: tuple[float, float] | None = None,
     lang_fracs: dict | None = None,
     decontaminate: list | None = None,
     contamination_ngram: int = 13,
@@ -74,6 +77,25 @@ def run_curation(
     if quality_min > 0.0:
         docs = docs.map_batches(
             lambda b: b.filter(pc.greater_equal(b["quality"], quality_min)),
+            batch_format="pyarrow",
+        )
+    if lm_band is not None:
+        # perplexity-style two-sided band (CCNet keeps the middle: both
+        # gibberish and degenerate repetition live in the tails). The LM
+        # trains on the quality-floored corpus itself — one extra
+        # combiner-first pass — and scoring is a broadcast kernel, so this
+        # adds no shuffle. Requires the docs stream be materialized once
+        # (train + score are two consumers of the same stage boundary).
+        from geopolars_ray.stages.lm import score_corpus, train_unigram_lm
+
+        lo, hi = lm_band
+        docs = docs.materialize()
+        lm_state = train_unigram_lm(docs)
+        docs = score_corpus(docs, lm_state).map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.greater_equal(b["lm_logprob"], lo),
+                        pc.less_equal(b["lm_logprob"], hi))
+            ),
             batch_format="pyarrow",
         )
     if lang_fracs:

@@ -89,6 +89,51 @@ def stratified_sample_frac(ds, key_col: str, strata_col: str, fracs, seed: int =
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def weighted_sample_n(ds, key_col: str, weight_col: str, n: int,
+                      seed: int = 0, batch_size: int = 65536):
+    """Weighted sampling WITHOUT replacement: ``n`` rows, inclusion odds
+    proportional to ``weight_col`` — the Efraimidis–Spirakis A-ES scheme
+    (key = u^(1/w), keep the top n), with the uniform u derived from
+    hash(key) instead of an RNG, so the draw is a pure function of table
+    contents: layout-, restart- and engine-invariant like
+    :func:`deterministic_sample`.
+
+    Scale shape: per-batch partial top-n (one vectorized score + argpartition
+    per batch, emitting ≤n rows), then one driver-side merge of the ≤n-row
+    partials via ``sort().limit()`` — never a global sort of the data, and
+    the exchange carries at most blocks×n candidate rows. Non-positive
+    weights never win (score −inf → dropped up front).
+    """
+    import pyarrow.compute as pc
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.stages.agg import _splitmix
+
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # rank-based sampling needs a MIXING hash: the additive-seed Knuth
+        # form shifts every key's u by the same constant, which preserves
+        # ranks — the seed would barely change the draw. splitmix64 of
+        # (key ^ mixed seed) decorrelates fully.
+        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            sseed = _splitmix(np.uint64((int(seed) & 0xFFFFFFFFFFFFFFFF) or 1))
+            h = _splitmix(k ^ sseed)
+        # u in (0, 1): top-11-bit mantissa fill keeps it off both endpoints
+        u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # rank by u^(1/w) desc == ln(u)/w desc (monotone; avoids pow)
+            score = np.where(w > 0, np.log(u) / w, -np.inf)
+        keep = np.flatnonzero(score > -np.inf)
+        if len(keep) > n:
+            keep = keep[np.argpartition(-score[keep], n - 1)[:n]]
+        out = batch.take(pa.array(keep.astype(np.int64)))
+        return out.append_column("_ws_score", pa.array(score[keep]))
+
+    partials = ds.map_batches(partial_topn, batch_format="pyarrow", batch_size=batch_size)
+    top = partials.sort(["_ws_score", key_col], descending=[True, False]).limit(n)
+    return top.map_batches(lambda b: b.drop_columns(["_ws_score"]), batch_format="pyarrow")
+
+
 def stratified_sample_n(ds, key_col: str, strata_col: str, n_per_stratum: int,
                         seed: int = 0, num_partitions: int = 32):
     """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is

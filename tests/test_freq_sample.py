@@ -88,3 +88,36 @@ def test_stratified_n_exact_counts_and_layout_invariance(ray_session):
                      "s": pa.array([0, 0, 1], pa.int64())})
     c = stratified_sample_n(ray.data.from_arrow(tiny), "id", "s", 10).take_all()
     assert len(c) == 3
+
+
+def test_weighted_sample_n_properties(ray_session):
+    from geopolars_ray.stages.sample import weighted_sample_n
+
+    rng = np.random.default_rng(6)
+    n_rows = 30_000
+    keys = np.arange(n_rows, dtype=np.int64)
+    # two weight classes: heavy rows 100x more likely
+    heavy = keys % 100 == 0
+    w = np.where(heavy, 100.0, 1.0)
+    t = pa.table({"k": keys, "w": w})
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = weighted_sample_n(ds, "k", "w", n=300, seed=1).take_all()
+    assert len(got) == 300
+    ks = {r["k"] for r in got}
+    assert len(ks) == 300  # without replacement
+    # expected heavy share: 300 heavy rows carry 100x weight ->
+    # total weight 30000 heavy vs 29700 light, so ~ half the sample is heavy
+    n_heavy = sum(1 for k in ks if k % 100 == 0)
+    assert 90 < n_heavy < 240, n_heavy
+    # layout invariance: different partitioning, identical sample
+    got2 = weighted_sample_n(ray.data.from_arrow(t).repartition(17), "k", "w",
+                             n=300, seed=1).take_all()
+    assert ks == {r["k"] for r in got2}
+    # seed changes the draw
+    got3 = weighted_sample_n(ds, "k", "w", n=300, seed=2).take_all()
+    assert ks != {r["k"] for r in got3}
+    # zero/negative weights never selected
+    w2 = np.where(keys < 29_000, 0.0, 1.0)
+    t2 = pa.table({"k": keys, "w": w2})
+    got4 = weighted_sample_n(ray.data.from_arrow(t2), "k", "w", n=500).take_all()
+    assert all(r["k"] >= 29_000 for r in got4) and len(got4) == 500

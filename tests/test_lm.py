@@ -80,3 +80,16 @@ def test_unigram_lm_plain_dict_state(ray_session):
     fn = unigram_logprob(lm)  # dict (non-ref) path
     out = fn(t)
     assert out["lm_logprob"].to_pylist()[0] > out["lm_logprob"].to_pylist()[1]
+
+
+def test_curation_lm_band(ray_session):
+    from geopolars_ray.pipelines.curation import run_curation
+
+    out = run_curation(
+        "/root/testdata/sf0.001",
+        quality_min=0.3,
+        lm_band=(-20.0, -1.0),
+        dedup=False,
+    ).take_all()
+    assert 0 < len(out) <= 500
+    assert all(-20.0 <= r["lm_logprob"] <= -1.0 for r in out)
