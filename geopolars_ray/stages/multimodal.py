@@ -162,6 +162,63 @@ class ResizeImage:
         return batch.set_column(idx, self.data_col, pa.array(out, pa.binary()))
 
 
+class ImageFeatures:
+    """Actor-pool feature extraction: image binary -> fixed-dim embedding.
+
+    The bridge from the multimodal columns to the similarity stack: the
+    emitted ``list<float>`` column feeds :mod:`geopolars_ray.stages.ann`
+    (brute-force / IVF / LSH top-k) and ``semantic_dedup`` unchanged.
+
+    ``codec='fake'`` extracts a ``grid x grid`` mean-pooled grayscale patch
+    vector, L2-normalized — deterministic, resolution-invariant for
+    same-content images (the property near-dup detection needs).
+    ``codec='real'`` is the CLIP/torchvision integration point (batched
+    model inference in ``__call__``, model load once per actor in
+    ``__init__``) and raises ``NotImplementedError`` here — no model
+    runtimes in this container; the Ray-side plumbing is identical.
+    """
+
+    def __init__(self, grid: int = 8, codec: str = "fake", data_col: str = "image",
+                 out_col: str = "embedding"):
+        if codec not in ("fake", "real"):
+            raise ValueError(f"unknown codec {codec!r}")
+        if codec == "real":
+            raise NotImplementedError(
+                "no image-model runtime in this environment; use codec='fake' "
+                "(deterministic pooled-patch features) — plumbing is identical"
+            )
+        self.grid = int(grid)
+        self.data_col = data_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        blobs = batch[self.data_col].to_pylist()
+        feats: list = []
+        for b in blobs:
+            if b is None or not b.startswith(FAKE_MAGIC):
+                feats.append(None)
+                continue
+            w, h = struct.unpack_from("<II", b, 4)
+            px = np.frombuffer(b, dtype=np.uint8, offset=12).reshape(h, w, 3)
+            gray = px.mean(axis=2)
+            # mean-pool into a g x g grid (integer bin edges — deterministic)
+            ys = (np.arange(h) * g) // max(h, 1)
+            xs = (np.arange(w) * g) // max(w, 1)
+            sums = np.zeros((g, g))
+            cnts = np.zeros((g, g))
+            np.add.at(sums, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), gray)
+            np.add.at(cnts, (ys[:, None].repeat(w, 1), xs[None, :].repeat(h, 0)), 1.0)
+            v = (sums / np.maximum(cnts, 1.0)).reshape(-1)
+            # mean-center BEFORE normalizing: raw patch means all sit near
+            # the global gray level, so un-centered unit vectors are nearly
+            # collinear and cosine ranking degenerates to noise
+            v = v - v.mean()
+            norm = np.linalg.norm(v)
+            feats.append((v / norm if norm else v).tolist())
+        return batch.append_column(self.out_col, pa.array(feats, pa.list_(pa.float32())))
+
+
 class FrameSample:
     """Fake 'video' frame sampling: a video is a sequence of FIMG blobs
     length-prefixed; emit every Nth frame as an image row (flat-map shape)."""

