@@ -285,7 +285,6 @@ def kernel_benchmarks() -> dict:
     from geopolars_ray.stages.vec import decode_embeddings
 
     emb = rng.standard_normal((200_000, 64)).astype(np.float32)
-    earr = pa.FixedSizeListArray.from_arrays(pa.array(emb.reshape(-1)), 64)
     le = pa.array(emb.tolist(), pa.list_(pa.float32()))
     out["embed_decode_zerocopy_mrows_s"] = round(best_rate(lambda: decode_embeddings(le), len(emb)) / 1e6, 2)
 

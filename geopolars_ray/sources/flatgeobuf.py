@@ -125,7 +125,7 @@ class _FB:
         # to the table start, so the table start itself must be aligned to
         # the largest scalar in it (flatbuffers verifier checks absolute
         # element alignment). vtable (2-aligned) sits immediately before.
-        max_align = max((self._SLOT[k][1] for _, k, _ in fields), default=4)
+        max_align = max(4, max((self._SLOT[k][1] for _, k, _ in fields), default=4))
         vt_len = 4 + 2 * (max_fid + 1)
         while (len(self.buf) + vt_len) % max_align:
             self.buf.append(0)

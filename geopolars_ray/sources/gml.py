@@ -81,20 +81,27 @@ def _pairs_from_coordinates(el: ET.Element, swap: bool) -> list[tuple[float, flo
     return pts
 
 
-def _ring_coords(el: ET.Element, swap: bool) -> list[tuple[float, float]]:
+def _ring_coords(el: ET.Element, swap: bool, inherited_dim: int = 2) -> list[tuple[float, float]]:
     """Coordinates of a Point/LineString/LinearRing element body.
 
     Repeated ``<gml:pos>`` children (spec-valid GML3, emitted by common WFS
     servers for rings/lines) ACCUMULATE — returning after the first one
-    would silently collapse a ring to a single vertex."""
+    would silently collapse a ring to a single vertex.
+
+    ``inherited_dim`` carries srsDimension down from ENCLOSING geometry
+    elements (GeoServer puts it on the Polygon, not the LinearRing/posList —
+    without inheritance a 3D ring silently interleaves z values as
+    vertices and a 3D pos raises).
+    """
+    base_dim = int(el.get("srsDimension", str(inherited_dim)))
     pts: list[tuple[float, float]] = []
     for c in el:
         name = _ln(c.tag)
         if name == "posList":
-            dim = int(c.get("srsDimension", el.get("srsDimension", "2")))
+            dim = int(c.get("srsDimension", str(base_dim)))
             return _pairs_from_poslist(c.text, dim, swap)
         if name == "pos":
-            dim = int(c.get("srsDimension", "2")) or 2
+            dim = int(c.get("srsDimension", str(base_dim)))
             pts.extend(_pairs_from_poslist(c.text, max(dim, 2), swap))
         elif name == "coordinates":
             return _pairs_from_coordinates(c, swap)
@@ -107,23 +114,24 @@ def _find_desc(el: ET.Element, names: set[str]):
             yield c
 
 
-def _parse_geometry(el: ET.Element, swap: bool):
+def _parse_geometry(el: ET.Element, swap: bool, inherited_dim: int = 2):
     kind = _ln(el.tag)
+    dim = int(el.get("srsDimension", str(inherited_dim)))
     if kind == "Point":
-        pts = _ring_coords(el, swap)
+        pts = _ring_coords(el, swap, dim)
         return ("point", pts[0]) if pts else None
     if kind in ("LineString", "LinearRing"):
-        return ("linestring", _ring_coords(el, swap))
+        return ("linestring", _ring_coords(el, swap, dim))
     if kind == "Polygon":
         rings = []
         for b in el:
             name = _ln(b.tag)
             if name in ("exterior", "outerBoundaryIs"):
                 for r in _find_desc(b, {"LinearRing"}):
-                    rings.insert(0, _ring_coords(r, swap))
+                    rings.insert(0, _ring_coords(r, swap, dim))
             elif name in ("interior", "innerBoundaryIs"):
                 for r in _find_desc(b, {"LinearRing"}):
-                    rings.append(_ring_coords(r, swap))
+                    rings.append(_ring_coords(r, swap, dim))
         return ("polygon", rings)
     if kind in ("MultiPoint", "MultiLineString", "MultiPolygon", "MultiCurve", "MultiSurface"):
         member_names = {
@@ -133,7 +141,7 @@ def _parse_geometry(el: ET.Element, swap: bool):
         parts = []
         for m in _find_desc(el, member_names):
             for g in _find_desc(m, _GEOM_TAGS):
-                p = _parse_geometry(g, swap)
+                p = _parse_geometry(g, swap, dim)
                 if p is not None:
                     parts.append(p)
         kinds = {p[0] for p in parts}
@@ -154,7 +162,7 @@ def _detect_swap(root: ET.Element) -> bool:
     for el in root.iter():
         srs = el.get("srsName")
         if srs:
-            if srs.startswith(_LATLON_SRS_PREFIXES) and srs.rstrip(":").endswith("4326"):
+            if srs.startswith(_LATLON_SRS_PREFIXES) and srs.rstrip(":").rsplit(":", 1)[-1] == "4326":
                 return True
             return False
     return False

@@ -279,8 +279,8 @@ def jaccard_verify(pairs_ds, docs_ds, id_col="doc_id", text_col="text", k: int =
     # ``broadcast_max_bytes`` — driver memory is strictly bounded by the
     # gate, with no size estimate and no extra count/sample pass. (Review
     # r3: the previous 512-doc prefix estimate was biased — short leading
-    # docs + long tail re-opened the driver-OOM hole the byte gate was
-    # accounting exists.)
+    # docs + long tail re-opened the driver-OOM hole the byte gate
+    # exists to close.)
     def shingle_batch(batch: pa.Table) -> pa.Table:
         # Shingle every doc ONCE, distributed (the r1 per-pair re-shingling
         # made verify the 19s bench bottleneck — each doc appears in many

@@ -116,7 +116,7 @@ def weighted_sample_n(ds, key_col: str, weight_col: str, n: int,
         # (key ^ mixed seed) decorrelates fully.
         k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         with np.errstate(over="ignore"):
-            sseed = _splitmix(np.uint64((int(seed) & 0xFFFFFFFFFFFFFFFF) or 1))
+            sseed = _splitmix(np.uint64(int(seed) & 0xFFFFFFFFFFFFFFFF))
             h = _splitmix(k ^ sseed)
         # u in (0, 1): top-11-bit mantissa fill keeps it off both endpoints
         u = ((h >> np.uint64(11)).astype(np.float64) + 0.5) / float(1 << 53)

@@ -121,3 +121,15 @@ def test_weighted_sample_n_properties(ray_session):
     t2 = pa.table({"k": keys, "w": w2})
     got4 = weighted_sample_n(ray.data.from_arrow(t2), "k", "w", n=500).take_all()
     assert all(r["k"] >= 29_000 for r in got4) and len(got4) == 500
+
+
+def test_weighted_sample_seed_zero_differs_from_one(ray_session):
+    # review r4-2: the `or 1` guard made seed=0 alias seed=1
+    from geopolars_ray.stages.sample import weighted_sample_n
+
+    t = pa.table({"k": np.arange(5000, dtype=np.int64),
+                  "w": np.ones(5000)})
+    ds = ray.data.from_arrow(t)
+    s0 = {r["k"] for r in weighted_sample_n(ds, "k", "w", n=100, seed=0).take_all()}
+    s1 = {r["k"] for r in weighted_sample_n(ds, "k", "w", n=100, seed=1).take_all()}
+    assert s0 != s1

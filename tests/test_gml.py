@@ -194,3 +194,43 @@ def test_gml_first_geometry_property_wins(ray_session, tmp_path):
     got = read_gml(str(p)).take_all()
     g = decode_wkb(pa.array([got[0]["geometry"]])).to_pylist()[0]
     assert g == ("point", (1.0, 2.0))
+
+
+def test_gml_srsdimension_inheritance(ray_session, tmp_path):
+    # review r4-2: srsDimension on ENCLOSING geometry elements (GeoServer's
+    # form) must reach posList/pos; z values drop instead of corrupting
+    doc = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2">
+  <gml:featureMember><f><n>p3</n><g>
+    <gml:Point srsDimension="3"><gml:pos>1 2 50</gml:pos></gml:Point>
+  </g></f></gml:featureMember>
+  <gml:featureMember><f><n>poly3</n><g>
+    <gml:Polygon srsDimension="3"><gml:exterior><gml:LinearRing>
+      <gml:posList>0 0 1 4 0 1 4 4 1 0 0 1</gml:posList>
+    </gml:LinearRing></gml:exterior></gml:Polygon>
+  </g></f></gml:featureMember>
+</gml:FeatureCollection>
+"""
+    p = tmp_path / "d3.gml"
+    p.write_text(doc)
+    got = {r["n"]: r for r in read_gml(str(p)).take_all()}
+    pt = decode_wkb(pa.array([got["p3"]["geometry"]])).to_pylist()[0]
+    assert pt == ("point", (1.0, 2.0))
+    poly = decode_wkb(pa.array([got["poly3"]["geometry"]])).to_pylist()[0]
+    assert poly == ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]])
+
+
+def test_gml_srs_code_exact_token_match(ray_session, tmp_path):
+    # urn code 104326 ends in "4326" but is NOT EPSG:4326 — must not swap
+    doc = """<?xml version="1.0"?>
+<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml/3.2">
+  <gml:featureMember><f><n>a</n><g>
+    <gml:Point srsName="urn:ogc:def:crs:EPSG::104326"><gml:pos>1 2</gml:pos></gml:Point>
+  </g></f></gml:featureMember>
+</gml:FeatureCollection>
+"""
+    p = tmp_path / "srs.gml"
+    p.write_text(doc)
+    got = read_gml(str(p)).take_all()
+    pt = decode_wkb(pa.array([got[0]["geometry"]])).to_pylist()[0]
+    assert pt == ("point", (1.0, 2.0))  # NOT swapped
