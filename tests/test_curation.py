@@ -85,3 +85,31 @@ def test_curation_rejects_unknown_dedup_mode(ray_session):
 
     with _pytest.raises(ValueError, match="unknown dedup mode"):
         run_curation(SF, dedup="exact")
+
+
+def test_lsh_candidate_pairs_min_bands(ray_session):
+    """min_bands keeps only multi-band collisions: near-identical docs
+    (collide in all bands) survive, single-band accidental collisions drop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.dedup import MinHasher, lsh_candidate_pairs
+
+    rng = np.random.default_rng(12)
+    words = [f"tok{i:03d}" for i in range(500)]
+    # half-shared texts: Jaccard ~0.5 between any two docs -> per-band
+    # collision probability is moderate, so single-band accidental
+    # collisions exist while only true near-dups collide in many bands
+    common = " ".join(rng.choice(words, 60))
+    texts = [common + " " + " ".join(rng.choice(words, 60)) for _ in range(80)]
+    texts += [texts[0] + " x", texts[1] + " y"]  # near-dups of docs 0/1
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    bands = ray.data.from_arrow(t).map_batches(MinHasher(), batch_format="pyarrow")
+    all_pairs = lsh_candidate_pairs(bands, num_partitions=4).take_all()
+    strict = lsh_candidate_pairs(bands, num_partitions=4, min_bands=4).take_all()
+    assert len(strict) < len(all_pairs)
+    strict_set = {(r["a"], r["b"]) for r in strict}
+    assert (0, 80) in strict_set and (1, 81) in strict_set  # true near-dups survive
+    assert all(r["n_bands"] >= 4 for r in strict)
