@@ -651,8 +651,18 @@ def read_flatgeobuf(
             raise ValueError("not a FlatGeobuf file (bad magic / unsupported version)")
         hlen = struct.unpack("<I", head[8:12])[0]
         f.seek(0)
-        hdr = _parse_header(f.read(12 + hlen))
+        pre = f.read(12 + hlen)
+        if len(pre) < 12 + hlen:
+            raise ValueError(
+                f"truncated FlatGeobuf: header claims {hlen} bytes, file ends early"
+            )
+        hdr = _parse_header(pre)
         index = f.read(hdr["index_len"]) if hdr["index_len"] else b""
+        if len(index) < hdr["index_len"]:
+            raise ValueError(
+                f"truncated FlatGeobuf: index needs {hdr['index_len']} bytes, "
+                f"got {len(index)}"
+            )
 
     if hdr["n"] == 0:
         return ray.data.from_arrow(_empty_table(hdr, columns, geometry_col))

@@ -259,3 +259,17 @@ def test_sparse_bbox_splits_shards_on_gaps(ray_session, tmp_path):
         want = sorted(int(i) for i in np.flatnonzero(
             (x >= bbox[0]) & (x <= bbox[2]) & (y >= bbox[1]) & (y <= bbox[3])))
         assert got == want
+
+
+def test_truncated_file_fails_loudly(ray_session, tmp_path):
+    t = _mixed_table()
+    p = str(tmp_path / "t.fgb")
+    write_flatgeobuf(t, p)
+    raw = open(p, "rb").read()
+    hlen = struct.unpack("<I", raw[8:12])[0]
+    # cut inside the header, and inside the index
+    for cut in (20, 12 + hlen + 10):
+        bad = str(tmp_path / f"cut{cut}.fgb")
+        open(bad, "wb").write(raw[:cut])
+        with pytest.raises(ValueError, match="truncated|magic"):
+            read_flatgeobuf(bad)
