@@ -83,8 +83,10 @@ def customer_points(sf_dir: str, with_geometry: bool = True, for_exchange: bool 
 
     ``for_exchange`` sizes read blocks by bytes (see ``_read_exchange``) for
     consumers that funnel straight into a shuffle/groupby — measured 4.1s ->
-    0.9s on the sf0.1 partitioned spatial join; compute-bound consumers
-    (broadcast PIP actors, kNN partial top-k) keep the default split."""
+    0.9s on the sf0.1 partitioned spatial join and 1.5-3.1s -> ~1s on kNN
+    (r4: the partial-top-k is cheap enough that the merge exchange's
+    per-block fixed cost dominated); compute-bound consumers (broadcast PIP
+    actors) keep the default split."""
     reader = _read_exchange if for_exchange else _read
     ds = reader(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     ds = ds.map_batches(_customer_xy, batch_format="pyarrow")
@@ -357,7 +359,10 @@ def q_geo_knn(sf_dir: str):
         "qx": ((sk * 37) % 720) / 2.0 - 179.75,
         "qy": ((sk * 53) % 360) / 2.0 - 89.75,
     }
-    pts = customer_points(sf_dir, with_geometry=False)
+    # exchange-sized read (r4 A/B: 1.5-3.1s -> 0.9-1.2s warm): the partial
+    # top-k stage is cheap, so the hash-partitioned merge's fixed per-block
+    # cost dominates at the default over-split
+    pts = customer_points(sf_dir, with_geometry=False, for_exchange=True)
     out = euclidean_knn(pts, queries, k=3, x_col="x", y_col="y", id_col="c_custkey")
 
     def rename(batch: pa.Table) -> pa.Table:
