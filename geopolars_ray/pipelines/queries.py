@@ -1019,7 +1019,10 @@ def q_ann_topk(sf_dir: str):
         "qid": np.asarray(qtab["vec_id"].to_pylist(), dtype=np.int64),
         "qvec": np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64),
     }
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # exchange-sized read (r4: the default split fragments the small
+    # embeddings table into 64 blocks — read + exchange fixed costs over
+    # tiny partial blocks dominated the actual matmul/bucket work)
+    ds = _read_exchange(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = brute_force_knn(ds, queries, k=10, concurrency=2, metric="qdot")
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1051,7 +1054,10 @@ def q_ann_ivf(sf_dir: str):
     }
     C = np.asarray(ctab["embedding"].to_pylist(), dtype=np.float64)
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # exchange-sized read (r4: the default split fragments the small
+    # embeddings table into 64 blocks — read + exchange fixed costs over
+    # tiny partial blocks dominated the actual matmul/bucket work)
+    ds = _read_exchange(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = ivf_knn(ds, queries, C, k=10, nprobe=4, metric="qdot")
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -1103,7 +1109,10 @@ def q_dd_embed_cosine(sf_dir: str):
     seeded hyperplane literals are inlined into the oracle query)."""
     from geopolars_ray.stages.dedup import EmbeddingLSH, cosine_pairs_within_bucket
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # exchange-sized read (r4: the default split fragments the small
+    # embeddings table into 64 blocks — read + exchange fixed costs over
+    # tiny partial blocks dominated the actual matmul/bucket work)
+    ds = _read_exchange(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     bucketed = ds.map_batches(
         EmbeddingLSH, fn_constructor_kwargs=dict(dim=64, n_planes=4, quantize=1024),
         batch_format="pyarrow", concurrency=2,
