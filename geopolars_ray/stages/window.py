@@ -120,17 +120,43 @@ def grouped_topk(
     salt: int = 8,
     num_partitions: int = 16,
 ):
-    """Top-k rows per key group, hot-key safe (salted two-phase).
+    """Top-k rows per key group, hot-key safe (salted two-phase), with a
+    MAP-SIDE pre-combine.
 
-    Phase 1 computes a top-k on each salt split of every group, phase 2
-    merges the per-split partials — a hot key's rows spread over ``salt``
-    parallel partials instead of one giant group. Ordering: ``order_col``
-    (descending by default), ties broken by ``tie_cols`` ascending.
+    Top-k is a combiner: top-k(union) = top-k(union of per-part top-ks)
+    under the deterministic total order (``order_col`` descending by
+    default, ties broken by ``tie_cols`` ascending). So each input block
+    first collapses to ≤k rows per key it contains — the exchanges then
+    carry blocks×keys×k candidate rows, never the input (r4: the two sort
+    exchanges over all 150k joined rows were 2.05s each at sf0.1 while the
+    actual top-k compute was 0.3s). Phase 1 then computes a top-k on each
+    salt split of every group and phase 2 merges the per-split partials —
+    a hot key's candidates spread over ``salt`` parallel partials instead
+    of one giant group.
     """
+    import pyarrow.compute as pc
+
     from geopolars_ray.stages.agg import salted_group_map
 
     keys = list(keys)
     tie_cols = list(tie_cols)
+
+    def per_batch_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        sort_keys = [(c, "ascending") for c in keys]
+        sort_keys.append((order_col, "descending" if descending else "ascending"))
+        sort_keys.extend((c, "ascending") for c in tie_cols)
+        t = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
+        # rank within key run (vectorized; mixed-type keys via != on columns)
+        change = np.zeros(t.num_rows, dtype=bool)
+        change[0] = True
+        for c in keys:
+            col = t[c].to_numpy(zero_copy_only=False)
+            change[1:] |= col[1:] != col[:-1]
+        starts = np.maximum.accumulate(np.where(change, np.arange(t.num_rows), 0))
+        rank = np.arange(t.num_rows) - starts
+        return t.filter(pa.array(rank < k))
 
     def topk(g: pa.Table) -> pa.Table:
         v = g[order_col].to_numpy(zero_copy_only=False)
@@ -139,4 +165,5 @@ def grouped_topk(
         order = np.lexsort((*ties, primary))[:k]
         return g.take(pa.array(order))
 
-    return salted_group_map(ds, keys, topk, topk, salt=salt, num_partitions=num_partitions)
+    partials = ds.map_batches(per_batch_topk, batch_format="pyarrow")
+    return salted_group_map(partials, keys, topk, topk, salt=salt, num_partitions=num_partitions)

@@ -321,3 +321,31 @@ def test_broadcast_hash_join_matches_hash_join(ray_session):
     # collision renaming: right rv arrives as rv_r
     inner = broadcast_hash_join(L(), right, on=["k"], right_on=["kk"], how="inner").take_all()
     assert {"k", "rv", "rv_r"} <= set(inner[0].keys())
+
+
+def test_grouped_topk_map_side_combine_exact(ray_session):
+    """The r4 per-batch pre-combine must be invisible: randomized data with
+    heavy boundary ties matches a pandas per-key reference exactly."""
+    import pandas as pd
+    import ray
+
+    from geopolars_ray.stages.window import grouped_topk
+
+    rng = np.random.default_rng(21)
+    n = 20_000
+    df = pd.DataFrame({
+        "seg": rng.integers(0, 7, n),
+        # few distinct values -> many exact ties at the k boundary
+        "price": rng.integers(0, 25, n).astype(np.float64),
+        "oid": rng.permutation(n).astype(np.int64),
+    })
+    ds = ray.data.from_pandas(df).repartition(9)
+    out = grouped_topk(ds, keys=["seg"], order_col="price", k=5,
+                       descending=True, tie_cols=["oid"], salt=3,
+                       num_partitions=4).take_all()
+    got = sorted((r["seg"], r["price"], r["oid"]) for r in out)
+    want = sorted(
+        df.sort_values(["seg", "price", "oid"], ascending=[True, False, True])
+        .groupby("seg").head(5)[["seg", "price", "oid"]].itertuples(index=False, name=None)
+    )
+    assert got == want
