@@ -894,7 +894,10 @@ def q_dd_paragraph(sf_dir: str):
     SQL and string-compares the reassembled text."""
     from geopolars_ray.stages.dedup import paragraph_dedup
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # exchange-sized read (r4): the three hash co-partitions pay fixed cost
+    # per input BLOCK; the default split's 64 fragments made each exchange
+    # ~2.5s around ~1.5s of actual kernel work
+    ds = _read_exchange(sf_dir, "documents", columns=["doc_id", "text"])
     return paragraph_dedup(ds, sep=" a ", num_partitions=8)
 
 
