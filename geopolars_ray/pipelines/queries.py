@@ -223,7 +223,7 @@ def q_geo_length_path(sf_dir: str):
     from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
     from geopolars_ray.stages.hashjoin import hash_join
 
-    pts = customer_points(sf_dir, with_geometry=False)
+    pts = customer_points(sf_dir, with_geometry=False, for_exchange=True)
 
     def paths(g: pa.Table) -> pa.Table:
         keys, ktype, coords, offsets = _sorted_key_coords(g)
@@ -267,9 +267,9 @@ def q_geo_distance(sf_dir: str):
     ref2 = ray.put(present_lut)
 
     class Dist:
-        def __init__(self):
-            self.cx_lut, self.cy_lut = ray.get(ref)
-            self.present = ray.get(ref2)
+        def __init__(self, luts, present):
+            self.cx_lut, self.cy_lut = ray.get(luts)
+            self.present = ray.get(present)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -283,7 +283,13 @@ def q_geo_distance(sf_dir: str):
             ga2 = decode_wkb(batch["geometry2"])
             return batch.append_column("distance", pa.array(K.distance(ga1, ga2)))
 
-    ds = customer_points(sf_dir).map_batches(Dist, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    # task-based, per-worker cached; the refs KEY the cache, so a different
+    # sf_dir's lookup tables never alias a previous invocation's instance
+    ds = customer_points(sf_dir).map_batches(
+        worker_cached(Dist, luts=ref, present=ref2), batch_format="pyarrow"
+    )
     return ds.select_columns(["c_custkey", "c_nationkey", "distance"])
 
 
@@ -498,7 +504,7 @@ def q_geo_explode(sf_dir: str):
         )
 
     grouped = hash_partitioned_map(
-        customer_points(sf_dir, with_geometry=False).select_columns(
+        customer_points(sf_dir, with_geometry=False, for_exchange=True).select_columns(
             ["c_nationkey", "c_custkey", "x", "y"]
         ),
         ["c_nationkey"],
@@ -929,16 +935,23 @@ def q_txt_langid(sf_dir: str):
     re and DuckDB RE2 \\b semantics agree)."""
     from geopolars_ray.stages.text import LangId
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    # task-based with a per-worker cached instance: LangId's state is a few
+    # compiled regexes, so an actor pool's spin-up + reservation cost more
+    # than the state build saves (r4: 2.4s -> sub-1s at sf0.1)
+    ds = _read_exchange(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(worker_cached(LangId), batch_format="pyarrow")
     return out.select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
 
 
 def q_txt_fingerprint(sf_dir: str):
     from geopolars_ray.stages.text import Fingerprint
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    ds = _read_exchange(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(worker_cached(Fingerprint), batch_format="pyarrow")
     return out.select_columns(["doc_id", "fingerprint", "fp_count"])
 
 
@@ -984,8 +997,10 @@ def q_dd_minhash_docs(sf_dir: str):
 def q_dd_simhash_docs(sf_dir: str):
     from geopolars_ray.stages.dedup import SimHasher
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    ds = _read_exchange(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(worker_cached(SimHasher), batch_format="pyarrow")
     return out.select_columns(["doc_id", "simhash"])
 
 
@@ -1288,8 +1303,8 @@ def q_rel_anti(sf_dir: str):
     above 300k (every customer has SOME order in this data)."""
     from geopolars_ray.stages.hashjoin import hash_join
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+    cust = _read_exchange(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read_exchange(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
         batch_format="pyarrow",
     )
@@ -1306,10 +1321,10 @@ def q_rel_union_distinct(sf_dir: str):
 
         return fn
 
-    a = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+    a = _read_exchange(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
         seg_in(["BUILDING", "MACHINERY"]), batch_format="pyarrow"
     )
-    b = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+    b = _read_exchange(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
         seg_in(["MACHINERY", "AUTOMOBILE"]), batch_format="pyarrow"
     )
     u = a.union(b)

@@ -349,3 +349,28 @@ def test_grouped_topk_map_side_combine_exact(ray_session):
         .groupby("seg").head(5)[["seg", "price", "oid"]].itertuples(index=False, name=None)
     )
     assert got == want
+
+
+def test_worker_cached_instance_reuse_and_key_isolation(ray_session):
+    """worker_cached builds once per worker per key, and different kwargs
+    never alias a previous instance (the cache is keyed on them)."""
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.workercache import worker_cached
+
+    class Tag:
+        def __init__(self, label):
+            self.label = label
+            self.builds = 1
+
+        def __call__(self, batch):
+            return batch.append_column("tag", pa.array([self.label] * len(batch)))
+
+    t = pa.table({"i": list(range(1000))})
+    a = ray.data.from_arrow(t).repartition(4).map_batches(
+        worker_cached(Tag, label="A"), batch_format="pyarrow").take_all()
+    b = ray.data.from_arrow(t).repartition(4).map_batches(
+        worker_cached(Tag, label="B"), batch_format="pyarrow").take_all()
+    assert {r["tag"] for r in a} == {"A"}
+    assert {r["tag"] for r in b} == {"B"}  # no stale-instance aliasing
