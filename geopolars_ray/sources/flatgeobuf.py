@@ -647,6 +647,8 @@ def read_flatgeobuf(
 
     with open(path, "rb") as f:
         head = f.read(12)
+        if len(head) < 12:
+            raise ValueError("truncated FlatGeobuf: file shorter than magic + header size")
         if head[:3] != b"fgb" or head[3] != 3:
             raise ValueError("not a FlatGeobuf file (bad magic / unsupported version)")
         hlen = struct.unpack("<I", head[8:12])[0]

@@ -211,6 +211,23 @@ def group_slices(table: pa.Table, cols: Sequence[str]):
         yield t.slice(s, e - s)
 
 
+def rank_within_runs(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """0-based rank of each row within its run of equal ``cols`` values —
+    the table must already be sorted so equal keys are adjacent. One
+    change-mask + ``maximum.accumulate`` pass, no per-group Python (shared
+    by grouped_topk's map-side pre-combine and stratified_sample_n)."""
+    n = table.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in cols:
+        col = table[c].to_numpy(zero_copy_only=False)
+        change[1:] |= col[1:] != col[:-1]
+    starts = np.maximum.accumulate(np.where(change, np.arange(n), 0))
+    return np.arange(n) - starts
+
+
 def _splitmix(v: np.ndarray) -> np.ndarray:
     v = (v + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
     v = ((v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -158,11 +158,9 @@ def stratified_sample_n(ds, key_col: str, strata_col: str, n_per_stratum: int,
                              (key_col, "ascending")]
         )
         t = part.take(order)
-        s = t[strata_col].to_numpy(zero_copy_only=False)
-        # rank within stratum: position - start_of_stratum (vectorized)
-        change = np.concatenate([[True], s[1:] != s[:-1]])
-        starts = np.maximum.accumulate(np.where(change, np.arange(len(s)), 0))
-        rank = np.arange(len(s)) - starts
+        from geopolars_ray.stages.agg import rank_within_runs
+
+        rank = rank_within_runs(t, [strata_col])
         return t.filter(pa.array(rank < n_per_stratum)).drop_columns(["_h"])
 
     return hash_partitioned_map(ds, [strata_col], per_partition, num_partitions)

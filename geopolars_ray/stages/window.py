@@ -142,21 +142,15 @@ def grouped_topk(
     tie_cols = list(tie_cols)
 
     def per_batch_topk(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.stages.agg import rank_within_runs
+
         if batch.num_rows <= k:
             return batch
         sort_keys = [(c, "ascending") for c in keys]
         sort_keys.append((order_col, "descending" if descending else "ascending"))
         sort_keys.extend((c, "ascending") for c in tie_cols)
         t = batch.take(pc.sort_indices(batch, sort_keys=sort_keys))
-        # rank within key run (vectorized; mixed-type keys via != on columns)
-        change = np.zeros(t.num_rows, dtype=bool)
-        change[0] = True
-        for c in keys:
-            col = t[c].to_numpy(zero_copy_only=False)
-            change[1:] |= col[1:] != col[:-1]
-        starts = np.maximum.accumulate(np.where(change, np.arange(t.num_rows), 0))
-        rank = np.arange(t.num_rows) - starts
-        return t.filter(pa.array(rank < k))
+        return t.filter(pa.array(rank_within_runs(t, keys) < k))
 
     def topk(g: pa.Table) -> pa.Table:
         v = g[order_col].to_numpy(zero_copy_only=False)

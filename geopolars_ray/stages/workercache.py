@@ -19,19 +19,57 @@ Rule of thumb: state build > ~100ms or holds GBs → actor pool
 
 from __future__ import annotations
 
-_CACHE: dict = {}
+import hashlib
+from collections import OrderedDict
+
+# bounded per-process cache: entries may hold ObjectRef-keyed broadcast
+# state, which pins object-store entries while referenced — evicting the
+# least-recently-used beyond a small cap keeps long sessions (bench loops,
+# many invocations) from ratcheting worker memory monotonically
+_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_CACHE_MAX = 32
 
 
 def worker_cached(cls, /, **kwargs):
     """A batch function that lazily constructs ``cls(**kwargs)`` once per
-    worker process and delegates every batch to it. ``kwargs`` must be
-    picklable and hashable-by-repr (they key the per-process cache)."""
-    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))
+    worker process and delegates every batch to it.
+
+    The cache key includes a fingerprint of the CLASS DEFINITION itself
+    (its cloudpickle bytes), so factory/closure-defined classes that share
+    a qualname but capture different state never alias one instance.
+    ``kwargs`` must be picklable and hashable (they complete the key) —
+    validated here, on the driver, so a mistake fails at wrap time instead
+    of as a confusing remote traceback inside the first task.
+    """
+    import ray.cloudpickle as cloudpickle
+
+    cls_fp = hashlib.sha1(cloudpickle.dumps(cls)).hexdigest()
+    key = (cls_fp, tuple(sorted(kwargs.items(), key=lambda kv: kv[0])))
+    try:
+        hash(key)
+    except TypeError as e:
+        raise TypeError(
+            f"worker_cached kwargs must be hashable (they key the per-worker "
+            f"cache); got {sorted(kwargs)}: {e}"
+        ) from None
 
     def fn(batch):
-        inst = _CACHE.get(key)
+        # resolve the cache through the WORKER'S imported module at call
+        # time: cloudpickle captures a closure's referenced globals BY
+        # VALUE, so touching _CACHE directly would give every deserialized
+        # task its own private snapshot and silently rebuild per task
+        # (caught by the reuse assertion in tests/test_agg.py)
+        from geopolars_ray.stages import workercache as _wc
+
+        cache = _wc._CACHE
+        inst = cache.get(key)
         if inst is None:
-            inst = _CACHE[key] = cls(**kwargs)
+            inst = cls(**kwargs)
+            cache[key] = inst
+            while len(cache) > _wc._CACHE_MAX:
+                cache.popitem(last=False)
+        else:
+            cache.move_to_end(key)
         return inst(batch)
 
     fn.__name__ = f"worker_cached_{cls.__name__}"

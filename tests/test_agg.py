@@ -362,15 +362,31 @@ def test_worker_cached_instance_reuse_and_key_isolation(ray_session):
     class Tag:
         def __init__(self, label):
             self.label = label
-            self.builds = 1
+            self.instance_id = id(self)
 
         def __call__(self, batch):
-            return batch.append_column("tag", pa.array([self.label] * len(batch)))
+            batch = batch.append_column("tag", pa.array([self.label] * len(batch)))
+            # (pid, instance id) exposes per-worker construction counts
+            import os
+
+            return batch.append_column(
+                "inst", pa.array([f"{os.getpid()}:{self.instance_id}"] * len(batch))
+            )
 
     t = pa.table({"i": list(range(1000))})
-    a = ray.data.from_arrow(t).repartition(4).map_batches(
+    a = ray.data.from_arrow(t).repartition(6).map_batches(
         worker_cached(Tag, label="A"), batch_format="pyarrow").take_all()
-    b = ray.data.from_arrow(t).repartition(4).map_batches(
+    b = ray.data.from_arrow(t).repartition(6).map_batches(
         worker_cached(Tag, label="B"), batch_format="pyarrow").take_all()
     assert {r["tag"] for r in a} == {"A"}
     assert {r["tag"] for r in b} == {"B"}  # no stale-instance aliasing
+    # REUSE: within one run, each worker pid maps to exactly ONE instance id
+    pid_to_inst = {}
+    for r in a:
+        pid, inst = r["inst"].split(":")
+        assert pid_to_inst.setdefault(pid, inst) == inst, "rebuilt per task"
+    # unhashable kwargs fail at wrap time on the driver, not inside a task
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="hashable"):
+        worker_cached(Tag, label={"not": "hashable"})
