@@ -5,7 +5,8 @@ standard web-corpus curation recipe:
 
     read (pruned columns)
       → token/quality stats (stateless vectorized kernels)
-      → language id (actor pool, markers compiled once per worker)
+      → language id (per-worker-cached task stage, markers compiled once
+        per worker process — stages/workercache.py)
       → quality floor filter (streaming)
       → optional unigram-LM perplexity band (train on the floored corpus,
         broadcast, keep the middle of the score distribution)
@@ -73,7 +74,11 @@ def run_curation(
     )
     docs = docs.map_batches(token_stats(), batch_format="pyarrow")
     docs = docs.map_batches(quality_score(), batch_format="pyarrow")
-    docs = docs.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    # LangId's state is a few compiled regexes -> per-worker-cached tasks
+    # beat an actor pool (spin-up + reservation; stages/workercache.py)
+    docs = docs.map_batches(worker_cached(LangId), batch_format="pyarrow")
 
     if quality_min > 0.0:
         docs = docs.map_batches(

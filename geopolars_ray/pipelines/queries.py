@@ -767,8 +767,8 @@ def q_rel_join_agg(sf_dir: str):
     ref = ray.put(name_lut)
 
     class AddName:
-        def __init__(self):
-            self.name_lut = ray.get(ref)
+        def __init__(self, lut):
+            self.name_lut = ray.get(lut)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -783,7 +783,9 @@ def q_rel_join_agg(sf_dir: str):
 
     from ray.data.aggregate import Sum, Count
 
-    ds = joined.map_batches(AddName, batch_format="pyarrow", concurrency=2)
+    from geopolars_ray.stages.workercache import worker_cached
+
+    ds = joined.map_batches(worker_cached(AddName, lut=ref), batch_format="pyarrow")
     return ds.groupby("n_name").aggregate(
         Count(alias_name="n_orders"), Sum("cents", alias_name="revenue_cents")
     )
@@ -1108,13 +1110,18 @@ def q_mm_resize_frames(sf_dir: str):
             vids.append(b"".join(struct_mod.pack("<I", len(f)) + f for f in frames))
         return pa.table({"vid": pa.array(vid_ids), "video": pa.array(vids, pa.binary())})
 
+    from geopolars_ray.stages.workercache import worker_cached
+
+    # fake-codec media stages hold no real state -> per-worker-cached tasks
+    # (a real-codec deployment flips these back to actor pools; the
+    # rule-of-thumb lives in stages/workercache.py)
     ds = ids_ds.map_batches(gen, batch_format="pyarrow")
-    frames = ds.map_batches(FrameSample, fn_constructor_kwargs=dict(every=2, data_col="video"),
-                            batch_format="pyarrow", concurrency=2, batch_size=256)
-    small = frames.map_batches(ResizeImage, fn_constructor_kwargs=dict(out_w=4, out_h=4),
-                               batch_format="pyarrow", concurrency=2, batch_size=256)
-    return small.map_batches(DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
-                             batch_format="pyarrow", concurrency=2, batch_size=256)
+    frames = ds.map_batches(worker_cached(FrameSample, every=2, data_col="video"),
+                            batch_format="pyarrow", batch_size=256)
+    small = frames.map_batches(worker_cached(ResizeImage, out_w=4, out_h=4),
+                               batch_format="pyarrow", batch_size=256)
+    return small.map_batches(worker_cached(DecodeImage, codec="fake", data_col="image"),
+                             batch_format="pyarrow", batch_size=256)
 
 
 def q_dd_embed_cosine(sf_dir: str):
@@ -1369,10 +1376,12 @@ def q_mm_decode(sf_dir: str):
         imgs = [encode_lcg_image(8 + int(v) % 8, 8, seed=int(v)) for v in vid]
         return pa.table({"img_id": pa.array(vid.astype(np.int64)), "image": pa.array(imgs, pa.binary())})
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id"]).map_batches(gen, batch_format="pyarrow")
+    from geopolars_ray.stages.workercache import worker_cached
+
+    ds = _read_exchange(sf_dir, "embeddings", columns=["vec_id"]).map_batches(gen, batch_format="pyarrow")
     return ds.map_batches(
-        DecodeImage, fn_constructor_kwargs=dict(codec="fake", data_col="image"),
-        batch_format="pyarrow", concurrency=2, batch_size=256,
+        worker_cached(DecodeImage, codec="fake", data_col="image"),
+        batch_format="pyarrow", batch_size=256,
     )
 
 
