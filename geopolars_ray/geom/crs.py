@@ -13,8 +13,25 @@ series as used by every modern UTM implementation):
   WGS84 (sub-mm forward accuracy, round-trips < 1e-9 deg);
 - Lambert azimuthal equal-area (ellipsoidal via authalic latitude), incl.
   EPSG:3035 (European LAEA);
-- proj-strings: ``+proj=longlat | merc (web) | utm +zone=N [+south] |
-  laea +lat_0 +lon_0 [+x_0 +y_0]``.
+- ellipsoidal Mercator (Snyder ch. 7), incl. EPSG:3395 (World Mercator);
+- Lambert conformal conic 1/2SP (Snyder ch. 15), incl. EPSG:2154
+  (RGF93 / Lambert-93);
+- Albers equal-area conic 2SP (Snyder ch. 14), incl. EPSG:5070
+  (CONUS Albers);
+- polar stereographic with true-scale parallel (Snyder ch. 21), incl.
+  EPSG:3413 (NSIDC Arctic) and EPSG:3031 (Antarctic);
+- proj-strings: ``+proj=longlat | webmerc | merc (ellipsoidal) |
+  utm +zone=N [+south] | laea | lcc | aea | stere`` with the usual
+  ``+lat_0 +lon_0 +lat_1 +lat_2 +lat_ts +x_0 +y_0 +k_0`` parameters.
+
+All projections use the WGS84 ellipsoid. EPSG:2154/5070 are nominally GRS80;
+GRS80 and WGS84 differ by ~0.1 mm in semi-minor axis (|Δf| ≈ 1.6e-11), far
+below the series truncation here, so the distinction is documented rather
+than parameterized. Every non-closed-form projection is verified in tests by
+its defining invariant (conformality h=k, equal-area Jacobian = ellipsoid
+surface element, scale 1 at standard parallels, false-origin anchors) rather
+than by external anchor coordinates — no PROJ exists in this sandbox to
+disagree with.
 
 Like the reference, transformation is point-wise with no densification (same
 documented dateline caveat).
@@ -256,6 +273,229 @@ def laea_inverse(x, y, lon0: float, lat0: float, x0: float = 0.0, y0: float = 0.
 
 
 # --------------------------------------------------------------------------
+# shared conformal/conic helpers (Snyder eqs 7-10, 14-15, 7-9)
+# --------------------------------------------------------------------------
+
+
+def _t_conf(phi: np.ndarray) -> np.ndarray:
+    """Snyder's isometric-colatitude function t (eq. 15-9 / 7-10).
+
+    t = tan(pi/4 - phi/2) / ((1 - e sin phi)/(1 + e sin phi))^(e/2); 0 at the
+    north pole, +inf at the south pole — both propagate correctly through the
+    conic/stereographic radius formulas.
+    """
+    phi = np.asarray(phi, np.float64)
+    s = np.sin(phi)
+    with np.errstate(divide="ignore", over="ignore"):
+        return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - _E1 * s) / (1.0 + _E1 * s)) ** (_E1 / 2.0)
+
+
+def _m_par(phi: float | np.ndarray) -> np.ndarray:
+    """Snyder's m = cos(phi)/sqrt(1 - e^2 sin^2 phi) (eq. 14-15)."""
+    phi = np.asarray(phi, np.float64)
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
+def _phi_from_t(t: np.ndarray) -> np.ndarray:
+    """Invert _t_conf by Snyder's fixed-point iteration (eq. 7-9).
+
+    Contraction factor is O(e^2) ~ 6.7e-3 per step; 8 steps reach float64
+    round-off from the spherical seed for any t in [0, inf).
+    """
+    t = np.asarray(t, np.float64)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t * ((1.0 - _E1 * s) / (1.0 + _E1 * s)) ** (_E1 / 2.0))
+    return phi
+
+
+def _wrap_lam(lam: np.ndarray) -> np.ndarray:
+    """Wrap a longitude difference (radians) to [-pi, pi)."""
+    return (lam + np.pi) % (2.0 * np.pi) - np.pi
+
+
+# --------------------------------------------------------------------------
+# ellipsoidal Mercator (Snyder ch. 7) — EPSG:3395
+# --------------------------------------------------------------------------
+
+
+def mercator_forward(lon, lat, lon0: float = 0.0, k0: float = 1.0, x0: float = 0.0, y0: float = 0.0):
+    """Ellipsoidal Mercator forward: x = a k0 lam, y = a k0 (atanh s - e atanh e s).
+
+    Latitudes are clamped to the WebMercator square's +-85.051... deg so the
+    poles' y = +-inf never enters downstream arithmetic (same clamp as
+    EPSG:3857; documented, matches how web pipelines actually feed Mercator).
+    """
+    lon = np.asarray(lon, np.float64)
+    lat = np.clip(np.asarray(lat, np.float64), -_MAX_LAT, _MAX_LAT)
+    lam = _wrap_lam(np.radians(lon - lon0))
+    s = np.sin(np.radians(lat))
+    x = x0 + WGS84_A * k0 * lam
+    y = y0 + WGS84_A * k0 * (np.arctanh(s) - _E1 * np.arctanh(_E1 * s))
+    return x, y
+
+
+def mercator_inverse(x, y, lon0: float = 0.0, k0: float = 1.0, x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    lon = lon0 + np.degrees((x - x0) / (WGS84_A * k0))
+    t = np.exp(-(y - y0) / (WGS84_A * k0))
+    lat = np.degrees(_phi_from_t(t))
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
+# Lambert conformal conic 1/2SP (Snyder ch. 15) — EPSG:2154 et al.
+# --------------------------------------------------------------------------
+
+
+def _lcc_constants(lat0: float, lat1: float, lat2: float, k0: float = 1.0):
+    """(n, aF, rho0) for an LCC aspect; lat1 == lat2 degrades to the 1SP cone."""
+    if not (-90.0 < lat1 < 90.0 and -90.0 < lat2 < 90.0):
+        raise ValueError("LCC standard parallels must lie strictly between the poles")
+    if lat1 * lat2 < 0.0 or (lat1 == 0.0 and lat2 == 0.0):
+        raise ValueError("LCC standard parallels must be on one side of the equator (use merc at the equator)")
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    t1 = float(_t_conf(np.array([p1]))[0])
+    m1 = float(_m_par(p1))
+    if abs(lat1 - lat2) < 1e-9:
+        n = float(np.sin(p1))
+    else:
+        t2 = float(_t_conf(np.array([p2]))[0])
+        m2 = float(_m_par(p2))
+        n = float(np.log(m1 / m2) / np.log(t1 / t2))
+    aF = WGS84_A * k0 * m1 / (n * t1**n)
+    t0 = float(_t_conf(np.array([np.radians(lat0)]))[0])
+    rho0 = aF * t0**n
+    return n, aF, rho0
+
+
+def lcc_forward(lon, lat, lon0: float, lat0: float, lat1: float, lat2: float,
+                x0: float = 0.0, y0: float = 0.0, k0: float = 1.0):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n, aF, rho0 = _lcc_constants(lat0, lat1, lat2, k0)
+    t = _t_conf(np.radians(lat))
+    with np.errstate(over="ignore"):
+        # the pole OPPOSITE the cone apex has t^n = inf -> rho = inf; that
+        # point is outside every published LCC domain and stays inf/nan
+        rho = aF * t**n
+    theta = n * _wrap_lam(np.radians(lon - lon0))
+    return x0 + rho * np.sin(theta), y0 + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(x, y, lon0: float, lat0: float, lat1: float, lat2: float,
+                x0: float = 0.0, y0: float = 0.0, k0: float = 1.0):
+    x = np.asarray(x, np.float64) - x0
+    y = np.asarray(y, np.float64) - y0
+    n, aF, rho0 = _lcc_constants(lat0, lat1, lat2, k0)
+    sgn = 1.0 if n >= 0.0 else -1.0
+    rho = sgn * np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    with np.errstate(divide="ignore"):
+        t = np.where(rho == 0.0, 0.0 if n >= 0 else np.inf, (rho / aF) ** (1.0 / n))
+    lat = np.degrees(_phi_from_t(t))
+    lon = lon0 + np.degrees(theta / n)
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
+# Albers equal-area conic 2SP (Snyder ch. 14) — EPSG:5070 et al.
+# --------------------------------------------------------------------------
+
+
+def _aea_constants(lat0: float, lat1: float, lat2: float):
+    if abs(lat1 - lat2) < 1e-9:
+        raise ValueError("Albers needs two distinct standard parallels (lat_1 != lat_2)")
+    if abs(lat1 + lat2) < 1e-9:
+        raise ValueError("Albers standard parallels symmetric about the equator degenerate to a cylinder")
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    m1, m2 = float(_m_par(p1)), float(_m_par(p2))
+    q1 = float(_q_auth(np.array([np.sin(p1)]))[0])
+    q2 = float(_q_auth(np.array([np.sin(p2)]))[0])
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    q0 = float(_q_auth(np.array([np.sin(np.radians(lat0))]))[0])
+    rho0 = WGS84_A * np.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def aea_forward(lon, lat, lon0: float, lat0: float, lat1: float, lat2: float,
+                x0: float = 0.0, y0: float = 0.0):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    n, C, rho0 = _aea_constants(lat0, lat1, lat2)
+    q = _q_auth(np.sin(np.radians(lat)))
+    rho = WGS84_A * np.sqrt(np.maximum(C - n * q, 0.0)) / n
+    theta = n * _wrap_lam(np.radians(lon - lon0))
+    return x0 + rho * np.sin(theta), y0 + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(x, y, lon0: float, lat0: float, lat1: float, lat2: float,
+                x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, np.float64) - x0
+    y = np.asarray(y, np.float64) - y0
+    n, C, rho0 = _aea_constants(lat0, lat1, lat2)
+    sgn = 1.0 if n >= 0.0 else -1.0
+    rho = np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(sgn * x, sgn * (rho0 - y))
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    lat = np.degrees(_authalic_to_geodetic(beta))
+    lon = lon0 + np.degrees(theta / n)
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
+# polar stereographic, true-scale parallel variant (Snyder ch. 21)
+# EPSG:3413 (north, lat_ts=70, lon_0=-45) / EPSG:3031 (south, lat_ts=-71)
+# --------------------------------------------------------------------------
+
+
+def _stere_tc_mc(lat_ts: float) -> tuple[float, float]:
+    """(t_c, m_c) at the (northern-frame) true-scale latitude."""
+    pts = np.radians(abs(lat_ts))
+    if abs(lat_ts) > 89.999:
+        # k0-at-pole variant: rho = 2 a k0 t / sqrt((1+e)^(1+e) (1-e)^(1-e))
+        # expressed as the same t_c/m_c quotient via its limit
+        tc = np.sqrt((1.0 - _E1) ** (1.0 - _E1) * (1.0 + _E1) ** (1.0 + _E1)) / 2.0
+        return float(tc), 1.0
+    return float(_t_conf(np.array([pts]))[0]), float(_m_par(pts))
+
+
+def stere_polar_forward(lon, lat, lon0: float, lat_ts: float, south: bool,
+                        x0: float = 0.0, y0: float = 0.0, k0: float = 1.0):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    tc, mc = _stere_tc_mc(lat_ts)
+    phi = np.radians(-lat if south else lat)
+    t = _t_conf(phi)
+    rho = WGS84_A * k0 * mc * t / tc
+    lam = _wrap_lam(np.radians(lon - lon0))
+    if south:
+        # southern aspect: x east along lon0+90E, y north along lon0
+        return x0 + rho * np.sin(lam), y0 + rho * np.cos(lam)
+    return x0 + rho * np.sin(lam), y0 - rho * np.cos(lam)
+
+
+def stere_polar_inverse(x, y, lon0: float, lat_ts: float, south: bool,
+                        x0: float = 0.0, y0: float = 0.0, k0: float = 1.0):
+    x = np.asarray(x, np.float64) - x0
+    y = np.asarray(y, np.float64) - y0
+    tc, mc = _stere_tc_mc(lat_ts)
+    rho = np.sqrt(x * x + y * y)
+    t = rho * tc / (WGS84_A * k0 * mc)
+    phi = _phi_from_t(t)
+    if south:
+        lam = np.arctan2(x, y)
+        return lon0 + np.degrees(lam), np.degrees(-phi)
+    lam = np.arctan2(x, -y)
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+# --------------------------------------------------------------------------
 # CRS spec parsing + generic transform
 # --------------------------------------------------------------------------
 
@@ -266,7 +506,7 @@ def parse_crs(crs: str) -> dict:
     up = c.upper().replace(" ", "")
     if up in ("EPSG:4326", "WGS84", "CRS84", "OGC:CRS84") or up.startswith("+PROJ=LONGLAT"):
         return {"proj": "longlat"}
-    if up in ("EPSG:3857", "WEBMERCATOR", "EPSG:900913") or up.startswith("+PROJ=MERC"):
+    if up in ("EPSG:3857", "WEBMERCATOR", "EPSG:900913") or up.startswith("+PROJ=WEBMERC"):
         return {"proj": "webmerc"}
     if re.fullmatch(r"EPSG:32[67]\d{2}", up):
         # 5-digit codes only: EPSG:326xx/327xx are UTM zones; 4-digit
@@ -279,6 +519,20 @@ def parse_crs(crs: str) -> dict:
         return {"proj": "utm", "zone": zone, "north": code < 32700}
     if up == "EPSG:3035":
         return {"proj": "laea", "lat_0": 52.0, "lon_0": 10.0, "x_0": 4_321_000.0, "y_0": 3_210_000.0}
+    if up == "EPSG:3395":  # World Mercator (ellipsoidal, natural origin)
+        return {"proj": "merc", "lon_0": 0.0, "k_0": 1.0, "x_0": 0.0, "y_0": 0.0}
+    if up == "EPSG:2154":  # RGF93 / Lambert-93 (GRS80 ~ WGS84, module docstring)
+        return {"proj": "lcc", "lat_0": 46.5, "lon_0": 3.0, "lat_1": 49.0, "lat_2": 44.0,
+                "x_0": 700_000.0, "y_0": 6_600_000.0, "k_0": 1.0}
+    if up == "EPSG:5070":  # NAD83 / CONUS Albers (GRS80 ~ WGS84; datum shift NAD83~WGS84 < 2 m, documented)
+        return {"proj": "aea", "lat_0": 23.0, "lon_0": -96.0, "lat_1": 29.5, "lat_2": 45.5,
+                "x_0": 0.0, "y_0": 0.0}
+    if up == "EPSG:3413":  # NSIDC Sea Ice Polar Stereographic North
+        return {"proj": "stere", "lat_ts": 70.0, "lon_0": -45.0, "south": False,
+                "x_0": 0.0, "y_0": 0.0, "k_0": 1.0}
+    if up == "EPSG:3031":  # Antarctic Polar Stereographic
+        return {"proj": "stere", "lat_ts": -71.0, "lon_0": 0.0, "south": True,
+                "x_0": 0.0, "y_0": 0.0, "k_0": 1.0}
     if c.startswith("+"):
         params: dict[str, str | bool] = {}
         for tok in c.split():
@@ -301,12 +555,47 @@ def parse_crs(crs: str) -> dict:
             }
         if proj == "longlat":
             return {"proj": "longlat"}
-        if proj in ("merc", "webmerc"):
+        if proj == "webmerc" or (proj == "merc" and params.get("R") == str(int(WEBMERCATOR_R))):
             return {"proj": "webmerc"}
+        if proj == "merc":
+            # PROJ semantics: +proj=merc on the default WGS84 ellipsoid is the
+            # ELLIPSOIDAL Mercator (EPSG:3395 family); the spherical web tile
+            # projection is +proj=webmerc / EPSG:3857.
+            return {"proj": "merc", "lon_0": float(params.get("lon_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0))),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
+        if proj == "lcc":
+            lat_1 = float(params.get("lat_1", 0.0))
+            return {"proj": "lcc", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)), "lat_1": lat_1,
+                    "lat_2": float(params.get("lat_2", lat_1)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0)))}
+        if proj == "aea":
+            return {"proj": "aea", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)),
+                    "lat_1": float(params.get("lat_1", 29.5)),
+                    "lat_2": float(params.get("lat_2", 45.5)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
+        if proj == "stere":
+            lat_0 = float(params.get("lat_0", 90.0))
+            if abs(lat_0) != 90.0:
+                raise ValueError(
+                    "only POLAR stereographic is implemented (+lat_0=90 or -90); "
+                    f"oblique stereographic (lat_0={lat_0}) is unsupported"
+                )
+            south = lat_0 < 0.0
+            lat_ts = float(params.get("lat_ts", lat_0))
+            if (lat_ts < 0.0) != south and abs(lat_ts) > 1e-9:
+                raise ValueError("stere lat_ts must be in the same hemisphere as lat_0")
+            return {"proj": "stere", "lat_ts": lat_ts, "lon_0": float(params.get("lon_0", 0.0)),
+                    "south": south, "x_0": float(params.get("x_0", 0.0)),
+                    "y_0": float(params.get("y_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0)))}
         raise ValueError(f"unsupported proj-string {crs!r}")
     raise ValueError(
-        f"unsupported CRS {crs!r} (supported: EPSG:4326/3857/3035, EPSG:326xx/327xx UTM, "
-        "+proj=longlat|merc|utm|laea strings)"
+        f"unsupported CRS {crs!r} (supported: EPSG:4326/3857/3035/3395/2154/5070/3413/3031, "
+        "EPSG:326xx/327xx UTM, +proj=longlat|webmerc|merc|utm|laea|lcc|aea|stere strings)"
     )
 
 
@@ -320,6 +609,17 @@ def _to_lonlat(x: np.ndarray, y: np.ndarray, spec: dict):
         return utm_inverse(x, y, spec["zone"], spec["north"])
     if p == "laea":
         return laea_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
+    if p == "merc":
+        return mercator_inverse(x, y, spec["lon_0"], spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "lcc":
+        return lcc_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["lat_1"], spec["lat_2"],
+                           spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "aea":
+        return aea_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["lat_1"], spec["lat_2"],
+                           spec["x_0"], spec["y_0"])
+    if p == "stere":
+        return stere_polar_inverse(x, y, spec["lon_0"], spec["lat_ts"], spec["south"],
+                                   spec["x_0"], spec["y_0"], spec["k_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 
@@ -333,6 +633,17 @@ def _from_lonlat(lon: np.ndarray, lat: np.ndarray, spec: dict):
         return utm_forward(lon, lat, spec["zone"], spec["north"])
     if p == "laea":
         return laea_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
+    if p == "merc":
+        return mercator_forward(lon, lat, spec["lon_0"], spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "lcc":
+        return lcc_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["lat_1"], spec["lat_2"],
+                           spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "aea":
+        return aea_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["lat_1"], spec["lat_2"],
+                           spec["x_0"], spec["y_0"])
+    if p == "stere":
+        return stere_polar_forward(lon, lat, spec["lon_0"], spec["lat_ts"], spec["south"],
+                                   spec["x_0"], spec["y_0"], spec["k_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 

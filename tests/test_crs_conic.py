@@ -1,0 +1,247 @@
+"""Conic / azimuthal / cylindrical CRS additions (r4): ellipsoidal Mercator,
+Lambert conformal conic, Albers equal-area, polar stereographic.
+
+Verification strategy (module docstring `geom/crs.py`): no PROJ exists in the
+sandbox, so each projection is pinned by its DEFINING invariant, measured by
+finite differences on the WGS84 ellipsoid —
+
+- conformal projections (merc, lcc, stere): meridian scale h == parallel
+  scale k at every sampled point, and k == 1 exactly on the standard
+  parallels / true-scale parallel;
+- equal-area projections (aea): |d(x,y)/d(lam,phi)| == M*N*cos(phi), the
+  ellipsoid surface element, at every sampled point;
+- every projection: forward∘inverse == identity to <1e-6 deg over its
+  published domain, and the false origin maps (lon_0, lat_0) -> (x_0, y_0)
+  exactly (pins the EPSG parameter tables);
+- one EXTERNAL anchor: the EPSG Guidance Note 7-2 worked example for Polar
+  Stereographic variant B (lat_ts=-71, lon_0=70, FE=FN=6e6; 75S 120E ->
+  E 7255380.79 N 7053389.56), which transitively anchors the shared
+  _t_conf/_m_par/_phi_from_t helpers used by merc and lcc as well.
+"""
+
+import numpy as np
+import pytest
+
+from geopolars_ray.geom import crs as C
+
+A, E2 = C.WGS84_A, C._E2
+
+
+def _MN(lat):
+    s = np.sin(np.radians(lat))
+    W = np.sqrt(1.0 - E2 * s * s)
+    return A * (1.0 - E2) / W**3, A / W  # meridian radius M, prime vertical N
+
+
+def _fd_scales(fwd, lon, lat, d=1e-6):
+    """(h, k, area_scale) of a forward projection at one point, by central
+    finite differences; h/k are distance scale along meridian/parallel
+    relative to true ellipsoid distance, area_scale is |Jacobian| over the
+    ellipsoid surface element."""
+    x1, y1 = fwd(np.array([lon]), np.array([lat - d]))
+    x2, y2 = fwd(np.array([lon]), np.array([lat + d]))
+    xp1, yp1 = fwd(np.array([lon - d]), np.array([lat]))
+    xp2, yp2 = fwd(np.array([lon + d]), np.array([lat]))
+    M, N = _MN(lat)
+    dphi = dlam = np.radians(2 * d)
+    h = float(np.hypot(x2 - x1, y2 - y1)[0]) / (M * dphi)
+    k = float(np.hypot(xp2 - xp1, yp2 - yp1)[0]) / (N * np.cos(np.radians(lat)) * dlam)
+    jac = float(((x2 - x1) * (yp2 - yp1) - (y2 - y1) * (xp2 - xp1))[0]) / (dphi * dlam)
+    return h, k, abs(jac) / (M * N * np.cos(np.radians(lat)))
+
+
+def test_mercator_3395_invariants():
+    fwd = lambda lo, la: C.mercator_forward(lo, la)
+    # natural origin and the exact closed form x = a*lam
+    x, y = fwd(np.array([0.0]), np.array([0.0]))
+    assert x[0] == 0.0 and y[0] == 0.0
+    x, _ = fwd(np.array([90.0]), np.array([10.0]))
+    np.testing.assert_allclose(x[0], A * np.pi / 2.0, rtol=1e-15)
+    # conformal at every sampled latitude; k = 1 on the equator
+    for lat in (0.0, 20.0, 45.0, 70.0, -60.0):
+        h, k, _ = _fd_scales(fwd, 10.0, lat)
+        assert abs(h - k) < 1e-6
+    _, k0, _ = _fd_scales(fwd, 10.0, 0.0)
+    assert abs(k0 - 1.0) < 1e-6
+    # ellipsoidal y differs from spherical EPSG:3857 by ~0.5% at 45N
+    y5 = fwd(np.array([0.0]), np.array([45.0]))[1][0]
+    y7 = C.lonlat_to_webmercator(np.array([0.0]), np.array([45.0]))[1][0]
+    assert 0.992 < y5 / y7 < 0.997
+    # round-trip
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-179.0, 179.0, 4000)
+    lat = rng.uniform(-84.0, 84.0, 4000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.mercator_inverse(X, Y)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # pole clamp (same contract as EPSG:3857): finite y at +-90
+    _, yp = fwd(np.array([0.0]), np.array([90.0]))
+    assert np.isfinite(yp[0])
+
+
+def test_lcc_2154_invariants():
+    p = dict(lon0=3.0, lat0=46.5, lat1=49.0, lat2=44.0, x0=700_000.0, y0=6_600_000.0)
+    fwd = lambda lo, la: C.lcc_forward(lo, la, p["lon0"], p["lat0"], p["lat1"], p["lat2"], p["x0"], p["y0"])
+    # false origin exact
+    x, y = fwd(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0] - 700_000.0) < 1e-6 and abs(y[0] - 6_600_000.0) < 1e-5
+    # scale is 1 on BOTH standard parallels and the projection is conformal
+    for lat in (44.0, 49.0):
+        h, k, _ = _fd_scales(fwd, 2.0, lat)
+        assert abs(k - 1.0) < 1e-6 and abs(h - k) < 1e-6
+    for lat in (42.0, 46.5, 51.0):
+        h, k, _ = _fd_scales(fwd, 5.0, lat)
+        assert abs(h - k) < 1e-6
+        assert k > 1.0 - 2e-3  # secant cone: k >= sec-of-SPs minimum ~0.999
+    # coarse real-world sanity: Paris city center in Lambert-93
+    x, y = fwd(np.array([2.3522]), np.array([48.8566]))
+    assert 650_000 < x[0] < 655_000 and 6_859_000 < y[0] < 6_865_000
+    # round-trip over the published domain
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-5.0, 10.0, 4000)
+    lat = rng.uniform(41.0, 52.0, 4000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.lcc_inverse(X, Y, p["lon0"], p["lat0"], p["lat1"], p["lat2"], p["x0"], p["y0"])
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_lcc_southern_cone_and_1sp():
+    # southern hemisphere => n < 0: exercises the sign handling in the inverse
+    fwd = lambda lo, la: C.lcc_forward(lo, la, 140.0, -37.0, -36.0, -38.0)
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(135.0, 145.0, 2000)
+    lat = rng.uniform(-42.0, -33.0, 2000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.lcc_inverse(X, Y, 140.0, -37.0, -36.0, -38.0)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    h, k, _ = _fd_scales(fwd, 140.0, -36.0)
+    assert abs(k - 1.0) < 1e-6 and abs(h - k) < 1e-6
+    # 1SP (lat_1 == lat_2) with k_0: tangent cone, scale k_0 on the SP
+    f1 = lambda lo, la: C.lcc_forward(lo, la, 0.0, 45.0, 45.0, 45.0, k0=0.99)
+    h, k, _ = _fd_scales(f1, 1.0, 45.0)
+    assert abs(k - 0.99) < 1e-6 and abs(h - k) < 1e-6
+    X, Y = f1(np.array([3.0]), np.array([47.0]))
+    lon2, lat2 = C.lcc_inverse(X, Y, 0.0, 45.0, 45.0, 45.0, k0=0.99)
+    assert abs(lon2[0] - 3.0) < 1e-9 and abs(lat2[0] - 47.0) < 1e-9
+    # equator-straddling standard parallels are not a cone: refused loudly
+    with pytest.raises(ValueError, match="one side of the equator"):
+        C.lcc_forward(np.array([0.0]), np.array([10.0]), 0.0, 0.0, 10.0, -10.0)
+
+
+def test_aea_5070_invariants():
+    p = (-96.0, 23.0, 29.5, 45.5)
+    fwd = lambda lo, la: C.aea_forward(lo, la, *p)
+    x, y = fwd(np.array([-96.0]), np.array([23.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-5
+    # the DEFINING property: area scale == 1 everywhere (to FD accuracy)
+    for lon, lat in ((-120.0, 35.0), (-96.0, 23.0), (-75.0, 45.0), (-100.0, 49.0)):
+        _, k, area = _fd_scales(fwd, lon, lat)
+        assert abs(area - 1.0) < 1e-6
+    # parallel scale 1 exactly on both standard parallels
+    for lat in (29.5, 45.5):
+        _, k, _ = _fd_scales(fwd, -96.0, lat)
+        assert abs(k - 1.0) < 1e-6
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-125.0, -65.0, 4000)
+    lat = rng.uniform(24.0, 50.0, 4000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.aea_inverse(X, Y, *p)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    # lat limited by the authalic-latitude series truncation (~1e-8 deg)
+    assert np.abs(lat2 - lat).max() < 1e-7
+    with pytest.raises(ValueError, match="distinct standard parallels"):
+        C.aea_forward(np.array([0.0]), np.array([40.0]), 0.0, 0.0, 40.0, 40.0)
+
+
+def test_polar_stereographic_epsg_gn72_anchor():
+    """EPSG Guidance Note 7-2, Polar Stereographic variant B worked example
+    (WGS84 / Australian Antarctic): lat_ts=-71, lon_0=70, FE=FN=6000000;
+    input 75S 120E -> E 7255380.79, N 7053389.56. Anchors _t_conf/_m_par/
+    _phi_from_t externally (shared with merc and lcc)."""
+    x, y = C.stere_polar_forward(np.array([120.0]), np.array([-75.0]), 70.0, -71.0, True,
+                                 6_000_000.0, 6_000_000.0)
+    assert abs(x[0] - 7_255_380.79) < 0.01
+    assert abs(y[0] - 7_053_389.56) < 0.01
+    lon2, lat2 = C.stere_polar_inverse(np.array([7_255_380.79]), np.array([7_053_389.56]),
+                                       70.0, -71.0, True, 6_000_000.0, 6_000_000.0)
+    assert abs(lon2[0] - 120.0) < 1e-6 and abs(lat2[0] + 75.0) < 1e-6
+
+
+def test_polar_stereographic_3413_3031():
+    # north (EPSG:3413): pole -> (0,0); k = 1 on the true-scale parallel; conformal
+    f_n = lambda lo, la: C.stere_polar_forward(lo, la, -45.0, 70.0, False)
+    x, y = f_n(np.array([17.0]), np.array([90.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    for lat in (60.0, 70.0, 85.0):
+        h, k, _ = _fd_scales(f_n, -30.0, lat)
+        assert abs(h - k) < 1e-6
+    _, k, _ = _fd_scales(f_n, -30.0, 70.0)
+    assert abs(k - 1.0) < 1e-6
+    # a point on the central meridian lies on the -y axis (grid convention)
+    x, y = f_n(np.array([-45.0]), np.array([70.0]))
+    assert abs(x[0]) < 1e-6 and y[0] < -2_000_000
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-180.0, 180.0, 3000)
+    lat = rng.uniform(50.0, 89.99, 3000)
+    X, Y = f_n(lon, lat)
+    lon2, lat2 = C.stere_polar_inverse(X, Y, -45.0, 70.0, False)
+    assert np.abs((lon2 - lon + 180.0) % 360.0 - 180.0).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+    # south (EPSG:3031): central-meridian point has POSITIVE y (toward lon_0)
+    f_s = lambda lo, la: C.stere_polar_forward(lo, la, 0.0, -71.0, True)
+    x, y = f_s(np.array([0.0]), np.array([-71.0]))
+    assert abs(x[0]) < 1e-6 and y[0] > 2_000_000
+    X, Y = f_s(lon, -lat)
+    lon2, lat2 = C.stere_polar_inverse(X, Y, 0.0, -71.0, True)
+    assert np.abs((lon2 - lon + 180.0) % 360.0 - 180.0).max() < 1e-9
+    assert np.abs(lat2 + lat).max() < 1e-9
+
+
+def test_stere_k0_at_pole_variant():
+    # UPS-style +lat_0=90 +k_0=0.994 (variant A): scale at the pole == k_0
+    fwd = lambda lo, la: C.stere_polar_forward(lo, la, 0.0, 90.0, False, k0=0.994)
+    h, k, _ = _fd_scales(fwd, 10.0, 89.99)
+    assert abs(k - 0.994) < 1e-4 and abs(h - k) < 1e-6
+    X, Y = fwd(np.array([33.0]), np.array([80.0]))
+    lon2, lat2 = C.stere_polar_inverse(X, Y, 0.0, 90.0, False, k0=0.994)
+    assert abs(lon2[0] - 33.0) < 1e-9 and abs(lat2[0] - 80.0) < 1e-9
+
+
+def test_parse_crs_new_codes_and_pivot():
+    assert C.parse_crs("EPSG:3395")["proj"] == "merc"
+    assert C.parse_crs("EPSG:2154") == {"proj": "lcc", "lat_0": 46.5, "lon_0": 3.0,
+                                        "lat_1": 49.0, "lat_2": 44.0, "x_0": 700_000.0,
+                                        "y_0": 6_600_000.0, "k_0": 1.0}
+    assert C.parse_crs("EPSG:5070")["proj"] == "aea"
+    assert C.parse_crs("EPSG:3413")["south"] is False
+    assert C.parse_crs("EPSG:3031")["south"] is True
+    # +proj=merc is the ELLIPSOIDAL Mercator (PROJ semantics), not webmerc
+    assert C.parse_crs("+proj=merc")["proj"] == "merc"
+    assert C.parse_crs("+proj=webmerc")["proj"] == "webmerc"
+    s = C.parse_crs("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96")
+    assert s["lat_2"] == 45.0 and s["k_0"] == 1.0
+    # 1SP default: lat_2 falls back to lat_1
+    s = C.parse_crs("+proj=lcc +lat_1=40 +lat_0=40 +lon_0=0 +k_0=0.9999")
+    assert s["lat_2"] == 40.0 and s["k_0"] == 0.9999
+    with pytest.raises(ValueError, match="POLAR stereographic"):
+        C.parse_crs("+proj=stere +lat_0=52 +lon_0=4")  # oblique (RD-style) unsupported
+    # generic pivot: UTM 18N -> CONUS Albers -> back, through transform_points
+    lon = np.array([-77.03])
+    lat = np.array([38.90])
+    e, n = C.transform_points(lon, lat, "EPSG:4326", "EPSG:32618")
+    x, y = C.transform_points(e, n, "EPSG:32618", "EPSG:5070")
+    lon2, lat2 = C.transform_points(x, y, "EPSG:5070", "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-7)
+    np.testing.assert_allclose(lat2, lat, atol=1e-7)
+
+
+def test_to_crs_geometry_new_projection():
+    from geopolars_ray.geom.array import GeometryArray
+
+    ga = GeometryArray.from_points(np.array([2.3522, 5.0]), np.array([48.8566, 44.0]))
+    out = C.to_crs(ga, "EPSG:4326", "EPSG:2154")
+    back = C.to_crs(out, "EPSG:2154", "EPSG:4326")
+    np.testing.assert_allclose(back.coords, ga.coords, atol=1e-8)
