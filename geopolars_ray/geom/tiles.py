@@ -82,3 +82,88 @@ def hex_tile_center(tile_id: np.ndarray, size_deg: float = 0.5) -> tuple[np.ndar
     lon = size_deg * (np.sqrt(3.0) * q + np.sqrt(3.0) / 2.0 * r)
     lat = size_deg * (1.5 * r)
     return lon, lat
+
+
+# --------------------------------------------------------------------------
+# Geohash (public spec: base32 bit-interleaved lat/lon, lon bit first)
+# --------------------------------------------------------------------------
+
+_GEOHASH_ALPHABET = b"0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH_CODES = np.frombuffer(_GEOHASH_ALPHABET, dtype=np.uint8)
+# inverse: ASCII byte -> 5-bit value (255 = invalid)
+_GEOHASH_INV = np.full(256, 255, dtype=np.uint8)
+_GEOHASH_INV[_GEOHASH_CODES] = np.arange(32, dtype=np.uint8)
+
+
+def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 9) -> np.ndarray:
+    """Vectorized geohash of lon/lat points -> fixed-length ASCII strings.
+
+    Standard public geohash: quantize lon to ceil(5p/2) bits and lat to
+    floor(5p/2) bits, interleave MSB-first starting with LONGITUDE, emit
+    5-bit groups through the base32 alphabet (no a/i/l/o). Unlike grid/hex
+    tile ids this key is a STRING whose prefixes nest (precision p-1 is a
+    prefix of precision p), which is what makes it useful as a partitioned
+    output layout key and a prefix-join key.
+
+    precision 1..12 (12 = 60 bits, the uint64 ceiling; ~3.7cm x 1.8cm).
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    # quantize; clip handles lon=180 / lat=90 (maps to the last cell)
+    lon_q = np.clip(((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
+                    0, (1 << lon_bits) - 1).astype(np.uint64)
+    lat_q = np.clip(((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
+                    0, (1 << lat_bits) - 1).astype(np.uint64)
+    code = np.zeros(len(lon), dtype=np.uint64)
+    one = np.uint64(1)
+    for i in range(total):
+        if i % 2 == 0:  # even global bit (MSB-first) = longitude
+            src, nbits = lon_q, lon_bits
+        else:
+            src, nbits = lat_q, lat_bits
+        bit = (src >> np.uint64(nbits - 1 - i // 2)) & one
+        code = (code << one) | bit
+    # 5-bit groups -> ASCII codes -> fixed-width bytestrings
+    chars = np.empty((len(lon), precision), dtype=np.uint8)
+    for j in range(precision):
+        idx = (code >> np.uint64(5 * (precision - 1 - j))) & np.uint64(31)
+        chars[:, j] = _GEOHASH_CODES[idx.astype(np.int64)]
+    return chars.view(f"S{precision}").ravel().astype(str)
+
+
+def geohash_decode(gh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell-center (lon, lat) of equal-length geohash strings (vectorized)."""
+    gh = np.asarray(gh)
+    if gh.size == 0:
+        return np.empty(0), np.empty(0)
+    b = np.char.encode(gh.astype(str), "ascii")
+    precision = len(b.flat[0])
+    if precision < 1 or precision > 12 or any(len(s) != precision for s in b.flat):
+        raise ValueError("geohash_decode needs equal-length geohashes of precision 1..12")
+    chars = np.frombuffer(b"".join(b.ravel().tolist()), dtype=np.uint8).reshape(-1, precision)
+    vals = _GEOHASH_INV[chars]
+    if (vals == 255).any():
+        raise ValueError("invalid geohash character")
+    code = np.zeros(len(chars), dtype=np.uint64)
+    for j in range(precision):
+        code = (code << np.uint64(5)) | vals[:, j].astype(np.uint64)
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_q = np.zeros(len(chars), dtype=np.uint64)
+    lat_q = np.zeros(len(chars), dtype=np.uint64)
+    one = np.uint64(1)
+    for i in range(total):
+        bit = (code >> np.uint64(total - 1 - i)) & one
+        if i % 2 == 0:
+            lon_q = (lon_q << one) | bit
+        else:
+            lat_q = (lat_q << one) | bit
+    lon = (lon_q.astype(np.float64) + 0.5) * (360.0 / (1 << lon_bits)) - 180.0
+    lat = (lat_q.astype(np.float64) + 0.5) * (180.0 / (1 << lat_bits)) - 90.0
+    return lon, lat

@@ -23,6 +23,7 @@ import pyarrow as pa
 from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
 from geopolars_ray.geom import kernels as K
 from geopolars_ray.geom import crs as crs_mod
+from geopolars_ray.geom import tiles as tiles_mod
 
 GEOMETRY = "geometry"
 
@@ -122,6 +123,11 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "scale": (K.scale, "geometry"),
     "skew": (K.skew, "geometry"),
     "to_crs": (crs_mod.to_crs, "geometry"),
+    # point-geometry tiling key: base32 geohash string (prefix-nesting)
+    "geohash": (
+        lambda ga, precision=9: tiles_mod.geohash_encode(K.get_x(ga), K.get_y(ga), precision),
+        "scalar",
+    ),
 }
 
 

@@ -231,3 +231,51 @@ def test_laea_polar_aspect_refused():
     lon, lat = C.laea_inverse(x, y, 0.0, 85.0)
     np.testing.assert_allclose(lon, [10.0], atol=1e-6)
     np.testing.assert_allclose(lat, [60.0], atol=1e-6)
+
+
+def test_geohash_encode_decode():
+    """Public-spec anchors (the two canonical worked examples: Jutland
+    'u4pruydqqvj' and Leon 'ezs42'), prefix nesting, half-cell decode error,
+    encode∘decode idempotence, and edge clipping at the antimeridian/poles."""
+    import numpy as np
+    from geopolars_ray.geom.tiles import geohash_encode, geohash_decode
+
+    assert geohash_encode(np.array([10.40744]), np.array([57.64911]), 11)[0] == "u4pruydqqvj"
+    assert geohash_encode(np.array([-5.603027]), np.array([42.605]), 5)[0] == "ezs42"
+    lon, lat = geohash_decode(np.array(["ezs42"]))
+    assert abs(lon[0] + 5.603) < 0.03 and abs(lat[0] - 42.605) < 0.03
+
+    rng = np.random.default_rng(0)
+    LO = rng.uniform(-180.0, 180.0, 5000)
+    LA = rng.uniform(-90.0, 90.0, 5000)
+    g9 = geohash_encode(LO, LA, 9)
+    lo2, la2 = geohash_decode(g9)
+    # decode returns the cell center: error <= half cell (2^23 lon / 2^22 lat bits)
+    assert np.abs(lo2 - LO).max() <= 180.0 / 2**22
+    assert np.abs(la2 - LA).max() <= 90.0 / 2**21
+    assert (geohash_encode(lo2, la2, 9) == g9).all()
+    # precision p-1 is a prefix of precision p (the layout-key property)
+    g5 = geohash_encode(LO, LA, 5)
+    assert all(a.startswith(b) for a, b in zip(g9, g5))
+    # boundary inputs clip into the last cell instead of overflowing
+    g = geohash_encode(np.array([180.0, -180.0]), np.array([90.0, -90.0]), 6)
+    assert len(g[0]) == 6 and len(g[1]) == 6
+    import pytest as _p
+    with _p.raises(ValueError):
+        geohash_encode(np.array([0.0]), np.array([0.0]), 13)
+    with _p.raises(ValueError):
+        geohash_decode(np.array(["ezs4!"]))
+
+
+def test_geohash_registry_kernel():
+    """geohash is reachable through the kernel registry over point WKB."""
+    import numpy as np
+    import pyarrow as pa
+    from geopolars_ray.geom import encode_wkb
+    from geopolars_ray.geom.array import GeometryArray
+    from geopolars_ray.stages.geo import geo_op
+
+    ga = GeometryArray.from_points(np.array([10.40744, -5.603027]), np.array([57.64911, 42.605]))
+    batch = pa.table({"geometry": encode_wkb(ga)})
+    out = geo_op("geohash", precision=5)(batch)
+    assert out["geohash"].to_pylist() == ["u4pru", "ezs42"]
