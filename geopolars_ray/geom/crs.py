@@ -527,6 +527,9 @@ def parse_crs(crs: str) -> dict:
     if up == "EPSG:5070":  # NAD83 / CONUS Albers (GRS80 ~ WGS84; datum shift NAD83~WGS84 < 2 m, documented)
         return {"proj": "aea", "lat_0": 23.0, "lon_0": -96.0, "lat_1": 29.5, "lat_2": 45.5,
                 "x_0": 0.0, "y_0": 0.0}
+    if up == "EPSG:3577":  # GDA94 / Australian Albers (southern cone, n < 0)
+        return {"proj": "aea", "lat_0": 0.0, "lon_0": 132.0, "lat_1": -18.0, "lat_2": -36.0,
+                "x_0": 0.0, "y_0": 0.0}
     if up == "EPSG:3413":  # NSIDC Sea Ice Polar Stereographic North
         return {"proj": "stere", "lat_ts": 70.0, "lon_0": -45.0, "south": False,
                 "x_0": 0.0, "y_0": 0.0, "k_0": 1.0}

@@ -203,6 +203,10 @@ def spatial_join_table(
 
     Pipeline mirrors `spatial_index.rs:37-204`: envelope R-trees on both
     sides -> bbox candidate pairs -> exact predicate refinement -> suffix
+
+    ``predicate``: ``intersects`` / ``contains`` (the reference's dispatch)
+    plus ``within`` (GeoPandas-parity extension: ``within(l, r)`` ==
+    ``contains(r, l)``, refined with operand sides flipped).
     every column of both sides (`:164-184`) -> inner/left finish
     (`:186-204`). Row identity is positional within the tables, which is
     sound here because both tables are local (Ray blocks would not preserve a
@@ -211,7 +215,7 @@ def spatial_join_table(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported join type {how!r}")  # `:200-203`
-    if predicate not in ("intersects", "contains"):
+    if predicate not in ("intersects", "contains", "within"):
         raise ValueError(f"unsupported predicate {predicate!r}")
     for t, side in ((lhs, "lhs"), (rhs, "rhs")):
         if geometry_col not in t.column_names:
@@ -229,7 +233,14 @@ def spatial_join_table(
             continue
         cand = tree.query_box(lb[i, 0], lb[i, 1], lb[i, 2], lb[i, 3])
         for j in cand:
-            if refine_pair(lg, rg, i, int(j), predicate):
+            # within(l, r) == contains(r, l) (GeoPandas-parity extension
+            # beyond the reference's intersects/contains dispatch); bbox
+            # candidates are symmetric so only the refinement flips sides
+            if predicate == "within":
+                hit = refine_pair(rg, lg, int(j), i, "contains")
+            else:
+                hit = refine_pair(lg, rg, i, int(j), predicate)
+            if hit:
                 li_list.append(i)
                 ri_list.append(int(j))
     li = np.array(li_list, dtype=np.int64)

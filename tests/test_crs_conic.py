@@ -245,3 +245,30 @@ def test_to_crs_geometry_new_projection():
     out = C.to_crs(ga, "EPSG:4326", "EPSG:2154")
     back = C.to_crs(out, "EPSG:2154", "EPSG:4326")
     np.testing.assert_allclose(back.coords, ga.coords, atol=1e-8)
+
+
+def test_aea_southern_cone_epsg3577():
+    """EPSG:3577 (Australian Albers): n < 0 exercises the inverse's sign
+    handling; same invariants — exact natural origin, k=1 on both (southern)
+    standard parallels, area scale 1, round-trip over the continent."""
+    spec = C.parse_crs("EPSG:3577")
+    assert spec["proj"] == "aea" and spec["lat_1"] == -18.0
+    fwd = lambda lo, la: C.aea_forward(lo, la, 132.0, 0.0, -18.0, -36.0)
+    x, y = fwd(np.array([132.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-5
+    for lat in (-18.0, -36.0):
+        _, k, _ = _fd_scales(fwd, 132.0, lat)
+        assert abs(k - 1.0) < 1e-6
+    for lon, lat in ((115.0, -32.0), (147.0, -42.0), (132.0, -12.0)):
+        _, _, area = _fd_scales(fwd, lon, lat)
+        assert abs(area - 1.0) < 1e-6
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(112.0, 154.0, 3000)
+    lat = rng.uniform(-44.0, -9.0, 3000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.aea_inverse(X, Y, 132.0, 0.0, -18.0, -36.0)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-7
+    # Sydney is east of the central meridian and well south: +x, -y
+    x, y = C.transform_points(np.array([151.21]), np.array([-33.87]), "EPSG:4326", "EPSG:3577")
+    assert x[0] > 1_000_000 and y[0] < -3_000_000

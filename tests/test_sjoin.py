@@ -242,3 +242,30 @@ def test_strtree_slices_are_compact():
     # proper STR: each slice spans ~4 grid columns -> node width <= ~6;
     # the degenerate single-slice packing would give full-width (32) bands
     assert widths.max() <= 8.0
+
+
+def test_within_predicate_flipped_contains():
+    """within(l, r) == contains(r, l): a small left polygon inside a big
+    right polygon matches under 'within' but NOT under 'contains' (the small
+    one does not contain the big one); point-left within polygon-right
+    matches (PIP either-order quirk keeps that working for all predicates)."""
+    big = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0), (0.0, 0.0)]])]
+    )
+    small = GeometryArray.from_pylist(
+        [("polygon", [[(5.0, 5.0), (8.0, 5.0), (8.0, 8.0), (5.0, 8.0), (5.0, 5.0)]])]
+    )
+    lt_small = pa.table({"geometry": encode_wkb(small), "a": pa.array([1])})
+    rt_big = pa.table({"geometry": encode_wkb(big), "b": pa.array([2])})
+    assert spatial_join_table(lt_small, rt_big, predicate="within").num_rows == 1
+    assert spatial_join_table(lt_small, rt_big, predicate="contains").num_rows == 0
+    # and the mirror: big within small is false
+    lt_big = pa.table({"geometry": encode_wkb(big), "a": pa.array([1])})
+    rt_small = pa.table({"geometry": encode_wkb(small), "b": pa.array([2])})
+    assert spatial_join_table(lt_big, rt_small, predicate="within").num_rows == 0
+    # point within polygon
+    pt = GeometryArray.from_points(np.array([6.0]), np.array([6.0]))
+    lt_pt = pa.table({"geometry": encode_wkb(pt), "a": pa.array([1])})
+    assert spatial_join_table(lt_pt, rt_big, predicate="within").num_rows == 1
+    with pytest.raises(ValueError, match="unsupported predicate"):
+        spatial_join_table(lt_pt, rt_big, predicate="touches")
