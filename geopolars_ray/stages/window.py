@@ -161,3 +161,70 @@ def grouped_topk(
 
     partials = ds.map_batches(per_batch_topk, batch_format="pyarrow")
     return salted_group_map(partials, keys, topk, topk, salt=salt, num_partitions=num_partitions)
+
+
+def windowed_columns(
+    ds,
+    keys: Sequence[str],
+    order_col: str,
+    row_number: str | None = None,
+    lag: Sequence[tuple] = (),
+    lead: Sequence[tuple] = (),
+    descending: bool = False,
+    num_partitions: int = 32,
+):
+    """Per-key window columns: ``row_number`` / ``lag`` / ``lead``.
+
+    The hash-co-partition analogue of SQL's
+    ``f(...) OVER (PARTITION BY keys ORDER BY order_col)``: one
+    ``hash_partitioned_map`` exchange, then ONE lexsort per partition and
+    pure shift arithmetic — no per-group Python (same pattern as
+    ``sessionize``). Ordering ties are broken by input position within the
+    partition (stable sort), so add a tiebreaker to ``order_col``'s table if
+    cross-engine determinism on ties matters.
+
+    - ``row_number``: name for a 0-based rank within the key group in
+      ``order_col`` order (descending if ``descending``).
+    - ``lag`` / ``lead``: tuples ``(src_col, out_col)`` or ``(src_col,
+      out_col, offset)`` — the value of ``src_col`` ``offset`` rows
+      before/after within the group, null at the group edge.
+    """
+    import pyarrow.compute as pc
+
+    from geopolars_ray.stages.agg import hash_partitioned_map, rank_within_runs
+
+    keys = list(keys)
+    lag = [t if len(t) == 3 else (*t, 1) for t in lag]
+    lead = [t if len(t) == 3 else (*t, 1) for t in lead]
+    for _, _, off in (*lag, *lead):
+        if off < 1:
+            raise ValueError("lag/lead offset must be >= 1")
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        sort_keys = [(c, "ascending") for c in keys]
+        sort_keys.append((order_col, "descending" if descending else "ascending"))
+        t = part.take(pc.sort_indices(part, sort_keys=sort_keys))
+        n = t.num_rows
+        rank = rank_within_runs(t, keys)
+        if row_number is not None:
+            t = t.append_column(row_number, pa.array(rank))
+        # group size at each row = rank of the LAST row of its run + 1;
+        # shifted values are valid only while staying inside the run
+        for specs, sign in ((lag, -1), (lead, +1)):
+            for src, out, off in specs:
+                idx = np.arange(n, dtype=np.int64) + sign * off
+                if sign < 0:
+                    valid = rank >= off
+                elif n:
+                    # within-run lookahead: the row off ahead exists in the
+                    # same run iff its rank is rank+off (runs are contiguous)
+                    idx_c = np.clip(idx, 0, n - 1)
+                    valid = (idx < n) & (rank[idx_c] == rank + off)
+                else:
+                    valid = np.zeros(0, bool)
+                idx_safe = np.clip(idx, 0, max(n - 1, 0))
+                shifted = t[src].take(pa.array(idx_safe))
+                t = t.append_column(out, pc.if_else(pa.array(valid), shifted, pa.nulls(n, shifted.type)))
+        return t
+
+    return hash_partitioned_map(ds, keys, per_partition, num_partitions)

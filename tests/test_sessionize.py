@@ -55,3 +55,50 @@ def test_sessionize_edge_cases(ray_session):
            for r in sessionize(ray.data.from_arrow(t), "user_id", "ts",
                                gap_us=GAP, num_partitions=4).take_all()}
     assert got == {1: (1, 1), 2: (1, 3), 3: (2, 1)}
+
+
+def test_windowed_columns_vs_duckdb(ray_session):
+    """row_number/lag/lead per key == the DuckDB window functions (unique
+    order keys -> tie-free deterministic compare)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.window import windowed_columns
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    tab = pa.table({
+        "k": pa.array(rng.integers(0, 500, n)),
+        "ts": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    out = windowed_columns(
+        ray.data.from_arrow(tab), ["k"], "ts", row_number="rn",
+        lag=[("v", "v_lag"), ("v", "v_lag2", 2)], lead=[("v", "v_lead")],
+        num_partitions=8,
+    )
+    df = out.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    src = tab.to_pandas()
+    exp = duckdb.connect().execute("""
+        SELECT k, ts, v,
+               row_number() OVER w - 1 AS rn,
+               lag(v)     OVER w AS v_lag,
+               lag(v, 2)  OVER w AS v_lag2,
+               lead(v)    OVER w AS v_lead
+        FROM src WINDOW w AS (PARTITION BY k ORDER BY ts) ORDER BY k, ts
+    """).df()
+    for c in ("rn", "v_lag", "v_lag2", "v_lead"):
+        a, b = df[c], exp[c]
+        assert bool(((a.isna() & b.isna()) | (a == b)).all()), c
+    # descending: rn flips to the group-size-1-minus-ascending rank
+    out_d = windowed_columns(ray.data.from_arrow(tab), ["k"], "ts",
+                             row_number="rn_d", descending=True, num_partitions=8)
+    dd = out_d.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    sizes = df.groupby("k")["rn"].transform("max")
+    assert (dd["rn_d"].to_numpy() == (sizes - df["rn"]).to_numpy()).all()
+
+    import pytest as _p
+    with _p.raises(ValueError, match="offset"):
+        windowed_columns(ray.data.from_arrow(tab), ["k"], "ts", lag=[("v", "x", 0)])
