@@ -167,3 +167,33 @@ def geohash_decode(gh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lon = (lon_q.astype(np.float64) + 0.5) * (360.0 / (1 << lon_bits)) - 180.0
     lat = (lat_q.astype(np.float64) + 0.5) * (180.0 / (1 << lat_bits)) - 90.0
     return lon, lat
+
+
+def geohash_neighbors(gh: np.ndarray) -> np.ndarray:
+    """The 8 neighbors of each geohash cell (vectorized), shape (n, 8).
+
+    Implemented as decode-center -> shift by one cell width -> re-encode,
+    which sidesteps the traditional per-character border lookup tables and
+    is exact because cell centers are interior points. Longitude wraps at
+    the antimeridian; latitude shifts past the poles return the cell itself
+    (geohash cells at |lat|=90 have no meridional neighbor), so callers can
+    dedup per row. Order: W, E, S, N, SW, SE, NW, NE.
+    """
+    gh = np.asarray(gh)
+    lon, lat = geohash_decode(gh)
+    precision = len(np.asarray(gh.ravel()[0], dtype=str).item())
+    total = 5 * precision
+    dlon = 360.0 / (1 << ((total + 1) // 2))
+    dlat = 180.0 / (1 << (total // 2))
+    out = np.empty((len(lon), 8), dtype=f"U{precision}")
+    shifts = [(-dlon, 0.0), (dlon, 0.0), (0.0, -dlat), (0.0, dlat),
+              (-dlon, -dlat), (dlon, -dlat), (-dlon, dlat), (dlon, dlat)]
+    for j, (dx, dy) in enumerate(shifts):
+        nlon = (lon + dx + 180.0) % 360.0 - 180.0
+        nlat = lat + dy
+        oob = (nlat > 90.0) | (nlat < -90.0)
+        nlat = np.clip(nlat, -90.0 + dlat / 2, 90.0 - dlat / 2)
+        enc = geohash_encode(nlon, nlat, precision)
+        # polar out-of-range: no neighbor -> the cell itself
+        out[:, j] = np.where(oob, gh.astype(f"U{precision}"), enc)
+    return out

@@ -7,6 +7,7 @@ Phased so each invocation is bounded (~minutes) and resumable:
     python scripts/sf1_sanity.py --flagship 8     # one timed fused-flagship run
     python scripts/sf1_sanity.py --flagship 32
     python scripts/sf1_sanity.py --dedup          # minhash + paragraph over 50k docs
+    python scripts/sf1_sanity.py --curation       # composed curation over 50k docs
     python scripts/sf1_sanity.py --report         # assemble + compare output hashes
 
 Each phase prints one JSON line and saves it under /tmp/sf1_*.json; --report
@@ -237,6 +238,49 @@ def dedup_phase() -> None:
     _save("dedup", out)
 
 
+def curation_phase() -> None:
+    """The COMPOSED pipeline at 10x gate scale: quality floor -> per-language
+    downsample -> minhash near-dup dedup (min_bands=2, the collision-heavy-
+    corpus knob) over the 50k-doc x10 corpus."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    docs_path = _docs_x10("/root/testdata/sf0.1", "/tmp/graft_docs_x10.parquet")
+    in_dir = Path("/tmp/sf1_curation_in")
+    in_dir.mkdir(exist_ok=True)
+    if not (in_dir / "documents.parquet").exists():
+        shutil.copy(docs_path, in_dir / "documents.parquet")
+
+    from geopolars_ray.pipelines.curation import run_curation
+
+    with MemSampler() as ms:
+        t0 = time.time()
+        out = run_curation(
+            str(in_dir),
+            quality_min=0.62,
+            lang_fracs={"en": 0.5},
+            dedup="minhash",
+            minhash_min_bands=2,
+            num_partitions=32,
+            seed=12345,
+        )
+        kept = out.count()
+        _save("curation", {
+            "docs_rows": 50_000,
+            "sec": round(time.time() - t0, 1),
+            "kept": kept,
+            "peak_sys_used_gib": round(ms.peak_used_gib, 1),
+            "driver_rss_gib": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20, 2),
+        })
+    ray.shutdown()
+
+
 def report_phase() -> None:
     merged = {}
     for p in sorted(Path("/tmp").glob("sf1_*.json")):
@@ -262,6 +306,8 @@ def main():
         flagship_phase(int(sys.argv[sys.argv.index("--flagship") + 1]))
     elif "--dedup" in sys.argv:
         dedup_phase()
+    elif "--curation" in sys.argv:
+        curation_phase()
     elif "--report" in sys.argv:
         report_phase()
     else:

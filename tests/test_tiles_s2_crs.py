@@ -279,3 +279,33 @@ def test_geohash_registry_kernel():
     batch = pa.table({"geometry": encode_wkb(ga)})
     out = geo_op("geohash", precision=5)(batch)
     assert out["geohash"].to_pylist() == ["u4pru", "ezs42"]
+
+
+def test_geohash_neighbors():
+    """Every neighbor decodes exactly one cell step away; the canonical
+    worked example's neighbor set (ezs42, crossing a base-cell boundary to
+    the ezef* cells) matches; polar rows return the cell itself for the
+    missing meridional neighbor."""
+    import numpy as np
+    from geopolars_ray.geom.tiles import geohash_decode, geohash_encode, geohash_neighbors
+
+    nb = geohash_neighbors(np.array(["ezs42"]))
+    assert sorted(set(nb[0])) == [
+        "ezefp", "ezefr", "ezefx", "ezs40", "ezs41", "ezs43", "ezs48", "ezs49"
+    ]
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-179.0, 179.0, 2000)
+    lat = rng.uniform(-89.0, 89.0, 2000)
+    g = geohash_encode(lon, lat, 6)
+    clon, clat = geohash_decode(g)
+    dlon, dlat = 360.0 / 2**15, 180.0 / 2**15
+    for j in range(8):
+        nl, nt = geohash_decode(geohash_neighbors(g)[:, j])
+        dl = np.abs((nl - clon + 180.0) % 360.0 - 180.0)
+        dt = np.abs(nt - clat)
+        assert ((np.isclose(dl, dlon, atol=1e-9) | np.isclose(dl, 0.0, atol=1e-9))
+                & (np.isclose(dt, dlat, atol=1e-9) | np.isclose(dt, 0.0, atol=1e-9))).all()
+    # north pole cell: N/NW/NE collapse to the cell itself
+    gp = geohash_encode(np.array([10.0]), np.array([89.999999]), 4)
+    nbp = geohash_neighbors(gp)
+    assert nbp[0, 3] == gp[0]
