@@ -901,3 +901,55 @@ def _min_point_to_segments(pts: np.ndarray, segs: np.ndarray) -> float:
     proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
     dd = pts[:, None, :] - proj
     return float(np.sqrt((dd**2).sum(axis=2)).min())
+
+
+def buffer_points(ga: GeometryArray, distance: float, quad_segs: int = 8) -> GeometryArray:
+    """Circular buffer of POINT geometries: one CCW ``4*quad_segs``-gon per
+    point (the shapely ``buffer(distance, quad_segs)`` point case — the
+    dominant buffer use in join pipelines: buffer points, then sjoin).
+
+    Fully vectorized: one (n_points, k, 2) broadcast. Only Point rows are
+    supported — line/polygon offset curves need a full Minkowski/offset
+    construction, which is deliberately NOT faked; non-point input raises.
+    Missing rows pass through as missing. ``distance <= 0`` raises.
+
+    The inscribed regular k-gon has area ``0.5 * k * d^2 * sin(2*pi/k)``
+    (< pi*d^2, converging as quad_segs grows) — pinned exactly in tests.
+    """
+    if distance <= 0.0:
+        raise ValueError("buffer distance must be positive")
+    if quad_segs < 1:
+        raise ValueError("quad_segs must be >= 1")
+    is_pt = ga.types == POINT
+    is_missing = ga.types == MISSING
+    if not (is_pt | is_missing).all():
+        bad = set(int(t) for t in ga.types[~(is_pt | is_missing)])
+        raise NotImplementedError(
+            f"buffer_points supports only Point geometries (got type ids {sorted(bad)}); "
+            "line/polygon offset curves are not implemented"
+        )
+    k = 4 * int(quad_segs)
+    n = len(ga)
+    co = ga.coord_offsets()
+    # CCW ring, starting at angle 0, closed by repeating the first vertex
+    ang = np.arange(k) * (2.0 * np.pi / k)
+    unit = np.column_stack([np.cos(ang), np.sin(ang)])
+    unit = np.vstack([unit, unit[:1]])  # (k+1, 2) closed
+    centers = np.zeros((n, 2))
+    centers[is_pt] = ga.coords[co[:-1][is_pt]]
+    rings = centers[:, None, :] + distance * unit[None, :, :]  # (n, k+1, 2)
+
+    out_types = np.where(is_pt, POLYGON, MISSING).astype(np.int8)
+    parts_per = is_pt.astype(np.int64)
+    geom_offsets = np.concatenate([[0], np.cumsum(parts_per)])
+    n_parts = int(parts_per.sum())
+    part_offsets = np.arange(n_parts + 1, dtype=np.int64)  # 1 ring per part
+    ring_offsets = np.arange(n_parts + 1, dtype=np.int64) * (k + 1)
+    coords = rings[is_pt].reshape(-1, 2)
+    return GeometryArray(
+        types=out_types,
+        geom_offsets=geom_offsets,
+        part_offsets=part_offsets,
+        ring_offsets=ring_offsets,
+        coords=coords,
+    )

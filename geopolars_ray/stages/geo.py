@@ -28,6 +28,12 @@ from geopolars_ray.geom import tiles as tiles_mod
 GEOMETRY = "geometry"
 
 
+def _clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax: float) -> GeometryArray:
+    from geopolars_ray.geom.clip import clip_by_rect
+
+    return clip_by_rect(ga, xmin, ymin, xmax, ymax)
+
+
 # --------------------------------------------------------------------------
 # encoding-transparent geometry column access (WKB or GeoArrow-native)
 # --------------------------------------------------------------------------
@@ -123,6 +129,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "scale": (K.scale, "geometry"),
     "skew": (K.skew, "geometry"),
     "to_crs": (crs_mod.to_crs, "geometry"),
+    "clip_by_rect": (_clip_by_rect, "geometry"),
+    "buffer": (K.buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
         lambda ga, precision=9: tiles_mod.geohash_encode(K.get_x(ga), K.get_y(ga), precision),
