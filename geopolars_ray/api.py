@@ -263,6 +263,19 @@ class GeoDataset:
     def skew(self, xs: float = 0.0, ys: float = 0.0, origin="center") -> "GeoDataset":
         return self._apply("skew", xs=xs, ys=ys, origin=origin)
 
+    def clip_by_rect(self, xmin: float, ymin: float, xmax: float, ymax: float) -> "GeoDataset":
+        """Clip every geometry to the rectangle (shapely surface; see
+        ``geom/clip.py`` for the documented Sutherland–Hodgman caveat)."""
+        return self._apply("clip_by_rect", xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax)
+
+    def buffer(self, distance: float, quad_segs: int = 8) -> "GeoDataset":
+        """Point buffer (circular 4*quad_segs-gon); non-point rows raise."""
+        return self._apply("buffer", distance=distance, quad_segs=quad_segs)
+
+    def geohash(self, precision: int = 9, out_col: str = "geohash") -> "GeoDataset":
+        """Geohash string of each point geometry (prefix-nesting layout key)."""
+        return self._apply("geohash", out_col, precision=precision)
+
     def to_crs(self, *args: str, from_crs: str | None = None, to_crs: str | None = None) -> "GeoDataset":
         """Reproject. Two calling styles, both unambiguous:
 

@@ -183,3 +183,25 @@ def test_crs_tracking_and_geoparquet_write(ray_session, tmp_path):
     assert files
     meta = read_geo_metadata(str(files[0]))
     assert meta["columns"]["geometry"]["crs"] == "EPSG:3857"
+
+
+def test_geodataset_clip_buffer_geohash(ray_session):
+    """The r4 kernels are reachable through the GeoDataset method surface."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+    from geopolars_ray.geom import kernels as K
+
+    pts = GeometryArray.from_points(np.array([10.40744, 100.0]), np.array([57.64911, 0.0]))
+    gds = GeoDataset(ray.data.from_arrow(pa.table({"geometry": encode_wkb(pts)})))
+    gh = gds.geohash(precision=5).take_all()
+    assert gh[0]["geohash"] == "u4pru"
+    clipped = gds.buffer(2.0, quad_segs=8).clip_by_rect(0.0, 0.0, 50.0, 90.0)
+    tabs = clipped.dataset.take_all()
+    ga = decode_wkb(pa.array([r["geometry"] for r in tabs], pa.large_binary()))
+    a = K.area(ga)
+    assert abs(a[0] - 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)) < 1e-12  # inside
+    assert np.isnan(a[1])  # fully clipped -> null geometry
