@@ -197,6 +197,19 @@ def kernel_benchmarks() -> dict:
 
     xc, yc = np.clip(x, 3.0, 9.0), np.clip(y, -80, 84)
     out["utm_forward_mrows_s"] = round(best_rate(lambda: crs_mod.utm_forward(xc, yc, zone=32), n) / 1e6, 2)
+    out["lcc_forward_mrows_s"] = round(
+        best_rate(lambda: crs_mod.lcc_forward(xc, np.clip(yc, 41, 52), 3.0, 46.5, 49.0, 44.0), n) / 1e6, 2)
+    from geopolars_ray.geom import tiles as tiles_mod
+
+    out["geohash_p9_mrows_s"] = round(best_rate(lambda: tiles_mod.geohash_encode(x, y, 9), n) / 1e6, 2)
+    from geopolars_ray.geom.clip import clip_by_rect
+
+    # rectangle cuts through the 16-gon cloud: every ring takes all 4 passes
+    out["clip_polygons_mrows_s"] = round(
+        best_rate(lambda: clip_by_rect(polys, -100.0, -50.0, 100.0, 50.0), m) / 1e6, 2)
+    pts_small = GeometryArray.from_points(x[:200_000], y[:200_000])  # 33 verts out per point
+    out["buffer_points_mrows_s"] = round(
+        best_rate(lambda: K.buffer_points(pts_small, 0.5, 8), len(pts_small)) / 1e6, 2)
     from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]

@@ -199,3 +199,36 @@ def test_buffer_registry_and_sjoin_composition(ray_session):
     assert (ga.types == 3).all()  # POLYGON
     np.testing.assert_allclose(
         K.area(ga), 0.5 * 48 * np.sin(2 * np.pi / 48), rtol=1e-12)
+
+
+def test_clip_generic_path_equals_vectorized():
+    """A mixed batch (a point appended) forces the generic per-geometry
+    path; its polygon results must equal the pure-polygon vectorized path
+    geometry-for-geometry — including multipolygons and holes."""
+    rng = np.random.default_rng(5)
+    geoms = []
+    for _ in range(80):
+        k = rng.integers(3, 9)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        r = rng.uniform(0.5, 3.0, k)
+        cx, cy = rng.uniform(-4, 4, 2)
+        ring = [(cx + ri * np.cos(a), cy + ri * np.sin(a)) for ri, a in zip(r, ang)]
+        geoms.append(("polygon", [[*ring, ring[0]]]))
+    # a multipolygon and a holed polygon for structure coverage
+    geoms.append(("multipolygon", [
+        [[(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]],
+        [[(10, 10), (12, 10), (12, 12), (10, 12), (10, 10)]],
+    ]))
+    geoms.append(("polygon", [
+        [(-3, -3), (3, -3), (3, 3), (-3, 3), (-3, -3)],
+        [(-1, -1), (-1, 1), (1, 1), (1, -1), (-1, -1)],
+    ]))
+    pure = GeometryArray.from_pylist(geoms)
+    mixed = GeometryArray.from_pylist(geoms + [("point", (0.5, 0.5))])
+    rect = (-2.0, -2.5, 2.5, 2.0)
+    out_vec = clip_by_rect(pure, *rect)
+    out_gen = clip_by_rect(mixed, *rect)
+    vec_list = out_vec.to_pylist()
+    gen_list = out_gen.to_pylist()
+    assert gen_list[-1] == ("point", (0.5, 0.5))
+    assert gen_list[:-1] == vec_list
