@@ -356,3 +356,41 @@ def euclidean_knn(
         )
 
     return hash_partitioned_map(partials, ["qid"], merge_part, num_partitions=num_partitions)
+
+
+def sjoin_nearest(
+    points_ds,
+    targets_ds,
+    max_distance: float | None = None,
+    cell_deg: float = 5.0,
+    x_col: str = "x",
+    y_col: str = "y",
+    point_id: str = "pid",
+    target_id: str = "tid",
+    distance_col: str = "distance",
+    num_partitions: int = 16,
+):
+    """GeoPandas-style nearest join: each left point matched to its single
+    nearest right point (``knn_join`` with k=1), optionally dropped when
+    farther than ``max_distance``.
+
+    Semantics delta vs GeoPandas (documented, deterministic): exact distance
+    ties keep the LOWEST target id, not all tied rows — the engine's kNN
+    tie-break. Output: (point_id, target_id, distance_col); points with no
+    target within ``max_distance`` are absent (inner-join shape).
+    """
+    out = knn_join(points_ds, targets_ds, k=1, cell_deg=cell_deg, x_col=x_col,
+                   y_col=y_col, point_id=point_id, target_id=target_id,
+                   num_partitions=num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.drop_columns(["rank"])
+        if max_distance is not None:
+            import pyarrow.compute as pc
+
+            t = t.filter(pc.less_equal(t["distance"], max_distance))
+        if distance_col != "distance":
+            t = t.rename_columns([distance_col if c == "distance" else c for c in t.column_names])
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")

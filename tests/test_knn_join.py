@@ -75,3 +75,33 @@ def test_knn_join_id_types(ray_session):
     spts = pa.table({"pid": pa.array(["a", "b"]), "x": pa.array([0.0, 1.0]), "y": pa.array([0.0, 1.0])})
     with pytest.raises(ValueError, match="integer id columns"):
         knn_join(ray.data.from_arrow(spts), ray.data.from_arrow(tgt), k=1)
+
+
+def test_sjoin_nearest(ray_session):
+    """sjoin_nearest == brute-force nearest (inner shape, max_distance cut)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.knn import sjoin_nearest
+
+    rng = np.random.default_rng(3)
+    n, m = 3000, 400
+    px, py = rng.uniform(0, 20, n), rng.uniform(0, 20, n)
+    tx, ty = rng.uniform(0, 20, m), rng.uniform(0, 20, m)
+    pts = ray.data.from_arrow(pa.table({"pid": pa.array(np.arange(n)), "x": pa.array(px), "y": pa.array(py)}))
+    tgt = ray.data.from_arrow(pa.table({"tid": pa.array(np.arange(m)), "x": pa.array(tx), "y": pa.array(ty)}))
+    out = sjoin_nearest(pts, tgt, max_distance=1.5, cell_deg=4.0,
+                        distance_col="d").to_pandas().sort_values("pid")
+    # brute force
+    d2 = (px[:, None] - tx[None, :]) ** 2 + (py[:, None] - ty[None, :]) ** 2
+    nearest = np.argmin(d2, axis=1)  # lowest index wins ties (same as engine)
+    nd = np.sqrt(d2[np.arange(n), nearest])
+    keep = nd <= 1.5
+    assert len(out) == int(keep.sum())
+    got = dict(zip(out["pid"], out["tid"]))
+    gotd = dict(zip(out["pid"], out["d"]))
+    for i in np.nonzero(keep)[0]:
+        assert got[i] == nearest[i]
+        assert abs(gotd[i] - nd[i]) < 1e-12
+    assert list(out.columns) == ["pid", "tid", "d"]
