@@ -114,11 +114,13 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 9) -> np.n
     total = 5 * precision
     lon_bits = (total + 1) // 2
     lat_bits = total // 2
+    nan = np.isnan(lon) | np.isnan(lat)  # missing geometries -> "" sentinel
     # quantize; clip handles lon=180 / lat=90 (maps to the last cell)
-    lon_q = np.clip(((lon + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
-                    0, (1 << lon_bits) - 1).astype(np.uint64)
-    lat_q = np.clip(((lat + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
-                    0, (1 << lat_bits) - 1).astype(np.uint64)
+    with np.errstate(invalid="ignore"):
+        lon_q = np.clip(((np.nan_to_num(lon) + 180.0) / 360.0 * (1 << lon_bits)).astype(np.int64),
+                        0, (1 << lon_bits) - 1).astype(np.uint64)
+        lat_q = np.clip(((np.nan_to_num(lat) + 90.0) / 180.0 * (1 << lat_bits)).astype(np.int64),
+                        0, (1 << lat_bits) - 1).astype(np.uint64)
     code = np.zeros(len(lon), dtype=np.uint64)
     one = np.uint64(1)
     for i in range(total):
@@ -133,7 +135,11 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 9) -> np.n
     for j in range(precision):
         idx = (code >> np.uint64(5 * (precision - 1 - j))) & np.uint64(31)
         chars[:, j] = _GEOHASH_CODES[idx.astype(np.int64)]
-    return chars.view(f"S{precision}").ravel().astype(str)
+    out = chars.view(f"S{precision}").ravel().astype(str)
+    if nan.any():
+        out = out.astype(object)
+        out[nan] = ""
+    return out
 
 
 def geohash_decode(gh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

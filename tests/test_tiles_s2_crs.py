@@ -309,3 +309,13 @@ def test_geohash_neighbors():
     gp = geohash_encode(np.array([10.0]), np.array([89.999999]), 4)
     nbp = geohash_neighbors(gp)
     assert nbp[0, 3] == gp[0]
+
+
+def test_geohash_nan_sentinel():
+    """Missing geometries (NaN coords from get_x/get_y) encode to the ""
+    sentinel instead of a garbage base32 string."""
+    import numpy as np
+    from geopolars_ray.geom.tiles import geohash_encode
+
+    out = geohash_encode(np.array([10.0, np.nan]), np.array([50.0, np.nan]), 5)
+    assert out[1] == "" and len(out[0]) == 5
