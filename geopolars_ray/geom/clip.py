@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 from geopolars_ray.geom.array import (
+    LINEARRING,
     LINESTRING,
     MISSING,
     MULTILINESTRING,
@@ -41,7 +42,9 @@ from geopolars_ray.geom.array import (
 )
 
 _POINTISH = (POINT, MULTIPOINT)
-_LINEISH = (LINESTRING, MULTILINESTRING)
+# LINEARRING clips as a stored-closed polyline; output degrades to
+# LineString/MultiLineString (a clipped ring is no longer a ring)
+_LINEISH = (LINESTRING, LINEARRING, MULTILINESTRING)
 _POLYISH = (POLYGON, MULTIPOLYGON)
 
 
@@ -177,6 +180,99 @@ def _clip_polygons_vec(ga: GeometryArray, rect) -> GeometryArray:
     )
 
 
+def _lb_params(p: np.ndarray, d: np.ndarray, rect) -> tuple[np.ndarray, np.ndarray]:
+    """Liang–Barsky entry/exit parameters per segment (vectorized)."""
+    xmin, ymin, xmax, ymax = rect
+    t0 = np.zeros(len(p))
+    t1 = np.ones(len(p))
+    for axis, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ta = (lo - p[:, axis]) / d[:, axis]
+            tb = (hi - p[:, axis]) / d[:, axis]
+            tlo = np.minimum(ta, tb)
+            thi = np.maximum(ta, tb)
+        par = d[:, axis] == 0.0
+        inside_par = (p[:, axis] >= lo) & (p[:, axis] <= hi)
+        t0 = np.where(par, np.where(inside_par, t0, 1.0), np.maximum(t0, tlo))
+        t1 = np.where(par, np.where(inside_par, t1, 0.0), np.minimum(t1, thi))
+    return t0, t1
+
+
+def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
+    """Fully-vectorized line clip for arrays of ONLY line-ish / MISSING rows:
+    Liang–Barsky over every segment of the batch at once, chain starts from
+    one global break mask (part firsts, dropped/shortened predecessors,
+    mid-segment entries), ragged output via cumsum/scatter — the same
+    no-per-geometry-Python contract as :func:`_clip_polygons_vec`.
+    """
+    from geopolars_ray.geom.array import _expand_ranges
+
+    n = len(ga)
+    p_s = ga.ring_offsets[:-1]  # line part == single ring
+    p_e = ga.ring_offsets[1:]
+    nseg = np.maximum(p_e - p_s - 1, 0)
+    seg_idx = _expand_ranges(p_s, np.maximum(p_e - 1, p_s))
+    p = ga.coords[seg_idx]
+    q = ga.coords[np.minimum(seg_idx + 1, max(len(ga.coords) - 1, 0))]
+    d = q - p
+    t0, t1 = _lb_params(p, d, rect)
+    keep = t0 < t1
+    a = p + t0[:, None] * d
+    b = p + t1[:, None] * d
+
+    seg_off = np.zeros(len(nseg) + 1, dtype=np.int64)
+    np.cumsum(nseg, out=seg_off[1:])
+    brk = np.zeros(len(p), dtype=bool)
+    brk[seg_off[:-1][nseg > 0]] = True  # first segment of every part
+    brk[1:] |= (~keep[:-1]) | (t1[:-1] < 1.0)
+    brk |= t0 > 0.0  # entered mid-segment
+
+    ki = np.nonzero(keep)[0]
+    n_rings_out = 0
+    chain_part = np.empty(0, dtype=np.int64)
+    chain_sizes = np.empty(0, dtype=np.int64)
+    coords_out = np.empty((0, 2))
+    if len(ki):
+        starts = brk[ki].copy()
+        starts[1:] |= np.diff(ki) > 1
+        starts[0] = True
+        cnts = 1 + starts.astype(np.int64)
+        pos = np.cumsum(cnts) - cnts
+        total = int(cnts.sum())
+        coords_out = np.empty((total, 2))
+        coords_out[pos[starts]] = a[ki[starts]]
+        coords_out[pos + starts] = b[ki]
+        start_pos = np.nonzero(starts)[0]
+        seg_per_chain = np.diff(np.concatenate([start_pos, [len(ki)]]))
+        chain_sizes = seg_per_chain + 1
+        seg_part = np.repeat(np.arange(len(nseg), dtype=np.int64), nseg)
+        chain_part = seg_part[ki[start_pos]]
+        n_rings_out = len(start_pos)
+
+    ring_offsets_out = np.zeros(n_rings_out + 1, dtype=np.int64)
+    np.cumsum(chain_sizes, out=ring_offsets_out[1:])
+    part_offsets_out = np.arange(n_rings_out + 1, dtype=np.int64)  # 1 chain = 1 part
+    chains_per_part = np.bincount(chain_part, minlength=len(nseg)) if len(nseg) else np.zeros(0, np.int64)
+    cs = np.zeros(len(nseg) + 1, dtype=np.int64)
+    np.cumsum(chains_per_part, out=cs[1:])
+    chains_per_geom = cs[ga.geom_offsets[1:]] - cs[ga.geom_offsets[:-1]]
+    geom_offsets_out = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(chains_per_geom, out=geom_offsets_out[1:])
+    types_out = np.where(
+        chains_per_geom == 0,
+        MISSING,
+        np.where(chains_per_geom > 1, MULTILINESTRING,
+                 np.where(ga.types == MULTILINESTRING, MULTILINESTRING, LINESTRING)),
+    ).astype(np.int8)
+    return GeometryArray(
+        types=types_out,
+        geom_offsets=geom_offsets_out,
+        part_offsets=part_offsets_out,
+        ring_offsets=ring_offsets_out,
+        coords=coords_out,
+    )
+
+
 def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax: float) -> GeometryArray:
     """Clip every geometry to [xmin, xmax] x [ymin, ymax]."""
     if not (xmin < xmax and ymin < ymax):
@@ -184,6 +280,8 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
     rect = (float(xmin), float(ymin), float(xmax), float(ymax))
     if bool(np.all(np.isin(ga.types, _POLYISH) | (ga.types == MISSING))):
         return _clip_polygons_vec(ga, rect)
+    if bool(np.all(np.isin(ga.types, _LINEISH) | (ga.types == MISSING))):
+        return _clip_lines_vec(ga, rect)
 
     # outputs accumulated as flat lists of arrays, one entry per geometry
     out_types = np.array(ga.types, dtype=np.int8, copy=True)
@@ -310,6 +408,8 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
             continue
         if t == POINT and len(parts) > 1:  # cannot happen (1 coord in)
             t = MULTIPOINT
+        if t == LINEARRING:
+            t = LINESTRING  # a clipped ring is no longer a ring
         if t == LINESTRING and len(parts) > 1:
             t = MULTILINESTRING  # a clipped line may split into pieces
         if t == POLYGON and len(parts) > 1:  # cannot happen (1 part in)

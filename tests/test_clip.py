@@ -232,3 +232,36 @@ def test_clip_generic_path_equals_vectorized():
     gen_list = out_gen.to_pylist()
     assert gen_list[-1] == ("point", (0.5, 0.5))
     assert gen_list[:-1] == vec_list
+
+
+def test_clip_lines_vectorized_equals_generic():
+    """Line fast path == generic path on random polylines (forced by mixing
+    in a point); LINEARRING clips as a closed polyline and degrades to
+    LineString/MultiLineString."""
+    from geopolars_ray.geom.array import LINESTRING, POINT
+
+    rng = np.random.default_rng(7)
+    m, v = 500, 8
+    coords = rng.uniform(-120.0, 120.0, (m * v, 2))
+    seq = np.arange(m + 1, dtype=np.int64)
+    ga = GeometryArray(types=np.full(m, LINESTRING, np.int8), geom_offsets=seq,
+                       part_offsets=seq, ring_offsets=seq * v, coords=coords)
+    rect = (-100.0, -50.0, 100.0, 50.0)
+    fast = clip_by_rect(ga, *rect).to_pylist()
+    mixed = GeometryArray(
+        types=np.concatenate([ga.types, np.array([POINT], np.int8)]),
+        geom_offsets=np.concatenate([ga.geom_offsets, [ga.geom_offsets[-1] + 1]]),
+        part_offsets=np.concatenate([ga.part_offsets, [ga.part_offsets[-1] + 1]]),
+        ring_offsets=np.concatenate([ga.ring_offsets, [ga.ring_offsets[-1] + 1]]),
+        coords=np.vstack([ga.coords, [[0.0, 0.0]]]),
+    )
+    gen = clip_by_rect(mixed, *rect).to_pylist()
+    assert gen[:-1] == fast and gen[-1] == ("point", (0.0, 0.0))
+    # linearring: closed square ring cut by a half-plane -> open polyline(s)
+    ring = GeometryArray.from_pylist(
+        [("linearring", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)])]
+    )
+    out = clip_by_rect(ring, -1.0, -1.0, 2.0, 5.0)
+    got = out.to_pylist()[0]
+    assert got[0] in ("linestring", "multilinestring")
+    assert abs(K.euclidean_length(out)[0] - 8.0) < 1e-12  # left half of the 16-perimeter square
