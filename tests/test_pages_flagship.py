@@ -154,11 +154,16 @@ def test_fused_flagship_matches_unfused(ray_session, tmp_path):
     assert (a["n_pages"] == b["n_pages"]).all()
     # atol: per-group lat/lon sums can CANCEL near zero (values straddle the
     # equator/meridian), where any reassociation difference makes the
-    # relative error unbounded even though the absolute error is ~ulp-scale;
-    # 1e-8 >> worst-case double reassociation error for <=60k terms |v|<=180
-    # and << any real defect.
-    np.testing.assert_allclose(a["sum_lat"], b["sum_lat"], rtol=1e-12, atol=1e-8)
-    np.testing.assert_allclose(a["sum_lon"], b["sum_lon"], rtol=1e-12, atol=1e-8)
+    # relative error unbounded even though the absolute error is tiny. The
+    # unfused path's association follows Ray's PRESSURE-DEPENDENT block
+    # splits (observed: in-suite runs on a loaded VM split differently than
+    # a solo run), so the bound must cover arbitrary reassociation of up to
+    # n<=60k terms with |v|<=180: ~n*eps*sum|v| ~ 1e-4 worst-case chain-vs-
+    # tree, ~1e-8..1e-7 for the realistic split shapes. 1e-6 sits above the
+    # noise and 6+ orders below any real defect (one misassigned row moves
+    # a sum by O(1)). A flaky 1e-8 failure was observed twice under load.
+    np.testing.assert_allclose(a["sum_lat"], b["sum_lat"], rtol=1e-12, atol=1e-6)
+    np.testing.assert_allclose(a["sum_lon"], b["sum_lon"], rtol=1e-12, atol=1e-6)
 
     # determinism: a second fused run is BIT-identical (deterministic shard
     # grouping regardless of parallelism)
