@@ -68,21 +68,25 @@ def _sh_pass(coords: np.ndarray, offsets: np.ndarray, axis: int, c: float, keep_
     last = offsets[1:] - 1
     first = offsets[:-1]
     ok = last >= first  # non-empty rings
-    # vj = cyclic next vertex, built as one contiguous shift + a small
-    # per-ring wrap scatter (a full row-gather was the pass's hot spot)
-    vj = np.empty_like(coords)
-    vj[:-1] = coords[1:]
-    vj[last[ok]] = coords[first[ok]]
-    val_i = coords[:, axis]
+    # pair every vertex with its PREDECESSOR (vp), built as one contiguous
+    # shift + a small per-ring wrap scatter (a full row-gather was the
+    # pass's hot spot). This alignment emits kept vertex i at slot i, so a
+    # fully-inside ring is a FIXED POINT vertex-for-vertex — pairing with
+    # the successor instead rotates the ring by one per pass (caught by the
+    # idempotence property test on degenerate rings).
+    vp = np.empty_like(coords)
+    vp[1:] = coords[:-1]
+    vp[first[ok]] = coords[last[ok]]
+    val = coords[:, axis]
     if keep_ge:
-        in_i = val_i >= c
+        in_cur = val >= c
     else:
-        in_i = val_i <= c
-    in_j = np.empty_like(in_i)
-    in_j[:-1] = in_i[1:]
-    in_j[last[ok]] = in_i[first[ok]]
-    cross = in_i != in_j
-    cnt = in_j.astype(np.int64)
+        in_cur = val <= c
+    in_prev = np.empty_like(in_cur)
+    in_prev[1:] = in_cur[:-1]
+    in_prev[first[ok]] = in_cur[last[ok]]
+    cross = in_prev != in_cur
+    cnt = in_cur.astype(np.int64)
     cnt += cross
     pos = np.cumsum(cnt)
     total = int(pos[-1])
@@ -90,15 +94,23 @@ def _sh_pass(coords: np.ndarray, offsets: np.ndarray, axis: int, c: float, keep_
     out = np.empty((total, 2), dtype=np.float64)
     ci = np.nonzero(cross)[0]
     if len(ci):
-        vi_c = coords[ci]
-        vj_c = vj[ci]
-        t = (c - vi_c[:, axis]) / (vj_c[:, axis] - vi_c[:, axis])
-        inter = vi_c + t[:, None] * (vj_c - vi_c)
+        vp_c = vp[ci]
+        vc_c = coords[ci]
+        t = (c - vp_c[:, axis]) / (vc_c[:, axis] - vp_c[:, axis])
+        inter = vp_c + t[:, None] * (vc_c - vp_c)
         inter[:, axis] = c  # exact on the clip line
+        # the FREE coordinate can escape the endpoints' interval by rounding
+        # (e.g. 1 + 1*(tiny - 1) -> 0.0 when `tiny` is subnormal), which
+        # would leak a vertex outside the rect and break clip idempotence;
+        # clamp to the segment's endpoint hull (both endpoints are already
+        # inside every previously-applied half-plane)
+        o = 1 - axis
+        inter[:, o] = np.clip(inter[:, o], np.minimum(vp_c[:, o], vc_c[:, o]),
+                              np.maximum(vp_c[:, o], vc_c[:, o]))
         out[pos[ci]] = inter
-    ji = np.nonzero(in_j)[0]
+    ji = np.nonzero(in_cur)[0]
     if len(ji):
-        out[pos[ji] + cross[ji]] = vj[ji]
+        out[pos[ji] + cross[ji]] = coords[ji]
     new_offsets = np.concatenate([[0], np.cumsum(_seg_sums(cnt, offsets))])
     return out, new_offsets
 
@@ -199,6 +211,18 @@ def _lb_params(p: np.ndarray, d: np.ndarray, rect) -> tuple[np.ndarray, np.ndarr
     return t0, t1
 
 
+def _clamp_rect(pts: np.ndarray, rect) -> np.ndarray:
+    """Clamp clipped endpoints into the rectangle: the t-interpolation can
+    overshoot a bound by rounding (subnormal bounds, absorption) — in-rect
+    points are untouched, so this only snaps the rounding overshoot and
+    makes the line clip idempotent (property-tested)."""
+    xmin, ymin, xmax, ymax = rect
+    out = pts.copy()
+    out[:, 0] = np.clip(out[:, 0], xmin, xmax)
+    out[:, 1] = np.clip(out[:, 1], ymin, ymax)
+    return out
+
+
 def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
     """Fully-vectorized line clip for arrays of ONLY line-ish / MISSING rows:
     Liang–Barsky over every segment of the batch at once, chain starts from
@@ -218,8 +242,8 @@ def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
     d = q - p
     t0, t1 = _lb_params(p, d, rect)
     keep = t0 < t1
-    a = p + t0[:, None] * d
-    b = p + t1[:, None] * d
+    a = _clamp_rect(p + t0[:, None] * d, rect)
+    b = _clamp_rect(p + t1[:, None] * d, rect)
 
     seg_off = np.zeros(len(nseg) + 1, dtype=np.int64)
     np.cumsum(nseg, out=seg_off[1:])
@@ -345,24 +369,12 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
             p = pts[:-1]
             q = pts[1:]
             d = q - p
-            # Liang–Barsky clip params per segment
-            t0 = np.zeros(len(p))
-            t1 = np.ones(len(p))
-            for axis, lo, hi in ((0, xmin, xmax), (1, ymin, ymax)):
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    ta = (lo - p[:, axis]) / d[:, axis]
-                    tb = (hi - p[:, axis]) / d[:, axis]
-                    tlo = np.minimum(ta, tb)
-                    thi = np.maximum(ta, tb)
-                par = d[:, axis] == 0.0
-                inside_par = (p[:, axis] >= lo) & (p[:, axis] <= hi)
-                t0 = np.where(par, np.where(inside_par, t0, 1.0), np.maximum(t0, tlo))
-                t1 = np.where(par, np.where(inside_par, t1, 0.0), np.minimum(t1, thi))
+            t0, t1 = _lb_params(p, d, rect)
             keep = t0 < t1
             if not keep.any():
                 continue
-            a = p + t0[:, None] * d
-            b = p + t1[:, None] * d
+            a = _clamp_rect(p + t0[:, None] * d, rect)
+            b = _clamp_rect(p + t1[:, None] * d, rect)
             # chain break before segment i when: i dropped, or i-1 dropped,
             # or the shared vertex moved (t1[i-1] < 1 or t0[i] > 0)
             brk = np.ones(len(p), dtype=bool)

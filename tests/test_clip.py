@@ -21,8 +21,8 @@ def _sh_reference(ring, rect):
             break
         out = []
         for i in range(len(pts)):
-            cur = pts[(i + 1) % len(pts)]
-            prev = pts[i]
+            cur = pts[i]
+            prev = pts[i - 1]
             pin = prev[axis] >= c if keep_ge else prev[axis] <= c
             cin = cur[axis] >= c if keep_ge else cur[axis] <= c
             if pin != cin:

@@ -300,3 +300,57 @@ def test_paragraph_dedup_partition_invariance_and_coverage(ray_session, seg_list
     kept = [seg for _d, _ns, nk, txt in a if nk for seg in txt.split("\n")]
     distinct = {seg for s in seg_lists for seg in s}
     assert sorted(kept) == sorted(distinct)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(geometry, min_size=1, max_size=10),
+    st.tuples(coord, coord, coord, coord),
+)
+def test_clip_idempotent_and_bounded(geoms, rect):
+    """clip is a projection: clip(clip(g)) == clip(g) exactly, the result's
+    bounds sit inside the rectangle, and polygon area never grows."""
+    from geopolars_ray.geom.clip import clip_by_rect
+
+    x0, y0, x1, y1 = rect
+    xmin, xmax = min(x0, x1), max(x0, x1)
+    ymin, ymax = min(y0, y1), max(y0, y1)
+    if not (xmin < xmax and ymin < ymax):
+        return
+    ga = GeometryArray.from_pylist(geoms)
+    once = clip_by_rect(ga, xmin, ymin, xmax, ymax)
+    twice = clip_by_rect(once, xmin, ymin, xmax, ymax)
+    assert twice.to_pylist() == once.to_pylist()
+    bx0, by0, bx1, by1 = K.bounds(once)
+    fin = ~np.isnan(bx0)
+    eps = 1e-9 * max(1.0, abs(xmin), abs(xmax), abs(ymin), abs(ymax))
+    assert (bx0[fin] >= xmin - eps).all() and (bx1[fin] <= xmax + eps).all()
+    assert (by0[fin] >= ymin - eps).all() and (by1[fin] <= ymax + eps).all()
+    # NOTE: no area-monotonicity assertion here — hypothesis freely
+    # generates SELF-INTERSECTING rings (bowties), whose shoelace area
+    # cancels between lobes; clipping one lobe away can then RAISE the
+    # absolute area. Sutherland-Hodgman's documented precondition is simple
+    # polygons; monotonicity is asserted on simple inputs below.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.tuples(st.floats(0.3, 3.0), st.floats(0, 2 * np.pi)), min_size=3, max_size=10),
+    st.tuples(coord, coord),
+    st.tuples(st.floats(-3, 3), st.floats(-3, 3), st.floats(0.5, 4.0), st.floats(0.5, 4.0)),
+)
+def test_clip_area_monotone_on_simple_polygons(polar, center, rectspec):
+    """On SIMPLE (star-convex) polygons, clipping never increases area."""
+    from geopolars_ray.geom.clip import clip_by_rect
+
+    r = np.array([p[0] for p in polar])
+    ang = np.sort(np.array([p[1] for p in polar]))
+    cx, cy = center
+    ring = [(cx + ri * np.cos(a), cy + ri * np.sin(a)) for ri, a in zip(r, ang)]
+    ga = GeometryArray.from_pylist([("polygon", [[*ring, ring[0]]])])
+    rx, ry, w, h = rectspec
+    once = clip_by_rect(ga, rx, ry, rx + w, ry + h)
+    a_in = K.area(ga)[0]
+    a_out = K.area(once)[0]
+    if not np.isnan(a_out):
+        assert a_out <= a_in * (1 + 1e-9) + 1e-12
