@@ -18,21 +18,29 @@ def _docs(n=500, seed=0, max_tok=700):
 
 
 def _greedy_reference(tok, budget):
-    """Straight-line greedy packer (the spec, unvectorized)."""
-    seq, s, acc = [], 0, 0
+    """Straight-line greedy packer (the spec, unvectorized).
+
+    An oversize doc is ALONE in its sequence — the current sequence closes
+    if it holds ANY doc, including zero-token docs (an acc>0 test would
+    merge an oversize doc with preceding zero-token docs, violating the
+    documented invariant; caught by the hypothesis fuzz)."""
+    seq, s, acc, n_in_seq = [], 0, 0, 0
     for t in tok:
         if t > budget:
-            if acc > 0:
+            if n_in_seq > 0:
                 s += 1
             seq.append(s)
             s += 1
             acc = 0
+            n_in_seq = 0
             continue
         if acc + t > budget:
             s += 1
             acc = 0
+            n_in_seq = 0
         seq.append(s)
         acc += t
+        n_in_seq += 1
     return np.array(seq, dtype=np.int64)
 
 
@@ -115,3 +123,27 @@ def test_pack_validation(ray_session):
 
     with pytest.raises(ValueError, match="budget"):
         pack_greedy(ray.data.from_arrow(_docs(4)), budget=0)
+
+
+def test_pack_greedy_fuzz_vs_reference(ray_session):
+    """Hypothesis fuzz: greedy packing matches the straight-line reference
+    for arbitrary token-count sequences (incl. zeros, oversize runs, budget
+    edge hits) in a single partition."""
+    from hypothesis import given, settings, strategies as st
+
+    from geopolars_ray.stages.pack import pack_greedy
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(0, 300), min_size=1, max_size=120),
+           st.integers(1, 400))
+    def run(toks, budget):
+        tab = pa.table({
+            "doc_id": pa.array(np.arange(len(toks), dtype=np.int64)),
+            "n_tokens": pa.array(np.array(toks, dtype=np.int64)),
+        })
+        df = (pack_greedy(ray.data.from_arrow(tab), budget=budget, num_partitions=1)
+              .to_pandas().sort_values("doc_id"))
+        got = df["seq_id"].to_numpy() & ((1 << 40) - 1)
+        np.testing.assert_array_equal(got, _greedy_reference(np.array(toks), budget))
+
+    run()
