@@ -354,3 +354,34 @@ def test_clip_area_monotone_on_simple_polygons(polar, center, rectspec):
     a_out = K.area(once)[0]
     if not np.isnan(a_out):
         assert a_out <= a_in * (1 + 1e-9) + 1e-12
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.tuples(st.floats(-180.0, 180.0, allow_nan=False),
+                       st.floats(-90.0, 90.0, allow_nan=False)), min_size=1, max_size=30),
+    st.integers(1, 12),
+)
+def test_geohash_roundtrip_fuzz(pts_ll, precision):
+    """encode∘decode∘encode is the identity, decode lands within half a
+    cell, and shorter precisions are prefixes — for arbitrary floats
+    including the poles, the antimeridian and subnormals."""
+    from geopolars_ray.geom.tiles import geohash_decode, geohash_encode
+
+    lon = np.array([p[0] for p in pts_ll])
+    lat = np.array([p[1] for p in pts_ll])
+    g = geohash_encode(lon, lat, precision)
+    lo2, la2 = geohash_decode(g)
+    assert (geohash_encode(lo2, la2, precision) == g).all()
+    total = 5 * precision
+    dlon = 360.0 / (1 << ((total + 1) // 2))
+    dlat = 180.0 / (1 << (total // 2))
+    # boundary inputs (lon=180, lat=90) clip INTO the last cell, so the
+    # distance to its center stays within half a cell
+    dl = np.abs(lo2 - np.clip(lon, -180.0, 180.0 - dlon / 2))
+    dt = np.abs(la2 - np.clip(lat, -90.0, 90.0 - dlat / 2))
+    assert (dl <= dlon / 2 + 1e-12).all()
+    assert (dt <= dlat / 2 + 1e-12).all()
+    if precision > 1:
+        g_short = geohash_encode(lon, lat, precision - 1)
+        assert all(a.startswith(b) for a, b in zip(g, g_short))
