@@ -233,6 +233,37 @@ class GeoDataset:
     def bounds(self) -> "GeoDataset":
         return self._wrap(self._ds.map_batches(geo_bounds(self.geometry_col), batch_format="pyarrow"))
 
+    def total_bounds(self) -> tuple[float, float, float, float]:
+        """(xmin, ymin, xmax, ymax) of the WHOLE dataset (GeoPandas
+        ``total_bounds``): one per-batch min/max fold, 4 floats per block to
+        the driver — no materialization of geometries. NaN-empty datasets
+        (all rows missing) return (nan, nan, nan, nan)."""
+        import numpy as np
+
+        from geopolars_ray.stages.geo import decode_geometry
+        from geopolars_ray.geom import kernels as _K
+
+        gcol = self.geometry_col
+
+        def fold(batch):
+            import pyarrow as _pa
+
+            ga, _ = decode_geometry(batch, gcol)
+            xmin, ymin, xmax, ymax = _K.bounds(ga)
+            with np.errstate(invalid="ignore"):
+                return _pa.table({
+                    "xmin": _pa.array([float(np.nanmin(xmin)) if len(xmin) and not np.isnan(xmin).all() else np.nan]),
+                    "ymin": _pa.array([float(np.nanmin(ymin)) if len(ymin) and not np.isnan(ymin).all() else np.nan]),
+                    "xmax": _pa.array([float(np.nanmax(xmax)) if len(xmax) and not np.isnan(xmax).all() else np.nan]),
+                    "ymax": _pa.array([float(np.nanmax(ymax)) if len(ymax) and not np.isnan(ymax).all() else np.nan]),
+                })
+
+        parts = self._ds.map_batches(fold, batch_format="pyarrow").to_pandas()
+        if len(parts) == 0 or parts["xmin"].isna().all():
+            return (float("nan"),) * 4
+        return (float(parts["xmin"].min()), float(parts["ymin"].min()),
+                float(parts["xmax"].max()), float(parts["ymax"].max()))
+
     def centroid(self) -> "GeoDataset":
         return self._apply("centroid")
 

@@ -205,3 +205,30 @@ def test_geodataset_clip_buffer_geohash(ray_session):
     a = K.area(ga)
     assert abs(a[0] - 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)) < 1e-12  # inside
     assert np.isnan(a[1])  # fully clipped -> null geometry
+
+
+def test_total_bounds(ray_session):
+    """total_bounds == global min/max over all geometries; missing rows are
+    skipped; all-missing returns NaNs; per-block partials only (4 floats per
+    block reach the driver)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.geom.array import MISSING
+
+    rng = np.random.default_rng(0)
+    x, y = rng.uniform(-120, 80, 500), rng.uniform(-40, 60, 500)
+    pts = GeometryArray.from_points(x, y)
+    gds = GeoDataset(ray.data.from_arrow(pa.table({"geometry": encode_wkb(pts)})).repartition(7))
+    tb = gds.total_bounds()
+    assert tb == (x.min(), y.min(), x.max(), y.max())
+    empty = GeometryArray(types=np.array([MISSING], np.int8), geom_offsets=np.array([0, 0]),
+                          part_offsets=np.array([0]), ring_offsets=np.array([0]),
+                          coords=np.empty((0, 2)))
+    gds2 = GeoDataset(ray.data.from_arrow(pa.table({"geometry": encode_wkb(empty)})))
+    assert all(math.isnan(v) for v in gds2.total_bounds())
