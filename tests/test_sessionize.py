@@ -102,3 +102,48 @@ def test_windowed_columns_vs_duckdb(ray_session):
     import pytest as _p
     with _p.raises(ValueError, match="offset"):
         windowed_columns(ray.data.from_arrow(tab), ["k"], "ts", lag=[("v", "x", 0)])
+
+
+def test_windowed_columns_fuzz_vs_duckdb(ray_session):
+    """Hypothesis fuzz: arbitrary key skew / group sizes / offsets still
+    match DuckDB window functions exactly (unique order keys keep the
+    compare tie-free)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from hypothesis import given, settings, strategies as st
+
+    from geopolars_ray.stages.window import windowed_columns
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(0, 5), min_size=1, max_size=80),
+        st.integers(1, 4),
+        st.booleans(),
+    )
+    def run(keys, off, desc):
+        n = len(keys)
+        rng = np.random.default_rng(n)
+        tab = pa.table({
+            "k": pa.array(np.array(keys, dtype=np.int64)),
+            "ts": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array(rng.normal(size=n)),
+        })
+        out = windowed_columns(ray.data.from_arrow(tab), ["k"], "ts", row_number="rn",
+                               lag=[("v", "vl", off)], lead=[("v", "vf", off)],
+                               descending=desc, num_partitions=3)
+        df = out.to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        src = tab.to_pandas()
+        order = "DESC" if desc else "ASC"
+        exp = duckdb.connect().execute(f"""
+            SELECT k, ts, row_number() OVER w - 1 AS rn,
+                   lag(v, {off}) OVER w AS vl, lead(v, {off}) OVER w AS vf
+            FROM src WINDOW w AS (PARTITION BY k ORDER BY ts {order})
+            ORDER BY k, ts ASC
+        """).df()
+        for c in ("rn", "vl", "vf"):
+            a, b = df[c], exp[c]
+            assert bool(((a.isna() & b.isna()) | (a == b)).all()), (c, keys, off, desc)
+
+    run()
