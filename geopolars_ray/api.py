@@ -303,6 +303,12 @@ class GeoDataset:
         """Point buffer (circular 4*quad_segs-gon); non-point rows raise."""
         return self._apply("buffer", distance=distance, quad_segs=quad_segs)
 
+    def geodesic_buffer(self, distance_m: float, quad_segs: int = 8) -> "GeoDataset":
+        """TRUE geodesic point buffer on the WGS84 ellipsoid (meters): every
+        ring vertex is a Vincenty-direct destination at exactly distance_m —
+        no projection step, no distortion (`geom/kernels.py`)."""
+        return self._apply("geodesic_buffer", distance_m=distance_m, quad_segs=quad_segs)
+
     def geohash(self, precision: int = 9, out_col: str = "geohash") -> "GeoDataset":
         """Geohash string of each point geometry (prefix-nesting layout key)."""
         return self._apply("geohash", out_col, precision=precision)

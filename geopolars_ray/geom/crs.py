@@ -496,6 +496,49 @@ def stere_polar_inverse(x, y, lon0: float, lat_ts: float, south: bool,
 
 
 # --------------------------------------------------------------------------
+# azimuthal equidistant (ellipsoidal, via Vincenty geodesics) — +proj=aeqd
+# --------------------------------------------------------------------------
+
+
+def aeqd_forward(lon, lat, lon0: float, lat0: float, x0: float = 0.0, y0: float = 0.0):
+    """Ellipsoidal AEQD: x = s*sin(az), y = s*cos(az) where (s, az) is the
+    true geodesic distance/azimuth from the projection center — the
+    projection's DEFINING property (hypot(x, y) == geodesic distance) is
+    what tests pin, against the independent Karney implementation.
+
+    This is the projection behind the standard project→buffer→unproject
+    geodesic-buffer recipe. Near-antipodal points (Vincenty's documented
+    non-convergence slice, ~>19,900 km) come back NaN rather than wrong.
+    """
+    from geopolars_ray.geom.geodesic import vincenty_inverse
+
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    c_lon = np.full_like(lon, lon0)
+    c_lat = np.full_like(lat, lat0)
+    s, az = vincenty_inverse(c_lon, c_lat, lon, lat)
+    # enforce the documented contract: inside the near-antipodal slice the
+    # lambda iteration may return a plausible-looking but unverifiable
+    # value — emit NaN there instead of a silently-degraded coordinate
+    with np.errstate(invalid="ignore"):
+        s = np.where(s > 19_900_000.0, np.nan, s)
+    azr = np.radians(az)
+    return x0 + s * np.sin(azr), y0 + s * np.cos(azr)
+
+
+def aeqd_inverse(x, y, lon0: float, lat0: float, x0: float = 0.0, y0: float = 0.0):
+    from geopolars_ray.geom.geodesic import vincenty_direct
+
+    x = np.asarray(x, np.float64) - x0
+    y = np.asarray(y, np.float64) - y0
+    s = np.hypot(x, y)
+    az = np.degrees(np.arctan2(x, y))
+    c_lon = np.full_like(x, lon0)
+    c_lat = np.full_like(y, lat0)
+    return vincenty_direct(c_lon, c_lat, az, s)
+
+
+# --------------------------------------------------------------------------
 # CRS spec parsing + generic transform
 # --------------------------------------------------------------------------
 
@@ -580,6 +623,10 @@ def parse_crs(crs: str) -> dict:
                     "lat_1": float(params.get("lat_1", 29.5)),
                     "lat_2": float(params.get("lat_2", 45.5)),
                     "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
+        if proj == "aeqd":
+            return {"proj": "aeqd", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
         if proj == "stere":
             lat_0 = float(params.get("lat_0", 90.0))
             if abs(lat_0) != 90.0:
@@ -623,6 +670,8 @@ def _to_lonlat(x: np.ndarray, y: np.ndarray, spec: dict):
     if p == "stere":
         return stere_polar_inverse(x, y, spec["lon_0"], spec["lat_ts"], spec["south"],
                                    spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "aeqd":
+        return aeqd_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 
@@ -647,6 +696,8 @@ def _from_lonlat(lon: np.ndarray, lat: np.ndarray, spec: dict):
     if p == "stere":
         return stere_polar_forward(lon, lat, spec["lon_0"], spec["lat_ts"], spec["south"],
                                    spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "aeqd":
+        return aeqd_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 

@@ -175,3 +175,102 @@ def geodesic_inverse_m(lon1, lat1, lon2, lat2, max_iter: int = 64) -> np.ndarray
     # convergence check: one more update must be a fixed point
     final_ok = np.abs((lam12 + f * salp0 * _a3_eval(n, eps) * (sig + (_series(s2s, s2c, _c3_coeffs(n, eps)) - _series(s1s, s1c, _c3_coeffs(n, eps))))) - omg) < 1e-10
     return np.where(final_ok | ~safe, s, np.nan)
+
+
+# --------------------------------------------------------------------------
+# Vincenty direct / inverse-with-azimuth (Vincenty 1975, public formulas) —
+# the second, independent geodesic formulation in this module (the Karney
+# series above is the first); their cross-agreement is the test oracle for
+# the AEQD projection and geodesic buffers built on top.
+# --------------------------------------------------------------------------
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_WGS84_B = _WGS84_A * (1.0 - _WGS84_F)
+
+
+def vincenty_inverse(lon1, lat1, lon2, lat2, iterations: int = 30):
+    """(distance_m, fwd_azimuth_deg) per pair, vectorized.
+
+    Same lambda iteration as the distance-only kernel
+    (``kernels._vincenty_m``); the forward azimuth alpha1 falls out of the
+    converged lambda. Near-antipodal pairs (Vincenty's documented
+    non-convergence slice) return NaN azimuth — callers that need that
+    slice should densify instead."""
+    a, b, f = _WGS84_A, _WGS84_B, _WGS84_F
+    lon1 = np.asarray(lon1, np.float64); lat1 = np.asarray(lat1, np.float64)
+    lon2 = np.asarray(lon2, np.float64); lat2 = np.asarray(lat2, np.float64)
+    L = np.radians(lon2 - lon1)
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    U2 = np.arctan((1 - f) * np.tan(np.radians(lat2)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = L.copy()
+    for _ in range(iterations):
+        sinLam, cosLam = np.sin(lam), np.cos(lam)
+        sinSigma = np.sqrt((cosU2 * sinLam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosLam) ** 2)
+        cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosLam
+        sigma = np.arctan2(sinSigma, cosSigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sinAlpha = np.where(sinSigma != 0, cosU1 * cosU2 * sinLam / np.where(sinSigma == 0, 1, sinSigma), 0.0)
+            cos2Alpha = 1.0 - sinAlpha**2
+            cos2SigmaM = np.where(cos2Alpha != 0, cosSigma - 2.0 * sinU1 * sinU2 / np.where(cos2Alpha == 0, 1, cos2Alpha), 0.0)
+        C = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+        lam = L + (1.0 - C) * f * sinAlpha * (
+            sigma + C * sinSigma * (cos2SigmaM + C * cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)))
+    u2 = cos2Alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    deltaSigma = B * sinSigma * (
+        cos2SigmaM + B / 4.0 * (cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)
+                                - B / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma**2) * (-3.0 + 4.0 * cos2SigmaM**2)))
+    dist = b * A * (sigma - deltaSigma)
+    sinLam, cosLam = np.sin(lam), np.cos(lam)
+    az1 = np.degrees(np.arctan2(cosU2 * sinLam, cosU1 * sinU2 - sinU1 * cosU2 * cosLam))
+    dist = np.where(sinSigma == 0, 0.0, dist)
+    az1 = np.where(sinSigma == 0, 0.0, az1)
+    bad = ~np.isfinite(dist)
+    if bad.any():
+        dist = np.where(bad, np.nan, dist)
+        az1 = np.where(bad, np.nan, az1)
+    return dist, az1
+
+
+def vincenty_direct(lon1, lat1, az1_deg, s_m, iterations: int = 8):
+    """Destination (lon2, lat2) from start point, forward azimuth (deg,
+    clockwise from north) and geodesic distance (m) — Vincenty's direct
+    formulas, vectorized; the sigma iteration contracts like f (~3e-3), so
+    8 rounds reach float64 round-off for any distance."""
+    a, b, f = _WGS84_A, _WGS84_B, _WGS84_F
+    lon1 = np.asarray(lon1, np.float64); lat1 = np.asarray(lat1, np.float64)
+    az = np.radians(np.asarray(az1_deg, np.float64))
+    s = np.asarray(s_m, np.float64)
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinAz, cosAz = np.sin(az), np.cos(az)
+    sigma1 = np.arctan2(np.tan(U1), cosAz)
+    sinAlpha = cosU1 * sinAz
+    cos2Alpha = 1.0 - sinAlpha**2
+    u2 = cos2Alpha * (a**2 - b**2) / b**2
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sigma = s / (b * A)
+    for _ in range(iterations):
+        cos2SigmaM = np.cos(2.0 * sigma1 + sigma)
+        sinSigma, cosSigma = np.sin(sigma), np.cos(sigma)
+        deltaSigma = B * sinSigma * (
+            cos2SigmaM + B / 4.0 * (cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)
+                                    - B / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma**2) * (-3.0 + 4.0 * cos2SigmaM**2)))
+        sigma = s / (b * A) + deltaSigma
+    sinSigma, cosSigma = np.sin(sigma), np.cos(sigma)
+    cos2SigmaM = np.cos(2.0 * sigma1 + sigma)
+    tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosAz
+    lat2 = np.degrees(np.arctan2(sinU1 * cosSigma + cosU1 * sinSigma * cosAz,
+                                 (1 - f) * np.sqrt(sinAlpha**2 + tmp**2)))
+    lam = np.arctan2(sinSigma * sinAz, cosU1 * cosSigma - sinU1 * sinSigma * cosAz)
+    C = f / 16.0 * cos2Alpha * (4.0 + f * (4.0 - 3.0 * cos2Alpha))
+    L = lam - (1.0 - C) * f * sinAlpha * (
+        sigma + C * sinSigma * (cos2SigmaM + C * cosSigma * (-1.0 + 2.0 * cos2SigmaM**2)))
+    lon2 = lon1 + np.degrees(L)
+    lon2 = (lon2 + 180.0) % 360.0 - 180.0
+    return lon2, lat2

@@ -953,3 +953,59 @@ def buffer_points(ga: GeometryArray, distance: float, quad_segs: int = 8) -> Geo
         ring_offsets=ring_offsets,
         coords=coords,
     )
+
+
+def geodesic_buffer_points(ga: GeometryArray, distance_m: float, quad_segs: int = 8) -> GeometryArray:
+    """TRUE geodesic buffer of POINT geometries on the WGS84 ellipsoid: one
+    CCW ring of ``4*quad_segs`` destinations of the Vincenty DIRECT problem
+    at equally-spaced azimuths and constant geodesic distance.
+
+    This replaces the project→planar-buffer→unproject AEQD recipe with the
+    exact construction (no projection distortion at all: every ring vertex
+    is at geodesic distance ``distance_m`` from the center by definition —
+    tests pin this against the independent Karney inverse). Same contract
+    as :func:`buffer_points`: points only, missing passes through, rings
+    emitted CCW in lon/lat. Not meaningful past ~19,900 km (near-antipodal
+    rings cross Vincenty's non-convergence slice) — refused loudly.
+    """
+    from geopolars_ray.geom.geodesic import vincenty_direct
+
+    if distance_m <= 0.0:
+        raise ValueError("buffer distance must be positive")
+    if distance_m > 19_900_000.0:
+        raise ValueError("geodesic buffers beyond ~19,900 km cross the antipodal slice")
+    if quad_segs < 1:
+        raise ValueError("quad_segs must be >= 1")
+    is_pt = ga.types == POINT
+    is_missing = ga.types == MISSING
+    if not (is_pt | is_missing).all():
+        bad = set(int(t) for t in ga.types[~(is_pt | is_missing)])
+        raise NotImplementedError(
+            f"geodesic_buffer_points supports only Point geometries (got type ids {sorted(bad)})"
+        )
+    k = 4 * int(quad_segs)
+    n = len(ga)
+    co = ga.coord_offsets()
+    centers = np.zeros((n, 2))
+    centers[is_pt] = ga.coords[co[:-1][is_pt]]
+    # CCW in lon/lat: azimuth DECREASES (N -> W -> S -> E), closed ring
+    az = -(np.arange(k + 1) % k) * (360.0 / k)
+    lon_c = np.repeat(centers[:, 0], k + 1)
+    lat_c = np.repeat(centers[:, 1], k + 1)
+    az_all = np.tile(az, n)
+    lon_r, lat_r = vincenty_direct(lon_c, lat_c, az_all, np.full(n * (k + 1), float(distance_m)))
+    rings = np.column_stack([lon_r, lat_r]).reshape(n, k + 1, 2)
+
+    out_types = np.where(is_pt, POLYGON, MISSING).astype(np.int8)
+    parts_per = is_pt.astype(np.int64)
+    geom_offsets = np.concatenate([[0], np.cumsum(parts_per)])
+    n_parts = int(parts_per.sum())
+    part_offsets = np.arange(n_parts + 1, dtype=np.int64)
+    ring_offsets = np.arange(n_parts + 1, dtype=np.int64) * (k + 1)
+    return GeometryArray(
+        types=out_types,
+        geom_offsets=geom_offsets,
+        part_offsets=part_offsets,
+        ring_offsets=ring_offsets,
+        coords=rings[is_pt].reshape(-1, 2),
+    )

@@ -131,6 +131,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "to_crs": (crs_mod.to_crs, "geometry"),
     "clip_by_rect": (_clip_by_rect, "geometry"),
     "buffer": (K.buffer_points, "geometry"),
+    "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
         lambda ga, precision=9: tiles_mod.geohash_encode(K.get_x(ga), K.get_y(ga), precision),

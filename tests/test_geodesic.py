@@ -37,3 +37,84 @@ def test_kernel_method_dispatch():
     vin = geodesic_length(ga, "vincenty")[0]
     assert abs(geo - 111319.4907932736) < 1e-6
     assert abs(geo - vin) < 1e-3
+
+
+def test_vincenty_direct_inverse_vs_karney():
+    """The two INDEPENDENT geodesic formulations in geom/geodesic.py agree:
+    Vincenty inverse distance within 0.1 mm of the Karney series over 3000
+    random non-antipodal pairs, and direct∘inverse closes to <1e-12 deg."""
+    import numpy as np
+
+    from geopolars_ray.geom.geodesic import (
+        geodesic_inverse_m,
+        vincenty_direct,
+        vincenty_inverse,
+    )
+
+    rng = np.random.default_rng(0)
+    lon1 = rng.uniform(-180, 180, 3000); lat1 = rng.uniform(-85, 85, 3000)
+    lon2 = rng.uniform(-180, 180, 3000); lat2 = rng.uniform(-85, 85, 3000)
+    d_k = geodesic_inverse_m(lon1, lat1, lon2, lat2)
+    ok = d_k < 19_000_000  # exclude Vincenty's near-antipodal slice
+    s, az = vincenty_inverse(lon1[ok], lat1[ok], lon2[ok], lat2[ok])
+    assert np.nanmax(np.abs(s - d_k[ok])) < 1e-4  # 0.1 mm
+    lo2, la2 = vincenty_direct(lon1[ok], lat1[ok], az, s)
+    assert np.nanmax(np.abs((lo2 - lon2[ok] + 180) % 360 - 180)) < 1e-12
+    assert np.nanmax(np.abs(la2 - lat2[ok])) < 1e-12
+    # meridian anchor: due north from the equator by a quarter meridian
+    lo, la = vincenty_direct(np.array([9.0]), np.array([0.0]), np.array([0.0]),
+                             np.array([10001965.7293]))
+    assert abs(lo[0] - 9.0) < 1e-9 and abs(la[0] - 90.0) < 1e-7
+
+
+def test_aeqd_projection_invariants():
+    """AEQD's defining property: the projected radius IS the geodesic
+    distance from the center (vs the independent Karney inverse); exact
+    round-trips; the center maps to the false origin."""
+    import numpy as np
+
+    from geopolars_ray.geom import crs as C
+    from geopolars_ray.geom.geodesic import geodesic_inverse_m
+
+    spec = "+proj=aeqd +lat_0=48.8566 +lon_0=2.3522 +x_0=100 +y_0=-50"
+    assert C.parse_crs(spec)["proj"] == "aeqd"
+    x, y = C.transform_points(np.array([2.3522]), np.array([48.8566]), "EPSG:4326", spec)
+    assert abs(x[0] - 100.0) < 1e-9 and abs(y[0] + 50.0) < 1e-9
+    rng = np.random.default_rng(1)
+    lon = rng.uniform(-120.0, 130.0, 500)
+    lat = rng.uniform(-70.0, 80.0, 500)
+    x, y = C.transform_points(lon, lat, "EPSG:4326", spec)
+    s = np.hypot(x - 100.0, y + 50.0)
+    d = geodesic_inverse_m(np.full(500, 2.3522), np.full(500, 48.8566), lon, lat)
+    assert np.abs(s - d).max() < 1e-3  # 1 mm over up to ~15,000 km
+    lo2, la2 = C.transform_points(x, y, spec, "EPSG:4326")
+    assert np.abs((lo2 - lon + 180) % 360 - 180).max() < 1e-9
+    assert np.abs(la2 - lat).max() < 1e-9
+
+
+def test_geodesic_buffer_points():
+    """Every ring vertex sits at EXACTLY the buffer distance (vs Karney);
+    rings are CCW; non-point/oversize-distance inputs refuse loudly."""
+    import numpy as np
+    import pytest
+
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.array import GeometryArray
+    from geopolars_ray.geom.geodesic import geodesic_inverse_m
+
+    pts = GeometryArray.from_points(np.array([2.3522, 151.21, -70.0]),
+                                    np.array([48.8566, -33.87, 80.0]))
+    buf = K.geodesic_buffer_points(pts, 250_000.0, quad_segs=8)
+    co = buf.coord_offsets()
+    for i in range(3):
+        ring = buf.coords[co[i]:co[i + 1] - 1]
+        d = geodesic_inverse_m(np.full(len(ring), pts.coords[i, 0]),
+                               np.full(len(ring), pts.coords[i, 1]),
+                               ring[:, 0], ring[:, 1])
+        assert np.abs(d - 250_000.0).max() < 2e-3
+    assert (K.area(buf) > 0).all()  # CCW
+    with pytest.raises(ValueError, match="antipodal"):
+        K.geodesic_buffer_points(pts, 20_000_000.0)
+    with pytest.raises(NotImplementedError):
+        K.geodesic_buffer_points(GeometryArray.from_pylist(
+            [("linestring", [(0.0, 0.0), (1.0, 1.0)])]), 1000.0)
