@@ -210,10 +210,15 @@ def kernel_benchmarks() -> dict:
     pts_small = GeometryArray.from_points(x[:200_000], y[:200_000])  # 33 verts out per point
     out["buffer_points_mrows_s"] = round(
         best_rate(lambda: K.buffer_points(pts_small, 0.5, 8), len(pts_small)) / 1e6, 2)
+    # iterative-geodesic micros run on smaller slices: rates are size-
+    # independent (pure per-row trig) and the full-size run would add ~50s
+    # to every bench invocation for no extra information
+    pts_tiny = GeometryArray.from_points(x[:30_000], y[:30_000])
     out["geodesic_buffer_krows_s"] = round(
-        best_rate(lambda: K.geodesic_buffer_points(pts_small, 50_000.0, 8), len(pts_small)) / 1e3, 1)
+        best_rate(lambda: K.geodesic_buffer_points(pts_tiny, 50_000.0, 8), len(pts_tiny)) / 1e3, 1)
     out["aeqd_forward_mrows_s"] = round(
-        best_rate(lambda: crs_mod.aeqd_forward(x, np.clip(y, -80, 80), 10.0, 20.0), n) / 1e6, 2)
+        best_rate(lambda: crs_mod.aeqd_forward(x[:400_000], np.clip(y[:400_000], -80, 80), 10.0, 20.0),
+                  400_000) / 1e6, 2)
     from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]
