@@ -159,11 +159,12 @@ def test_fused_flagship_matches_unfused(ray_session, tmp_path):
     # splits (observed: in-suite runs on a loaded VM split differently than
     # a solo run), so the bound must cover arbitrary reassociation of up to
     # n<=60k terms with |v|<=180: ~n*eps*sum|v| ~ 1e-4 worst-case chain-vs-
-    # tree, ~1e-8..1e-7 for the realistic split shapes. 1e-6 sits above the
-    # noise and 6+ orders below any real defect (one misassigned row moves
-    # a sum by O(1)). A flaky 1e-8 failure was observed twice under load.
-    np.testing.assert_allclose(a["sum_lat"], b["sum_lat"], rtol=1e-12, atol=1e-6)
-    np.testing.assert_allclose(a["sum_lon"], b["sum_lon"], rtol=1e-12, atol=1e-6)
+    # tree. The bound is set to that analytic worst case — still 4+ orders
+    # below any real defect (one misassigned row moves a sum by O(1)) —
+    # because load-dependent block splits make tighter bounds flaky; the
+    # fused-vs-fused BIT-identity assert below remains the exactness pin.
+    np.testing.assert_allclose(a["sum_lat"], b["sum_lat"], rtol=1e-12, atol=1e-4)
+    np.testing.assert_allclose(a["sum_lon"], b["sum_lon"], rtol=1e-12, atol=1e-4)
 
     # determinism: a second fused run is BIT-identical (deterministic shard
     # grouping regardless of parallelism)

@@ -335,16 +335,25 @@ def test_clip_idempotent_and_bounded(geoms, rect):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    st.lists(st.tuples(st.floats(0.3, 3.0), st.floats(0, 2 * np.pi)), min_size=3, max_size=10),
+    st.lists(st.tuples(st.floats(0.3, 3.0), st.floats(-0.45, 0.45)), min_size=4, max_size=12),
     st.tuples(coord, coord),
     st.tuples(st.floats(-3, 3), st.floats(-3, 3), st.floats(0.5, 4.0), st.floats(0.5, 4.0)),
 )
 def test_clip_area_monotone_on_simple_polygons(polar, center, rectspec):
-    """On SIMPLE (star-convex) polygons, clipping never increases area."""
+    """On SIMPLE polygons, clipping never increases area.
+
+    Simplicity is guaranteed by CONSTRUCTION: vertices at jittered evenly-
+    spaced angles (jitter < half the spacing, k >= 4), so every cyclic
+    angular gap is < pi and the ring is star-shaped about the center —
+    hypothesis twice falsified weaker constructions (duplicate angles
+    retrace radially; angles spanning < pi make the closing chord sweep
+    back across the other edges)."""
     from geopolars_ray.geom.clip import clip_by_rect
 
+    k = len(polar)
     r = np.array([p[0] for p in polar])
-    ang = np.sort(np.array([p[1] for p in polar]))
+    jit = np.array([p[1] for p in polar])
+    ang = 2.0 * np.pi * (np.arange(k) + 0.5 + jit) / k
     cx, cy = center
     ring = [(cx + ri * np.cos(a), cy + ri * np.sin(a)) for ri, a in zip(r, ang)]
     ga = GeometryArray.from_pylist([("polygon", [[*ring, ring[0]]])])
