@@ -223,6 +223,21 @@ def _clamp_rect(pts: np.ndarray, rect) -> np.ndarray:
     return out
 
 
+def _clip_endpoints(p: np.ndarray, q: np.ndarray, d: np.ndarray,
+                    t0: np.ndarray, t1: np.ndarray, rect) -> tuple[np.ndarray, np.ndarray]:
+    """Clipped segment endpoints with EXACT originals at t==0 / t==1.
+
+    ``p + 1.0*d`` is not ``q`` in floats (catastrophic cancellation in
+    ``d = q - p``), so interpolating at the trivial parameters moves an
+    on-boundary vertex by ~1 ULP of the SPAN — breaking idempotence
+    (property-tested counterexample: a vertex exactly on ymax drifted
+    inward on re-clip). Untrimmed ends keep their original vertex, clamped
+    only for true rounding overshoot."""
+    a = np.where((t0 == 0.0)[:, None], p, p + t0[:, None] * d)
+    b = np.where((t1 == 1.0)[:, None], q, p + t1[:, None] * d)
+    return _clamp_rect(a, rect), _clamp_rect(b, rect)
+
+
 def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
     """Fully-vectorized line clip for arrays of ONLY line-ish / MISSING rows:
     Liang–Barsky over every segment of the batch at once, chain starts from
@@ -242,8 +257,7 @@ def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
     d = q - p
     t0, t1 = _lb_params(p, d, rect)
     keep = t0 < t1
-    a = _clamp_rect(p + t0[:, None] * d, rect)
-    b = _clamp_rect(p + t1[:, None] * d, rect)
+    a, b = _clip_endpoints(p, q, d, t0, t1, rect)
 
     seg_off = np.zeros(len(nseg) + 1, dtype=np.int64)
     np.cumsum(nseg, out=seg_off[1:])
@@ -373,8 +387,7 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
             keep = t0 < t1
             if not keep.any():
                 continue
-            a = _clamp_rect(p + t0[:, None] * d, rect)
-            b = _clamp_rect(p + t1[:, None] * d, rect)
+            a, b = _clip_endpoints(p, q, d, t0, t1, rect)
             # chain break before segment i when: i dropped, or i-1 dropped,
             # or the shared vertex moved (t1[i-1] < 1 or t0[i] > 0)
             brk = np.ones(len(p), dtype=bool)
