@@ -412,7 +412,8 @@ def run_queries(num_cpus_already_init: bool = False) -> dict:
     picks = [
         "rel_q1",
         "rel_join_agg",
-        "geo_sjoin_inner",
+        "geo_sjoin_left",
+        "dd_substring",
         "geo_sjoin_part",
         "geo_tile_rollup",
         "geo_knn",

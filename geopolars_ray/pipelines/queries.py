@@ -308,13 +308,6 @@ def q_geo_grid_tile(sf_dir: str):
     return hash_aggregate(ds, ["tile"], [("x", "count", "n_pts")], num_partitions=8)
 
 
-def q_geo_sjoin_inner(sf_dir: str):
-    """Broadcast PIP join: customer points ⊗ nation rects (strict interior)."""
-    ds = customer_points(sf_dir, with_geometry=False)
-    out = broadcast_spatial_join(ds, nation_rects(sf_dir), lon_col="x", lat_col="y", how="inner", concurrency=2)
-    return out.select_columns(["c_custkey", "x", "y", "n_nationkey"])
-
-
 def q_geo_sjoin_left(sf_dir: str):
     """Left PIP join; unmatched rect key encoded as -1 (avoids nullable ints)."""
     ds = customer_points(sf_dir, with_geometry=False)
@@ -1006,6 +999,30 @@ def q_dd_simhash_docs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
+def q_dd_substring(sf_dir: str):
+    """Exact-substring span dedup (Lee et al. 2022): every 8-token window
+    duplicated anywhere in the corpus is removed from all occurrences.
+
+    ASCII projection first (mirrors dd_minhash_docs) so the library's
+    byte-length token keys coincide with the oracle's char-length keys; the
+    oracle replays the ENTIRE pipeline — RE2 tokenize, first-8-bytes*131+len
+    token keys, base-31 ring window hashes, corpus-wide counts, covered-
+    position union, single-space reassembly — with full-text compare."""
+    from geopolars_ray.stages.spandedup import exact_substring_dedup
+
+    docs = _read_exchange(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ascii_project(batch: pa.Table) -> pa.Table:
+        i = batch.column_names.index("text")
+        return batch.set_column(
+            i, "text",
+            pc.replace_substring_regex(batch["text"], pattern=r"[^\x00-\x7f]", replacement=" "),
+        )
+
+    docs = docs.map_batches(ascii_project, batch_format="pyarrow")
+    return exact_substring_dedup(docs, L=8, num_partitions=8)
+
+
 def _smallest_vec_rows(path: str, n: int) -> pa.Table:
     """The n smallest-vec_id embedding rows, sorted by vec_id ascending.
 
@@ -1647,6 +1664,51 @@ SELECT havg.c_nationkey, hav_m, vin_m FROM havg JOIN ving USING (c_nationkey)
 """
 
 
+def _substring_oracle_sql(L: int = 8) -> str:
+    """The dd_substring oracle: exact-substring span dedup in DuckDB.
+
+    Replays `stages/spandedup.py` exactly: RE2 ``\\s+`` tokenize with empty
+    tokens dropped, the first-8-bytes Horner-31 token key (* 131 + length;
+    chr(1) padding — an EXACT < 2^63 BIGINT), the base-31 window-hash
+    polynomial over token keys in the 2^64 ring (bitwise-AND mask, offset
+    weights inlined as ring-reduced literals), corpus-wide duplicate counts
+    (>= 2), covered-position union over every duplicated window, and
+    single-space reassembly via ordered string_agg. Full-text compare.
+    """
+    MASK = "18446744073709551615::HUGEINT"
+    pad = "tok || repeat(chr(1), 8)"
+    key = "CAST(ord(substr(%s, 1, 1)) AS BIGINT)" % pad
+    for i in range(2, 9):
+        key = f"({key})*31 + ord(substr({pad}, {i}, 1))"
+    key = f"({key})*131 + length(tok)"
+    wts = ", ".join(str(pow(31, i, 1 << 64)) for i in range(L))
+    return (
+        "WITH d AS (SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7f]', ' ', 'g') AS tx FROM documents), "
+        "li AS (SELECT doc_id, regexp_split_to_array(tx, '\\s+') AS l FROM d), "
+        "raw AS (SELECT doc_id, unnest(l) AS tok, unnest(range(1, len(l) + 1)) AS rp FROM li), "
+        "toks AS (SELECT doc_id, tok, row_number() OVER (PARTITION BY doc_id ORDER BY rp) AS pos "
+        "FROM raw WHERE tok != ''), "
+        f"tkv AS (SELECT doc_id, pos, {key} AS tk FROM toks), "
+        "nt AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id), "
+        f"wts AS (SELECT unnest(range(0, {L})) AS i, unnest([{wts}]) AS wt), "
+        "wh AS (SELECT t1.doc_id, t1.pos AS p, "
+        f"sum(CAST(t2.tk AS HUGEINT) * w.wt) & {MASK} AS hv "
+        "FROM tkv t1 JOIN nt ON nt.doc_id = t1.doc_id "
+        f"JOIN tkv t2 ON t2.doc_id = t1.doc_id AND t2.pos >= t1.pos AND t2.pos <= t1.pos + {L - 1} "
+        "JOIN wts w ON w.i = t2.pos - t1.pos "
+        f"WHERE t1.pos + {L - 1} <= nt.n GROUP BY t1.doc_id, t1.pos), "
+        "dups AS (SELECT hv FROM wh GROUP BY hv HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT w.doc_id, t.pos FROM wh w JOIN dups USING (hv) "
+        f"JOIN toks t ON t.doc_id = w.doc_id AND t.pos >= w.p AND t.pos <= w.p + {L - 1}), "
+        "agg AS (SELECT t.doc_id, count(*) AS ntk, count(c.pos) AS nrm, "
+        "string_agg(CASE WHEN c.pos IS NULL THEN t.tok END, ' ' ORDER BY t.pos) AS td "
+        "FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos GROUP BY t.doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(a.ntk, 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(a.nrm, 0) AS BIGINT) AS n_removed, COALESCE(a.td, '') AS text_dedup "
+        "FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id"
+    )
+
+
 def _minhash_oracle_sql() -> str:
     """The dd_minhash_docs oracle: the full MinHash-LSH pipeline in DuckDB.
 
@@ -1729,7 +1791,6 @@ QUERIES = {
     "geo_length_path": q_geo_length_path,
     "geo_distance": q_geo_distance,
     "geo_grid_tile": q_geo_grid_tile,
-    "geo_sjoin_inner": q_geo_sjoin_inner,
     "geo_sjoin_left": q_geo_sjoin_left,
     "geo_tile_rollup": q_geo_tile_rollup,
     "geo_knn": q_geo_knn,
@@ -1772,6 +1833,7 @@ QUERIES = {
     "txt_fingerprint": q_txt_fingerprint,
     "dd_minhash_docs": q_dd_minhash_docs,
     "dd_simhash_docs": q_dd_simhash_docs,
+    "dd_substring": q_dd_substring,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "mm_resize_frames": q_mm_resize_frames,
@@ -1814,9 +1876,10 @@ ORACLE_SQL = {
         f"SELECT CAST(floor((x + 180.0)/15.0)*12 + floor((y + 90.0)/15.0) AS BIGINT) AS tile, "
         f"count(*) AS n_pts FROM ({_CPTS}) GROUP BY 1"
     ),
-    "geo_sjoin_inner": (
-        f"SELECT c.c_custkey, c.x, c.y, r.n_nationkey FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND}"
-    ),
+    # r4 registry swap: geo_sjoin_inner retired for dd_substring under the
+    # 50-entry gate cap — broadcast PIP stays starred via geo_sjoin_left
+    # (same dispatch, plus null extension) and inner spatial-join semantics
+    # via geo_sjoin_part; exact-substring dedup had no gate entry at all.
     "geo_sjoin_left": (
         f"SELECT c.c_custkey, COALESCE(r.n_nationkey, -1) AS rect_key "
         f"FROM ({_CPTS}) c LEFT JOIN ({_RECT}) r ON {_PIP_COND}"
@@ -2170,6 +2233,7 @@ ORACLE_SQL = {
         "SELECT a, b, cosine FROM pr WHERE cosine >= 0.3"
     ),
     "dd_minhash_docs": _minhash_oracle_sql(),
+    "dd_substring": _substring_oracle_sql(),
     "geo_s2_tiles": _s2_oracle_sql(),
     "geo_geodesic": _geodesic_oracle_sql(),
     "geo_simplify": _simplify_oracle_sql(),
