@@ -324,12 +324,15 @@ def _wrap_lam(lam: np.ndarray) -> np.ndarray:
 def mercator_forward(lon, lat, lon0: float = 0.0, k0: float = 1.0, x0: float = 0.0, y0: float = 0.0):
     """Ellipsoidal Mercator forward: x = a k0 lam, y = a k0 (atanh s - e atanh e s).
 
-    Latitudes are clamped to the WebMercator square's +-85.051... deg so the
-    poles' y = +-inf never enters downstream arithmetic (same clamp as
-    EPSG:3857; documented, matches how web pipelines actually feed Mercator).
+    Only the EXACT poles are clamped (to +-(90 - 1e-5) deg — the margin
+    keeps sin(lat) < 1 in float64, y ~ +-1e8 m) so +-inf never enters
+    downstream arithmetic. EPSG:3395 is finite to arbitrarily high
+    latitudes — the earlier WebMercator-square clamp (+-85.051 deg)
+    silently displaced valid Arctic points by ~100s of km (review
+    finding); the square belongs to EPSG:3857 only.
     """
     lon = np.asarray(lon, np.float64)
-    lat = np.clip(np.asarray(lat, np.float64), -_MAX_LAT, _MAX_LAT)
+    lat = np.clip(np.asarray(lat, np.float64), -90.0 + 1e-5, 90.0 - 1e-5)
     lam = _wrap_lam(np.radians(lon - lon0))
     s = np.sin(np.radians(lat))
     x = x0 + WGS84_A * k0 * lam

@@ -903,6 +903,24 @@ def _min_point_to_segments(pts: np.ndarray, segs: np.ndarray) -> float:
     return float(np.sqrt((dd**2).sum(axis=2)).min())
 
 
+def _assemble_point_rings(is_pt: np.ndarray, rings: np.ndarray, k: int) -> GeometryArray:
+    """One closed (k+1)-vertex POLYGON ring per point row, MISSING elsewhere
+    — the shared ragged assembly for the point-buffer kernels."""
+    out_types = np.where(is_pt, POLYGON, MISSING).astype(np.int8)
+    parts_per = is_pt.astype(np.int64)
+    geom_offsets = np.concatenate([[0], np.cumsum(parts_per)])
+    n_parts = int(parts_per.sum())
+    part_offsets = np.arange(n_parts + 1, dtype=np.int64)  # 1 ring per part
+    ring_offsets = np.arange(n_parts + 1, dtype=np.int64) * (k + 1)
+    return GeometryArray(
+        types=out_types,
+        geom_offsets=geom_offsets,
+        part_offsets=part_offsets,
+        ring_offsets=ring_offsets,
+        coords=rings[is_pt].reshape(-1, 2),
+    )
+
+
 def buffer_points(ga: GeometryArray, distance: float, quad_segs: int = 8) -> GeometryArray:
     """Circular buffer of POINT geometries: one CCW ``4*quad_segs``-gon per
     point (the shapely ``buffer(distance, quad_segs)`` point case — the
@@ -938,21 +956,7 @@ def buffer_points(ga: GeometryArray, distance: float, quad_segs: int = 8) -> Geo
     centers = np.zeros((n, 2))
     centers[is_pt] = ga.coords[co[:-1][is_pt]]
     rings = centers[:, None, :] + distance * unit[None, :, :]  # (n, k+1, 2)
-
-    out_types = np.where(is_pt, POLYGON, MISSING).astype(np.int8)
-    parts_per = is_pt.astype(np.int64)
-    geom_offsets = np.concatenate([[0], np.cumsum(parts_per)])
-    n_parts = int(parts_per.sum())
-    part_offsets = np.arange(n_parts + 1, dtype=np.int64)  # 1 ring per part
-    ring_offsets = np.arange(n_parts + 1, dtype=np.int64) * (k + 1)
-    coords = rings[is_pt].reshape(-1, 2)
-    return GeometryArray(
-        types=out_types,
-        geom_offsets=geom_offsets,
-        part_offsets=part_offsets,
-        ring_offsets=ring_offsets,
-        coords=coords,
-    )
+    return _assemble_point_rings(is_pt, rings, k)
 
 
 def geodesic_buffer_points(ga: GeometryArray, distance_m: float, quad_segs: int = 8) -> GeometryArray:
@@ -995,17 +999,4 @@ def geodesic_buffer_points(ga: GeometryArray, distance_m: float, quad_segs: int 
     az_all = np.tile(az, n)
     lon_r, lat_r = vincenty_direct(lon_c, lat_c, az_all, np.full(n * (k + 1), float(distance_m)))
     rings = np.column_stack([lon_r, lat_r]).reshape(n, k + 1, 2)
-
-    out_types = np.where(is_pt, POLYGON, MISSING).astype(np.int8)
-    parts_per = is_pt.astype(np.int64)
-    geom_offsets = np.concatenate([[0], np.cumsum(parts_per)])
-    n_parts = int(parts_per.sum())
-    part_offsets = np.arange(n_parts + 1, dtype=np.int64)
-    ring_offsets = np.arange(n_parts + 1, dtype=np.int64) * (k + 1)
-    return GeometryArray(
-        types=out_types,
-        geom_offsets=geom_offsets,
-        part_offsets=part_offsets,
-        ring_offsets=ring_offsets,
-        coords=rings[is_pt].reshape(-1, 2),
-    )
+    return _assemble_point_rings(is_pt, rings, k)

@@ -186,6 +186,19 @@ def geohash_neighbors(gh: np.ndarray) -> np.ndarray:
     dedup per row. Order: W, E, S, N, SW, SE, NW, NE.
     """
     gh = np.asarray(gh)
+    if gh.size == 0:
+        return np.empty((0, 8), dtype="U1")
+    # pass the '' missing-row sentinel through (geohash_encode emits it for
+    # missing geometries — review: encode -> neighbors must compose)
+    gh_s = gh.astype(str)
+    missing = np.array([len(s) == 0 for s in gh_s.ravel()]).reshape(gh_s.shape)
+    if missing.all():
+        return np.full((gh.size, 8), "", dtype="U1")
+    if missing.any():
+        out = np.empty((gh.size, 8), dtype=f"U{max(len(s) for s in gh_s.ravel())}")
+        out[missing.ravel()] = ""
+        out[~missing.ravel()] = geohash_neighbors(gh_s.ravel()[~missing.ravel()])
+        return out
     lon, lat = geohash_decode(gh)
     precision = len(np.asarray(gh.ravel()[0], dtype=str).item())
     total = 5 * precision

@@ -223,7 +223,15 @@ def rank_within_runs(table: pa.Table, cols: Sequence[str]) -> np.ndarray:
     change[0] = True
     for c in cols:
         col = table[c].to_numpy(zero_copy_only=False)
-        change[1:] |= col[1:] != col[:-1]
+        neq = col[1:] != col[:-1]
+        if np.issubdtype(col.dtype, np.floating):
+            # nulls surface as NaN here, and NaN != NaN would make every
+            # null-key row its own run — but SQL window/group semantics put
+            # all NULL keys in ONE partition (review finding). Adjacent
+            # NaNs are the same run.
+            both_nan = np.isnan(col[1:]) & np.isnan(col[:-1])
+            neq &= ~both_nan
+        change[1:] |= neq
     starts = np.maximum.accumulate(np.where(change, np.arange(n), 0))
     return np.arange(n) - starts
 

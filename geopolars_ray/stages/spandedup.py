@@ -78,7 +78,10 @@ def _token_keys(flat: pa.StringArray) -> np.ndarray:
     if n == 0:
         return np.empty(0, np.uint64)
     bufs = flat.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32)[flat.offset : flat.offset + n + 1].astype(np.int64)
+    # large_string carries int64 offsets (review: reading them as int32
+    # silently aliased distinct tokens)
+    owidth = np.int64 if pa.types.is_large_string(flat.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=owidth)[flat.offset : flat.offset + n + 1].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
     starts, ends = off[:-1], off[1:]
     lens = ends - starts
@@ -184,6 +187,11 @@ def _reassemble(batch: pa.Table, id_col: str, flat: pa.StringArray, doc_off: np.
     kept_counts = np.bincount(doc_idx[keep], minlength=ndocs).astype(np.int64)
     kept_off = np.concatenate([[0], np.cumsum(kept_counts)]).astype(np.int32)
     kept_flat = flat.filter(pa.array(keep)) if not keep.all() else flat
+    if pa.types.is_large_string(kept_flat.type):
+        # binary_join has no list<large_string> kernel; a batch's token
+        # bytes are block-size-bounded, and the cast raises loudly on the
+        # >2 GiB case rather than corrupting
+        kept_flat = kept_flat.cast(pa.string())
     lst = pa.ListArray.from_arrays(pa.array(kept_off, pa.int32()), kept_flat)
     joined = pc.binary_join(lst, " ")  # empty list -> ''
     n_removed = (doc_lens - kept_counts).astype(np.int64)
@@ -272,7 +280,8 @@ def exact_substring_dedup(
         )
 
     expansion = docs_ds.map_batches(expand, batch_format="pyarrow")
-    id_type = pa.int64()
+    sch = docs_ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     exp_schema = pa.schema([(id_col, id_type), ("wstart", pa.int64()), ("wh", pa.int64())])
     covered_starts = hash_join(
         expansion,
@@ -285,17 +294,29 @@ def exact_substring_dedup(
     ).select_columns([id_col, "wstart"])
 
     def to_lists(part: pa.Table) -> pa.Table:
+        if len(part) == 0:
+            return pa.table(
+                {id_col: pa.array([], id_type), "dup_starts": pa.array([], pa.large_binary())}
+            )
         ids = part[id_col].to_numpy(zero_copy_only=False)
         st = part["wstart"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((st, ids))
+        # group by id only — the difference-array removal is start-order-
+        # invariant, and argsort (unlike lexsort / xor sentinels) works for
+        # string ids too (review: the fallback must accept every id type
+        # the broadcast path accepts)
+        order = np.argsort(ids, kind="stable")
         ids_s, st_s = ids[order], st[order]
-        bounds = np.flatnonzero(np.diff(ids_s, prepend=ids_s[0] ^ np.int64(1))) if len(ids_s) else np.array([], np.int64)
+        bnd = np.ones(len(ids_s), bool)
+        if len(ids_s) > 1:
+            bnd[1:] = ids_s[1:] != ids_s[:-1]
+        bounds = np.flatnonzero(bnd)
         counts = np.diff(np.concatenate([bounds, [len(ids_s)]]))
         # packed int64 bytes, not list<int64>: Acero joins reject list
-        # payload columns, binary passes through
-        off = (8 * np.concatenate([[0], np.cumsum(counts)])).astype(np.int32)
+        # payload columns; large_binary so the int64 byte offsets cannot
+        # wrap however many starts one partition holds
+        off = (8 * np.concatenate([[0], np.cumsum(counts)])).astype(np.int64)
         packed = pa.Array.from_buffers(
-            pa.binary(), len(counts),
+            pa.large_binary(), len(counts),
             [None, pa.py_buffer(off.tobytes()), pa.py_buffer(st_s.astype(np.int64).tobytes())],
         )
         return pa.table({id_col: pa.array(ids_s[bounds]), "dup_starts": packed})

@@ -75,9 +75,15 @@ def test_mercator_3395_invariants():
     lon2, lat2 = C.mercator_inverse(X, Y)
     assert np.abs(lon2 - lon).max() < 1e-9
     assert np.abs(lat2 - lat).max() < 1e-9
-    # pole clamp (same contract as EPSG:3857): finite y at +-90
+    # only the exact poles clamp to finite y; high latitudes are NOT
+    # squeezed into the WebMercator square (review: 86N must project true)
     _, yp = fwd(np.array([0.0]), np.array([90.0]))
     assert np.isfinite(yp[0])
+    lon89, lat89 = C.mercator_inverse(*fwd(np.array([0.0]), np.array([89.0])))
+    assert abs(lat89[0] - 89.0) < 1e-9
+    y86 = fwd(np.array([0.0]), np.array([86.0]))[1][0]
+    y8505 = fwd(np.array([0.0]), np.array([85.051128779806604]))[1][0]
+    assert y86 > y8505 + 1e6  # ~1,300 km taller, not clamped equal
 
 
 def test_lcc_2154_invariants():

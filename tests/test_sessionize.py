@@ -104,6 +104,34 @@ def test_windowed_columns_vs_duckdb(ray_session):
         windowed_columns(ray.data.from_arrow(tab), ["k"], "ts", lag=[("v", "x", 0)])
 
 
+def test_windowed_columns_null_keys_one_partition(ray_session):
+    """NULL keys form ONE window partition (SQL semantics) — review
+    finding: NaN != NaN made every null-key row its own run."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.window import windowed_columns
+
+    tab = pa.table({
+        "k": pa.array([1.0, None, None, 2.0, None, 1.0], pa.float64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+    })
+    out = windowed_columns(ray.data.from_arrow(tab), ["k"], "ts",
+                           row_number="rn", lag=[("v", "v_lag")], num_partitions=4)
+    df = out.to_pandas().sort_values("ts").reset_index(drop=True)
+    src = tab.to_pandas()
+    exp = duckdb.connect().execute("""
+        SELECT ts, row_number() OVER w - 1 AS rn, lag(v) OVER w AS v_lag
+        FROM src WINDOW w AS (PARTITION BY k ORDER BY ts) ORDER BY ts
+    """).df()
+    assert (df["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    a, b = df["v_lag"], exp["v_lag"]
+    assert bool(((a.isna() & b.isna()) | (a == b)).all())
+
+
 def test_windowed_columns_fuzz_vs_duckdb(ray_session):
     """Hypothesis fuzz: arbitrary key skew / group sizes / offsets still
     match DuckDB window functions exactly (unique order keys keep the

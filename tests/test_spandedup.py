@@ -94,6 +94,26 @@ def test_hypothesis_vs_bruteforce(ray_session, docs):
     assert all(res[i] == ref[i] for i in range(len(docs)))
 
 
+def test_large_string_and_string_ids_both_paths(ray_session):
+    """large_string text (int64 offsets) and string doc ids work on BOTH
+    paths — review findings: int32 offset misread aliased tokens; the
+    fallback hardcoded int64 ids."""
+    import ray
+
+    ref = brute(PLANTED, 6)
+    ids = [f"doc-{i}" for i in range(len(PLANTED))]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.string()),
+                    "text": pa.array(PLANTED, pa.large_string())})
+    for budget in (512 << 20, 1):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            rows = exact_substring_dedup(
+                ray.data.from_arrow(tbl), L=6, num_partitions=4, broadcast_max_bytes=budget
+            ).take_all()
+        res = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_dedup"]) for r in rows}
+        assert all(res[f"doc-{i}"] == ref[i] for i in range(len(PLANTED))), budget
+
+
 def test_min_count_threshold(ray_session):
     docs = ["x y z common span here", "other x y z common span here words"]
     # the 4-window "common span here" block appears twice -> removed at

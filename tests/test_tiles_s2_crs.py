@@ -281,6 +281,23 @@ def test_geohash_registry_kernel():
     assert out["geohash"].to_pylist() == ["u4pru", "ezs42"]
 
 
+def test_geohash_neighbors_missing_sentinel_and_empty():
+    """'' (the encode output for missing geometries) passes through as ''
+    neighbors; empty input returns (0, 8) — review: the library's own
+    encode -> neighbors composition must not raise on missing rows."""
+    import numpy as np
+
+    from geopolars_ray.geom.tiles import geohash_encode, geohash_neighbors
+
+    assert geohash_neighbors(np.array([], dtype=str)).shape == (0, 8)
+    assert (geohash_neighbors(np.array(["", ""])) == "").all()
+    gh = geohash_encode(np.array([2.35, 13.4]), np.array([48.85, 52.52]), 6)
+    mixed = geohash_neighbors(np.array([gh[0], "", gh[1]]))
+    ref = geohash_neighbors(gh)
+    assert (mixed[0] == ref[0]).all() and (mixed[2] == ref[1]).all()
+    assert (mixed[1] == "").all()
+
+
 def test_geohash_neighbors():
     """Every neighbor decodes exactly one cell step away; the canonical
     worked example's neighbor set (ezs42, crossing a base-cell boundary to
