@@ -48,6 +48,7 @@ def run_curation(
     minhash_threshold: float = 0.7,
     minhash_min_bands: int = 1,
     paragraph_sep: str = "\n",
+    substring_window: int = 50,
     num_partitions: int = 16,
     seed: int = 0,
 ):
@@ -58,7 +59,10 @@ def run_curation(
     (MinHash-LSH -> connected components -> keep one per cluster);
     ``"paragraph"`` = CCNet-style paragraph-level dedup (each distinct
     segment survives only at its first global occurrence; documents keep
-    their residual text); ``False`` = skip.
+    their residual text); ``"substring"`` = exact-substring span removal
+    (Lee et al. 2022: every ``substring_window``-token span duplicated
+    anywhere in the curated corpus is removed from ALL occurrences —
+    unlike the other modes, no occurrence survives); ``False`` = skip.
     """
     from geopolars_ray.stages.cc import dedup_keep_representatives
     from geopolars_ray.stages.dedup import (
@@ -120,7 +124,7 @@ def run_curation(
             batch_format="pyarrow",
         )
 
-    if dedup not in (False, True, "minhash", "paragraph"):
+    if dedup not in (False, True, "minhash", "paragraph", "substring"):
         raise ValueError(f"unknown dedup mode {dedup!r}")
     if not dedup:
         out = docs
@@ -131,7 +135,14 @@ def run_curation(
         # re-executes, and so two concurrent consumers can't each reserve an
         # actor pool and starve a small session (see ray-data-perf notes)
         docs = docs.materialize()
-    if dedup == "paragraph":
+    if dedup == "substring":
+        from geopolars_ray.stages.spandedup import exact_substring_dedup
+
+        out = exact_substring_dedup(
+            docs, L=substring_window, id_col="doc_id", text_col="text",
+            num_partitions=num_partitions,
+        )
+    elif dedup == "paragraph":
         from geopolars_ray.stages.dedup import paragraph_dedup
 
         out = paragraph_dedup(

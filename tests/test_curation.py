@@ -80,6 +80,23 @@ def test_curation_paragraph_mode(ray_session):
     assert _pc.min(_pc.subtract(t["n_seg"], t["n_kept"])).as_py() >= 0
 
 
+def test_curation_substring_mode(ray_session):
+    """dedup='substring' removes duplicated token spans from the CURATED
+    corpus (quality floor applies before counting)."""
+    out = run_curation(SF, dedup="substring", substring_window=8, num_partitions=4).materialize()
+    t = _table(out)
+    assert t.num_rows > 0
+    for col in ("n_tokens", "n_removed", "text_dedup"):
+        assert col in t.column_names
+    import pyarrow.compute as _pc
+
+    assert _pc.min(t["n_removed"]).as_py() >= 0
+    assert _pc.sum(t["n_removed"]).as_py() > 0  # sf docs repeat 8-token spans
+    # survivors are consistent: token count of text_dedup == n_tokens - n_removed
+    kept = _pc.subtract(t["n_tokens"], t["n_removed"]).to_pylist()
+    assert all(len(s.split()) == k for s, k in zip(t["text_dedup"].to_pylist(), kept))
+
+
 def test_curation_rejects_unknown_dedup_mode(ray_session):
     import pytest as _pytest
 
