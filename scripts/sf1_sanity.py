@@ -234,6 +234,21 @@ def dedup_phase() -> None:
             "rows": n_rows,
             "peak_sys_used_gib": round(ms.peak_used_gib, 1),
         }
+    # exact-substring span dedup: the x10 replica families share their FULL
+    # token stream, so nearly every window is duplicated — worst case for
+    # the duplicate-hash set (broadcast gate) and the removal pass
+    from geopolars_ray.stages.spandedup import exact_substring_dedup
+
+    with MemSampler() as ms:
+        t0 = time.time()
+        docs3 = ray.data.read_parquet(docs_path)
+        sd = exact_substring_dedup(docs3, L=8, num_partitions=32).materialize()
+        out["substring_dedup"] = {
+            "sec": round(time.time() - t0, 1),
+            "rows": sd.count(),
+            "tokens_removed": int(sd.sum("n_removed")),
+            "peak_sys_used_gib": round(ms.peak_used_gib, 1),
+        }
     ray.shutdown()
     _save("dedup", out)
 
