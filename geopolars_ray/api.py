@@ -299,6 +299,20 @@ class GeoDataset:
         ``geom/clip.py`` for the documented Sutherland–Hodgman caveat)."""
         return self._apply("clip_by_rect", xmin=xmin, ymin=ymin, xmax=xmax, ymax=ymax)
 
+    def clip(self, mask) -> "GeoDataset":
+        """Clip every geometry to a CONVEX mask (the ``gpd.clip`` shape).
+
+        ``mask``: a rect tuple ``(xmin, ymin, xmax, ymax)`` — dispatched to
+        the exact axis-aligned path — or an (k, 2) vertex sequence of a
+        convex polygon (reflex masks are refused loudly; see
+        ``geom/clip.py``)."""
+        if isinstance(mask, tuple) and len(mask) == 4 and all(
+            isinstance(v, (int, float)) for v in mask
+        ):
+            return self.clip_by_rect(*mask)
+        ring = [(float(x), float(y)) for x, y in mask]
+        return self._apply("clip_by_convex", ring=ring)
+
     def buffer(self, distance: float, quad_segs: int = 8) -> "GeoDataset":
         """Point buffer (circular 4*quad_segs-gon); non-point rows raise."""
         return self._apply("buffer", distance=distance, quad_segs=quad_segs)

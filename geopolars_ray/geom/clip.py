@@ -115,6 +115,59 @@ def _sh_pass(coords: np.ndarray, offsets: np.ndarray, axis: int, c: float, keep_
     return out, new_offsets
 
 
+def _sh_pass_halfplane(coords: np.ndarray, offsets: np.ndarray, a: float, b: float, d: float):
+    """One Sutherland–Hodgman pass against the half-plane a*x + b*y <= d.
+
+    The general-line sibling of :func:`_sh_pass` (same pairing/emission
+    scheme). Intersections cannot be snapped exactly onto an oblique line
+    in floats, so they are clamped to the segment's endpoint hull only —
+    clip-by-convex is idempotent to ~1 ULP rather than bit-exactly (the
+    axis-aligned rect path keeps its exact contract).
+    """
+    n = len(coords)
+    if n == 0:
+        return coords, offsets
+    last = offsets[1:] - 1
+    first = offsets[:-1]
+    ok = last >= first
+    vp = np.empty_like(coords)
+    vp[1:] = coords[:-1]
+    vp[first[ok]] = coords[last[ok]]
+    f_cur = a * coords[:, 0] + b * coords[:, 1]
+    in_cur = f_cur <= d
+    in_prev = np.empty_like(in_cur)
+    in_prev[1:] = in_cur[:-1]
+    in_prev[first[ok]] = in_cur[last[ok]]
+    cross = in_prev != in_cur
+    cnt = in_cur.astype(np.int64)
+    cnt += cross
+    pos = np.cumsum(cnt)
+    total = int(pos[-1])
+    pos -= cnt
+    out = np.empty((total, 2), dtype=np.float64)
+    ci = np.nonzero(cross)[0]
+    if len(ci):
+        vp_c = vp[ci]
+        vc_c = coords[ci]
+        f_p = a * vp_c[:, 0] + b * vp_c[:, 1]
+        f_c = f_cur[ci]
+        t = (d - f_p) / (f_c - f_p)
+        inter = vp_c + t[:, None] * (vc_c - vp_c)
+        # rounding can push the interpolated point outside the segment's
+        # bounding box; clamp to the endpoint hull (both endpoints satisfy
+        # every previously-applied half-plane)
+        inter[:, 0] = np.clip(inter[:, 0], np.minimum(vp_c[:, 0], vc_c[:, 0]),
+                              np.maximum(vp_c[:, 0], vc_c[:, 0]))
+        inter[:, 1] = np.clip(inter[:, 1], np.minimum(vp_c[:, 1], vc_c[:, 1]),
+                              np.maximum(vp_c[:, 1], vc_c[:, 1]))
+        out[pos[ci]] = inter
+    ji = np.nonzero(in_cur)[0]
+    if len(ji):
+        out[pos[ji] + cross[ji]] = coords[ji]
+    new_offsets = np.concatenate([[0], np.cumsum(_seg_sums(cnt, offsets))])
+    return out, new_offsets
+
+
 def _clip_rings(coords: np.ndarray, offsets: np.ndarray, rect) -> tuple[np.ndarray, np.ndarray]:
     """Clip OPEN rings by the rectangle (4 S-H passes)."""
     xmin, ymin, xmax, ymax = rect
@@ -123,7 +176,102 @@ def _clip_rings(coords: np.ndarray, offsets: np.ndarray, rect) -> tuple[np.ndarr
     return coords, offsets
 
 
-def _clip_polygons_vec(ga: GeometryArray, rect) -> GeometryArray:
+class _RectClip:
+    """Axis-aligned clip window (exact snap-to-line contract)."""
+
+    def __init__(self, rect):
+        self.rect = rect
+
+    def clip_rings(self, coords, offsets):
+        return _clip_rings(coords, offsets, self.rect)
+
+    def seg_params(self, p, d):
+        return _lb_params(p, d, self.rect)
+
+    def clamp(self, pts):
+        return _clamp_rect(pts, self.rect)
+
+    def point_mask(self, pts):
+        xmin, ymin, xmax, ymax = self.rect
+        return ((pts[:, 0] >= xmin) & (pts[:, 0] <= xmax)
+                & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax))
+
+
+class _ConvexClip:
+    """Convex clip polygon as half-planes A @ p <= D (CCW inward-left)."""
+
+    def __init__(self, A: np.ndarray, D: np.ndarray):
+        self.A = A
+        self.D = D
+
+    def clip_rings(self, coords, offsets):
+        for (a, b), d in zip(self.A, self.D):
+            coords, offsets = _sh_pass_halfplane(coords, offsets, a, b, d)
+        return coords, offsets
+
+    def seg_params(self, p, d):
+        """Cyrus–Beck entry/exit parameters against every half-plane."""
+        t0 = np.zeros(len(p))
+        t1 = np.ones(len(p))
+        for (a, b), dd in zip(self.A, self.D):
+            f = a * p[:, 0] + b * p[:, 1]
+            den = a * d[:, 0] + b * d[:, 1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ts = (dd - f) / den
+            par = den == 0.0
+            inside_par = f <= dd
+            # den > 0: heading outward -> exit bound; den < 0: entry bound
+            t0 = np.where(par, np.where(inside_par, t0, 1.0),
+                          np.where(den < 0.0, np.maximum(t0, ts), t0))
+            t1 = np.where(par, np.where(inside_par, t1, 0.0),
+                          np.where(den > 0.0, np.minimum(t1, ts), t1))
+        return t0, t1
+
+    def clamp(self, pts):
+        return pts  # no per-axis snap exists for oblique edges
+
+    def point_mask(self, pts):
+        mask = np.ones(len(pts), dtype=bool)
+        for (a, b), d in zip(self.A, self.D):
+            mask &= a * pts[:, 0] + b * pts[:, 1] <= d
+        return mask
+
+
+def _convex_halfplanes(ring) -> tuple[np.ndarray, np.ndarray]:
+    """(A, D) half-planes of a convex ring; validates convexity.
+
+    Accepts an (k, 2) array-like of vertices (closing duplicate optional,
+    either winding); consecutive duplicate vertices and collinear runs are
+    tolerated, reflex corners are refused loudly.
+    """
+    v = np.asarray(ring, dtype=np.float64)
+    if v.ndim != 2 or v.shape[1] != 2 or len(v) < 3:
+        raise ValueError("convex clip ring needs >= 3 (x, y) vertices")
+    if len(v) > 1 and v[0, 0] == v[-1, 0] and v[0, 1] == v[-1, 1]:
+        v = v[:-1]
+    keep = np.ones(len(v), dtype=bool)
+    keep[1:] = (v[1:] != v[:-1]).any(axis=1)
+    v = v[keep]
+    if len(v) < 3:
+        raise ValueError("convex clip ring needs >= 3 distinct vertices")
+    area2 = float(np.sum(v[:, 0] * np.roll(v[:, 1], -1) - np.roll(v[:, 0], -1) * v[:, 1]))
+    if area2 == 0.0:
+        raise ValueError("convex clip ring is degenerate (zero area)")
+    if area2 < 0.0:
+        v = v[::-1]  # normalize to CCW
+    e = np.roll(v, -1, axis=0) - v
+    crossz = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+    if (crossz < 0.0).any():
+        raise ValueError("clip ring is not convex (reflex corner found)")
+    nz = (e != 0.0).any(axis=1)
+    v, e = v[nz], e[nz]
+    # CCW ring: inside is LEFT of each edge -> ey*x - ex*y <= ey*vx - ex*vy
+    A = np.column_stack([e[:, 1], -e[:, 0]])
+    D = e[:, 1] * v[:, 0] - e[:, 0] * v[:, 1]
+    return A, D
+
+
+def _clip_polygons_vec(ga: GeometryArray, clip) -> GeometryArray:
     """Fully-vectorized polygon clip for arrays of ONLY (Multi)Polygon /
     MISSING rows — every step is cumsum/repeat/gather over the flat ragged
     buffers; no per-geometry Python (0.05 -> 0.25-0.31 M polys/s on the
@@ -141,7 +289,7 @@ def _clip_polygons_vec(ga: GeometryArray, rect) -> GeometryArray:
     flat = ga.coords[_expand_ranges(r_s, r_e)]
     offs = np.zeros(len(sizes) + 1, dtype=np.int64)
     np.cumsum(sizes, out=offs[1:])
-    cc, oo = _clip_rings(flat, offs, rect)
+    cc, oo = clip.clip_rings(flat, offs)
     new_sizes = np.diff(oo)
 
     # validity: a part survives iff its EXTERIOR (first) ring keeps >= 3
@@ -224,7 +372,7 @@ def _clamp_rect(pts: np.ndarray, rect) -> np.ndarray:
 
 
 def _clip_endpoints(p: np.ndarray, q: np.ndarray, d: np.ndarray,
-                    t0: np.ndarray, t1: np.ndarray, rect) -> tuple[np.ndarray, np.ndarray]:
+                    t0: np.ndarray, t1: np.ndarray, clip) -> tuple[np.ndarray, np.ndarray]:
     """Clipped segment endpoints with EXACT originals at t==0 / t==1.
 
     ``p + 1.0*d`` is not ``q`` in floats (catastrophic cancellation in
@@ -235,10 +383,10 @@ def _clip_endpoints(p: np.ndarray, q: np.ndarray, d: np.ndarray,
     only for true rounding overshoot."""
     a = np.where((t0 == 0.0)[:, None], p, p + t0[:, None] * d)
     b = np.where((t1 == 1.0)[:, None], q, p + t1[:, None] * d)
-    return _clamp_rect(a, rect), _clamp_rect(b, rect)
+    return clip.clamp(a), clip.clamp(b)
 
 
-def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
+def _clip_lines_vec(ga: GeometryArray, clip) -> GeometryArray:
     """Fully-vectorized line clip for arrays of ONLY line-ish / MISSING rows:
     Liang–Barsky over every segment of the batch at once, chain starts from
     one global break mask (part firsts, dropped/shortened predecessors,
@@ -255,9 +403,9 @@ def _clip_lines_vec(ga: GeometryArray, rect) -> GeometryArray:
     p = ga.coords[seg_idx]
     q = ga.coords[np.minimum(seg_idx + 1, max(len(ga.coords) - 1, 0))]
     d = q - p
-    t0, t1 = _lb_params(p, d, rect)
+    t0, t1 = clip.seg_params(p, d)
     keep = t0 < t1
-    a, b = _clip_endpoints(p, q, d, t0, t1, rect)
+    a, b = _clip_endpoints(p, q, d, t0, t1, clip)
 
     seg_off = np.zeros(len(nseg) + 1, dtype=np.int64)
     np.cumsum(nseg, out=seg_off[1:])
@@ -317,10 +465,30 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
     if not (xmin < xmax and ymin < ymax):
         raise ValueError("clip rectangle must have xmin < xmax and ymin < ymax")
     rect = (float(xmin), float(ymin), float(xmax), float(ymax))
+    return _clip_dispatch(ga, _RectClip(rect))
+
+
+def clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
+    """Clip every geometry to a CONVEX polygon (the ``gpd.clip(mask)``
+    shape for convex masks).
+
+    ``ring``: (k, 2) vertices of the convex clip polygon (either winding,
+    closing duplicate optional); reflex corners are refused loudly rather
+    than silently mis-clipped — a concave mask needs a full overlay, which
+    Sutherland–Hodgman cannot provide. Same family semantics and concave-
+    SUBJECT bridge caveat as :func:`clip_by_rect`; intersection vertices on
+    oblique edges are exact to ~1 ULP (no axis snap exists), so
+    idempotence is approximate rather than bit-exact.
+    """
+    A, D = _convex_halfplanes(ring)
+    return _clip_dispatch(ga, _ConvexClip(A, D))
+
+
+def _clip_dispatch(ga: GeometryArray, clip) -> GeometryArray:
     if bool(np.all(np.isin(ga.types, _POLYISH) | (ga.types == MISSING))):
-        return _clip_polygons_vec(ga, rect)
+        return _clip_polygons_vec(ga, clip)
     if bool(np.all(np.isin(ga.types, _LINEISH) | (ga.types == MISSING))):
-        return _clip_lines_vec(ga, rect)
+        return _clip_lines_vec(ga, clip)
 
     # outputs accumulated as flat lists of arrays, one entry per geometry
     out_types = np.array(ga.types, dtype=np.int8, copy=True)
@@ -334,8 +502,7 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
     pt_geoms = np.nonzero(np.isin(types, _POINTISH))[0]
     for gi in pt_geoms:
         pts = ga.coords[co[gi]:co[gi + 1]]
-        keep = (pts[:, 0] >= xmin) & (pts[:, 0] <= xmax) & (pts[:, 1] >= ymin) & (pts[:, 1] <= ymax)
-        kept = pts[keep]
+        kept = pts[clip.point_mask(pts)]
         for p in kept:
             geom_parts[gi].append((np.array([1], dtype=np.int64), p[None, :]))
 
@@ -351,7 +518,7 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
         sizes = r_e - r_s
         flat = np.concatenate([ga.coords[s:e] for s, e in zip(r_s, r_e)]) if sizes.sum() else np.empty((0, 2))
         offs = np.concatenate([[0], np.cumsum(sizes)])
-        cc, oo = _clip_rings(flat, offs, rect)
+        cc, oo = clip.clip_rings(flat, offs)
         new_sizes = np.diff(oo)
         # map rings back to (geom, part) and rebuild with S-H validity rules
         ring_ptr = 0
@@ -383,11 +550,11 @@ def clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax:
             p = pts[:-1]
             q = pts[1:]
             d = q - p
-            t0, t1 = _lb_params(p, d, rect)
+            t0, t1 = clip.seg_params(p, d)
             keep = t0 < t1
             if not keep.any():
                 continue
-            a, b = _clip_endpoints(p, q, d, t0, t1, rect)
+            a, b = _clip_endpoints(p, q, d, t0, t1, clip)
             # chain break before segment i when: i dropped, or i-1 dropped,
             # or the shared vertex moved (t1[i-1] < 1 or t0[i] > 0)
             brk = np.ones(len(p), dtype=bool)

@@ -34,6 +34,12 @@ def _clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax
     return clip_by_rect(ga, xmin, ymin, xmax, ymax)
 
 
+def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
+    from geopolars_ray.geom.clip import clip_by_convex
+
+    return clip_by_convex(ga, ring)
+
+
 # --------------------------------------------------------------------------
 # encoding-transparent geometry column access (WKB or GeoArrow-native)
 # --------------------------------------------------------------------------
@@ -130,6 +136,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "skew": (K.skew, "geometry"),
     "to_crs": (crs_mod.to_crs, "geometry"),
     "clip_by_rect": (_clip_by_rect, "geometry"),
+    "clip_by_convex": (_clip_by_convex, "geometry"),
     "buffer": (K.buffer_points, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)

@@ -205,6 +205,16 @@ def test_geodataset_clip_buffer_geohash(ray_session):
     a = K.area(ga)
     assert abs(a[0] - 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)) < 1e-12  # inside
     assert np.isnan(a[1])  # fully clipped -> null geometry
+    # clip(mask): rect tuple dispatches to the exact path, a convex ring to
+    # the half-plane path; a huge triangle mask keeps the buffer intact
+    c2 = gds.buffer(2.0, quad_segs=8).clip((0.0, 0.0, 50.0, 90.0)).dataset.take_all()
+    ga2 = decode_wkb(pa.array([r["geometry"] for r in c2], pa.large_binary()))
+    assert abs(K.area(ga2)[0] - a[0]) == 0.0
+    tri = [(-500.0, -500.0), (500.0, -500.0), (0.0, 500.0)]
+    c3 = gds.buffer(2.0, quad_segs=8).clip(tri).dataset.take_all()
+    ga3 = decode_wkb(pa.array([r["geometry"] for r in c3], pa.large_binary()))
+    full = 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)
+    assert abs(K.area(ga3)[0] - full) < 1e-9 and abs(K.area(ga3)[1] - full) < 1e-9
 
 
 def test_total_bounds(ray_session):
