@@ -499,6 +499,88 @@ def stere_polar_inverse(x, y, lon0: float, lat_ts: float, south: bool,
 
 
 # --------------------------------------------------------------------------
+# oblique/equatorial stereographic, EPSG method 9809 ("double projection",
+# PROJ +proj=sterea — used by RD New and other national grids): conformal
+# mapping ellipsoid -> Gauss sphere -> spherical oblique stereographic.
+# Formulas from EPSG Guidance Note 7-2 §"Oblique and Equatorial
+# Stereographic"; parametrized (a, e) so the Bessel worked example anchors
+# the math while the proj-string surface stays WGS84.
+# --------------------------------------------------------------------------
+
+
+def _sterea_constants(lat0: float, k0: float, a: float, e: float):
+    p0 = np.radians(lat0)
+    e2 = e * e
+    sp0, cp0 = np.sin(p0), np.cos(p0)
+    rho0 = a * (1.0 - e2) / (1.0 - e2 * sp0 * sp0) ** 1.5
+    nu0 = a / np.sqrt(1.0 - e2 * sp0 * sp0)
+    R = np.sqrt(rho0 * nu0)
+    n = np.sqrt(1.0 + e2 * cp0**4 / (1.0 - e2))
+    S1 = (1.0 + sp0) / (1.0 - sp0)
+    S2 = (1.0 - e * sp0) / (1.0 + e * sp0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi0 = (w1 - 1.0) / (w1 + 1.0)
+    c = (n + sp0) * (1.0 - sin_chi0) / ((n - sp0) * (1.0 + sin_chi0))
+    w2 = c * w1
+    chi0 = np.arcsin((w2 - 1.0) / (w2 + 1.0))
+    return float(R), float(n), float(c), float(chi0)
+
+
+def _sterea_chi_lam(lon, lat, lon0: float, n: float, c: float, e: float):
+    lam0 = np.radians(lon0)
+    lam = lam0 + n * _wrap_lam(np.radians(lon) - lam0)
+    phi = np.radians(lat)
+    sp = np.sin(phi)
+    Sa = (1.0 + sp) / (1.0 - sp)
+    Sb = (1.0 - e * sp) / (1.0 + e * sp)
+    w = c * (Sa * Sb**e) ** n
+    chi = np.arcsin((w - 1.0) / (w + 1.0))
+    return chi, lam, lam0
+
+
+def stere_oblique_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                          x0: float = 0.0, y0: float = 0.0,
+                          a: float = WGS84_A, e: float | None = None):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    e = _E1 if e is None else e
+    R, n, c, chi0 = _sterea_constants(lat0, k0, a, e)
+    chi, lam, lam0 = _sterea_chi_lam(lon, lat, lon0, n, c, e)
+    dl = lam - lam0
+    B = 1.0 + np.sin(chi) * np.sin(chi0) + np.cos(chi) * np.cos(chi0) * np.cos(dl)
+    x = x0 + 2.0 * R * k0 * np.cos(chi) * np.sin(dl) / B
+    y = y0 + 2.0 * R * k0 * (np.sin(chi) * np.cos(chi0) - np.cos(chi) * np.sin(chi0) * np.cos(dl)) / B
+    return x, y
+
+
+def stere_oblique_inverse(x, y, lon0: float, lat0: float, k0: float = 1.0,
+                          x0: float = 0.0, y0: float = 0.0,
+                          a: float = WGS84_A, e: float | None = None):
+    x = np.asarray(x, np.float64) - x0
+    y = np.asarray(y, np.float64) - y0
+    e = _E1 if e is None else e
+    R, n, c, chi0 = _sterea_constants(lat0, k0, a, e)
+    lam0 = np.radians(lon0)
+    g = 2.0 * R * k0 * np.tan(np.pi / 4.0 - chi0 / 2.0)
+    h = 4.0 * R * k0 * np.tan(chi0) + g
+    i = np.arctan2(x, h + y)
+    j = np.arctan2(x, g - y) - i
+    chi = chi0 + 2.0 * np.arctan((y - x * np.tan(j / 2.0)) / (2.0 * R * k0))
+    lam = j + 2.0 * i + lam0
+    lon = np.degrees(_wrap_lam(lam - lam0) / n + lam0)
+    # isometric latitude on the ellipsoid from the conformal-sphere chi,
+    # then Newton-style fixed point for phi (converges in ~4 iterations)
+    psi = 0.5 * np.log((1.0 + np.sin(chi)) / (c * (1.0 - np.sin(chi)))) / n
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    e2 = e * e
+    for _ in range(6):
+        sp = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0) * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+    return lon, np.degrees(phi)
+
+
+# --------------------------------------------------------------------------
 # azimuthal equidistant (ellipsoidal, via Vincenty geodesics) — +proj=aeqd
 # --------------------------------------------------------------------------
 
@@ -630,12 +712,19 @@ def parse_crs(crs: str) -> dict:
             return {"proj": "aeqd", "lat_0": float(params.get("lat_0", 0.0)),
                     "lon_0": float(params.get("lon_0", 0.0)),
                     "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
+        if proj == "sterea":
+            # EPSG 9809 oblique/equatorial stereographic (double projection)
+            return {"proj": "sterea", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0)))}
         if proj == "stere":
             lat_0 = float(params.get("lat_0", 90.0))
             if abs(lat_0) != 90.0:
                 raise ValueError(
-                    "only POLAR stereographic is implemented (+lat_0=90 or -90); "
-                    f"oblique stereographic (lat_0={lat_0}) is unsupported"
+                    "only POLAR +proj=stere is implemented (+lat_0=90 or -90); "
+                    f"for oblique aspects use +proj=sterea (EPSG 9809 double "
+                    f"stereographic — got lat_0={lat_0})"
                 )
             south = lat_0 < 0.0
             lat_ts = float(params.get("lat_ts", lat_0))
@@ -673,6 +762,9 @@ def _to_lonlat(x: np.ndarray, y: np.ndarray, spec: dict):
     if p == "stere":
         return stere_polar_inverse(x, y, spec["lon_0"], spec["lat_ts"], spec["south"],
                                    spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "sterea":
+        return stere_oblique_inverse(x, y, spec["lon_0"], spec["lat_0"],
+                                     spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
@@ -699,6 +791,9 @@ def _from_lonlat(lon: np.ndarray, lat: np.ndarray, spec: dict):
     if p == "stere":
         return stere_polar_forward(lon, lat, spec["lon_0"], spec["lat_ts"], spec["south"],
                                    spec["x_0"], spec["y_0"], spec["k_0"])
+    if p == "sterea":
+        return stere_oblique_forward(lon, lat, spec["lon_0"], spec["lat_0"],
+                                     spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")

@@ -216,6 +216,44 @@ def test_stere_k0_at_pole_variant():
     assert abs(lon2[0] - 33.0) < 1e-9 and abs(lat2[0] - 80.0) < 1e-9
 
 
+def test_oblique_stereographic_sterea():
+    """EPSG Guidance Note 7-2, Oblique Stereographic (method 9809) worked
+    example — Amersfoort / RD New on Bessel 1841: lat_0=52°09'22.178\"N,
+    lon_0=5°23'15.500\"E, k_0=0.9999079, FE=155000, FN=463000; input
+    53°N 6°E -> E 196105.283, N 557057.739. The (a, e) parametrization lets
+    the Bessel example anchor the math; the proj-string surface is WGS84."""
+    a = 6_377_397.155
+    f = 1.0 / 299.1528128
+    e = np.sqrt(2.0 * f - f * f)
+    lat0 = 52.0 + 9.0 / 60.0 + 22.178 / 3600.0
+    lon0 = 5.0 + 23.0 / 60.0 + 15.500 / 3600.0
+    x, y = C.stere_oblique_forward(np.array([6.0]), np.array([53.0]), lon0, lat0,
+                                   0.9999079, 155_000.0, 463_000.0, a=a, e=e)
+    assert abs(x[0] - 196_105.283) < 0.001
+    assert abs(y[0] - 557_057.739) < 0.001
+    lon2, lat2 = C.stere_oblique_inverse(np.array([196_105.283]), np.array([557_057.739]),
+                                         lon0, lat0, 0.9999079, 155_000.0, 463_000.0,
+                                         a=a, e=e)
+    assert abs(lon2[0] - 6.0) < 1e-8 and abs(lat2[0] - 53.0) < 1e-8
+
+    # WGS84 proj-string surface: conformal (h == k), scale k_0 at the origin,
+    # and roundtrip through transform_points
+    crs = "+proj=sterea +lat_0=52.15 +lon_0=5.39 +k_0=0.9999079 +x_0=155000 +y_0=463000"
+    fwd = lambda lo, la: C.transform_points(lo, la, "EPSG:4326", crs)
+    h, k, _ = _fd_scales(fwd, 5.39, 52.15)
+    assert abs(k - 0.9999079) < 1e-6 and abs(h - k) < 1e-6
+    for lon_s, lat_s in ((7.5, 54.0), (3.0, 50.5)):
+        h, k, _ = _fd_scales(fwd, lon_s, lat_s)
+        assert abs(h - k) < 1e-6  # conformal away from the origin too
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-10.0, 20.0, 3000)
+    lat = rng.uniform(40.0, 62.0, 3000)
+    X, Y = fwd(lon, lat)
+    lon2, lat2 = C.transform_points(X, Y, crs, "EPSG:4326")
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
 def test_parse_crs_new_codes_and_pivot():
     assert C.parse_crs("EPSG:3395")["proj"] == "merc"
     assert C.parse_crs("EPSG:2154") == {"proj": "lcc", "lat_0": 46.5, "lon_0": 3.0,
@@ -232,8 +270,11 @@ def test_parse_crs_new_codes_and_pivot():
     # 1SP default: lat_2 falls back to lat_1
     s = C.parse_crs("+proj=lcc +lat_1=40 +lat_0=40 +lon_0=0 +k_0=0.9999")
     assert s["lat_2"] == 40.0 and s["k_0"] == 0.9999
-    with pytest.raises(ValueError, match="POLAR stereographic"):
-        C.parse_crs("+proj=stere +lat_0=52 +lon_0=4")  # oblique (RD-style) unsupported
+    with pytest.raises(ValueError, match=r"POLAR \+proj=stere"):
+        C.parse_crs("+proj=stere +lat_0=52 +lon_0=4")  # oblique aspect needs +proj=sterea
+    s = C.parse_crs("+proj=sterea +lat_0=52.15 +lon_0=5.38 +k_0=0.9999079 "
+                    "+x_0=155000 +y_0=463000")
+    assert s["proj"] == "sterea" and s["k_0"] == 0.9999079 and s["y_0"] == 463_000.0
     # generic pivot: UTM 18N -> CONUS Albers -> back, through transform_points
     lon = np.array([-77.03])
     lat = np.array([38.90])
