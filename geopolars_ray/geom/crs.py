@@ -20,8 +20,18 @@ series as used by every modern UTM implementation):
   (CONUS Albers);
 - polar stereographic with true-scale parallel (Snyder ch. 21), incl.
   EPSG:3413 (NSIDC Arctic) and EPSG:3031 (Antarctic);
+- oblique ("double") stereographic, EPSG method 9809 (``+proj=sterea``,
+  RD-New-style grids) and Swiss oblique Mercator, EPSG method 9814
+  (``+proj=somerc``, CH1903-style grids) — both via the conformal Gauss
+  sphere, anchored on their published Bessel worked examples;
+- generic transverse Mercator ``+proj=tmerc`` (Krüger series + lat_0
+  origin, OSGB-shaped grids) — national-grid EPSG codes on non-WGS84
+  datums (27700, 21781, 2056) are NOT aliased because their datum shifts
+  are tens-to-hundreds of meters; spell the proj-string to get the pure
+  WGS84 projection math;
 - proj-strings: ``+proj=longlat | webmerc | merc (ellipsoidal) |
-  utm +zone=N [+south] | laea | lcc | aea | stere`` with the usual
+  utm +zone=N [+south] | tmerc | laea | lcc | aea | stere | sterea |
+  somerc | aeqd`` with the usual
   ``+lat_0 +lon_0 +lat_1 +lat_2 +lat_ts +x_0 +y_0 +k_0`` parameters.
 
 All projections use the WGS84 ellipsoid. EPSG:2154/5070 are nominally GRS80;
@@ -173,6 +183,29 @@ def utm_inverse(E, N, zone: int, north: bool = True):
     lon0 = float(zone) * 6.0 - 183.0
     n0 = 0.0 if north else _UTM_N0_SOUTH
     return tm_inverse(E, N, lon0, _UTM_K0, _UTM_E0, n0)
+
+
+def _tmerc_n0(lon0: float, lat0: float, k0: float, y0: float) -> float:
+    """Effective false northing for a tmerc natural origin at lat_0.
+
+    PROJ semantics: northings are measured from lat_0 on the central
+    meridian, i.e. N = y_0 + k0*(rectifying northing(phi) - rectifying
+    northing(lat_0)). The origin northing comes from the same Krüger
+    series, so origin subtraction is exact (no separate meridian-arc
+    formula to disagree with)."""
+    _, n_org = tm_forward(np.array([lon0]), np.array([lat0]), lon0, k0, 0.0, 0.0)
+    return y0 - float(n_org[0])
+
+
+def tmerc_forward(lon, lat, lon0: float, lat0: float = 0.0, k0: float = 1.0,
+                  x0: float = 0.0, y0: float = 0.0):
+    """Generic transverse Mercator (+proj=tmerc): Krüger series + lat_0 origin."""
+    return tm_forward(lon, lat, lon0, k0, x0, _tmerc_n0(lon0, lat0, k0, y0))
+
+
+def tmerc_inverse(E, N, lon0: float, lat0: float = 0.0, k0: float = 1.0,
+                  x0: float = 0.0, y0: float = 0.0):
+    return tm_inverse(E, N, lon0, k0, x0, _tmerc_n0(lon0, lat0, k0, y0))
 
 
 # --------------------------------------------------------------------------
@@ -581,6 +614,85 @@ def stere_oblique_inverse(x, y, lon0: float, lat0: float, k0: float = 1.0,
 
 
 # --------------------------------------------------------------------------
+# Swiss oblique Mercator, EPSG method 9814 (PROJ +proj=somerc — CH1903/LV03
+# and CH1903+/LV95): conformal ellipsoid -> Gauss sphere -> rotation of the
+# sphere so the projection centre lies on the pseudo-equator -> spherical
+# Mercator. Formulas from the published swisstopo reference ("Formulas and
+# constants for the calculation of the Swiss conformal cylindrical
+# projection", rigorous formulas) / Snyder's oblique-Mercator-on-sphere.
+# Parametrized (a, e) so the Bessel worked example anchors the math while
+# the proj-string surface stays WGS84 (module docstring convention).
+# --------------------------------------------------------------------------
+
+
+def _somerc_constants(lat0: float, a: float, e: float):
+    p0 = np.radians(lat0)
+    e2 = e * e
+    sp0, cp0 = np.sin(p0), np.cos(p0)
+    R = a * np.sqrt(1.0 - e2) / (1.0 - e2 * sp0 * sp0)  # Gauss sphere radius
+    alpha = np.sqrt(1.0 + e2 * cp0**4 / (1.0 - e2))
+    b0 = np.arcsin(sp0 / alpha)
+    # K fixes the sphere's latitude origin so b(phi0) == b0
+    K = (np.log(np.tan(np.pi / 4.0 + b0 / 2.0))
+         - alpha * np.log(np.tan(np.pi / 4.0 + p0 / 2.0))
+         + alpha * e / 2.0 * np.log((1.0 + e * sp0) / (1.0 - e * sp0)))
+    return float(R), float(alpha), float(b0), float(K)
+
+
+def somerc_forward(lon, lat, lon0: float, lat0: float, k0: float = 1.0,
+                   x0: float = 0.0, y0: float = 0.0,
+                   a: float = WGS84_A, e: float | None = None):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    e = _E1 if e is None else e
+    R, alpha, b0, K = _somerc_constants(lat0, a, e)
+    phi = np.radians(lat)
+    sp = np.sin(phi)
+    # conformal (Gauss) sphere latitude b and sphere longitude l
+    S = (alpha * np.log(np.tan(np.pi / 4.0 + phi / 2.0))
+         - alpha * e / 2.0 * np.log((1.0 + e * sp) / (1.0 - e * sp)) + K)
+    b = 2.0 * (np.arctan(np.exp(S)) - np.pi / 4.0)
+    l = alpha * _wrap_lam(np.radians(lon - lon0))
+    # rotate the sphere: projection centre (b0, 0) -> pseudo-equator origin
+    sb, cb = np.sin(b), np.cos(b)
+    sl, cl = np.sin(l), np.cos(l)
+    sin_bb = np.cos(b0) * sb - np.sin(b0) * cb * cl
+    bb = np.arcsin(np.clip(sin_bb, -1.0, 1.0))
+    lb = np.arctan2(cb * sl, np.sin(b0) * sb + np.cos(b0) * cb * cl)
+    # spherical Mercator on the rotated sphere
+    E = x0 + k0 * R * lb
+    N = y0 + k0 * R * 0.5 * np.log((1.0 + sin_bb) / (1.0 - sin_bb))
+    return E, N
+
+
+def somerc_inverse(E, N, lon0: float, lat0: float, k0: float = 1.0,
+                   x0: float = 0.0, y0: float = 0.0,
+                   a: float = WGS84_A, e: float | None = None):
+    E = np.asarray(E, np.float64)
+    N = np.asarray(N, np.float64)
+    e = _E1 if e is None else e
+    R, alpha, b0, K = _somerc_constants(lat0, a, e)
+    lb = (E - x0) / (k0 * R)
+    bb = 2.0 * (np.arctan(np.exp((N - y0) / (k0 * R))) - np.pi / 4.0)
+    sbb, cbb = np.sin(bb), np.cos(bb)
+    slb, clb = np.sin(lb), np.cos(lb)
+    b = np.arcsin(np.clip(np.cos(b0) * sbb + np.sin(b0) * cbb * clb, -1.0, 1.0))
+    l = np.arctan2(cbb * slb, np.cos(b0) * cbb * clb - np.sin(b0) * sbb)
+    lon = np.degrees(_wrap_lam(l / alpha + np.radians(lon0)))
+    # sphere latitude -> ellipsoid latitude: invert the isometric relation
+    # alpha*psi(phi) + K = ln(tan(pi/4 + b/2)) with the same Newton loop as
+    # the sterea inverse (psi is the ellipsoidal isometric latitude)
+    psi = (np.log(np.tan(np.pi / 4.0 + b / 2.0)) - K) / alpha
+    phi = 2.0 * np.arctan(np.exp(psi)) - np.pi / 2.0
+    e2 = e * e
+    for _ in range(6):
+        sp = np.sin(phi)
+        psi_i = np.log(np.tan(phi / 2.0 + np.pi / 4.0) * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0))
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1.0 - e2 * sp * sp) / (1.0 - e2)
+    return lon, np.degrees(phi)
+
+
+# --------------------------------------------------------------------------
 # azimuthal equidistant (ellipsoidal, via Vincenty geodesics) — +proj=aeqd
 # --------------------------------------------------------------------------
 
@@ -676,6 +788,17 @@ def parse_crs(crs: str) -> dict:
         proj = params.get("proj")
         if proj == "utm":
             return {"proj": "utm", "zone": int(params["zone"]), "north": not params.get("south", False)}
+        if proj == "tmerc":
+            return {"proj": "tmerc", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0)))}
+        if proj == "somerc":
+            # EPSG 9814 Swiss oblique Mercator (CH1903-style national grids)
+            return {"proj": "somerc", "lat_0": float(params.get("lat_0", 0.0)),
+                    "lon_0": float(params.get("lon_0", 0.0)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0)),
+                    "k_0": float(params.get("k_0", params.get("k", 1.0)))}
         if proj == "laea":
             return {
                 "proj": "laea",
@@ -737,7 +860,8 @@ def parse_crs(crs: str) -> dict:
         raise ValueError(f"unsupported proj-string {crs!r}")
     raise ValueError(
         f"unsupported CRS {crs!r} (supported: EPSG:4326/3857/3035/3395/2154/5070/3413/3031, "
-        "EPSG:326xx/327xx UTM, +proj=longlat|webmerc|merc|utm|laea|lcc|aea|stere strings)"
+        "EPSG:326xx/327xx UTM, +proj=longlat|webmerc|merc|utm|tmerc|laea|lcc|aea|stere|"
+        "sterea|somerc|aeqd strings)"
     )
 
 
@@ -765,6 +889,12 @@ def _to_lonlat(x: np.ndarray, y: np.ndarray, spec: dict):
     if p == "sterea":
         return stere_oblique_inverse(x, y, spec["lon_0"], spec["lat_0"],
                                      spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "somerc":
+        return somerc_inverse(x, y, spec["lon_0"], spec["lat_0"],
+                              spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "tmerc":
+        return tmerc_inverse(x, y, spec["lon_0"], spec["lat_0"],
+                             spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
@@ -794,6 +924,12 @@ def _from_lonlat(lon: np.ndarray, lat: np.ndarray, spec: dict):
     if p == "sterea":
         return stere_oblique_forward(lon, lat, spec["lon_0"], spec["lat_0"],
                                      spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "somerc":
+        return somerc_forward(lon, lat, spec["lon_0"], spec["lat_0"],
+                              spec["k_0"], spec["x_0"], spec["y_0"])
+    if p == "tmerc":
+        return tmerc_forward(lon, lat, spec["lon_0"], spec["lat_0"],
+                             spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")

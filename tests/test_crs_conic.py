@@ -319,3 +319,73 @@ def test_aea_southern_cone_epsg3577():
     # Sydney is east of the central meridian and well south: +x, -y
     x, y = C.transform_points(np.array([151.21]), np.array([-33.87]), "EPSG:4326", "EPSG:3577")
     assert x[0] > 1_000_000 and y[0] < -3_000_000
+
+
+def test_swiss_oblique_mercator_somerc():
+    """swisstopo 'Swiss conformal cylindrical projection' rigorous-formulas
+    worked example (Rigi, CH1903/LV03 on Bessel 1841): projection centre
+    Bern 46°57'08.66"N 7°26'22.50"E, FE 600000, FN 200000; input
+    47°03'28.956559233"N 8°29'11.11127154"E -> E 679520.05, N 212273.44."""
+    a = 6_377_397.155
+    f = 1.0 / 299.1528128
+    e = np.sqrt(2.0 * f - f * f)
+    lat0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+    lon0 = 7.0 + 26.0 / 60.0 + 22.50 / 3600.0
+    lat = 47.0 + 3.0 / 60.0 + 28.956559233 / 3600.0
+    lon = 8.0 + 29.0 / 60.0 + 11.11127154 / 3600.0
+    E, N = C.somerc_forward(np.array([lon]), np.array([lat]), lon0, lat0,
+                            1.0, 600_000.0, 200_000.0, a=a, e=e)
+    assert abs(E[0] - 679_520.05) < 0.001
+    assert abs(N[0] - 212_273.44) < 0.002
+    lo, la = C.somerc_inverse(E, N, lon0, lat0, 1.0, 600_000.0, 200_000.0, a=a, e=e)
+    assert abs(lo[0] - lon) < 1e-9 and abs(la[0] - lat) < 1e-9
+    # centre maps exactly to the false origin
+    E0, N0 = C.somerc_forward(np.array([lon0]), np.array([lat0]), lon0, lat0,
+                              1.0, 600_000.0, 200_000.0, a=a, e=e)
+    assert abs(E0[0] - 600_000.0) < 1e-6 and abs(N0[0] - 200_000.0) < 1e-6
+
+    # WGS84 proj-string surface (LV95-shaped): conformal, scale k_0 at the
+    # centre, roundtrip through transform_points
+    crs = "+proj=somerc +lat_0=46.9524055 +lon_0=7.4395833 +k_0=1 +x_0=2600000 +y_0=1200000"
+    fwd = lambda lo, la: C.transform_points(lo, la, "EPSG:4326", crs)
+    h, k, _ = _fd_scales(fwd, 7.4395833, 46.9524055)
+    assert abs(k - 1.0) < 1e-6 and abs(h - k) < 1e-6
+    for lon_s, lat_s in ((9.8, 46.2), (6.1, 47.5)):
+        h, k, _ = _fd_scales(fwd, lon_s, lat_s)
+        assert abs(h - k) < 1e-6  # conformal away from the centre too
+    rng = np.random.default_rng(11)
+    lon_r = rng.uniform(5.9, 10.5, 3000)
+    lat_r = rng.uniform(45.8, 47.9, 3000)
+    X, Y = fwd(lon_r, lat_r)
+    lo2, la2 = C.transform_points(X, Y, crs, "EPSG:4326")
+    assert np.abs(lo2 - lon_r).max() < 1e-9
+    assert np.abs(la2 - lat_r).max() < 1e-9
+
+
+def test_generic_tmerc():
+    """+proj=tmerc = the already-anchored Krüger series + lat_0 origin shift."""
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(6.5, 11.5, 4000)
+    lat = rng.uniform(-80.0, 84.0, 4000)
+    # parameter-matched tmerc is bit-identical to UTM zone 32
+    e1, n1 = C.utm_forward(lon, lat, 32, True)
+    e2, n2 = C.tmerc_forward(lon, lat, 9.0, 0.0, 0.9996, 500_000.0, 0.0)
+    assert np.abs(e1 - e2).max() == 0.0 and np.abs(n1 - n2).max() == 0.0
+    # OSGB-shaped grid on the WGS84 surface: natural origin -> false origin,
+    # conformal with scale k_0 on the central meridian
+    crs = "+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 +x_0=400000 +y_0=-100000"
+    E, N = C.transform_points(np.array([-2.0]), np.array([49.0]), "EPSG:4326", crs)
+    assert abs(E[0] - 400_000.0) < 1e-6 and abs(N[0] + 100_000.0) < 1e-6
+    fwd = lambda lo, la: C.transform_points(lo, la, "EPSG:4326", crs)
+    h, k, _ = _fd_scales(fwd, -2.0, 53.0)
+    assert abs(k - 0.9996012717) < 1e-6 and abs(h - k) < 1e-6
+    h, k, _ = _fd_scales(fwd, 0.5, 51.5)  # off-meridian: still conformal
+    assert abs(h - k) < 1e-6
+    lon_r = np.random.default_rng(13).uniform(-7.5, 2.0, 3000)
+    lat_r = np.random.default_rng(14).uniform(49.9, 60.8, 3000)
+    X, Y = fwd(lon_r, lat_r)
+    lo2, la2 = C.transform_points(X, Y, crs, "EPSG:4326")
+    assert np.abs(lo2 - lon_r).max() < 1e-8
+    assert np.abs(la2 - lat_r).max() < 1e-8
+    s = C.parse_crs(crs)
+    assert s["proj"] == "tmerc" and s["k_0"] == 0.9996012717 and s["y_0"] == -100_000.0
