@@ -384,6 +384,19 @@ class GeoDataset:
     def explode(self) -> "GeoDataset":
         return self._wrap(self._ds.map_batches(geo_explode(self.geometry_col), batch_format="pyarrow"))
 
+    def collect(self, by, count_col: str = "n_parts", num_partitions: int = 32) -> "GeoDataset":
+        """Grouped ST_Collect (inverse of explode): one MULTI geometry per key.
+
+        NOT a union — boundaries between collected parts are kept (this
+        engine has no polygon boolean ops; a dissolve that merges touching
+        polygons would need them). See ``stages/geo.py collect_by``.
+        """
+        from geopolars_ray.stages.geo import collect_by
+
+        return self._wrap(
+            collect_by(self._ds, by, self.geometry_col, count_col, num_partitions)
+        )
+
     def distance(self, other_col: str, out_col: str = "distance") -> "GeoDataset":
         return self._wrap(
             self._ds.map_batches(

@@ -632,6 +632,63 @@ def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     return out, parent
 
 
+def collect(ga: GeometryArray, group_starts: np.ndarray) -> GeometryArray:
+    """Inverse of explode: merge contiguous row groups into MULTI geometries.
+
+    ``group_starts`` are sorted row indices (first element 0) delimiting the
+    groups; the caller (the ``geo_collect`` stage) sorts each partition by
+    key so every group is one contiguous row range. ST_Collect-style
+    semantics restricted to one family per group: points -> MULTIPOINT,
+    lines/rings -> MULTILINESTRING, polygons -> MULTIPOLYGON; multi inputs
+    contribute their parts (so ``collect(explode(g)) == multi(g)``); missing
+    and empty rows contribute nothing, and an all-missing group collapses to
+    MISSING. Mixed families in one group raise (this engine rejects
+    GeometryCollection, matching the reference — `spatial_index.rs:307-310`).
+
+    Because groups are contiguous, the parts/rings/coords buffers pass
+    through UNCHANGED — only ``types`` and ``geom_offsets`` are rebuilt, so
+    the kernel is O(rows), not O(coords).
+    """
+    group_starts = np.asarray(group_starts, dtype=np.int64)
+    n_groups = len(group_starts)
+    bounds_rows = np.append(group_starts, len(ga))
+
+    fam = np.full(len(ga), -1, dtype=np.int8)
+    fam[np.isin(ga.types, (POINT, MULTIPOINT))] = 0
+    fam[np.isin(ga.types, _LINE_TYPES)] = 1
+    fam[np.isin(ga.types, _POLY_TYPES)] = 2
+    if len(ga):
+        # per-group family consensus over non-missing rows
+        present = fam.copy()
+        hi = np.maximum.reduceat(present, group_starts)
+        present_lo = np.where(fam < 0, np.int8(3), fam)
+        lo = np.minimum.reduceat(present_lo, group_starts)
+        mixed = (hi >= 0) & (lo < 3) & (hi != lo)
+        if mixed.any():
+            g = int(np.flatnonzero(mixed)[0])
+            raise ValueError(
+                f"collect: group starting at row {int(group_starts[g])} mixes "
+                "geometry families — GeometryCollection output is rejected "
+                "(one of point/line/polygon per group)"
+            )
+    else:
+        hi = np.full(n_groups, -1, dtype=np.int8)
+
+    geom_offsets = ga.geom_offsets[bounds_rows]
+    parts_per_group = geom_offsets[1:] - geom_offsets[:-1]
+    multi_of = np.array([MULTIPOINT, MULTILINESTRING, MULTIPOLYGON], dtype=np.int8)
+    out_types = np.where(
+        (hi >= 0) & (parts_per_group > 0), multi_of[np.clip(hi, 0, 2)], np.int8(MISSING)
+    ).astype(np.int8)
+    return GeometryArray(
+        types=out_types,
+        geom_offsets=geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=ga.ring_offsets,
+        coords=ga.coords,
+    )
+
+
 def convex_hull(ga: GeometryArray) -> GeometryArray:
     """Convex hull per geometry via Andrew's monotone chain (`geoseries.rs:23-26`).
 

@@ -19,6 +19,7 @@ from typing import Any, Callable
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
 from geopolars_ray.geom import kernels as K
@@ -252,6 +253,73 @@ def geo_explode(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
         return _set_geometry(taken, geometry_col, out, enc)
 
     return fn
+
+
+def collect_by(
+    ds,
+    by,
+    geometry_col: str = GEOMETRY,
+    count_col: str = "n_parts",
+    num_partitions: int = 32,
+):
+    """Grouped ST_Collect — the inverse of ``geo_explode``.
+
+    One hash co-partition on the key(s), then per PARTITION: one sort, one
+    vectorized boundary scan, and an O(rows) re-bucketing of the ragged
+    offsets (`geom/kernels.py collect` — the coords/rings buffers pass
+    through untouched). No per-key Python, so key cardinality is free; the
+    single all-to-all carries only the input rows once. Output: key
+    column(s), ``count_col`` (parts per group), and the MULTI geometry.
+
+    ST_Collect semantics restricted to one geometry family per key (mixed
+    families raise — GeometryCollection is rejected, matching the
+    reference); missing/empty rows drop out, all-missing keys yield a
+    missing geometry. Attribute aggregation is deliberately NOT bundled —
+    run ``hash_aggregate`` on the same keys and join.
+    """
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
+    keys = [by] if isinstance(by, str) else list(by)
+
+    def fn(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            cols = {k: pa.array([], group.schema.field(k).type) for k in keys}
+            cols[count_col] = pa.array([], pa.int64())
+            cols[geometry_col] = pa.array([], pa.large_binary())
+            return pa.table(cols)
+        for k in keys:
+            if group[k].null_count:
+                raise ValueError(
+                    f"collect_by: key column {k!r} contains nulls — null keys "
+                    "have no group identity; filter or fill first"
+                )
+        tbl = group.sort_by([(k, "ascending") for k in keys])
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            a = tbl[k].combine_chunks()
+            neq = pc.not_equal(a.slice(1), a.slice(0, n - 1))
+            change[1:] |= np.asarray(neq, dtype=bool)
+        starts = np.flatnonzero(change).astype(np.int64)
+        ga, enc = decode_geometry(tbl, geometry_col)
+        out = K.collect(ga, starts)
+        row_bounds = np.append(starts, n)
+        parts = ga.geom_offsets[row_bounds[1:]] - ga.geom_offsets[row_bounds[:-1]]
+        take = pa.array(starts)
+        res = pa.table({k: tbl[k].take(take) for k in keys})
+        res = res.append_column(count_col, pa.array(parts, pa.int64()))
+        if enc == "geoarrow":
+            from geopolars_ray.geom.geoarrow import geoarrow_field
+
+            try:
+                field, arr = geoarrow_field(geometry_col, out)
+                return res.append_column(field, arr)
+            except ValueError:
+                pass  # mixed-type result (MULTI + missing) -> WKB fallback
+        return res.append_column(geometry_col, encode_wkb(out))
+
+    return hash_partitioned_map(ds, keys, fn, num_partitions=num_partitions)
 
 
 def geo_distance(
