@@ -215,6 +215,11 @@ class GeoDataset:
     def geodesic_length(self, method: str = "geodesic", out_col: str = "geodesic_length") -> "GeoDataset":
         return self._apply("geodesic_length", out_col, method=method)
 
+    def geodesic_area(self, out_col: str = "geodesic_area") -> "GeoDataset":
+        """Ellipsoidal polygon area in m² (lon/lat coords; authalic-sphere
+        excess — `geom/kernels.py geodesic_area`)."""
+        return self._apply("geodesic_area", out_col)
+
     def geom_type(self, out_col: str = "geom_type") -> "GeoDataset":
         return self._apply("geom_type", out_col)
 

@@ -120,6 +120,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "area": (K.area, "scalar"),
     "euclidean_length": (K.euclidean_length, "scalar"),
     "geodesic_length": (K.geodesic_length, "scalar"),
+    "geodesic_area": (K.geodesic_area, "scalar"),
     "geom_type": (K.geom_type, "scalar"),
     "is_empty": (K.is_empty, "scalar"),
     "is_ring": (K.is_ring, "scalar"),

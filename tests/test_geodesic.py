@@ -118,3 +118,92 @@ def test_geodesic_buffer_points():
     with pytest.raises(NotImplementedError):
         K.geodesic_buffer_points(GeometryArray.from_pylist(
             [("linestring", [(0.0, 0.0), (1.0, 1.0)])]), 1000.0)
+
+
+def test_geodesic_area_anchors():
+    """Octant = exactly 1/8 of the WGS84 ellipsoid surface (edges along
+    meridians/equator are great circles of the authalic sphere, so the
+    trapezoid-excess sum is closed-form exact there)."""
+    from geopolars_ray.geom.kernels import geodesic_area
+    from geopolars_ray.geom.crs import WGS84_A, WGS84_F
+
+    e = np.sqrt(WGS84_F * (2 - WGS84_F))
+    b = WGS84_A * (1 - WGS84_F)
+    s_ell = 2 * np.pi * WGS84_A**2 + np.pi * b**2 / e * np.log((1 + e) / (1 - e))
+    ga = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (90.0, 0.0), (0.0, 90.0), (0.0, 0.0)]])]
+    )
+    a = geodesic_area(ga)[0]
+    assert abs(a - s_ell / 8) / (s_ell / 8) < 1e-12
+    # orientation-insensitive (abs of the signed sum)
+    cw = GeometryArray.from_pylist(
+        [("polygon", [[(0.0, 0.0), (0.0, 90.0), (90.0, 0.0), (0.0, 0.0)]])]
+    )
+    assert np.isclose(geodesic_area(cw)[0], a)
+
+
+def test_geodesic_area_band_convergence_and_semantics():
+    """Edges are geodesics (pyproj.Geod semantics), NOT parallels: a lat-lon
+    'band' polygon converges O(1/k²) to the closed-form authalic band area as
+    its parallel edges densify."""
+    from geopolars_ray.geom.kernels import geodesic_area
+    from geopolars_ray.geom.crs import _R_AUTH, _authalic_lat
+
+    b1, b2 = _authalic_lat(np.radians(np.array([10.0, 30.0])))
+    band = _R_AUTH**2 * np.radians(30.0) * (np.sin(b2) - np.sin(b1))
+
+    def ring(k):
+        lons = np.linspace(20.0, 50.0, k)
+        return (
+            [(float(l), 10.0) for l in lons]
+            + [(float(l), 30.0) for l in lons[::-1]]
+            + [(20.0, 10.0)]
+        )
+
+    errs = []
+    for k in (2, 10, 100):
+        ga = GeometryArray.from_pylist([("polygon", [ring(k)])])
+        errs.append(abs(geodesic_area(ga)[0] - band) / band)
+    assert errs[0] < 0.02 and errs[1] < 3e-4 and errs[2] < 3e-6
+    # segment counts 1 -> 9 -> 99: error drops ~(9/1)² then ~(99/9)²
+    assert errs[0] > 50 * errs[1] and errs[1] > 50 * errs[2]
+
+
+def test_geodesic_area_vs_utm_planar_holes_antimeridian():
+    from geopolars_ray.geom.kernels import geodesic_area
+    from geopolars_ray.geom import crs as C
+
+    # small square vs UTM planar area: ratio = 1/k² at the point (k≈0.9996
+    # near the central meridian)
+    lonc, latc = 9.1, 48.7
+    sq = [(lonc, latc), (lonc + 0.01, latc), (lonc + 0.01, latc + 0.01),
+          (lonc, latc + 0.01), (lonc, latc)]
+    E, N = C.utm_forward(np.array([p[0] for p in sq]), np.array([p[1] for p in sq]), 32, True)
+    planar = 0.5 * abs(np.sum(E[:-1] * N[1:] - E[1:] * N[:-1]))
+    ga = GeometryArray.from_pylist([("polygon", [sq])])
+    a = geodesic_area(ga)[0]
+    assert abs(a / planar - 1.0 / 0.9996**2) < 2e-4
+
+    # conventionally-wound hole subtracts
+    outer = [(20.0, 10.0), (50.0, 10.0), (50.0, 30.0), (20.0, 30.0), (20.0, 10.0)]
+    hole = [(20.0, 15.0), (25.0, 15.0), (25.0, 20.0), (20.0, 20.0), (20.0, 15.0)][::-1]
+    a_outer = geodesic_area(GeometryArray.from_pylist([("polygon", [outer])]))[0]
+    a_hole_solid = geodesic_area(GeometryArray.from_pylist([("polygon", [hole[::-1]])]))[0]
+    a_with = geodesic_area(GeometryArray.from_pylist([("polygon", [outer, hole])]))[0]
+    assert np.isclose(a_with, a_outer - a_hole_solid, rtol=1e-12)
+
+    # antimeridian-crossing polygon: equals the same polygon shifted to lon 0
+    am = [(175.0, 10.0), (-175.0, 10.0), (-175.0, 20.0), (175.0, 20.0), (175.0, 10.0)]
+    sh = [(-5.0, 10.0), (5.0, 10.0), (5.0, 20.0), (-5.0, 20.0), (-5.0, 10.0)]
+    a_am = geodesic_area(GeometryArray.from_pylist([("polygon", [am])]))[0]
+    a_sh = geodesic_area(GeometryArray.from_pylist([("polygon", [sh])]))[0]
+    assert np.isclose(a_am, a_sh, rtol=1e-12)
+
+    # non-areal -> 0, missing -> NaN, multipolygon sums
+    mixed = GeometryArray.from_pylist(
+        [("linestring", [(0.0, 0.0), (1.0, 1.0)]), None,
+         ("multipolygon", [[outer], [hole[::-1]]])]
+    )
+    r = geodesic_area(mixed)
+    assert r[0] == 0.0 and np.isnan(r[1])
+    assert np.isclose(r[2], a_outer + a_hole_solid, rtol=1e-12)
