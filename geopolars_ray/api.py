@@ -284,6 +284,13 @@ class GeoDataset:
     def simplify(self, tolerance: float) -> "GeoDataset":
         return self._apply("simplify", tolerance=tolerance)
 
+    def segmentize(self, max_segment_length: float, method: str = "planar") -> "GeoDataset":
+        """ST_Segmentize: densify so no segment exceeds the given length
+        (planar: coord units; geodesic: meters along great circles —
+        `geom/kernels.py segmentize`). Densify-then-to_crs is the
+        dateline-safe reprojection recipe."""
+        return self._apply("segmentize", max_segment_length=max_segment_length, method=method)
+
     def affine_transform(self, matrix) -> "GeoDataset":
         return self._apply("affine_transform", matrix=matrix)
 

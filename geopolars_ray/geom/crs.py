@@ -43,8 +43,9 @@ surface element, scale 1 at standard parallels, false-origin anchors) rather
 than by external anchor coordinates — no PROJ exists in this sandbox to
 disagree with.
 
-Like the reference, transformation is point-wise with no densification (same
-documented dateline caveat).
+Like the reference, transformation is point-wise with no implicit
+densification (same documented dateline caveat); the explicit recipe is
+``segmentize(..., method="geodesic")`` before ``to_crs`` (`geom/kernels.py`).
 """
 
 from __future__ import annotations

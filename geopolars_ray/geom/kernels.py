@@ -689,6 +689,97 @@ def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     return out, parent
 
 
+def segmentize(ga: GeometryArray, max_segment_length: float,
+               method: str = "planar", max_out_coords: int = 100_000_000) -> GeometryArray:
+    """Insert vertices so no segment exceeds ``max_segment_length``
+    (shapely ``segmentize`` / PostGIS ``ST_Segmentize`` semantics).
+
+    ``planar``: linear interpolation, length in coord units. ``geodesic``:
+    lon/lat coords, length in METERS (haversine), intermediate points on the
+    great circle (unit-sphere slerp) — endpoints exact, intermediate points
+    within ~0.5% of the ellipsoidal geodesic path (documented sphere
+    approximation; PostGIS geography segmentizes on the spheroid).
+
+    Structure: per segment k = ceil(d/max) output points; ring-final coords
+    emit themselves. Ring/part/geometry COUNTS never change, so
+    ``part_offsets``/``geom_offsets``/``types`` pass through — only
+    ``ring_offsets`` and ``coords`` are rebuilt, all vectorized.
+    ``max_out_coords`` is the loud per-batch blow-up guard (a tiny
+    ``max_segment_length`` on long segments is quadratic-adjacent cost).
+    """
+    if method not in ("planar", "geodesic"):
+        raise ValueError(f"unknown segmentize method {method!r}")
+    if not max_segment_length > 0:
+        raise ValueError("max_segment_length must be > 0")
+    n = len(ga.coords)
+    if n == 0:
+        return ga
+    a = ga.coords[:-1]
+    b = ga.coords[1:]
+    if method == "planar":
+        d = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+    else:
+        d = _haversine_m(a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+    # a coord index i is a segment start unless it is the last coord of its
+    # ring; ring-last coords emit exactly themselves
+    is_last = np.zeros(n, dtype=bool)
+    ring_last = ga.ring_offsets[1:] - 1
+    ring_last = ring_last[ga.ring_offsets[1:] > ga.ring_offsets[:-1]]
+    is_last[ring_last] = True
+    k = np.ones(n, dtype=np.int64)
+    seg = ~is_last
+    if n > 1:
+        kk = np.ceil(d / float(max_segment_length)).astype(np.int64)
+        np.maximum(kk, 1, out=kk)
+        k[:-1][seg[:-1]] = kk[seg[:-1]]
+    k[-1] = 1  # final coord is always a ring end
+    total = int(k.sum())
+    if total > max_out_coords:
+        raise ValueError(
+            f"segmentize would emit {total} coords in one batch "
+            f"(max_out_coords={max_out_coords}); raise max_segment_length "
+            "or lower the batch size"
+        )
+    src = np.repeat(np.arange(n, dtype=np.int64), k)
+    run_start = np.repeat(np.cumsum(k) - k, k)
+    j = np.arange(total, dtype=np.int64) - run_start
+    f = j / k[src]  # 0 for ring-last rows (k=1, j=0)
+    nxt = np.minimum(src + 1, n - 1)
+    if method == "planar":
+        out = ga.coords[src] * (1.0 - f[:, None]) + ga.coords[nxt] * f[:, None]
+    else:
+        lam1 = np.radians(ga.coords[src, 0])
+        phi1 = np.radians(ga.coords[src, 1])
+        lam2 = np.radians(ga.coords[nxt, 0])
+        phi2 = np.radians(ga.coords[nxt, 1])
+        u = np.stack([np.cos(phi1) * np.cos(lam1), np.cos(phi1) * np.sin(lam1), np.sin(phi1)], axis=1)
+        v = np.stack([np.cos(phi2) * np.cos(lam2), np.cos(phi2) * np.sin(lam2), np.sin(phi2)], axis=1)
+        cross = np.cross(u, v)
+        omega = np.arctan2(np.linalg.norm(cross, axis=1), np.einsum("ij,ij->i", u, v))
+        small = omega < 1e-9
+        so = np.where(small, 1.0, np.sin(omega))
+        w = (np.sin((1.0 - f) * omega) / so)[:, None] * u + (np.sin(f * omega) / so)[:, None] * v
+        # degenerate/identical endpoints: fall back to the start point
+        w = np.where(small[:, None], u, w)
+        norm = np.linalg.norm(w, axis=1)
+        w /= np.where(norm == 0.0, 1.0, norm)[:, None]
+        out = np.empty((total, 2), dtype=np.float64)
+        out[:, 0] = np.degrees(np.arctan2(w[:, 1], w[:, 0]))
+        out[:, 1] = np.degrees(np.arcsin(np.clip(w[:, 2], -1.0, 1.0)))
+        exact = f == 0.0  # emit original vertices bit-exactly (f < 1 always)
+        out[exact] = ga.coords[src[exact]]
+    # rebuild ring offsets from per-coord emit counts
+    csum = np.concatenate([[0], np.cumsum(k)])
+    new_ring_offsets = csum[ga.ring_offsets]
+    return GeometryArray(
+        types=ga.types,
+        geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=new_ring_offsets,
+        coords=out,
+    )
+
+
 def collect(ga: GeometryArray, group_starts: np.ndarray) -> GeometryArray:
     """Inverse of explode: merge contiguous row groups into MULTI geometries.
 

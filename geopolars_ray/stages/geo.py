@@ -131,6 +131,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "convex_hull": (K.convex_hull, "geometry"),
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
+    "segmentize": (K.segmentize, "geometry"),
     "affine_transform": (K.affine_transform, "geometry"),
     "translate": (K.translate, "geometry"),
     "rotate": (K.rotate, "geometry"),

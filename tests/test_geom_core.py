@@ -404,3 +404,66 @@ def test_distance_crossing_segments_is_zero():
     # disjoint stays positive and exact: (2,2) -> (10,0) = sqrt(68)
     c = GeometryArray.from_pylist([("linestring", [(10.0, 0.0), (12.0, 0.0)])])
     assert K.distance(a, c)[0] == np.sqrt(68.0)
+
+
+def test_segmentize_planar():
+    ga = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 1.0)]),
+            ("point", (3.0, 3.0)),
+            None,
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]]),
+        ]
+    )
+    out = K.segmentize(ga, 3.0)
+    lst = out.to_pylist()
+    # 10-unit segment -> 4 pieces of 2.5; 1-unit segment unchanged
+    assert lst[0] == ("linestring", [(0.0, 0.0), (2.5, 0.0), (5.0, 0.0), (7.5, 0.0), (10.0, 0.0), (10.0, 1.0)])
+    assert lst[1] == ("point", (3.0, 3.0))
+    assert lst[2] is None
+    typ, rings = lst[3]
+    assert typ == "polygon"
+    ring = rings[0]
+    assert ring[0] == ring[-1] == (0.0, 0.0)  # stays closed
+    d = np.hypot(*(np.diff(np.array(ring), axis=0).T))
+    assert d.max() <= 3.0 + 1e-12
+    # original vertices all retained bit-exactly
+    for v in [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]:
+        assert v in ring
+    # area unchanged by densification
+    assert np.isclose(K.area(out)[3], K.area(ga)[3], rtol=1e-15)
+
+
+def test_segmentize_geodesic():
+    # quarter of the equator: 10,018 km; cap at ~500 km -> >= 21 pieces on
+    # the great circle, every intermediate point stays on the equator
+    ga = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (90.0, 0.0)])])
+    out = K.segmentize(ga, 500_000.0, method="geodesic")
+    _, pts = out.to_pylist()[0]
+    assert len(pts) >= 21
+    lats = np.array([p[1] for p in pts])
+    lons = np.array([p[0] for p in pts])
+    assert np.abs(lats).max() < 1e-12
+    assert lons[0] == 0.0 and lons[-1] == 90.0
+    assert (np.diff(lons) > 0).all()
+    # same-latitude pair: great-circle midpoint is POLEWARD of the parallel
+    ga2 = GeometryArray.from_pylist([("linestring", [(0.0, 45.0), (90.0, 45.0)])])
+    _, pts2 = K.segmentize(ga2, 200_000.0, method="geodesic").to_pylist()[0]
+    mid_lat = max(p[1] for p in pts2)
+    assert mid_lat > 50.0  # true great-circle apex ~54.7
+    assert pts2[0] == (0.0, 45.0) and pts2[-1] == (90.0, 45.0)  # endpoints exact
+    # every sub-segment under the cap (haversine)
+    a = np.array(pts2)
+    from geopolars_ray.geom.kernels import _haversine_m
+    seg = _haversine_m(a[:-1, 0], a[:-1, 1], a[1:, 0], a[1:, 1])
+    assert seg.max() <= 200_000.0 * 1.001
+
+
+def test_segmentize_guards():
+    ga = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (1000.0, 0.0)])])
+    with pytest.raises(ValueError, match="max_out_coords"):
+        K.segmentize(ga, 1e-5, max_out_coords=1000)
+    with pytest.raises(ValueError, match="method"):
+        K.segmentize(ga, 1.0, method="spheroid")
+    with pytest.raises(ValueError, match="> 0"):
+        K.segmentize(ga, 0.0)
