@@ -394,3 +394,163 @@ def sjoin_nearest(
         return t
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def dwithin_join(
+    points_ds,
+    targets_ds,
+    distance: float,
+    x_col: str = "x",
+    y_col: str = "y",
+    point_id: str = "pid",
+    target_id: str = "tid",
+    cell_size: float | None = None,
+    canonical: bool = False,
+    num_partitions: int = 32,
+    strip_cost: int = 4_000_000,
+):
+    """All-pairs within-distance join (ST_DWithin): every (point, target)
+    pair with planar euclidean distance <= ``distance``.
+
+    Single exact pass — with cell size >= distance, any qualifying pair is
+    inside the point's 3x3 cell block, so targets replicate to the 9
+    neighbors, points key to their own cell, and each pair materializes in
+    EXACTLY one partition (the point's cell): no dedup exchange needed.
+    Per-partition scoring is strip-chunked (one (strip, m) distance block at
+    a time, ``strip_cost`` bounds the block area) so a dense cell can't blow
+    a task heap; the only quadratic term left is the OUTPUT itself, which is
+    the query's answer.
+
+    ``canonical=True`` keeps only ``pid < tid`` pairs — the self-join form
+    used for coordinate near-duplicate dedup (feed the pairs to
+    ``stages/cc.connected_components`` and keep one representative per
+    cluster, exactly like the MinHash/embedding near-dup paths).
+
+    Coordinates are treated planar (same contract as ``knn_join``); for
+    lon/lat data pass ``distance`` in degrees or project first. Output:
+    (point_id, target_id, distance).
+    """
+    import pyarrow.compute as pc
+
+    from geopolars_ray.geom import tiles as tiles_mod
+    from geopolars_ray.stages.agg import hash_partitioned_map
+
+    if not distance > 0:
+        raise ValueError("distance must be > 0")
+    cd = float(cell_size) if cell_size is not None else float(distance)
+    if cd < distance:
+        raise ValueError(
+            f"cell_size ({cd}) must be >= distance ({distance}) — the 3x3 "
+            "block is only provably complete when one cell covers the radius"
+        )
+    p_schema = points_ds.schema()
+    t_schema = targets_ds.schema()
+    if p_schema is None or t_schema is None:
+        raise ValueError("dwithin_join could not resolve input schemas")
+    id_type = dict(zip(p_schema.names, p_schema.types))[point_id]
+    tid_type = dict(zip(t_schema.names, t_schema.types))[target_id]
+    for _nm, _t in ((point_id, id_type), (target_id, tid_type)):
+        if not pa.types.is_integer(_t):
+            raise ValueError(
+                f"dwithin_join requires integer id columns; {_nm!r} is {_t}"
+            )
+    ny = int(np.ceil(180.0 / cd))
+
+    def target_side(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        cell = tiles_mod.grid_tile_id(x, y, cd)
+        reps, cells = [], []
+        for dx in (-ny, 0, ny):
+            for dy in (-1, 0, 1):
+                reps.append(np.arange(len(x)))
+                cells.append(cell + dx + dy)
+        rows = np.concatenate(reps)
+        rep = batch.select([target_id, x_col, y_col]).take(pa.array(rows))
+        n = len(rows)
+        return pa.table({
+            point_id: pa.nulls(n, id_type),
+            target_id: rep[target_id],
+            "_x": rep[x_col], "_y": rep[y_col],
+            "_cell": pa.array(np.concatenate(cells)),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    def point_side(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False)
+        y = batch[y_col].to_numpy(zero_copy_only=False)
+        n = len(batch)
+        return pa.table({
+            point_id: batch[point_id],
+            target_id: pa.nulls(n, tid_type),
+            "_x": batch[x_col], "_y": batch[y_col],
+            "_cell": pa.array(tiles_mod.grid_tile_id(x, y, cd)),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    both = points_ds.map_batches(point_side, batch_format="pyarrow").union(
+        targets_ds.map_batches(target_side, batch_format="pyarrow")
+    )
+
+    empty = pa.table({point_id: pa.array([], id_type), target_id: pa.array([], tid_type),
+                      "distance": pa.array([], pa.float64())})
+
+    def pairs_cell_partition(part: pa.Table) -> pa.Table:
+        lm = pc.equal(part["_side"], 0)
+        P = part.filter(lm)
+        T = part.filter(pc.invert(lm))
+        if P.num_rows == 0 or T.num_rows == 0:
+            return empty
+        ppid = P[point_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = P["_x"].to_numpy(zero_copy_only=False)
+        py = P["_y"].to_numpy(zero_copy_only=False)
+        pcell = P["_cell"].to_numpy(zero_copy_only=False)
+        ttid = T[target_id].to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = T["_x"].to_numpy(zero_copy_only=False)
+        ty = T["_y"].to_numpy(zero_copy_only=False)
+        tcell = T["_cell"].to_numpy(zero_copy_only=False)
+        tor = np.lexsort((ttid, tcell))
+        tcell_s, ttid_s, tx_s, ty_s = tcell[tor], ttid[tor], tx[tor], ty[tor]
+        por = np.argsort(pcell, kind="stable")
+        pcell_s = pcell[por]
+        cuts = np.nonzero(np.diff(pcell_s))[0] + 1
+        out_p, out_t, out_d = [], [], []
+        d2max = float(distance) * float(distance)
+        for rows in np.split(por, cuts):
+            c = pcell[rows[0]]
+            t0, t1 = np.searchsorted(tcell_s, [c, c + 1])
+            if t0 == t1:
+                continue
+            ct, cx, cy = ttid_s[t0:t1], tx_s[t0:t1], ty_s[t0:t1]
+            if len(ct) > 1:  # drop 3x3-offset alias duplicates (tid-adjacent)
+                uniq = np.ones(len(ct), dtype=bool)
+                uniq[1:] = ct[1:] != ct[:-1]
+                ct, cx, cy = ct[uniq], cx[uniq], cy[uniq]
+            m = len(ct)
+            step = max(1, strip_cost // m)
+            for s0 in range(0, len(rows), step):
+                blk = rows[s0 : s0 + step]
+                d2 = (px[blk, None] - cx[None, :]) ** 2 + (py[blk, None] - cy[None, :]) ** 2
+                ii, jj = np.nonzero(d2 <= d2max)
+                if not len(ii):
+                    continue
+                gp = ppid[blk][ii]
+                gt = ct[jj]
+                if canonical:
+                    keep = gp < gt
+                    gp, gt, ii, jj = gp[keep], gt[keep], ii[keep], jj[keep]
+                    if not len(gp):
+                        continue
+                out_p.append(gp)
+                out_t.append(gt)
+                out_d.append(np.sqrt(d2[ii, jj]))
+        if not out_p:
+            return empty
+        return pa.table({
+            point_id: pa.array(np.concatenate(out_p)).cast(id_type),
+            target_id: pa.array(np.concatenate(out_t)).cast(tid_type),
+            "distance": pa.array(np.concatenate(out_d)),
+        })
+
+    return hash_partitioned_map(both, ["_cell"], pairs_cell_partition,
+                                num_partitions=num_partitions)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 def test_knn_join_matches_brute_force(ray_session):
@@ -105,3 +106,66 @@ def test_sjoin_nearest(ray_session):
         assert got[i] == nearest[i]
         assert abs(gotd[i] - nd[i]) < 1e-12
     assert list(out.columns) == ["pid", "tid", "d"]
+
+
+def test_dwithin_join_vs_bruteforce(ray_session):
+    import ray.data
+
+    from geopolars_ray.stages.knn import dwithin_join
+
+    rng = np.random.default_rng(31)
+    npts, ntgt, d = 600, 500, 0.7
+    px, py = rng.uniform(0, 20, npts), rng.uniform(0, 20, npts)
+    tx, ty = rng.uniform(0, 20, ntgt), rng.uniform(0, 20, ntgt)
+    pts = ray.data.from_arrow(pa.table({"pid": np.arange(npts), "x": px, "y": py})).repartition(4)
+    tgt = ray.data.from_arrow(pa.table({"tid": np.arange(ntgt), "x": tx, "y": ty})).repartition(4)
+    out = dwithin_join(pts, tgt, d, num_partitions=8).take_all()
+    got = {(r["pid"], r["tid"]): r["distance"] for r in out}
+    dd = np.hypot(px[:, None] - tx[None, :], py[:, None] - ty[None, :])
+    ii, jj = np.nonzero(dd <= d)
+    assert len(got) == len(ii)
+    for i, j in zip(ii.tolist(), jj.tolist()):
+        assert np.isclose(got[(i, j)], dd[i, j], rtol=1e-12)
+    # strip-chunked path (tiny strip_cost) produces the identical pair set
+    out2 = dwithin_join(pts, tgt, d, num_partitions=8, strip_cost=64).take_all()
+    assert {(r["pid"], r["tid"]) for r in out2} == set(got)
+    # oversized cells are allowed (still exact), undersized refuse loudly
+    out3 = dwithin_join(pts, tgt, d, cell_size=5.0, num_partitions=8).take_all()
+    assert {(r["pid"], r["tid"]) for r in out3} == set(got)
+    with pytest.raises(ValueError, match="cell_size"):
+        dwithin_join(pts, tgt, d, cell_size=0.1)
+
+
+def test_dwithin_self_join_geo_dedup(ray_session):
+    """Coordinate near-dup dedup: canonical dwithin self-join -> connected
+    components -> one representative per duplicate cluster."""
+    import ray.data
+
+    from geopolars_ray.stages.cc import connected_components
+    from geopolars_ray.stages.knn import dwithin_join
+
+    rng = np.random.default_rng(32)
+    # 40 well-separated sites, each jittered into a 3-point cluster
+    sx, sy = rng.uniform(0, 100, 40), rng.uniform(0, 100, 40)
+    x = np.concatenate([sx + off for off in (0.0, 0.001, -0.001)])
+    y = np.concatenate([sy + off for off in (0.0, 0.001, 0.001)])
+    n = len(x)
+    t = pa.table({"pid": np.arange(n), "x": x, "y": y})
+    ds = ray.data.from_arrow(t).repartition(4)
+    t2 = pa.table({"tid": np.arange(n), "x": x, "y": y})
+    ds2 = ray.data.from_arrow(t2).repartition(4)
+    pairs = dwithin_join(ds, ds2, 0.01, point_id="pid", target_id="tid",
+                         canonical=True, num_partitions=8).take_all()
+    # no self pairs, all canonical
+    assert all(r["pid"] < r["tid"] for r in pairs)
+    pairs_ds = ray.data.from_arrow(pa.table({
+        "a": pa.array([r["pid"] for r in pairs], pa.int64()),
+        "b": pa.array([r["tid"] for r in pairs], pa.int64()),
+    }))
+    comp = connected_components(pairs_ds, "a", "b").take_all()
+    labels = {r["node"]: r["component"] for r in comp}
+    # every jittered triple collapses to one component
+    for s in range(40):
+        trio = [s, s + 40, s + 80]
+        assert len({labels[i] for i in trio}) == 1
+    assert len({labels[i] for i in range(n)}) == 40
