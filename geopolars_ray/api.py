@@ -416,6 +416,24 @@ class GeoDataset:
             )
         )
 
+    def interpolate(self, distance, normalized: bool = False) -> "GeoDataset":
+        """Point at ``distance`` along each line (shapely ``interpolate``;
+        negative measures from the end, ``normalized`` = fraction of length).
+        Replaces the geometry column with the Point result."""
+        return self._apply("line_interpolate_point", distance=distance, normalized=normalized)
+
+    def project(self, point_col: str, out_col: str = "measure", normalized: bool = False) -> "GeoDataset":
+        """Arc-length position of the nearest point on each line to the
+        aligned Point column (shapely ``project``)."""
+        from geopolars_ray.stages.geo import geo_project
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_project(self.geometry_col, point_col, out_col, normalized),
+                batch_format="pyarrow",
+            )
+        )
+
     # ------------------------------------------------------------- relational
 
     def assign_tiles(self, lon_col="lon", lat_col="lat", s2_level=12, grid_cell_deg=1.0,

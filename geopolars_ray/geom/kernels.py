@@ -689,6 +689,130 @@ def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     return out, parent
 
 
+def _line_slices(ga: GeometryArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(starts, ends, ok) coord ranges of single-line rows.
+
+    Linear referencing is defined for LINESTRING/LINEARRING (one part, one
+    ring — the coord range IS the arc). Other types get ok=False.
+    """
+    ok = np.isin(ga.types, (LINESTRING, LINEARRING))
+    ring_of_geom = ga.part_offsets[ga.geom_offsets]
+    r0 = ring_of_geom[:-1]
+    starts = ga.ring_offsets[np.minimum(r0, len(ga.ring_offsets) - 1)]
+    ends = ga.ring_offsets[np.minimum(r0 + 1, len(ga.ring_offsets) - 1)]
+    ok &= ends - starts >= 2
+    return starts, ends, ok
+
+
+def line_interpolate_point(ga: GeometryArray, distance, normalized: bool = False) -> GeometryArray:
+    """Point at ``distance`` along each LineString/LinearRing (shapely
+    ``interpolate``). ``distance`` is a scalar or per-row array; negative
+    distances measure from the END (shapely semantics); values beyond either
+    end clamp to the endpoint. ``normalized=True``: fraction of total length.
+    Non-line rows (points, polygons, multis, missing) yield missing.
+
+    Vectorized: one global segment-length cumsum + one ``searchsorted`` for
+    ALL rows (each ring is a contiguous coord slice, so per-line cumulative
+    length is a difference of global prefix sums).
+    """
+    starts, ends, ok = _line_slices(ga)
+    c = ga.coords
+    n = len(ga)
+    if n == 0 or len(c) < 2:
+        z = np.zeros(n)
+        return _points_or_missing(z, z, np.zeros(n, dtype=bool))
+    d = np.diff(c, axis=0)
+    seg = np.hypot(d[:, 0], d[:, 1])
+    G = np.concatenate([[0.0], np.cumsum(seg)])  # G[j] = length of segments < j
+    tot = G[np.maximum(ends - 1, 0)] - G[np.minimum(starts, len(G) - 1)]
+    dist = np.broadcast_to(np.asarray(distance, np.float64), (n,)).copy()
+    if normalized:
+        dist = dist * tot
+    neg = dist < 0
+    dist[neg] = tot[neg] + dist[neg]  # negative: measured from the end
+    np.clip(dist, 0.0, tot, out=dist)
+    target = G[np.minimum(starts, len(G) - 1)] + dist
+    j = np.searchsorted(G, target, side="left") - 1
+    # clamp into the line's own segment window [starts, ends-2]
+    j = np.clip(j, starts, np.maximum(ends - 2, starts))
+    slen = seg[np.minimum(j, len(seg) - 1)]
+    t = np.where(slen > 0, (target - G[j]) / np.where(slen == 0, 1.0, slen), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    j1 = np.minimum(j + 1, len(c) - 1)
+    px = c[j, 0] * (1.0 - t) + c[j1, 0] * t
+    py = c[j, 1] * (1.0 - t) + c[j1, 1] * t
+    return _points_or_missing(px, py, ok)
+
+
+def _points_or_missing(px: np.ndarray, py: np.ndarray, ok: np.ndarray) -> GeometryArray:
+    """Build a Point-per-row GeometryArray with missing where ~ok."""
+    n = len(ok)
+    k = int(ok.sum())
+    types = np.where(ok, np.int8(POINT), np.int8(MISSING)).astype(np.int8)
+    geom_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ok.astype(np.int64), out=geom_offsets[1:])
+    part_offsets = np.arange(k + 1, dtype=np.int64)
+    ring_offsets = np.arange(k + 1, dtype=np.int64)
+    coords = np.stack([px[ok], py[ok]], axis=1) if k else np.empty((0, 2))
+    return GeometryArray(types=types, geom_offsets=geom_offsets,
+                         part_offsets=part_offsets, ring_offsets=ring_offsets,
+                         coords=coords)
+
+
+def line_locate_point(lines: GeometryArray, points: GeometryArray,
+                      normalized: bool = False) -> np.ndarray:
+    """Row-wise arc-length position of the nearest point on each line to the
+    aligned point (shapely ``project``). NaN for non-line lhs or non-point
+    rhs rows. Fully vectorized: every segment of every row scored at once,
+    segmented min via ``minimum.reduceat``, first-argmin tie-break (lowest
+    segment index — shapely's behavior for equidistant segments).
+    """
+    if len(lines) != len(points):
+        raise ValueError("line_locate_point requires aligned columns of equal length")
+    starts, ends, ok = _line_slices(lines)
+    ok = ok & (points.types == POINT)
+    n = len(lines)
+    out = np.full(n, np.nan)
+    if not ok.any():
+        return out
+    c = lines.coords
+    d = np.diff(c, axis=0)
+    seg = np.hypot(d[:, 0], d[:, 1])
+    G = np.concatenate([[0.0], np.cumsum(seg)])
+    rows = np.flatnonzero(ok)
+    s_r, e_r = starts[rows], ends[rows]
+    nseg = e_r - s_r - 1
+    # per-row point coords (points are single-coord geometries)
+    p_first = points.ring_offsets[points.part_offsets[points.geom_offsets[rows]]]
+    pxy = points.coords[p_first]
+    # expand: one entry per (row, segment)
+    seg_row = np.repeat(np.arange(len(rows)), nseg)
+    seg_idx = _expand_ranges(s_r, e_r - 1)
+    a = c[seg_idx]
+    b = c[seg_idx + 1]
+    ab = b - a
+    ap = pxy[seg_row] - a
+    denom = ab[:, 0] ** 2 + ab[:, 1] ** 2
+    t = np.where(denom > 0, (ap[:, 0] * ab[:, 0] + ap[:, 1] * ab[:, 1]) / np.where(denom == 0, 1.0, denom), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    q = a + t[:, None] * ab
+    dq = pxy[seg_row] - q
+    d2 = dq[:, 0] ** 2 + dq[:, 1] ** 2
+    grp_starts = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(nseg[:-1], out=grp_starts[1:])
+    dmin = np.minimum.reduceat(d2, grp_starts)
+    hit = d2 == np.repeat(dmin, nseg)
+    hit_idx = np.flatnonzero(hit)
+    first = hit_idx[np.searchsorted(hit_idx, grp_starts)]
+    j = seg_idx[first]
+    measure = (G[j] - G[s_r]) + t[first] * seg[j]
+    if normalized:
+        tot = G[e_r - 1] - G[s_r]
+        measure = np.where(tot > 0, measure / np.where(tot == 0, 1.0, tot), 0.0)
+    out[rows] = measure
+    return out
+
+
 def segmentize(ga: GeometryArray, max_segment_length: float,
                method: str = "planar", max_out_coords: int = 100_000_000) -> GeometryArray:
     """Insert vertices so no segment exceeds ``max_segment_length``

@@ -132,6 +132,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),
+    "line_interpolate_point": (K.line_interpolate_point, "geometry"),
     "affine_transform": (K.affine_transform, "geometry"),
     "translate": (K.translate, "geometry"),
     "rotate": (K.rotate, "geometry"),
@@ -334,6 +335,23 @@ def geo_distance(
         lga, _ = decode_geometry(batch, left_col)
         rga, _ = decode_geometry(batch, right_col)
         return batch.append_column(out_col, pa.array(K.distance(lga, rga)))
+
+    return fn
+
+
+def geo_project(
+    line_col: str, point_col: str, out_col: str = "measure", normalized: bool = False
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise linear referencing: arc-length position of the nearest point
+    on ``line_col`` to the aligned ``point_col`` (shapely ``project`` —
+    `geom/kernels.py line_locate_point`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, line_col)
+        pga, _ = decode_geometry(batch, point_col)
+        return batch.append_column(
+            out_col, pa.array(K.line_locate_point(lga, pga, normalized=normalized))
+        )
 
     return fn
 

@@ -467,3 +467,72 @@ def test_segmentize_guards():
         K.segmentize(ga, 1.0, method="spheroid")
     with pytest.raises(ValueError, match="> 0"):
         K.segmentize(ga, 0.0)
+
+
+def test_line_interpolate_point():
+    ga = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]),
+            ("linestring", [(0.0, 0.0), (3.0, 4.0)]),  # length 5
+            ("point", (1.0, 1.0)),
+            None,
+            ("polygon", [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]),
+        ]
+    )
+    out = K.line_interpolate_point(ga, 12.0)
+    lst = out.to_pylist()
+    assert lst[0] == ("point", (10.0, 2.0))  # 10 along x then 2 up
+    assert lst[1] == ("point", (3.0, 4.0))  # clamps to the end
+    assert lst[2] is None and lst[3] is None and lst[4] is None
+    # scalar at a vertex, negative from the end, normalized, per-row array
+    assert K.line_interpolate_point(ga, 10.0).to_pylist()[0] == ("point", (10.0, 0.0))
+    assert K.line_interpolate_point(ga, -5.0).to_pylist()[0] == ("point", (10.0, 0.0))
+    assert K.line_interpolate_point(ga, 0.5, normalized=True).to_pylist()[1] == ("point", (1.5, 2.0))
+    per_row = K.line_interpolate_point(ga, np.array([2.5, 2.5, 0.0, 0.0, 0.0]))
+    assert per_row.to_pylist()[0] == ("point", (2.5, 0.0))
+    assert per_row.to_pylist()[1] == ("point", (1.5, 2.0))
+    # distance 0 / beyond-length endpoints exact
+    assert K.line_interpolate_point(ga, 0.0).to_pylist()[0] == ("point", (0.0, 0.0))
+    assert K.line_interpolate_point(ga, 99.0).to_pylist()[0] == ("point", (10.0, 5.0))
+
+
+def test_line_locate_point():
+    lines = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]),
+            ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0)]),
+            ("linestring", [(0.0, 0.0), (10.0, 0.0)]),
+            ("point", (0.0, 0.0)),
+        ]
+    )
+    pts = GeometryArray.from_pylist(
+        [
+            ("point", (4.0, 3.0)),   # nearest on first segment at x=4
+            ("point", (12.0, 3.0)),  # nearest on second segment at y=3
+            ("point", (-5.0, 2.0)),  # before the start -> measure 0
+            ("point", (1.0, 1.0)),
+        ]
+    )
+    m = K.line_locate_point(lines, pts)
+    assert m[0] == 4.0
+    assert np.isclose(m[1], 13.0, rtol=1e-12)  # 10 + 3
+    assert m[2] == 0.0
+    assert np.isnan(m[3])
+    mn = K.line_locate_point(lines, pts, normalized=True)
+    assert np.isclose(mn[0], 4.0 / 15.0) and np.isclose(mn[1], 13.0 / 15.0)
+
+
+def test_interpolate_project_roundtrip_random():
+    """project(interpolate(d)) == d for points ON the line (random zigzags)."""
+    rng = np.random.default_rng(44)
+    lines = []
+    for _ in range(200):
+        k = rng.integers(2, 8)
+        lines.append(("linestring", [tuple(p) for p in rng.uniform(0, 100, (k, 2))]))
+    ga = GeometryArray.from_pylist(lines)
+    # lengths via the euclidean kernel
+    tot = K.euclidean_length(ga)
+    d = rng.uniform(0, 1, 200) * tot
+    pts = K.line_interpolate_point(ga, d)
+    m = K.line_locate_point(ga, pts)
+    assert np.allclose(m, d, rtol=1e-9, atol=1e-7)
