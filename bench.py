@@ -219,6 +219,18 @@ def kernel_benchmarks() -> dict:
     out["aeqd_forward_mrows_s"] = round(
         best_rate(lambda: crs_mod.aeqd_forward(x[:400_000], np.clip(y[:400_000], -80, 80), 10.0, 20.0),
                   400_000) / 1e6, 2)
+    # r4 kernels: polygon centers are in lat range, so the 16-gons double as
+    # lon/lat polygons for the ellipsoidal-area micro
+    out["geodesic_area_mrows_s"] = round(best_rate(lambda: K.geodesic_area(polys), m) / 1e6, 2)
+    # segmentize at cap=0.4: every 16-gon edge (~0.39 chord) splits ~1-2x
+    out["segmentize_mrows_s"] = round(
+        best_rate(lambda: K.segmentize(polys, 0.25), m) / 1e6, 2)
+    out["interpolate_mrows_s"] = round(
+        best_rate(lambda: K.line_interpolate_point(
+            GeometryArray(types=np.full(m, 1, np.int8), geom_offsets=seq, part_offsets=seq,
+                          ring_offsets=seq * (v + 1), coords=coords), 2.0), m) / 1e6, 2)
+    out["somerc_forward_mrows_s"] = round(
+        best_rate(lambda: crs_mod.somerc_forward(xc, np.clip(yc, 40, 55), 7.44, 46.95), n) / 1e6, 2)
     from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]

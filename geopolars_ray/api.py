@@ -416,6 +416,23 @@ class GeoDataset:
             )
         )
 
+    def reverse(self) -> "GeoDataset":
+        return self._apply("reverse")
+
+    def remove_repeated_points(self, tolerance: float = 0.0) -> "GeoDataset":
+        return self._apply("remove_repeated_points", tolerance=tolerance)
+
+    def hausdorff_distance(self, other_col: str, out_col: str = "hausdorff") -> "GeoDataset":
+        """Row-wise discrete Hausdorff distance vs an aligned geometry
+        column (GEOS DiscreteHausdorffDistance semantics)."""
+        from geopolars_ray.stages.geo import geo_hausdorff
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_hausdorff(self.geometry_col, other_col, out_col), batch_format="pyarrow"
+            )
+        )
+
     def interpolate(self, distance, normalized: bool = False) -> "GeoDataset":
         """Point at ``distance`` along each line (shapely ``interpolate``;
         negative measures from the end, ``normalized`` = fraction of length).

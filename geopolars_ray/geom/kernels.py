@@ -689,6 +689,178 @@ def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     return out, parent
 
 
+def reverse(ga: GeometryArray) -> GeometryArray:
+    """Reverse coordinate order within every ring (shapely ``reverse``):
+    lines flip direction, rings flip winding. Offsets/types unchanged —
+    one gather over a mirrored index."""
+    n = len(ga.coords)
+    if n == 0:
+        return ga
+    counts = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
+    rid = np.repeat(np.arange(ga.n_rings, dtype=np.int64), counts)
+    rs = ga.ring_offsets[:-1][rid]
+    re_ = ga.ring_offsets[1:][rid]
+    # local index l = p - rs mirrors to (count-1) - l, i.e. rs + re - 1 - p
+    mirror = rs + re_ - 1 - np.arange(n, dtype=np.int64)
+    return GeometryArray(
+        types=ga.types,
+        geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=ga.ring_offsets,
+        coords=ga.coords[mirror],
+    )
+
+
+def remove_repeated_points(ga: GeometryArray, tolerance: float = 0.0) -> GeometryArray:
+    """Drop consecutive coords within ``tolerance`` of their PREDECESSOR
+    (shapely ``remove_repeated_points``-style cleaning; adjacent-pair
+    semantics, first occurrence kept, ring-first coords always kept, the
+    closing coord survives because it repeats the FIRST coord, not its
+    neighbor). tolerance=0 removes exact duplicates only. Degenerate
+    results (a ring collapsing below 4 coords) are emitted as-is, like
+    GEOS — validity is the caller's concern."""
+    n = len(ga.coords)
+    if n == 0:
+        return ga
+    d = np.diff(ga.coords, axis=0)
+    close = np.hypot(d[:, 0], d[:, 1]) <= tolerance
+    keep = np.ones(n, dtype=bool)
+    keep[1:] = ~close
+    keep[ga.ring_offsets[:-1][ga.ring_offsets[:-1] < n]] = True  # ring firsts
+    counts = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
+    kept_per_ring = np.zeros(ga.n_rings, dtype=np.int64)
+    nz = counts > 0
+    if nz.any():
+        ends = ga.ring_offsets[1:]
+        kept_per_ring[nz] = _range_sums(keep.astype(np.float64),
+                                        ga.ring_offsets[:-1][nz], ends[nz]).astype(np.int64)
+    new_ring = np.zeros(ga.n_rings + 1, dtype=np.int64)
+    np.cumsum(kept_per_ring, out=new_ring[1:])
+    return GeometryArray(
+        types=ga.types,
+        geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=new_ring,
+        coords=ga.coords[keep],
+    )
+
+
+def _coord_ranges(ga: GeometryArray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-geometry [start, end) coord ranges (``coord_offsets`` split)."""
+    bounds = ga.coord_offsets()
+    return bounds[:-1], bounds[1:]
+
+
+def _directed_hausdorff(A: GeometryArray, B: GeometryArray, rows: np.ndarray) -> np.ndarray:
+    """max over vertices of A of exact distance to B's segments, per row.
+
+    Fully vectorized over the per-row (vertex × segment) cross products:
+    pair ranks decompose as (vertex, segment) by div/mod, point-to-segment
+    distances compute in one shot, then two reduceat levels (min per vertex
+    block, max per row)."""
+    a0, a1 = _coord_ranges(A)
+    b0, b1 = _coord_ranges(B)
+    na = (a1 - a0)[rows]
+    # B's segments: consecutive coord pairs within rings; single-coord rings
+    # contribute a zero-length segment (the point itself). Build per-row
+    # segment index lists via ring structure restricted to each row's range.
+    # Segments global: index j is a segment iff j and j+1 are in the same
+    # ring; for each row, its segments are the js in [b0, b1-1) that are not
+    # ring-ends. Precompute global "is segment start" then per-row gather.
+    nb_coords = len(B.coords)
+    is_seg = np.zeros(max(nb_coords - 1, 0), dtype=bool)
+    if nb_coords > 1:
+        is_seg[:] = True
+        ring_ends = B.ring_offsets[1:] - 1
+        ring_ends = ring_ends[(ring_ends >= 0) & (ring_ends < nb_coords - 1)]
+        is_seg[ring_ends] = False
+    # per-row segment indices: all j in [b0, b1-1) with is_seg[j]; plus
+    # single-coord rings (their coord as a degenerate segment). For
+    # simplicity treat EVERY ring-last coord as a degenerate segment too —
+    # it is a vertex of B, and vertex distances are dominated by true
+    # segment distances except for isolated points, where they are exactly
+    # what we need. So per-row candidate set = all coords as points + all
+    # true segments. Split the pair expansion in two passes and combine.
+    vs, ve = a0[rows], a1[rows]
+    nv = ve - vs
+    # global per-vertex minima, shared across both candidate passes — the
+    # min must be over the UNION of candidates before any per-row max
+    v_off = np.zeros(len(rows), dtype=np.int64)
+    np.cumsum(nv[:-1], out=v_off[1:])
+    n_verts = int(nv.sum())
+    vmin_all = np.full(n_verts, np.inf)
+
+    def pair_min(cs, ce, seg_pass: bool):
+        """fold min distance from each A-vertex to candidates [cs,ce) of B
+        into vmin_all (blocks of nv vertices per row)."""
+        nc = ce - cs
+        live = np.flatnonzero((nv > 0) & (nc > 0))
+        if not len(live):
+            return
+        nv_r, nc_r = nv[live], nc[live]
+        pairs_per = nv_r * nc_r
+        tot = int(pairs_per.sum())
+        prow = np.repeat(np.arange(len(live)), pairs_per)
+        p_off = np.zeros(len(live), dtype=np.int64)
+        np.cumsum(pairs_per[:-1], out=p_off[1:])
+        r = np.arange(tot, dtype=np.int64) - p_off[prow]
+        vi = vs[live][prow] + r // nc_r[prow]
+        cj = cs[live][prow] + r % nc_r[prow]
+        p = A.coords[vi]
+        if seg_pass:
+            a = B.coords[cj]
+            b = B.coords[cj + 1]
+            ab = b - a
+            ap = p - a
+            denom = ab[:, 0] ** 2 + ab[:, 1] ** 2
+            t = np.clip(np.where(denom > 0,
+                                 (ap[:, 0] * ab[:, 0] + ap[:, 1] * ab[:, 1]) / np.where(denom == 0, 1.0, denom),
+                                 0.0), 0.0, 1.0)
+            q = a + t[:, None] * ab
+            dq = p - q
+            d2 = dq[:, 0] ** 2 + dq[:, 1] ** 2
+            d2[~is_seg[cj]] = np.inf  # cross-ring fillers
+        else:
+            dq = p - B.coords[cj]
+            d2 = dq[:, 0] ** 2 + dq[:, 1] ** 2
+        # min per vertex block (nc contiguous entries each)
+        blk_starts = np.repeat(p_off, nv_r) + _expand_ranges(
+            np.zeros(len(live), dtype=np.int64), nv_r) * np.repeat(nc_r, nv_r)
+        vmin = np.minimum.reduceat(d2, blk_starts)
+        # scatter back to the global per-vertex slots of the live rows
+        slots = np.repeat(v_off[live], nv_r) + _expand_ranges(
+            np.zeros(len(live), dtype=np.int64), nv_r)
+        vmin_all[slots] = np.minimum(vmin_all[slots], vmin)
+
+    # point pass (covers isolated points / multipoints) then segment pass
+    pair_min(b0[rows], b1[rows], seg_pass=False)
+    pair_min(b0[rows], np.maximum(b1[rows] - 1, b0[rows]), seg_pass=True)
+    out = np.maximum.reduceat(vmin_all, v_off) if n_verts else np.full(len(rows), np.nan)
+    return np.sqrt(out)
+
+
+def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
+    """Row-wise discrete Hausdorff distance (GEOS semantics: max over the
+    VERTICES of each side of the exact distance to the other side's
+    segments, symmetric max — tight for convex/densified inputs, a lower
+    bound in general, exactly like GEOS's DiscreteHausdorffDistance).
+    NaN where either side is missing/empty."""
+    if len(lhs) != len(rhs):
+        raise ValueError("hausdorff_distance requires aligned columns of equal length")
+    n = len(lhs)
+    out = np.full(n, np.nan)
+    a0, a1 = _coord_ranges(lhs)
+    b0, b1 = _coord_ranges(rhs)
+    ok = (~lhs.is_missing()) & (~rhs.is_missing()) & (a1 > a0) & (b1 > b0)
+    rows = np.flatnonzero(ok)
+    if not len(rows):
+        return out
+    d_ab = _directed_hausdorff(lhs, rhs, rows)
+    d_ba = _directed_hausdorff(rhs, lhs, rows)
+    out[rows] = np.maximum(d_ab, d_ba)
+    return out
+
+
 def _line_slices(ga: GeometryArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(starts, ends, ok) coord ranges of single-line rows.
 

@@ -133,6 +133,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),
     "line_interpolate_point": (K.line_interpolate_point, "geometry"),
+    "reverse": (K.reverse, "geometry"),
+    "remove_repeated_points": (K.remove_repeated_points, "geometry"),
     "affine_transform": (K.affine_transform, "geometry"),
     "translate": (K.translate, "geometry"),
     "rotate": (K.rotate, "geometry"),
@@ -335,6 +337,20 @@ def geo_distance(
         lga, _ = decode_geometry(batch, left_col)
         rga, _ = decode_geometry(batch, right_col)
         return batch.append_column(out_col, pa.array(K.distance(lga, rga)))
+
+    return fn
+
+
+def geo_hausdorff(
+    left_col: str, right_col: str, out_col: str = "hausdorff"
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise discrete Hausdorff distance between two aligned geometry
+    columns (`geom/kernels.py hausdorff_distance`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        return batch.append_column(out_col, pa.array(K.hausdorff_distance(lga, rga)))
 
     return fn
 

@@ -536,3 +536,111 @@ def test_interpolate_project_roundtrip_random():
     pts = K.line_interpolate_point(ga, d)
     m = K.line_locate_point(ga, pts)
     assert np.allclose(m, d, rtol=1e-9, atol=1e-7)
+
+
+def test_reverse():
+    ga = GeometryArray.from_pylist(SAMPLE)
+    out = K.reverse(ga)
+    lst = out.to_pylist()
+    assert lst[0] == ("point", (1.0, 2.0))
+    assert lst[1] == ("linestring", [(3.0, 8.0), (3.0, 4.0), (0.0, 0.0)])
+    # ring winding flips: signed shoelace negates, |area| invariant
+    assert np.isclose(K.area(out)[2], K.area(ga)[2])
+    assert lst[2][1][0] == list(reversed(SAMPLE[2][1][0]))
+    assert lst[4] is None
+    # involution
+    assert K.reverse(out).to_pylist() == SAMPLE
+
+
+def test_remove_repeated_points():
+    ga = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (0.0, 0.0), (1.0, 0.0), (1.0, 0.0), (1.0, 0.0), (2.0, 0.0)]),
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]]),
+            ("point", (1.0, 1.0)),
+            None,
+        ]
+    )
+    out = K.remove_repeated_points(ga)
+    lst = out.to_pylist()
+    assert lst[0] == ("linestring", [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0)])
+    # closing coord survives (repeats the FIRST coord, not its neighbor)
+    assert lst[1] == ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]])
+    assert lst[2] == ("point", (1.0, 1.0)) and lst[3] is None
+    # tolerance: near-duplicates collapse, distinct points survive
+    ga2 = GeometryArray.from_pylist(
+        [("linestring", [(0.0, 0.0), (0.001, 0.0), (1.0, 0.0)])]
+    )
+    assert K.remove_repeated_points(ga2, 0.01).to_pylist()[0][1] == [(0.0, 0.0), (1.0, 0.0)]
+    assert K.remove_repeated_points(ga2, 1e-6).to_pylist()[0][1] == [(0.0, 0.0), (0.001, 0.0), (1.0, 0.0)]
+
+
+def _brute_hausdorff(ga, gb):
+    """max over vertices of each side of min distance to other side's
+    segments (degenerate per-coord 'segments' included), symmetric."""
+    def segs(g):
+        typ, data = g
+        if typ == "point":
+            return [(data, data)]
+        rings = [data] if typ == "linestring" else [r for r in data] if typ == "polygon" else None
+        if rings is None:
+            raise AssertionError("unsupported in brute oracle")
+        out = []
+        for r in rings:
+            out += [(r[i], r[i + 1]) for i in range(len(r) - 1)]
+            out += [(p, p) for p in r]
+        return out
+
+    def verts(g):
+        typ, data = g
+        if typ == "point":
+            return [data]
+        if typ == "linestring":
+            return list(data)
+        return [p for r in data for p in r]
+
+    def pt_seg(p, a, b):
+        p, a, b = map(np.asarray, (p, a, b))
+        ab = b - a
+        dd = ab @ ab
+        t = 0.0 if dd == 0 else float(np.clip((p - a) @ ab / dd, 0, 1))
+        return float(np.linalg.norm(p - (a + t * ab)))
+
+    def directed(g1, g2):
+        s2 = segs(g2)
+        return max(min(pt_seg(v, a, b) for a, b in s2) for v in verts(g1))
+
+    return max(directed(ga, gb), directed(gb, ga))
+
+
+def test_hausdorff_distance():
+    lhs_list = [
+        ("linestring", [(0.0, 0.0), (10.0, 0.0)]),
+        ("point", (0.0, 0.0)),
+        ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+        None,
+    ]
+    rhs_list = [
+        ("linestring", [(0.0, 1.0), (10.0, 3.0)]),
+        ("point", (3.0, 4.0)),
+        ("linestring", [(1.0, 1.0), (3.0, 3.0)]),
+        ("point", (0.0, 0.0)),
+    ]
+    lhs = GeometryArray.from_pylist(lhs_list)
+    rhs = GeometryArray.from_pylist(rhs_list)
+    h = K.hausdorff_distance(lhs, rhs)
+    assert np.isclose(h[0], 3.0)  # far vertex (10,3) is 3 above the line
+    assert np.isclose(h[1], 5.0)
+    assert np.isnan(h[3])
+    for i in range(3):
+        assert np.isclose(h[i], _brute_hausdorff(lhs_list[i], rhs_list[i]), rtol=1e-12)
+    # random fuzz vs the brute oracle
+    rng = np.random.default_rng(45)
+    L, R = [], []
+    for _ in range(120):
+        k1, k2 = rng.integers(2, 6), rng.integers(2, 6)
+        L.append(("linestring", [tuple(p) for p in rng.uniform(0, 50, (k1, 2))]))
+        R.append(("linestring", [tuple(p) for p in rng.uniform(0, 50, (k2, 2))]))
+    hv = K.hausdorff_distance(GeometryArray.from_pylist(L), GeometryArray.from_pylist(R))
+    for i in range(120):
+        assert np.isclose(hv[i], _brute_hausdorff(L[i], R[i]), rtol=1e-12), i
