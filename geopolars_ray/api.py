@@ -416,6 +416,12 @@ class GeoDataset:
             )
         )
 
+    def oriented_envelope(self) -> "GeoDataset":
+        """Minimum rotated rectangle (GeoPandas ``minimum_rotated_rectangle``)."""
+        return self._apply("oriented_envelope")
+
+    minimum_rotated_rectangle = oriented_envelope
+
     def reverse(self) -> "GeoDataset":
         return self._apply("reverse")
 

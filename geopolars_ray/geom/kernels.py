@@ -1188,6 +1188,74 @@ def convex_hull(ga: GeometryArray) -> GeometryArray:
     return GeometryArray.from_pylist(out_geoms)
 
 
+def oriented_envelope(ga: GeometryArray) -> GeometryArray:
+    """Minimum rotated rectangle per geometry (shapely ``oriented_envelope``
+    / GeoPandas ``minimum_rotated_rectangle``).
+
+    The minimum-area enclosing rectangle has a side collinear with a convex-
+    hull edge (the rotating-calipers theorem), so: hull per geometry, then
+    every (hull edge × hull vertex) pair scored in one vectorized pass —
+    projections onto the edge frame, per-edge extent via ``reduceat``,
+    per-geometry first-argmin on area. Degenerate hulls pass through
+    (point -> point, collinear -> linestring), matching shapely.
+    """
+    hull = convex_hull(ga)
+    n = len(hull)
+    poly = np.flatnonzero(hull.types == POLYGON)
+    if len(poly) == 0:
+        return hull
+    h0, h1 = _coord_ranges(hull)
+    s_r, e_r = h0[poly], h1[poly]
+    npts = e_r - s_r - 1  # drop the closing duplicate
+    nedg = npts  # closed ring: one edge per distinct vertex
+    c = hull.coords
+    # per-row (edge, point) cross products
+    pairs_per = nedg * npts
+    tot = int(pairs_per.sum())
+    prow = np.repeat(np.arange(len(poly)), pairs_per)
+    p_off = np.zeros(len(poly), dtype=np.int64)
+    np.cumsum(pairs_per[:-1], out=p_off[1:])
+    r = np.arange(tot, dtype=np.int64) - p_off[prow]
+    ei = s_r[prow] + r // npts[prow]
+    pi = s_r[prow] + r % npts[prow]
+    d = c[ei + 1] - c[ei]  # edge vector (closing coord makes ei+1 safe)
+    L = np.hypot(d[:, 0], d[:, 1])
+    L = np.where(L == 0.0, 1.0, L)
+    dx, dy = d[:, 0] / L, d[:, 1] / L
+    u = c[pi, 0] * dx + c[pi, 1] * dy
+    v = -c[pi, 0] * dy + c[pi, 1] * dx
+    # per-edge extents (blocks of npts contiguous entries)
+    blk = np.repeat(p_off, nedg) + _expand_ranges(
+        np.zeros(len(poly), dtype=np.int64), nedg) * np.repeat(npts, nedg)
+    min_u = np.minimum.reduceat(u, blk)
+    max_u = np.maximum.reduceat(u, blk)
+    min_v = np.minimum.reduceat(v, blk)
+    max_v = np.maximum.reduceat(v, blk)
+    area = (max_u - min_u) * (max_v - min_v)
+    # first-argmin per geometry over its edges
+    e_off = np.zeros(len(poly), dtype=np.int64)
+    np.cumsum(nedg[:-1], out=e_off[1:])
+    amin = np.minimum.reduceat(area, e_off)
+    hit = np.flatnonzero(area == np.repeat(amin, nedg))
+    best = hit[np.searchsorted(hit, e_off)]  # first edge per geometry
+    # rectangle corners in the winning edge frame (CCW: p is the left normal)
+    edge_coord = s_r + (best - e_off)  # global coord index of the best edge
+    bd = c[edge_coord + 1] - c[edge_coord]
+    bL = np.hypot(bd[:, 0], bd[:, 1])
+    bL = np.where(bL == 0.0, 1.0, bL)
+    bdx, bdy = bd[:, 0] / bL, bd[:, 1] / bL
+    out_list: list = hull.to_pylist()
+    mu, Mu, mv, Mv = min_u[best], max_u[best], min_v[best], max_v[best]
+    for i, g in enumerate(poly):
+        ddx, ddy = float(bdx[i]), float(bdy[i])
+        ring = []
+        for a, b in ((mu[i], mv[i]), (Mu[i], mv[i]), (Mu[i], Mv[i]), (mu[i], Mv[i])):
+            ring.append((float(a * ddx - b * ddy), float(a * ddy + b * ddx)))
+        ring.append(ring[0])
+        out_list[g] = ("polygon", [ring])
+    return GeometryArray.from_pylist(out_list)
+
+
 def _chain_scan(px: list, py: list) -> list:
     """CCW hull vertices (no closing repeat) of (x, y)-sorted unique points;
     scalar-arithmetic Andrew's monotone chain."""

@@ -129,6 +129,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "centroid": (K.centroid, "geometry"),
     "envelope": (K.envelope, "geometry"),
     "convex_hull": (K.convex_hull, "geometry"),
+    "oriented_envelope": (K.oriented_envelope, "geometry"),
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),

@@ -644,3 +644,52 @@ def test_hausdorff_distance():
     hv = K.hausdorff_distance(GeometryArray.from_pylist(L), GeometryArray.from_pylist(R))
     for i in range(120):
         assert np.isclose(hv[i], _brute_hausdorff(L[i], R[i]), rtol=1e-12), i
+
+
+def test_oriented_envelope():
+    ga = GeometryArray.from_pylist(
+        [
+            # axis-aligned rectangle of points -> itself
+            ("multipoint", [(0.0, 0.0), (4.0, 0.0), (4.0, 2.0), (0.0, 2.0), (2.0, 1.0)]),
+            # 4x2 rectangle rotated 30 deg + interior noise
+            ("multipoint", []),
+            ("point", (1.0, 1.0)),
+            ("multipoint", [(0.0, 0.0), (1.0, 1.0), (2.0, 2.0)]),  # collinear
+            None,
+        ]
+    )
+    th = np.radians(30.0)
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    base = np.array([[0, 0], [4, 0], [4, 2], [0, 2], [1.0, 0.5], [3.0, 1.7]])
+    rot = base @ R.T
+    lst = ga.to_pylist()
+    lst[1] = ("multipoint", [tuple(p) for p in rot])
+    ga = GeometryArray.from_pylist(lst)
+    out = K.oriented_envelope(ga)
+    res = out.to_pylist()
+    assert res[0][0] == "polygon" and np.isclose(K.area(out)[0], 8.0)
+    assert np.isclose(K.area(out)[1], 8.0)  # rotation-invariant min area
+    assert res[2] == ("point", (1.0, 1.0))
+    assert res[3][0] == "linestring"  # collinear hull passes through
+    assert res[4] is None
+    # every input point inside the rectangle (cross-product containment)
+    ring = np.array(res[1][1][0])
+    for p in rot:
+        e = np.diff(ring, axis=0)
+        w = p[None, :] - ring[:-1]
+        cr = e[:, 0] * w[:, 1] - e[:, 1] * w[:, 0]
+        assert (cr >= -1e-9).all()  # CCW ring
+
+    # fuzz: min rotated rect area <= axis bbox area, >= hull area; all
+    # points contained
+    rng = np.random.default_rng(46)
+    geoms = [("multipoint", [tuple(p) for p in rng.uniform(0, 50, (rng.integers(3, 12), 2))])
+             for _ in range(150)]
+    g = GeometryArray.from_pylist(geoms)
+    rect = K.oriented_envelope(g)
+    a_rect = K.area(rect)
+    a_env = K.area(K.envelope(g))
+    a_hull = K.area(K.convex_hull(g))
+    ok_rows = rect.types == 3
+    assert (a_rect[ok_rows] <= a_env[ok_rows] + 1e-9).all()
+    assert (a_rect[ok_rows] >= a_hull[ok_rows] - 1e-9).all()
