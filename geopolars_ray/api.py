@@ -422,6 +422,12 @@ class GeoDataset:
 
     minimum_rotated_rectangle = oriented_envelope
 
+    def minimum_bounding_circle(self, quad_segs: int = 16) -> "GeoDataset":
+        return self._apply("minimum_bounding_circle", quad_segs=quad_segs)
+
+    def minimum_bounding_radius(self, out_col: str = "minimum_bounding_radius") -> "GeoDataset":
+        return self._apply("minimum_bounding_radius", out_col)
+
     def reverse(self) -> "GeoDataset":
         return self._apply("reverse")
 

@@ -1256,6 +1256,104 @@ def oriented_envelope(ga: GeometryArray) -> GeometryArray:
     return GeometryArray.from_pylist(out_list)
 
 
+def _welzl_circle(pts: np.ndarray) -> tuple[float, float, float]:
+    """Exact minimum enclosing circle of <= ~64 hull points.
+
+    Deterministic move-to-front Welzl (no randomization: hull points arrive
+    in hull order, which is already adversary-free for the expected-case
+    bound at these sizes). Returns (cx, cy, r)."""
+    P = [(float(x), float(y)) for x, y in pts]
+
+    def circle2(a, b):
+        return ((a[0] + b[0]) / 2.0, (a[1] + b[1]) / 2.0,
+                np.hypot(a[0] - b[0], a[1] - b[1]) / 2.0)
+
+    def circle3(a, b, c):
+        ax, ay = a
+        bx, by = b
+        cx, cy = c
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        if d == 0.0:
+            # collinear: the widest pair's diameter circle
+            cands = [circle2(a, b), circle2(a, c), circle2(b, c)]
+            return max(cands, key=lambda z: z[2])
+        ux = ((ax * ax + ay * ay) * (by - cy) + (bx * bx + by * by) * (cy - ay)
+              + (cx * cx + cy * cy) * (ay - by)) / d
+        uy = ((ax * ax + ay * ay) * (cx - bx) + (bx * bx + by * by) * (ax - cx)
+              + (cx * cx + cy * cy) * (bx - ax)) / d
+        return (ux, uy, np.hypot(ax - ux, ay - uy))
+
+    def inside(c, p, eps=1e-9):
+        return np.hypot(p[0] - c[0], p[1] - c[1]) <= c[2] * (1.0 + eps) + eps
+
+    c = (P[0][0], P[0][1], 0.0)
+    for i, p in enumerate(P):
+        if inside(c, p):
+            continue
+        c = (p[0], p[1], 0.0)
+        for j in range(i):
+            q = P[j]
+            if inside(c, q):
+                continue
+            c = circle2(p, q)
+            for k in range(j):
+                s = P[k]
+                if inside(c, s):
+                    continue
+                c = circle3(p, q, s)
+    return c
+
+
+def minimum_bounding_radius(ga: GeometryArray) -> np.ndarray:
+    """Radius of the exact minimum enclosing circle per geometry (shapely
+    ``minimum_bounding_radius``). NaN for missing, 0 for points.
+
+    The circle depends only on convex-hull vertices, so the vectorized hull
+    runs first and the exact Welzl scan touches <= hull-size points per
+    geometry."""
+    hull = convex_hull(ga)
+    out = np.full(len(ga), np.nan)
+    h0, h1 = _coord_ranges(hull)
+    for i in range(len(hull)):
+        t = hull.types[i]
+        if t == MISSING:
+            continue
+        pts = hull.coords[h0[i]:h1[i]]
+        if t == POLYGON:
+            pts = pts[:-1]  # drop the closing duplicate
+        out[i] = _welzl_circle(pts)[2] if len(pts) else np.nan
+    return out
+
+
+def minimum_bounding_circle(ga: GeometryArray, quad_segs: int = 16) -> GeometryArray:
+    """Minimum enclosing circle as a polygon (shapely
+    ``minimum_bounding_circle``; ``quad_segs`` vertices per quarter arc).
+    Points stay points; missing stays missing."""
+    hull = convex_hull(ga)
+    h0, h1 = _coord_ranges(hull)
+    out: list = []
+    for i in range(len(hull)):
+        t = hull.types[i]
+        if t == MISSING:
+            out.append(None)
+            continue
+        pts = hull.coords[h0[i]:h1[i]]
+        if t == POLYGON:
+            pts = pts[:-1]
+        if len(pts) == 0:
+            out.append(None)
+            continue
+        cx, cy, r = _welzl_circle(pts)
+        if r == 0.0:
+            out.append(("point", (cx, cy)))
+            continue
+        ang = np.linspace(0.0, 2.0 * np.pi, 4 * quad_segs, endpoint=False)
+        ring = [(float(cx + r * np.cos(a)), float(cy + r * np.sin(a))) for a in ang]
+        ring.append(ring[0])
+        out.append(("polygon", [ring]))
+    return GeometryArray.from_pylist(out)
+
+
 def _chain_scan(px: list, py: list) -> list:
     """CCW hull vertices (no closing repeat) of (x, y)-sorted unique points;
     scalar-arithmetic Andrew's monotone chain."""

@@ -130,6 +130,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "envelope": (K.envelope, "geometry"),
     "convex_hull": (K.convex_hull, "geometry"),
     "oriented_envelope": (K.oriented_envelope, "geometry"),
+    "minimum_bounding_circle": (K.minimum_bounding_circle, "geometry"),
+    "minimum_bounding_radius": (K.minimum_bounding_radius, "scalar"),
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),

@@ -693,3 +693,39 @@ def test_oriented_envelope():
     ok_rows = rect.types == 3
     assert (a_rect[ok_rows] <= a_env[ok_rows] + 1e-9).all()
     assert (a_rect[ok_rows] >= a_hull[ok_rows] - 1e-9).all()
+
+
+def test_minimum_bounding_radius_and_circle():
+    ga = GeometryArray.from_pylist(
+        [
+            # equilateral-ish: circle through all three vertices
+            ("multipoint", [(0.0, 0.0), (4.0, 0.0), (2.0, 2.0 * np.sqrt(3.0))]),
+            # obtuse: diameter circle of the widest pair, third point inside
+            ("multipoint", [(0.0, 0.0), (10.0, 0.0), (5.0, 1.0)]),
+            ("point", (3.0, 3.0)),
+            ("linestring", [(0.0, 0.0), (6.0, 8.0)]),
+            None,
+        ]
+    )
+    r = K.minimum_bounding_radius(ga)
+    assert np.isclose(r[0], 4.0 / np.sqrt(3.0))  # circumradius = s/sqrt(3)
+    assert np.isclose(r[1], 5.0)
+    assert r[2] == 0.0
+    assert np.isclose(r[3], 5.0)  # half the segment length
+    assert np.isnan(r[4])
+    circ = K.minimum_bounding_circle(ga)
+    lst = circ.to_pylist()
+    assert lst[2] == ("point", (3.0, 3.0)) and lst[4] is None
+    assert np.isclose(K.area(circ)[1], np.pi * 25.0, rtol=1e-2)  # 64-gon
+    # fuzz: every input point within r of the circle center; r is minimal
+    # (<= half the rotated-rect diagonal; >= half the max pairwise distance)
+    rng = np.random.default_rng(47)
+    geoms = [("multipoint", [tuple(p) for p in rng.uniform(0, 50, (rng.integers(3, 15), 2))])
+             for _ in range(150)]
+    g = GeometryArray.from_pylist(geoms)
+    rr = K.minimum_bounding_radius(g)
+    for i, (_, pts) in enumerate(geoms):
+        P = np.array(pts)
+        dmax = max(np.hypot(*(a - b)) for a in P for b in P)
+        assert rr[i] >= dmax / 2.0 - 1e-9
+        assert rr[i] <= dmax / np.sqrt(3.0) + 1e-9  # Jung's theorem bound
