@@ -434,6 +434,17 @@ class GeoDataset:
     def remove_repeated_points(self, tolerance: float = 0.0) -> "GeoDataset":
         return self._apply("remove_repeated_points", tolerance=tolerance)
 
+    def shortest_line(self, other_col: str, out_col: str = "shortest_line") -> "GeoDataset":
+        """Shortest connecting LineString vs an aligned geometry column
+        (shapely ``shortest_line``), appended as a WKB column."""
+        from geopolars_ray.stages.geo import geo_shortest_line
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_shortest_line(self.geometry_col, other_col, out_col), batch_format="pyarrow"
+            )
+        )
+
     def hausdorff_distance(self, other_col: str, out_col: str = "hausdorff") -> "GeoDataset":
         """Row-wise discrete Hausdorff distance vs an aligned geometry
         column (GEOS DiscreteHausdorffDistance semantics)."""

@@ -1570,6 +1570,116 @@ def _min_point_to_segments(pts: np.ndarray, segs: np.ndarray) -> float:
     return float(np.sqrt((dd**2).sum(axis=2)).min())
 
 
+def _argmin_point_to_segments(pts: np.ndarray, segs: np.ndarray):
+    """(min_dist, source_point, projected_point) over all (point, segment)
+    pairs — the arg-tracking variant of ``_min_point_to_segments``."""
+    a = segs[:, 0]
+    d = segs[:, 1] - segs[:, 0]
+    L2 = (d**2).sum(axis=1)
+    ap = pts[:, None, :] - a[None, :, :]
+    t = np.clip((ap * d[None, :, :]).sum(axis=2) / np.where(L2 == 0, 1, L2)[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+    dd2 = ((pts[:, None, :] - proj) ** 2).sum(axis=2)
+    i, j = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
+    return float(np.sqrt(dd2[i, j])), pts[i], proj[i, j]
+
+
+def _touch_point(sa: np.ndarray, sb: np.ndarray):
+    """A witness point where segment sets sa (m,2,2) / sb (k,2,2) intersect,
+    or None. Mirrors ``segments_cross`` (proper crossing first, then
+    endpoint/collinear touch)."""
+    p1, p2 = sa[:, None, 0], sa[:, None, 1]
+    q1, q2 = sb[None, :, 0], sb[None, :, 1]
+
+    def orient(a, b, c):
+        return (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (b[..., 1] - a[..., 1]) * (c[..., 0] - a[..., 0])
+
+    d1 = orient(p1, p2, q1)
+    d2 = orient(p1, p2, q2)
+    d3 = orient(q1, q2, p1)
+    d4 = orient(q1, q2, p2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    if proper.any():
+        i, j = np.unravel_index(int(np.argmax(proper)), proper.shape)
+        # intersection parameter along sa[i]: t = d3 / (d3 - d4)
+        t = d3[i, j] / (d3[i, j] - d4[i, j])
+        return sa[i, 0] + t * (sa[i, 1] - sa[i, 0])
+
+    def on(a, b, c, d_):
+        within = ((c[..., 0] >= np.minimum(a[..., 0], b[..., 0]))
+                  & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
+                  & (c[..., 1] >= np.minimum(a[..., 1], b[..., 1]))
+                  & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1])))
+        return (d_ == 0) & within
+
+    for mask, pick in ((on(p1, p2, q1, d1), lambda i, j: sb[j, 0]),
+                       (on(p1, p2, q2, d2), lambda i, j: sb[j, 1]),
+                       (on(q1, q2, p1, d3), lambda i, j: sa[i, 0]),
+                       (on(q1, q2, p2, d4), lambda i, j: sa[i, 1])):
+        if mask.any():
+            i, j = np.unravel_index(int(np.argmax(mask)), mask.shape)
+            return pick(i, j)
+    return None
+
+
+def shortest_line(lhs: GeometryArray, rhs: GeometryArray) -> GeometryArray:
+    """Row-wise shortest connecting LineString between aligned geometries
+    (shapely ``shortest_line`` / the segment through ``nearest_points``).
+    Intersecting/containing rows yield a zero-length line at a witness
+    point; missing/empty rows stay missing. Endpoint order is lhs -> rhs.
+    Same candidate structure as ``distance`` (`_geom_pair_distance`), so
+    ``euclidean_length(shortest_line(a, b)) == distance(a, b)`` by
+    construction."""
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+
+    if len(lhs) != len(rhs):
+        raise ValueError("shortest_line requires equal-length series")
+    n = len(lhs)
+    lco = lhs.coord_offsets()
+    rco = rhs.coord_offsets()
+    out: list = []
+    for i in range(n):
+        if lhs.types[i] == MISSING or rhs.types[i] == MISSING:
+            out.append(None)
+            continue
+        a = lhs.coords[lco[i]: lco[i + 1]]
+        b = rhs.coords[rco[i]: rco[i + 1]]
+        if len(a) == 0 or len(b) == 0:
+            out.append(None)
+            continue
+        witness = None
+        for side, pts in ((lhs, b), (rhs, a)):
+            if side.types[i] in _POLY_TYPES:
+                rings = _rings_of(side, i)
+                inside = points_in_polygon_single(pts[:, 0], pts[:, 1], rings)
+                if inside.any():
+                    w = pts[int(np.argmax(inside))]
+                    witness = (w, w)
+                    break
+        if witness is None:
+            sl = _segments_of(lhs, i)
+            sr = _segments_of(rhs, i)
+            if sl is not None and sr is not None:
+                w = _touch_point(sl, sr)
+                if w is not None:
+                    witness = (w, w)
+            if witness is None:
+                cands = []
+                if sr is not None:
+                    da, pa_, qa = _argmin_point_to_segments(a, sr)
+                    cands.append((da, pa_, qa))
+                if sl is not None:
+                    db, pb_, qb = _argmin_point_to_segments(b, sl)
+                    cands.append((db, qb, pb_))  # flip: lhs endpoint first
+                dd2 = (a[:, None, 0] - b[None, :, 0]) ** 2 + (a[:, None, 1] - b[None, :, 1]) ** 2
+                ii, jj = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
+                cands.append((float(np.sqrt(dd2[ii, jj])), a[ii], b[jj]))
+                witness = min(cands, key=lambda c: c[0])[1:]
+        p, q = witness
+        out.append(("linestring", [(float(p[0]), float(p[1])), (float(q[0]), float(q[1]))]))
+    return GeometryArray.from_pylist(out)
+
+
 def _assemble_point_rings(is_pt: np.ndarray, rings: np.ndarray, k: int) -> GeometryArray:
     """One closed (k+1)-vertex POLYGON ring per point row, MISSING elsewhere
     — the shared ragged assembly for the point-buffer kernels."""

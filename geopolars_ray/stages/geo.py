@@ -344,6 +344,22 @@ def geo_distance(
     return fn
 
 
+def geo_shortest_line(
+    left_col: str, right_col: str, out_col: str = "shortest_line"
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise shortest connecting LineString between two aligned geometry
+    columns (`geom/kernels.py shortest_line`), appended as a WKB column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, encode_wkb(K.shortest_line(lga, rga)))
+
+    return fn
+
+
 def geo_hausdorff(
     left_col: str, right_col: str, out_col: str = "hausdorff"
 ) -> Callable[[pa.Table], pa.Table]:

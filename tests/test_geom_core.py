@@ -729,3 +729,42 @@ def test_minimum_bounding_radius_and_circle():
         dmax = max(np.hypot(*(a - b)) for a in P for b in P)
         assert rr[i] >= dmax / 2.0 - 1e-9
         assert rr[i] <= dmax / np.sqrt(3.0) + 1e-9  # Jung's theorem bound
+
+
+def test_shortest_line():
+    lhs = GeometryArray.from_pylist(
+        [
+            ("point", (0.0, 3.0)),
+            ("linestring", [(0.0, 0.0), (10.0, 0.0)]),
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+            ("linestring", [(0.0, 0.0), (10.0, 10.0)]),  # crosses rhs
+            None,
+        ]
+    )
+    rhs = GeometryArray.from_pylist(
+        [
+            ("linestring", [(2.0, 0.0), (8.0, 0.0)]),
+            ("point", (5.0, 2.0)),
+            ("point", (2.0, 2.0)),  # inside the polygon
+            ("linestring", [(0.0, 10.0), (10.0, 0.0)]),
+            ("point", (0.0, 0.0)),
+        ]
+    )
+    sl = K.shortest_line(lhs, rhs)
+    lst = sl.to_pylist()
+    assert lst[0] == ("linestring", [(0.0, 3.0), (2.0, 0.0)])  # to segment start
+    assert lst[1] == ("linestring", [(5.0, 0.0), (5.0, 2.0)])  # lhs endpoint first
+    p, q = lst[2][1]
+    assert p == q == (2.0, 2.0)  # containment -> zero-length at witness
+    p, q = lst[3][1]
+    assert p == q and np.allclose(p, (5.0, 5.0))  # crossing point witness
+    assert lst[4] is None
+    # invariant: length of the shortest line == distance kernel, fuzzed
+    rng = np.random.default_rng(48)
+    A, B = [], []
+    for _ in range(150):
+        A.append(("linestring", [tuple(p) for p in rng.uniform(0, 50, (rng.integers(2, 6), 2))]))
+        B.append(("linestring", [tuple(p) for p in rng.uniform(0, 50, (rng.integers(2, 6), 2))]))
+    ga, gb = GeometryArray.from_pylist(A), GeometryArray.from_pylist(B)
+    sl = K.shortest_line(ga, gb)
+    assert np.allclose(K.euclidean_length(sl), K.distance(ga, gb), rtol=1e-12, atol=1e-12)
