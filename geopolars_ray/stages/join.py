@@ -284,6 +284,11 @@ class BroadcastPIPJoin:
     ``how="inner"`` keeps only matched points; ``"left"`` keeps all points
     with null payload for unmatched ones. Points matching k polygons emit k
     rows (non-overlapping admin cells -> k<=1 in the flagship).
+
+    ``predicate="dwithin"`` (with ``distance``) matches points inside OR
+    within ``distance`` of each polygon's boundary (GeoPandas
+    ``sjoin(predicate="dwithin")`` parity): candidate boxes expand by the
+    distance, the refine adds one (points x segments) block per polygon.
     """
 
     def __init__(
@@ -294,11 +299,23 @@ class BroadcastPIPJoin:
         how: str = "inner",
         payload_cols: Iterable[str] | None = None,
         geometry_col: str = "geometry",
+        predicate: str = "intersects",
+        distance: float | None = None,
     ):
+        if predicate not in ("intersects", "dwithin"):
+            raise ValueError(f"unsupported broadcast-join predicate {predicate!r}")
+        if predicate == "dwithin" and not (distance is not None and distance >= 0):
+            raise ValueError("predicate='dwithin' requires distance >= 0")
         table = ray.get(polygons) if isinstance(polygons, ray.ObjectRef) else polygons
         ga = decode_wkb(table[geometry_col])
         self.prep = PreparedPolygons.from_geometry_array(ga)
-        self.grid = GridIndex(self.prep.bounds)
+        self.predicate = predicate
+        self.distance = float(distance) if distance is not None else 0.0
+        # dwithin: candidate generation must see by-distance-expanded boxes
+        boxes = self.prep.bounds
+        if predicate == "dwithin" and self.distance > 0:
+            boxes = boxes + np.array([-self.distance, -self.distance, self.distance, self.distance])
+        self.grid = GridIndex(boxes)
         self.lon_col = lon_col
         self.lat_col = lat_col
         self.how = how
@@ -320,7 +337,10 @@ class BroadcastPIPJoin:
             cut = np.nonzero(np.diff(items_s))[0] + 1
             for grp_items, grp_pts in zip(np.split(items_s, cut), np.split(pidx_s, cut)):
                 poly = int(grp_items[0])
-                inside = self.prep.contains_points(poly, lon[grp_pts], lat[grp_pts])
+                if self.predicate == "dwithin":
+                    inside = self.prep.dwithin_points(poly, lon[grp_pts], lat[grp_pts], self.distance)
+                else:
+                    inside = self.prep.contains_points(poly, lon[grp_pts], lat[grp_pts])
                 sel = grp_pts[inside]
                 if len(sel):
                     m_points.append(sel)
@@ -358,6 +378,8 @@ def broadcast_spatial_join(
     how: str = "inner",
     concurrency: int | tuple[int, int] = (1, 4),
     batch_size: int = 65536,
+    predicate: str = "intersects",
+    distance: float | None = None,
 ):
     """points Dataset ⋈ broadcast polygon table (point-in-polygon).
 
@@ -376,7 +398,8 @@ def broadcast_spatial_join(
     ref = ray.put(polygons)
     return points_ds.map_batches(
         BroadcastPIPJoin,
-        fn_constructor_kwargs=dict(polygons=ref, lon_col=lon_col, lat_col=lat_col, how=how),
+        fn_constructor_kwargs=dict(polygons=ref, lon_col=lon_col, lat_col=lat_col, how=how,
+                                   predicate=predicate, distance=distance),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

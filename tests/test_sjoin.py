@@ -269,3 +269,47 @@ def test_within_predicate_flipped_contains():
     assert spatial_join_table(lt_pt, rt_big, predicate="within").num_rows == 1
     with pytest.raises(ValueError, match="unsupported predicate"):
         spatial_join_table(lt_pt, rt_big, predicate="touches")
+
+
+def test_broadcast_join_dwithin(ray_session):
+    """dwithin predicate: inside OR within d of the boundary, vs brute force
+    (diamond polygons have a closed-form L2 distance via per-edge projection
+    — the brute oracle just reuses a point-to-segment scan)."""
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join
+
+    rng = np.random.default_rng(12)
+    n = 20000
+    lon = rng.uniform(-30, 30, n)
+    lat = rng.uniform(-30, 30, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    ring = [(-10.0, 0.0), (0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0)]
+    polys = GeometryArray.from_pylist([("polygon", [ring])])
+    admin = pa.table({"admin_id": pa.array(["a"]), "geometry": encode_wkb(polys)})
+    d = 3.0
+    out = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner",
+                                 concurrency=2, predicate="dwithin", distance=d).to_pandas()
+    got = set(out["pid"].astype(int))
+
+    # brute: inside (L1 diamond) or min point-to-edge distance <= d
+    inside = (np.abs(lon) + np.abs(lat)) < 10.0
+    R = np.array(ring)
+    a, b = R[:-1], R[1:]
+    ab = b - a
+    L2 = (ab**2).sum(axis=1)
+    P = np.column_stack([lon, lat])
+    ap = P[:, None, :] - a[None, :, :]
+    t = np.clip((ap * ab[None, :, :]).sum(axis=2) / L2[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * ab[None, :, :]
+    dmin = np.sqrt(((P[:, None, :] - proj) ** 2).sum(axis=2)).min(axis=1)
+    expect = set(np.nonzero(inside | (dmin <= d))[0].astype(int))
+    assert got == expect
+    # sanity: strictly more matches than plain intersects, none farther than d
+    plain = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner",
+                                   concurrency=2).to_pandas()
+    assert len(got) > len(plain)
+
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="distance"):
+        broadcast_spatial_join(ray.data.from_arrow(pts), admin,
+                               predicate="dwithin").take_all()
