@@ -89,6 +89,37 @@ def points_in_polygon_single(px: np.ndarray, py: np.ndarray, rings: list[np.ndar
     return (total % 2 == 1) & ~boundary
 
 
+def points_dwithin_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray],
+                         distance: float) -> np.ndarray:
+    """contains OR boundary within ``distance`` — the ST_DWithin test.
+
+    Interior points hit via the PIP test; the rest take one vectorized
+    (points x boundary segments) min-distance block (the grouped-by-polygon
+    refine shape, so the block is candidates-of-one-polygon sized, never
+    batch sized)."""
+    hit = points_in_polygon_single(px, py, rings)
+    todo = ~hit
+    if not todo.any():
+        return hit
+    segs_a, segs_b = [], []
+    for ring in rings:
+        if len(ring) >= 2:
+            segs_a.append(ring[:-1])
+            segs_b.append(ring[1:])
+    if not segs_a:
+        return hit
+    a = np.concatenate(segs_a)
+    dv = np.concatenate(segs_b) - a
+    L2 = (dv**2).sum(axis=1)
+    p = np.column_stack([np.asarray(px, np.float64)[todo], np.asarray(py, np.float64)[todo]])
+    ap = p[:, None, :] - a[None, :, :]
+    t = np.clip((ap * dv[None, :, :]).sum(axis=2) / np.where(L2 == 0, 1, L2)[None, :], 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * dv[None, :, :]
+    dd2 = ((p[:, None, :] - proj) ** 2).sum(axis=2)
+    hit[todo] = dd2.min(axis=1) <= distance * distance
+    return hit
+
+
 @dataclass
 class PreparedPolygons:
     """Pickle-friendly polygon set for repeated containment tests.
@@ -125,33 +156,7 @@ class PreparedPolygons:
         return points_in_polygon_single(px, py, self.rings_of(i))
 
     def dwithin_points(self, i: int, px: np.ndarray, py: np.ndarray, distance: float) -> np.ndarray:
-        """contains OR boundary within ``distance`` — the ST_DWithin test.
-
-        Interior points hit via the PIP test; the rest take one vectorized
-        (points x boundary segments) min-distance block per polygon (the
-        same grouped-by-polygon shape as the PIP refine, so the block is
-        candidates-of-one-polygon sized, not batch sized)."""
-        hit = points_in_polygon_single(px, py, self.rings_of(i))
-        todo = ~hit
-        if not todo.any():
-            return hit
-        segs_a, segs_b = [], []
-        for ring in self.rings_of(i):
-            if len(ring) >= 2:
-                segs_a.append(ring[:-1])
-                segs_b.append(ring[1:])
-        if not segs_a:
-            return hit
-        a = np.concatenate(segs_a)
-        dv = np.concatenate(segs_b) - a
-        L2 = (dv**2).sum(axis=1)
-        p = np.column_stack([px[todo], py[todo]])
-        ap = p[:, None, :] - a[None, :, :]
-        t = np.clip((ap * dv[None, :, :]).sum(axis=2) / np.where(L2 == 0, 1, L2)[None, :], 0.0, 1.0)
-        proj = a[None, :, :] + t[:, :, None] * dv[None, :, :]
-        dd2 = ((p[:, None, :] - proj) ** 2).sum(axis=2)
-        hit[todo] = dd2.min(axis=1) <= distance * distance
-        return hit
+        return points_dwithin_rings(px, py, self.rings_of(i), distance)
 
 
 # --------------------------------------------------------------------------

@@ -419,6 +419,8 @@ def partitioned_spatial_join(
     lat_col: str = "lat",
     geometry_col: str = "geometry",
     num_partitions: int = 64,
+    predicate: str = "intersects",
+    distance: float | None = None,
 ):
     """Large-large PIP join: co-partition both sides by grid cell, hash-join,
     refine exactly. Returns matched point rows + polygon payload columns.
@@ -430,8 +432,20 @@ def partitioned_spatial_join(
     has exactly one cell, so no pair dedup is needed. Hot cells can be split
     further by salting the cell id on the polygon side and duplicating the
     point-side lookup — not needed while polygon side per cell stays small.
+
+    ``predicate="dwithin"`` (with ``distance``): polygons replicate to the
+    cells of their by-distance-EXPANDED bbox and the refine swaps PIP for
+    the inside-or-within-distance test — same exchange plan, same
+    grouped-by-polygon vectorization (`geom/strtree.py points_dwithin_rings`).
     """
     from geopolars_ray.geom.array import _expand_ranges
+    from geopolars_ray.geom.strtree import points_dwithin_rings
+
+    if predicate not in ("intersects", "dwithin"):
+        raise ValueError(f"unsupported partitioned-join predicate {predicate!r}")
+    if predicate == "dwithin" and not (distance is not None and distance >= 0):
+        raise ValueError("predicate='dwithin' requires distance >= 0")
+    pad = float(distance) if predicate == "dwithin" and distance else 0.0
 
     ny = int(np.ceil(180.0 / cell_deg))
 
@@ -440,6 +454,8 @@ def partitioned_spatial_join(
         # every grid cell its bbox overlaps (no per-polygon Python loop)
         ga = decode_wkb(batch[geometry_col])
         xmin, ymin, xmax, ymax = K.bounds(ga)
+        if pad:
+            xmin, ymin, xmax, ymax = xmin - pad, ymin - pad, xmax + pad, ymax + pad
         valid = ~np.isnan(xmin)
         pidx = np.nonzero(valid)[0]
         ix0 = np.floor((xmin[pidx] + 180.0) / cell_deg).astype(np.int64)
@@ -497,9 +513,14 @@ def partitioned_spatial_join(
         cut = np.nonzero(np.diff(codes_s))[0] + 1
         for grp_rows in np.split(order, cut):
             poly = int(codes[grp_rows[0]])
-            keep[grp_rows] = points_in_polygon_single(
-                lon[grp_rows], lat[grp_rows], _rings_of(uga, poly)
-            )
+            if predicate == "dwithin":
+                keep[grp_rows] = points_dwithin_rings(
+                    lon[grp_rows], lat[grp_rows], _rings_of(uga, poly), pad
+                )
+            else:
+                keep[grp_rows] = points_in_polygon_single(
+                    lon[grp_rows], lat[grp_rows], _rings_of(uga, poly)
+                )
         out = batch.filter(pa.array(keep))
         return out.drop_columns([c for c in ("_cell", gcol) if c in out.column_names])
 

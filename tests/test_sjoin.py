@@ -313,3 +313,30 @@ def test_broadcast_join_dwithin(ray_session):
     with _pytest.raises(Exception, match="distance"):
         broadcast_spatial_join(ray.data.from_arrow(pts), admin,
                                predicate="dwithin").take_all()
+
+
+def test_partitioned_join_dwithin_matches_broadcast(ray_session):
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join, partitioned_spatial_join
+
+    rng = np.random.default_rng(13)
+    n = 8000
+    lon = rng.uniform(-40, 40, n)
+    lat = rng.uniform(-40, 40, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    polys = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(-10.0, 0.0), (0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0)]]),
+            ("polygon", [[(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0), (20.0, 20.0)]]),
+        ]
+    )
+    admin = pa.table({"admin_id": pa.array(["a", "b"]), "geometry": encode_wkb(polys)})
+    d = 4.0
+    b = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner", concurrency=2,
+                               predicate="dwithin", distance=d).to_pandas()
+    p = partitioned_spatial_join(ray.data.from_arrow(pts), ray.data.from_arrow(admin),
+                                 cell_deg=8.0, num_partitions=16,
+                                 predicate="dwithin", distance=d).to_pandas()
+    got_b = set(zip(b["pid"].astype(int), b["admin_id"]))
+    got_p = set(zip(p["pid"].astype(int), p["admin_id"]))
+    assert got_b == got_p and len(got_b) > 0
