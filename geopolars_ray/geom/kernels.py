@@ -855,9 +855,19 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     rows = np.flatnonzero(ok)
     if not len(rows):
         return out
-    d_ab = _directed_hausdorff(lhs, rhs, rows)
-    d_ba = _directed_hausdorff(rhs, lhs, rows)
-    out[rows] = np.maximum(d_ab, d_ba)
+    # bound the (vertex x segment) expansion: chunk rows so each pass
+    # materializes at most ~8M pairs — one huge-geometry row can't blow the
+    # task heap (same guard discipline as cosine_pairs/segmentize)
+    pairs = ((a1 - a0)[rows] * (b1 - b0)[rows]).astype(np.int64)
+    budget = 8_000_000
+    chunk_id = np.zeros(len(rows), dtype=np.int64)
+    if pairs.sum() > budget:
+        chunk_id = np.minimum(np.cumsum(pairs), np.iinfo(np.int64).max) // budget
+    for cid in np.unique(chunk_id):
+        sel = rows[chunk_id == cid]
+        d_ab = _directed_hausdorff(lhs, rhs, sel)
+        d_ba = _directed_hausdorff(rhs, lhs, sel)
+        out[sel] = np.maximum(d_ab, d_ba)
     return out
 
 
@@ -1201,14 +1211,29 @@ def oriented_envelope(ga: GeometryArray) -> GeometryArray:
     """
     hull = convex_hull(ga)
     n = len(hull)
-    poly = np.flatnonzero(hull.types == POLYGON)
-    if len(poly) == 0:
+    poly_all = np.flatnonzero(hull.types == POLYGON)
+    if len(poly_all) == 0:
         return hull
     h0, h1 = _coord_ranges(hull)
+    # bound the (edge x vertex) expansion per pass (hulls are usually tiny,
+    # but one 10k-vertex convex input would otherwise square up)
+    sizes = (h1 - h0)[poly_all] - 1
+    budget = 8_000_000
+    chunk_id = np.zeros(len(poly_all), dtype=np.int64)
+    if int((sizes * sizes).sum()) > budget:
+        chunk_id = np.cumsum(sizes * sizes) // budget
+    out_all: list = hull.to_pylist()
+    for cid in np.unique(chunk_id):
+        _oriented_envelope_rows(hull, poly_all[chunk_id == cid], h0, h1, out_all)
+    return GeometryArray.from_pylist(out_all)
+
+
+def _oriented_envelope_rows(hull: GeometryArray, poly: np.ndarray,
+                            h0: np.ndarray, h1: np.ndarray, out_list: list) -> None:
+    c = hull.coords
     s_r, e_r = h0[poly], h1[poly]
     npts = e_r - s_r - 1  # drop the closing duplicate
     nedg = npts  # closed ring: one edge per distinct vertex
-    c = hull.coords
     # per-row (edge, point) cross products
     pairs_per = nedg * npts
     tot = int(pairs_per.sum())
@@ -1244,7 +1269,6 @@ def oriented_envelope(ga: GeometryArray) -> GeometryArray:
     bL = np.hypot(bd[:, 0], bd[:, 1])
     bL = np.where(bL == 0.0, 1.0, bL)
     bdx, bdy = bd[:, 0] / bL, bd[:, 1] / bL
-    out_list: list = hull.to_pylist()
     mu, Mu, mv, Mv = min_u[best], max_u[best], min_v[best], max_v[best]
     for i, g in enumerate(poly):
         ddx, ddy = float(bdx[i]), float(bdy[i])
@@ -1253,7 +1277,6 @@ def oriented_envelope(ga: GeometryArray) -> GeometryArray:
             ring.append((float(a * ddx - b * ddy), float(a * ddy + b * ddx)))
         ring.append(ring[0])
         out_list[g] = ("polygon", [ring])
-    return GeometryArray.from_pylist(out_list)
 
 
 def _welzl_circle(pts: np.ndarray) -> tuple[float, float, float]:
