@@ -229,6 +229,12 @@ class GeoDataset:
     def is_ring(self, out_col: str = "is_ring") -> "GeoDataset":
         return self._apply("is_ring", out_col)
 
+    def is_closed(self, out_col: str = "is_closed") -> "GeoDataset":
+        return self._apply("is_closed", out_col)
+
+    def is_ccw(self, out_col: str = "is_ccw") -> "GeoDataset":
+        return self._apply("is_ccw", out_col)
+
     def x(self, out_col: str = "x") -> "GeoDataset":
         return self._apply("x", out_col)
 

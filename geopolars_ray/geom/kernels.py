@@ -144,6 +144,35 @@ def is_ring(ga: GeometryArray) -> np.ndarray:
     return out
 
 
+def is_closed(ga: GeometryArray) -> np.ndarray:
+    """True for line rows whose first coord equals the last (shapely
+    ``is_closed``; no minimum-length requirement, unlike ``is_ring``)."""
+    co = ga.coord_offsets()
+    starts, ends = co[:-1], co[1:]
+    n = ends - starts
+    out = np.zeros(len(ga), dtype=bool)
+    line = np.isin(ga.types, (LINESTRING, LINEARRING)) & (n >= 2)
+    idx = np.nonzero(line)[0]
+    if len(idx):
+        out[idx] = (ga.coords[starts[idx]] == ga.coords[ends[idx] - 1]).all(axis=1)
+    return out
+
+
+def is_ccw(ga: GeometryArray) -> np.ndarray:
+    """True when the row's FIRST ring winds counter-clockwise (shapely
+    ``is_ccw`` semantics: defined for rings/closed lines and polygon
+    exteriors via signed shoelace; False for points/missing/degenerate)."""
+    ring_a = 0.5 * _segment_cross(ga)
+    first_ring = ga.part_offsets[ga.geom_offsets[:-1]]
+    has_ring = ga.geom_offsets[1:] > ga.geom_offsets[:-1]
+    out = np.zeros(len(ga), dtype=bool)
+    idx = np.nonzero(has_ring & np.isin(ga.types, (LINESTRING, LINEARRING, POLYGON,
+                                                   MULTILINESTRING, MULTIPOLYGON)))[0]
+    if len(idx):
+        out[idx] = ring_a[first_ring[idx]] > 0.0
+    return out
+
+
 def get_x(ga: GeometryArray) -> np.ndarray:
     """x of Point rows, NaN otherwise (`geoseries.rs:176-180`)."""
     out = np.full(len(ga), np.nan)

@@ -124,6 +124,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "geom_type": (K.geom_type, "scalar"),
     "is_empty": (K.is_empty, "scalar"),
     "is_ring": (K.is_ring, "scalar"),
+    "is_closed": (K.is_closed, "scalar"),
+    "is_ccw": (K.is_ccw, "scalar"),
     "x": (K.get_x, "scalar"),
     "y": (K.get_y, "scalar"),
     "centroid": (K.centroid, "geometry"),

@@ -768,3 +768,26 @@ def test_shortest_line():
     ga, gb = GeometryArray.from_pylist(A), GeometryArray.from_pylist(B)
     sl = K.shortest_line(ga, gb)
     assert np.allclose(K.euclidean_length(sl), K.distance(ga, gb), rtol=1e-12, atol=1e-12)
+
+
+def test_is_closed_is_ccw():
+    ccw_ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]
+    cw_ring = ccw_ring[::-1]
+    ga = GeometryArray.from_pylist(
+        [
+            ("linestring", [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)]),  # closed ccw
+            ("linestring", [(0.0, 0.0), (1.0, 0.0)]),  # open
+            ("linestring", [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (0.0, 0.0)]),  # closed cw
+            ("polygon", [ccw_ring]),
+            ("polygon", [cw_ring]),
+            ("point", (1.0, 1.0)),
+            None,
+        ]
+    )
+    closed = K.is_closed(ga)
+    # shapely semantics: is_closed is a LINE predicate — False for polygons
+    assert closed.tolist() == [True, False, True, False, False, False, False]
+    ccw = K.is_ccw(ga)
+    assert ccw.tolist() == [True, False, False, True, False, False, False]
+    # reverse flips winding
+    assert K.is_ccw(K.reverse(ga)).tolist()[3:5] == [False, True]
