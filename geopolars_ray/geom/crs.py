@@ -838,6 +838,15 @@ def parse_crs(crs: str) -> dict:
                     "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
         if proj == "sterea":
             # EPSG 9809 oblique/equatorial stereographic (double projection)
+            lat_0s = float(params.get("lat_0", 0.0))
+            if abs(lat_0s) > 89.0:
+                # the Gauss-sphere constants divide by (1 - sin lat_0):
+                # at the poles they produce silent NaN, and the polar
+                # aspect belongs to +proj=stere anyway
+                raise ValueError(
+                    f"+proj=sterea is the OBLIQUE/equatorial aspect (got "
+                    f"lat_0={lat_0s}); use polar +proj=stere for |lat_0|=90"
+                )
             return {"proj": "sterea", "lat_0": float(params.get("lat_0", 0.0)),
                     "lon_0": float(params.get("lon_0", 0.0)),
                     "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0)),

@@ -144,32 +144,67 @@ def is_ring(ga: GeometryArray) -> np.ndarray:
     return out
 
 
-def is_closed(ga: GeometryArray) -> np.ndarray:
-    """True for line rows whose first coord equals the last (shapely
-    ``is_closed``; no minimum-length requirement, unlike ``is_ring``)."""
-    co = ga.coord_offsets()
-    starts, ends = co[:-1], co[1:]
-    n = ends - starts
-    out = np.zeros(len(ga), dtype=bool)
-    line = np.isin(ga.types, (LINESTRING, LINEARRING)) & (n >= 2)
-    idx = np.nonzero(line)[0]
+def _rings_closed(ga: GeometryArray) -> np.ndarray:
+    """bool[n_rings]: ring has >= 2 coords and first == last."""
+    rs, re_ = ga.ring_offsets[:-1], ga.ring_offsets[1:]
+    out = np.zeros(ga.n_rings, dtype=bool)
+    ok = re_ - rs >= 2
+    idx = np.nonzero(ok)[0]
     if len(idx):
-        out[idx] = (ga.coords[starts[idx]] == ga.coords[ends[idx] - 1]).all(axis=1)
+        out[idx] = (ga.coords[rs[idx]] == ga.coords[re_[idx] - 1]).all(axis=1)
+    return out
+
+
+def is_closed(ga: GeometryArray) -> np.ndarray:
+    """shapely ``is_closed``: line rows whose first coord equals the last;
+    a MULTILINESTRING is closed when EVERY member line is (GEOS >= 3.5
+    semantics). False for non-line types."""
+    closed = _rings_closed(ga).astype(np.int8)
+    ring_of_geom = ga.part_offsets[ga.geom_offsets]
+    all_closed = np.ones(len(ga), dtype=bool)
+    nz = ring_of_geom[1:] > ring_of_geom[:-1]
+    if nz.any():
+        # min over the geometry's rings: 1 only when every ring is closed
+        all_closed[nz] = (
+            _range_sums(closed.astype(np.float64), ring_of_geom[:-1][nz], ring_of_geom[1:][nz])
+            == (ring_of_geom[1:] - ring_of_geom[:-1])[nz]
+        )
+    out = all_closed & np.isin(ga.types, (LINESTRING, LINEARRING, MULTILINESTRING))
+    out &= ga.coords_per_geom() > 0  # empty multis are not closed
     return out
 
 
 def is_ccw(ga: GeometryArray) -> np.ndarray:
-    """True when the row's FIRST ring winds counter-clockwise (shapely
-    ``is_ccw`` semantics: defined for rings/closed lines and polygon
-    exteriors via signed shoelace; False for points/missing/degenerate)."""
+    """shapely ``is_ccw``: True when the row is a CLOSED >= 4-coord line
+    ring winding counter-clockwise. Extension beyond shapely (documented):
+    POLYGON rows report their exterior ring's winding (shapely itself
+    returns False for polygons; GeoPandas users reach it via
+    ``.exterior.is_ccw``)."""
     ring_a = 0.5 * _segment_cross(ga)
     first_ring = ga.part_offsets[ga.geom_offsets[:-1]]
     has_ring = ga.geom_offsets[1:] > ga.geom_offsets[:-1]
     out = np.zeros(len(ga), dtype=bool)
-    idx = np.nonzero(has_ring & np.isin(ga.types, (LINESTRING, LINEARRING, POLYGON,
-                                                   MULTILINESTRING, MULTIPOLYGON)))[0]
+    co = ga.coord_offsets()
+    nco = co[1:] - co[:-1]
+    line_ok = (np.isin(ga.types, (LINESTRING, LINEARRING)) & (nco >= 4)
+               & _line_first_closed(ga))
+    poly_ok = np.isin(ga.types, (POLYGON, MULTIPOLYGON)) & has_ring
+    idx = np.nonzero((line_ok | poly_ok) & has_ring)[0]
     if len(idx):
         out[idx] = ring_a[first_ring[idx]] > 0.0
+    return out
+
+
+def _line_first_closed(ga: GeometryArray) -> np.ndarray:
+    """bool[n]: the geometry's FIRST ring is closed (for line rows this is
+    the whole line)."""
+    closed = _rings_closed(ga)
+    out = np.zeros(len(ga), dtype=bool)
+    if len(closed) == 0:
+        return out
+    first_ring = ga.part_offsets[ga.geom_offsets[:-1]]
+    has = ga.geom_offsets[1:] > ga.geom_offsets[:-1]
+    out[has] = closed[np.minimum(first_ring[has], len(closed) - 1)]
     return out
 
 
@@ -406,11 +441,14 @@ def geodesic_area(ga: GeometryArray) -> np.ndarray:
     edges are great circles of the authalic sphere; for true-geodesic edges
     the difference is O(e²) of the tiny edge-sag area (well under 1e-6
     relative for edges < 100 km). Δλ wraps per edge, so antimeridian
-    crossings and pole vertices (arbitrary stored longitude) work. Like the
-    planar `area`: ring signed areas sum per geometry then abs, so
-    conventionally-wound holes subtract; polygons are assumed smaller than
-    a hemisphere (the usual planimeter ±4πR² ambiguity). Non-areal types
-    yield 0, missing NaN.
+    crossings and pole vertices (arbitrary stored longitude) work, and rings
+    that ENCIRCLE a pole are detected by their ±2π longitude winding and get
+    the 2π closure term (the trapezoid sum alone measures the band between
+    the ring and the equator in that case — the classic planimeter pole
+    correction). Like the planar `area`: ring signed areas sum per geometry
+    then abs, so conventionally-wound holes subtract; polygons are assumed
+    smaller than a hemisphere (the usual planimeter ±4πR² ambiguity).
+    Non-areal types yield 0, missing NaN.
     """
     from geopolars_ray.geom.crs import _authalic_lat, _R_AUTH
 
@@ -423,26 +461,47 @@ def geodesic_area(ga: GeometryArray) -> np.ndarray:
     lam = np.radians(c[:, 0])
     beta = _authalic_lat(np.radians(np.clip(c[:, 1], -90.0, 90.0)))
 
+    def _dlam(i1, i2):
+        return (lam[i2] - lam[i1] + np.pi) % (2.0 * np.pi) - np.pi
+
     def _excess(i1, i2):
-        dlam = (lam[i2] - lam[i1] + np.pi) % (2.0 * np.pi) - np.pi
         bm = 0.5 * (beta[i2] + beta[i1])
         bd = 0.5 * (beta[i2] - beta[i1])
-        return 2.0 * np.arctan(np.tan(0.5 * dlam) * np.sin(bm) / np.cos(bd))
+        return 2.0 * np.arctan(np.tan(0.5 * _dlam(i1, i2)) * np.sin(bm) / np.cos(bd))
 
     idx = np.arange(len(c) - 1)
     e = _excess(idx, idx + 1)
+    dl = _dlam(idx, idx + 1)
     starts = ga.ring_offsets[:-1]
     ends = np.maximum(ga.ring_offsets[1:] - 1, starts)  # exclude cross-ring segment
     ring_sum = _range_sums(e, starts, ends)
+    ring_dlam = _range_sums(dl, starts, ends)
     # wraparound last->first (zero when the ring is explicitly closed)
     last = np.maximum(ga.ring_offsets[1:] - 1, starts)
     nmax = len(c) - 1
     s_c = np.minimum(starts, nmax)
     l_c = np.minimum(last, nmax)
     wrap = _excess(l_c, s_c)
-    wrap[ga.ring_offsets[1:] == starts] = 0.0
-    ring_area = (_R_AUTH * _R_AUTH) * (ring_sum + wrap)
+    wrap_dl = _dlam(l_c, s_c)
+    empty = ga.ring_offsets[1:] == starts
+    wrap[empty] = 0.0
+    wrap_dl[empty] = 0.0
+    # pole-encircling rings wind the axis: per-ring ΣΔλ = ±2π (W = ±1).
+    # The trapezoid sum then measures the equator-to-ring band; enclosed
+    # signed area = 2π·|W| − Σexcess (verified against both polar caps and
+    # both travel directions). Non-winding rings have W = 0.
+    winding = np.rint((ring_dlam + wrap_dl) / (2.0 * np.pi))
+    ring_area = (_R_AUTH * _R_AUTH) * (
+        ring_sum + wrap - 2.0 * np.pi * np.abs(winding)
+    )
     out = np.abs(_per_ring_to_per_geom(ga, ring_area))
+    # GeographicLib-style reduction: under the smaller-than-hemisphere
+    # contract, a result above half the sphere is the COMPLEMENT region of a
+    # reversed-orientation ring (only reachable via pole-winding rings) —
+    # report the polygon, not its complement, keeping the kernel
+    # orientation-insensitive like the planar `area`.
+    sphere = 4.0 * np.pi * _R_AUTH * _R_AUTH
+    out = np.where(out > sphere / 2.0, sphere - out, out)
     out[~np.isin(ga.types, _POLY_TYPES)] = 0.0
     out[ga.is_missing()] = np.nan
     return out
@@ -741,21 +800,40 @@ def reverse(ga: GeometryArray) -> GeometryArray:
 
 
 def remove_repeated_points(ga: GeometryArray, tolerance: float = 0.0) -> GeometryArray:
-    """Drop consecutive coords within ``tolerance`` of their PREDECESSOR
-    (shapely ``remove_repeated_points``-style cleaning; adjacent-pair
-    semantics, first occurrence kept, ring-first coords always kept, the
-    closing coord survives because it repeats the FIRST coord, not its
-    neighbor). tolerance=0 removes exact duplicates only. Degenerate
-    results (a ring collapsing below 4 coords) are emitted as-is, like
-    GEOS — validity is the caller's concern."""
+    """Drop coords within ``tolerance`` of the last KEPT point (GEOS
+    ``remove_repeated_points`` chained semantics); ring-first AND ring-last
+    coords always survive, so lines keep their endpoints and closed rings
+    stay closed. tolerance=0 (exact duplicates, the common dedup case) runs
+    fully vectorized — equality is transitive so the adjacent-pair scan IS
+    the chained scan; tolerance>0 runs the exact greedy per ring (a chained
+    tolerance scan is inherently sequential). Degenerate results (a ring
+    collapsing below 4 coords) are emitted as-is, like GEOS — validity is
+    the caller's concern."""
     n = len(ga.coords)
     if n == 0:
         return ga
-    d = np.diff(ga.coords, axis=0)
-    close = np.hypot(d[:, 0], d[:, 1]) <= tolerance
     keep = np.ones(n, dtype=bool)
-    keep[1:] = ~close
-    keep[ga.ring_offsets[:-1][ga.ring_offsets[:-1] < n]] = True  # ring firsts
+    if tolerance == 0.0:
+        d = np.diff(ga.coords, axis=0)
+        close = np.hypot(d[:, 0], d[:, 1]) <= 0.0
+        keep[1:] = ~close
+    else:
+        tol2 = float(tolerance) * float(tolerance)
+        c = ga.coords
+        for r in range(ga.n_rings):
+            s, e = int(ga.ring_offsets[r]), int(ga.ring_offsets[r + 1])
+            last = s
+            for i in range(s + 1, e):
+                dx = c[i, 0] - c[last, 0]
+                dy = c[i, 1] - c[last, 1]
+                if dx * dx + dy * dy <= tol2:
+                    keep[i] = False
+                else:
+                    last = i
+    firsts = ga.ring_offsets[:-1][ga.ring_offsets[:-1] < n]
+    keep[firsts] = True
+    lasts = ga.ring_offsets[1:] - 1
+    keep[lasts[lasts >= 0]] = True  # endpoints survive (GEOS)
     counts = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
     kept_per_ring = np.zeros(ga.n_rings, dtype=np.int64)
     nz = counts > 0
@@ -1009,6 +1087,12 @@ def line_locate_point(lines: GeometryArray, points: GeometryArray,
     q = a + t[:, None] * ab
     dq = pxy[seg_row] - q
     d2 = dq[:, 0] ** 2 + dq[:, 1] ** 2
+    # NaN coords (dirty point or line rows) would otherwise produce an
+    # all-NaN group with NO argmin hit and crash the searchsorted gather —
+    # sanitize to +inf and emit NaN for those rows instead
+    bad = ~np.isfinite(d2)
+    if bad.any():
+        d2 = np.where(bad, np.inf, d2)
     grp_starts = np.zeros(len(rows), dtype=np.int64)
     np.cumsum(nseg[:-1], out=grp_starts[1:])
     dmin = np.minimum.reduceat(d2, grp_starts)
@@ -1020,6 +1104,7 @@ def line_locate_point(lines: GeometryArray, points: GeometryArray,
     if normalized:
         tot = G[e_r - 1] - G[s_r]
         measure = np.where(tot > 0, measure / np.where(tot == 0, 1.0, tot), 0.0)
+    measure = np.where(np.isfinite(dmin), measure, np.nan)
     out[rows] = measure
     return out
 
@@ -1311,9 +1396,15 @@ def _oriented_envelope_rows(hull: GeometryArray, poly: np.ndarray,
 def _welzl_circle(pts: np.ndarray) -> tuple[float, float, float]:
     """Exact minimum enclosing circle of <= ~64 hull points.
 
-    Deterministic move-to-front Welzl (no randomization: hull points arrive
-    in hull order, which is already adversary-free for the expected-case
-    bound at these sizes). Returns (cx, cy, r)."""
+    Move-to-front Welzl over a DETERMINISTICALLY permuted order (seeded by
+    the point count): hull order is exactly the adversarial order for MTF
+    Welzl (convex position, each point outside the current circle), turning
+    it O(n³); a fixed pseudo-random permutation restores the expected-linear
+    bound while keeping output a pure function of the input. Returns
+    (cx, cy, r)."""
+    if len(pts) > 3:
+        order = np.random.default_rng(len(pts)).permutation(len(pts))
+        pts = pts[order]
     P = [(float(x), float(y)) for x, y in pts]
 
     def circle2(a, b):
@@ -1622,24 +1713,42 @@ def _min_point_to_segments(pts: np.ndarray, segs: np.ndarray) -> float:
     return float(np.sqrt((dd**2).sum(axis=2)).min())
 
 
-def _argmin_point_to_segments(pts: np.ndarray, segs: np.ndarray):
+def _argmin_point_to_segments(pts: np.ndarray, segs: np.ndarray,
+                              pair_budget: int = 8_000_000):
     """(min_dist, source_point, projected_point) over all (point, segment)
-    pairs — the arg-tracking variant of ``_min_point_to_segments``."""
+    pairs — the arg-tracking variant of ``_min_point_to_segments``.
+    Point rows are strip-chunked to ``pair_budget`` pairs per pass so one
+    huge geometry pair can't blow the heap (same guard as hausdorff)."""
     a = segs[:, 0]
     d = segs[:, 1] - segs[:, 0]
     L2 = (d**2).sum(axis=1)
-    ap = pts[:, None, :] - a[None, :, :]
-    t = np.clip((ap * d[None, :, :]).sum(axis=2) / np.where(L2 == 0, 1, L2)[None, :], 0.0, 1.0)
-    proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
-    dd2 = ((pts[:, None, :] - proj) ** 2).sum(axis=2)
-    i, j = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
-    return float(np.sqrt(dd2[i, j])), pts[i], proj[i, j]
+    L2s = np.where(L2 == 0, 1, L2)
+    best = (np.inf, pts[0], segs[0, 0])
+    step = max(1, pair_budget // max(len(segs), 1))
+    for s0 in range(0, len(pts), step):
+        p = pts[s0 : s0 + step]
+        ap = p[:, None, :] - a[None, :, :]
+        t = np.clip((ap * d[None, :, :]).sum(axis=2) / L2s[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+        dd2 = ((p[:, None, :] - proj) ** 2).sum(axis=2)
+        i, j = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
+        if dd2[i, j] < best[0]:
+            best = (float(dd2[i, j]), p[i], proj[i, j])
+    return float(np.sqrt(best[0])), best[1], best[2]
 
 
-def _touch_point(sa: np.ndarray, sb: np.ndarray):
+def _touch_point(sa: np.ndarray, sb: np.ndarray, pair_budget: int = 8_000_000):
     """A witness point where segment sets sa (m,2,2) / sb (k,2,2) intersect,
     or None. Mirrors ``segments_cross`` (proper crossing first, then
-    endpoint/collinear touch)."""
+    endpoint/collinear touch); sa is strip-chunked to bound the (m,k)
+    orientation matrices."""
+    step = max(1, pair_budget // max(len(sb), 1))
+    if len(sa) > step:
+        for s0 in range(0, len(sa), step):
+            w = _touch_point(sa[s0 : s0 + step], sb, pair_budget)
+            if w is not None:
+                return w
+        return None
     p1, p2 = sa[:, None, 0], sa[:, None, 1]
     q1, q2 = sb[None, :, 0], sb[None, :, 1]
 
@@ -1723,9 +1832,16 @@ def shortest_line(lhs: GeometryArray, rhs: GeometryArray) -> GeometryArray:
                 if sl is not None:
                     db, pb_, qb = _argmin_point_to_segments(b, sl)
                     cands.append((db, qb, pb_))  # flip: lhs endpoint first
-                dd2 = (a[:, None, 0] - b[None, :, 0]) ** 2 + (a[:, None, 1] - b[None, :, 1]) ** 2
-                ii, jj = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
-                cands.append((float(np.sqrt(dd2[ii, jj])), a[ii], b[jj]))
+                # vertex-vertex fallback, strip-chunked like the projections
+                vbest = (np.inf, a[0], b[0])
+                step = max(1, 8_000_000 // max(len(b), 1))
+                for s0 in range(0, len(a), step):
+                    aa = a[s0 : s0 + step]
+                    dd2 = (aa[:, None, 0] - b[None, :, 0]) ** 2 + (aa[:, None, 1] - b[None, :, 1]) ** 2
+                    ii, jj = np.unravel_index(int(np.argmin(dd2)), dd2.shape)
+                    if dd2[ii, jj] < vbest[0]:
+                        vbest = (float(dd2[ii, jj]), aa[ii], b[jj])
+                cands.append((float(np.sqrt(vbest[0])), vbest[1], vbest[2]))
                 witness = min(cands, key=lambda c: c[0])[1:]
         p, q = witness
         out.append(("linestring", [(float(p[0]), float(p[1])), (float(q[0]), float(q[1]))]))

