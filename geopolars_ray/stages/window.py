@@ -170,10 +170,14 @@ def windowed_columns(
     row_number: str | None = None,
     lag: Sequence[tuple] = (),
     lead: Sequence[tuple] = (),
+    rank: str | None = None,
+    dense_rank: str | None = None,
+    cumsum: Sequence[tuple] = (),
     descending: bool = False,
     num_partitions: int = 32,
 ):
-    """Per-key window columns: ``row_number`` / ``lag`` / ``lead``.
+    """Per-key window columns: ``row_number`` / ``lag`` / ``lead`` /
+    ``rank`` / ``dense_rank`` / running ``cumsum``.
 
     The hash-co-partition analogue of SQL's
     ``f(...) OVER (PARTITION BY keys ORDER BY order_col)``: one
@@ -188,6 +192,12 @@ def windowed_columns(
     - ``lag`` / ``lead``: tuples ``(src_col, out_col)`` or ``(src_col,
       out_col, offset)`` — the value of ``src_col`` ``offset`` rows
       before/after within the group, null at the group edge.
+    - ``rank`` / ``dense_rank``: 0-BASED SQL RANK()/DENSE_RANK() over
+      ``order_col`` ties (SQL's are 1-based: add 1 in the consumer or the
+      oracle). Ties = equal ``order_col`` within the key group.
+    - ``cumsum``: tuples ``(src_col, out_col)`` — running sum of
+      ``src_col`` within the group in window order (nulls count as 0,
+      SQL SUM-ignores-nulls semantics), float64 output.
     """
     import pyarrow.compute as pc
 
@@ -205,21 +215,42 @@ def windowed_columns(
         sort_keys.append((order_col, "descending" if descending else "ascending"))
         t = part.take(pc.sort_indices(part, sort_keys=sort_keys))
         n = t.num_rows
-        rank = rank_within_runs(t, keys)
+        rk = rank_within_runs(t, keys)
+        rank_ = rk  # run-position, reused by lag/lead below
         if row_number is not None:
-            t = t.append_column(row_number, pa.array(rank))
+            t = t.append_column(row_number, pa.array(rk))
+        if rank is not None or dense_rank is not None:
+            # tie-group position: runs keyed by (keys..., order_col)
+            tie = rank_within_runs(t, keys + [order_col])
+            if rank is not None:
+                # SQL RANK (0-based): position of the tie group's first row
+                t = t.append_column(rank, pa.array(rk - tie))
+            if dense_rank is not None:
+                # distinct order values before this one within the run
+                is_new = (tie == 0).astype(np.int64)
+                csum = np.cumsum(is_new)
+                run_start = np.arange(n, dtype=np.int64) - rk
+                dense = csum - csum[run_start] if n else csum
+                t = t.append_column(dense_rank, pa.array(dense))
+        for src, out in cumsum:
+            v = t[src].to_numpy(zero_copy_only=False).astype(np.float64)
+            v0 = np.where(np.isnan(v), 0.0, v)
+            g = np.cumsum(v0)
+            run_start = np.arange(n, dtype=np.int64) - rk
+            run_sum = g - g[run_start] + v0[run_start] if n else g
+            t = t.append_column(out, pa.array(run_sum))
         # group size at each row = rank of the LAST row of its run + 1;
         # shifted values are valid only while staying inside the run
         for specs, sign in ((lag, -1), (lead, +1)):
             for src, out, off in specs:
                 idx = np.arange(n, dtype=np.int64) + sign * off
                 if sign < 0:
-                    valid = rank >= off
+                    valid = rank_ >= off
                 elif n:
                     # within-run lookahead: the row off ahead exists in the
                     # same run iff its rank is rank+off (runs are contiguous)
                     idx_c = np.clip(idx, 0, n - 1)
-                    valid = (idx < n) & (rank[idx_c] == rank + off)
+                    valid = (idx < n) & (rank_[idx_c] == rank_ + off)
                 else:
                     valid = np.zeros(0, bool)
                 idx_safe = np.clip(idx, 0, max(n - 1, 0))

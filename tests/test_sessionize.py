@@ -175,3 +175,51 @@ def test_windowed_columns_fuzz_vs_duckdb(ray_session):
             assert bool(((a.isna() & b.isna()) | (a == b)).all()), (c, keys, off, desc)
 
     run()
+
+
+def test_windowed_rank_dense_cumsum_vs_duckdb(ray_session):
+    """rank/dense_rank/cumsum == DuckDB RANK()/DENSE_RANK()/SUM() OVER —
+    order keys deliberately contain ties so the rank families diverge."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from geopolars_ray.stages.window import windowed_columns
+
+    rng = np.random.default_rng(1)
+    n = 20000
+    tab = pa.table({
+        "k": pa.array(rng.integers(0, 300, n)),
+        "ts": pa.array(rng.integers(0, 40, n)),  # heavy ties
+        "v": pa.array(rng.normal(size=n), mask=rng.random(n) < 0.05),
+    })
+    out = windowed_columns(
+        ray.data.from_arrow(tab), ["k"], "ts",
+        row_number="rn", rank="r", dense_rank="dr", cumsum=[("v", "vsum")],
+        num_partitions=8,
+    )
+    # ties make row order nondeterministic: compare rank cols on (k, ts)
+    # pairs (constant within a tie group) and cumsum at tie-group BOUNDARIES
+    df = out.to_pandas()
+    src = tab.to_pandas()
+    exp = duckdb.connect().execute("""
+        SELECT k, ts,
+               rank()       OVER w - 1 AS r,
+               dense_rank() OVER w - 1 AS dr,
+               sum(coalesce(v, 0))
+                   OVER (PARTITION BY k ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS vsum_group
+        FROM src WINDOW w AS (PARTITION BY k ORDER BY ts) ORDER BY k, ts
+    """).df().drop_duplicates(["k", "ts"])
+    got = df.drop_duplicates(["k", "ts"])[["k", "ts", "r", "dr"]]
+    merged = got.merge(exp[["k", "ts", "r", "dr"]], on=["k", "ts"], suffixes=("", "_exp"))
+    assert len(merged) == len(got)
+    assert (merged["r"] == merged["r_exp"]).all()
+    assert (merged["dr"] == merged["dr_exp"]).all()
+    # cumsum at the LAST row of each tie group == RANGE-frame running sum
+    last = (df.sort_values(["k", "ts", "rn"])
+              .groupby(["k", "ts"], as_index=False).last())
+    m2 = last.merge(exp[["k", "ts", "vsum_group"]], on=["k", "ts"])
+    assert np.allclose(m2["vsum"], m2["vsum_group"], rtol=1e-9, atol=1e-9)
