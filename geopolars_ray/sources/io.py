@@ -46,21 +46,67 @@ def bbox_envelope_filter(bbox, geometry_col: str = "geometry"):
     return fn
 
 
-def geo_metadata(geometry_col: str = "geometry", crs: str = "EPSG:4326", encoding: str = "WKB") -> dict:
+def geo_metadata(geometry_col: str = "geometry", crs: str = "EPSG:4326", encoding: str = "WKB",
+                 covering: bool = False, bbox_col: str = "bbox") -> dict:
+    col: dict = {"encoding": encoding, "crs": crs}
+    if covering:
+        # GeoParquet 1.1 covering: names the struct column whose leaf stats
+        # let parquet readers prune ROW GROUPS spatially
+        col["covering"] = {"bbox": {c: [bbox_col, c] for c in ("xmin", "ymin", "xmax", "ymax")}}
     return {
-        "version": "1.0.0",
+        "version": "1.1.0" if covering else "1.0.0",
         "primary_column": geometry_col,
-        "columns": {geometry_col: {"encoding": encoding, "crs": crs}},
+        "columns": {geometry_col: col},
     }
 
 
+def bbox_covering_column(table: pa.Table, geometry_col: str = "geometry",
+                         bbox_col: str = "bbox") -> pa.Table:
+    """Append the GeoParquet 1.1 per-row bbox struct column (the geometry's
+    exact envelope — so a pushed bbox-intersects filter on it is row-exact
+    for envelope semantics, not just a candidate test)."""
+    from geopolars_ray.geom import decode_wkb
+    from geopolars_ray.geom import kernels as K
+
+    ga = decode_wkb(table[geometry_col])
+    x0, y0, x1, y1 = K.bounds(ga)
+    struct = pa.StructArray.from_arrays(
+        [pa.array(x0), pa.array(y0), pa.array(x1), pa.array(y1)],
+        names=["xmin", "ymin", "xmax", "ymax"],
+    )
+    if bbox_col in table.column_names:
+        table = table.drop_columns([bbox_col])
+    return table.append_column(bbox_col, struct)
+
+
+def covering_filter_expression(bbox, bbox_col: str = "bbox"):
+    """pyarrow dataset Expression for bbox-intersects over the covering
+    column — push into ``read_parquet(filter=...)`` so parquet row-group
+    statistics on the struct leaves prune I/O before any byte is read."""
+    import pyarrow.compute as pc
+
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    return ((pc.field(bbox_col, "xmin") <= xmax) & (pc.field(bbox_col, "xmax") >= xmin)
+            & (pc.field(bbox_col, "ymin") <= ymax) & (pc.field(bbox_col, "ymax") >= ymin))
+
+
 def write_geoparquet(
-    table: pa.Table, path: str, geometry_col: str = "geometry", crs: str = "EPSG:4326"
+    table: pa.Table, path: str, geometry_col: str = "geometry", crs: str = "EPSG:4326",
+    covering: bool = False, row_group_size: int | None = None,
 ) -> None:
-    """Write one parquet file with GeoParquet-style ``geo`` metadata."""
+    """Write one parquet file with GeoParquet-style ``geo`` metadata.
+
+    ``covering=True`` adds the GeoParquet 1.1 per-row ``bbox`` struct column
+    and covering metadata; pair with a spatial sort (Hilbert/S2/geohash
+    order) and a bounded ``row_group_size`` so row-group bbox statistics
+    become tight and ``read_geo_dataset(bbox=...)`` prunes at the I/O
+    layer."""
+    if covering:
+        table = bbox_covering_column(table, geometry_col)
     meta = dict(table.schema.metadata or {})
-    meta[GEO_KEY] = json.dumps(geo_metadata(geometry_col, crs)).encode()
-    pq.write_table(table.replace_schema_metadata(meta), path)
+    meta[GEO_KEY] = json.dumps(geo_metadata(geometry_col, crs, covering=covering)).encode()
+    kw = {} if row_group_size is None else {"row_group_size": row_group_size}
+    pq.write_table(table.replace_schema_metadata(meta), path, **kw)
 
 
 def read_geo_metadata(path: str) -> dict | None:
@@ -99,6 +145,17 @@ def read_parquet_exchange(paths, columns=None, target_block_bytes: int = 32 << 2
     return ray.data.read_parquet(paths, columns=columns, override_num_blocks=nb, **kw)
 
 
+def _covering_bbox_col(path: str, geometry_col: str) -> str | None:
+    """The covering bbox column name of a GeoParquet file, or None."""
+    geo = read_geo_metadata(path)
+    if not geo:
+        return None
+    cov = geo.get("columns", {}).get(geometry_col, {}).get("covering", {}).get("bbox")
+    if not cov:
+        return None
+    return cov["xmin"][0]
+
+
 def read_geo_dataset(
     paths,
     columns: list[str] | None = None,
@@ -107,13 +164,35 @@ def read_geo_dataset(
 ):
     """ray.data.read_parquet + optional bbox pushdown on the geometry column.
 
-    The bbox filter tests geometry ENVELOPE intersection (the candidate
-    semantics of the reference's ``read_file(bbox=...)`` OGR pushdown) as a
-    vectorized map_batches stage right after the scan.
+    When the file carries a GeoParquet 1.1 ``covering`` bbox column
+    (``write_geoparquet(covering=True)``), the bbox predicate is pushed into
+    the parquet scan itself (``filter=``) — row groups whose bbox-leaf
+    STATISTICS miss the query box are pruned before any byte is read, and
+    the row filter is exact for envelope semantics because the stored bbox
+    IS the envelope. Otherwise the filter tests geometry ENVELOPE
+    intersection (the candidate semantics of the reference's
+    ``read_file(bbox=...)`` OGR pushdown) as a vectorized map_batches stage
+    right after the scan.
     """
-    ds = ray.data.read_parquet(paths, columns=columns)
     if bbox is None:
-        return ds
+        return ray.data.read_parquet(paths, columns=columns)
+    import os
+
+    first = paths if isinstance(paths, str) else list(paths)[0]
+    if os.path.isdir(first):
+        cand = [os.path.join(first, f) for f in sorted(os.listdir(first)) if f.endswith(".parquet")]
+        first = cand[0] if cand else first
+    bbox_col = None
+    try:
+        bbox_col = _covering_bbox_col(first, geometry_col)
+    except Exception:
+        pass  # unreadable side-file metadata -> post-scan filter
+    if bbox_col is not None:
+        cols = None if columns is None else list(dict.fromkeys([*columns, bbox_col]))
+        return ray.data.read_parquet(
+            paths, columns=cols, filter=covering_filter_expression(bbox, bbox_col)
+        )
+    ds = ray.data.read_parquet(paths, columns=columns)
     return ds.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
 
@@ -299,14 +378,22 @@ def write_geoparquet_dataset(
     geometry_col: str = "geometry",
     crs: str = "EPSG:4326",
     partition_col: str | None = None,
+    covering: bool = False,
 ):
     """Distributed GeoParquet write: every output file carries the ``geo``
     schema metadata (verified: Ray's parquet sink preserves block schema
     metadata), optionally partitioned by a key column for resumable layouts.
+
+    ``covering=True`` stamps GeoParquet 1.1 metadata and appends the per-row
+    ``bbox`` struct in the SAME pass that tags the schema — spatially
+    clustered layouts (tile-partitioned, Hilbert/geohash-sorted) then get
+    row-group pruning from ``read_geo_dataset(bbox=...)`` for free.
     """
-    meta = {GEO_KEY: json.dumps(geo_metadata(geometry_col, crs)).encode()}
+    meta = {GEO_KEY: json.dumps(geo_metadata(geometry_col, crs, covering=covering)).encode()}
 
     def tag(batch: pa.Table) -> pa.Table:
+        if covering:
+            batch = bbox_covering_column(batch, geometry_col)
         merged = dict(batch.schema.metadata or {})
         merged.update(meta)
         return batch.replace_schema_metadata(merged)

@@ -655,3 +655,75 @@ def test_read_parquet_exchange_block_sizing(ray_session, tmp_path):
     ds2 = read_parquet_exchange(str(d), columns=["i"])
     assert ds2.count() == 10_000
     assert ds2.schema().names == ["i"]
+
+
+def test_geoparquet_covering_bbox(tmp_path, ray_session):
+    """GeoParquet 1.1 covering: pushed row-group pruning + row-exact bbox."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import (
+        covering_filter_expression,
+        read_geo_dataset,
+        read_geo_metadata,
+        write_geoparquet,
+    )
+
+    rng = np.random.default_rng(17)
+    # spatially clustered: first half west, second half east -> with
+    # row_group_size=n//2 the two row groups have disjoint bbox stats
+    n = 4000
+    xs = np.concatenate([rng.uniform(-100, -60, n // 2), rng.uniform(20, 60, n // 2)])
+    ys = rng.uniform(-40, 40, n)
+    ga = GeometryArray.from_pylist([("point", (float(x), float(y))) for x, y in zip(xs, ys)])
+    t = pa.table({"id": np.arange(n), "geometry": encode_wkb(ga)})
+    p = str(tmp_path / "cov.parquet")
+    write_geoparquet(t, p, covering=True, row_group_size=n // 2)
+
+    geo = read_geo_metadata(p)
+    assert geo["version"] == "1.1.0"
+    assert geo["columns"]["geometry"]["covering"]["bbox"]["xmin"] == ["bbox", "xmin"]
+
+    # row-group pruning is real: the filtered fragment keeps 1 of 2 groups
+    frag = pads.dataset(p, format="parquet").get_fragments().__next__()
+    expr = covering_filter_expression((30.0, -10.0, 40.0, 10.0))
+    kept = list(frag.split_by_row_group(expr))
+    assert pq.ParquetFile(p).num_row_groups == 2 and len(kept) == 1
+
+    # read path: pushed filter == post-scan envelope filter, exactly
+    box = (25.0, -20.0, 55.0, 20.0)
+    via_cov = read_geo_dataset(p, bbox=box).to_pandas().sort_values("id")
+    # strip covering metadata/column to force the post-scan path
+    p2 = str(tmp_path / "plain.parquet")
+    write_geoparquet(t, p2)
+    via_filter = read_geo_dataset(p2, bbox=box).to_pandas().sort_values("id")
+    assert list(via_cov["id"]) == list(via_filter["id"]) and len(via_cov) > 0
+    # columns= still works and auto-carries the bbox column for the filter
+    sel = read_geo_dataset(p, columns=["id", "geometry"], bbox=box)
+    assert sel.count() == len(via_cov)
+
+
+def test_geoparquet_dataset_covering(ray_session, tmp_path):
+    import os
+
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_geo_dataset, read_geo_metadata, write_geoparquet_dataset
+
+    rng = np.random.default_rng(18)
+    n = 6000
+    xs, ys = rng.uniform(-170, 170, n), rng.uniform(-80, 80, n)
+    ga = GeometryArray.from_pylist([("point", (float(x), float(y))) for x, y in zip(xs, ys)])
+    t = pa.table({"id": np.arange(n), "geometry": encode_wkb(ga)})
+    out = str(tmp_path / "covds")
+    write_geoparquet_dataset(ray.data.from_arrow(t).repartition(4), out, covering=True)
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")]
+    geo = read_geo_metadata(files[0])
+    assert geo["version"] == "1.1.0" and "covering" in geo["columns"]["geometry"]
+    box = (-30.0, -20.0, 40.0, 30.0)
+    got = read_geo_dataset(out, bbox=box).to_pandas()
+    inside = ((xs >= box[0]) & (xs <= box[2]) & (ys >= box[1]) & (ys <= box[3])).sum()
+    assert len(got) == inside > 0
