@@ -402,6 +402,15 @@ class GeoDataset:
     def explode(self) -> "GeoDataset":
         return self._wrap(self._ds.map_batches(geo_explode(self.geometry_col), batch_format="pyarrow"))
 
+    def subdivide(self, max_vertices: int = 256) -> "GeoDataset":
+        """ST_Subdivide: split oversized geometries into <= max_vertices
+        pieces, one row per piece (explode semantics for other columns)."""
+        from geopolars_ray.stages.geo import geo_subdivide
+
+        return self._wrap(
+            self._ds.map_batches(geo_subdivide(max_vertices, self.geometry_col), batch_format="pyarrow")
+        )
+
     def collect(self, by, count_col: str = "n_parts", num_partitions: int = 32) -> "GeoDataset":
         """Grouped ST_Collect (inverse of explode): one MULTI geometry per key.
 

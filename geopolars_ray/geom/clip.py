@@ -624,3 +624,124 @@ def _clip_dispatch(ga: GeometryArray, clip) -> GeometryArray:
         ring_offsets=ring_offsets.astype(np.int64),
         coords=coords,
     )
+
+
+def subdivide(ga: GeometryArray, max_vertices: int = 256, max_depth: int = 24):
+    """PostGIS ``ST_Subdivide``: recursively split geometries until no piece
+    has more than ``max_vertices`` coords. Returns (pieces, parent_index) —
+    the explode() contract, so other columns replicate with ``take``.
+
+    Each round shifts every oversized geometry so its own bbox CENTER sits
+    at the origin (per-geometry vectorized), clips the whole oversized
+    subset against the two half-planes of one axis (alternating x/y — a
+    k-d-style split), shifts back, and re-queues pieces still over the
+    budget. Splitting at the bbox center guarantees both halves shrink, so
+    depth is O(log(vertices/max_vertices)); degenerate inputs that cannot
+    shrink (all-coincident vertices) stop at ``max_depth`` with a loud
+    warning and are emitted as-is. Pieces share their split-boundary
+    vertices, exactly like PostGIS output.
+
+    The classic use is join-side preparation at scale: subdividing a
+    continent-sized polygon into tile-sized pieces turns one hot task in a
+    partitioned spatial join into many small ones.
+    """
+    import logging
+
+    from geopolars_ray.geom import kernels as K
+
+    if max_vertices < 8:
+        raise ValueError("max_vertices must be >= 8")
+
+    done_pieces: list[GeometryArray] = []
+    done_parents: list[np.ndarray] = []
+    cur = ga
+    parents = np.arange(len(ga), dtype=np.int64)
+    for depth in range(max_depth + 1):
+        nv = cur.coords_per_geom()
+        big = (nv > max_vertices) & ~cur.is_missing()
+        small_rows = np.flatnonzero(~big)
+        if len(small_rows):
+            done_pieces.append(cur.take(small_rows))
+            done_parents.append(parents[small_rows])
+        big_rows = np.flatnonzero(big)
+        if not len(big_rows):
+            break
+        if depth == max_depth:
+            logging.getLogger("geopolars_ray.clip").warning(
+                "subdivide: %d geometries still exceed max_vertices=%d at "
+                "max_depth=%d (degenerate/coincident coords?) — emitted as-is",
+                len(big_rows), max_vertices, max_depth,
+            )
+            done_pieces.append(cur.take(big_rows))
+            done_parents.append(parents[big_rows])
+            break
+        sub = cur.take(big_rows)
+        sub_parents = parents[big_rows]
+        # per-geometry bbox-center shift to the origin
+        x0, y0, x1, y1 = K.bounds(sub)
+        cx = 0.5 * (x0 + x1)
+        cy = 0.5 * (y0 + y1)
+        gidx = sub.geom_index_of_coords()
+        shifted = GeometryArray(
+            types=sub.types, geom_offsets=sub.geom_offsets,
+            part_offsets=sub.part_offsets, ring_offsets=sub.ring_offsets,
+            coords=sub.coords - np.column_stack([cx, cy])[gidx],
+        )
+        lim = float(np.abs(shifted.coords).max()) + 1.0 if len(shifted.coords) else 1.0
+        axis = depth % 2
+        if axis == 0:
+            lo = clip_by_rect(shifted, -lim, -lim, 0.0, lim)
+            hi = clip_by_rect(shifted, 0.0, -lim, lim, lim)
+        else:
+            lo = clip_by_rect(shifted, -lim, -lim, lim, 0.0)
+            hi = clip_by_rect(shifted, -lim, 0.0, lim, lim)
+        halves, half_parents = [], []
+        for h in (lo, hi):
+            back = GeometryArray(
+                types=h.types, geom_offsets=h.geom_offsets,
+                part_offsets=h.part_offsets, ring_offsets=h.ring_offsets,
+                coords=h.coords + np.column_stack([cx, cy])[h.geom_index_of_coords()]
+                if len(h.coords) else h.coords,
+            )
+            keep = ~back.is_missing() & (back.coords_per_geom() > 0)
+            rows = np.flatnonzero(keep)
+            if len(rows):
+                halves.append(back.take(rows))
+                half_parents.append(sub_parents[rows])
+        if not halves:
+            break
+        cur = _concat_geoms(halves)
+        parents = np.concatenate(half_parents)
+    if not done_pieces:
+        empty = GeometryArray.from_pylist([])
+        return empty, np.empty(0, dtype=np.int64)
+    out = _concat_geoms(done_pieces)
+    par = np.concatenate(done_parents)
+    return out, par
+
+
+def _concat_geoms(parts: list[GeometryArray]) -> GeometryArray:
+    """Concatenate GeometryArrays (offsets re-based)."""
+    if len(parts) == 1:
+        return parts[0]
+    types = np.concatenate([p.types for p in parts])
+    geom_off = [np.zeros(1, dtype=np.int64)]
+    part_off = [np.zeros(1, dtype=np.int64)]
+    ring_off = [np.zeros(1, dtype=np.int64)]
+    coords = []
+    g = p = r = 0
+    for x in parts:
+        geom_off.append(x.geom_offsets[1:] + g)
+        part_off.append(x.part_offsets[1:] + p)
+        ring_off.append(x.ring_offsets[1:] + r)
+        coords.append(x.coords)
+        g += x.geom_offsets[-1]
+        p += x.part_offsets[-1]
+        r += x.ring_offsets[-1]
+    return GeometryArray(
+        types=types,
+        geom_offsets=np.concatenate(geom_off),
+        part_offsets=np.concatenate(part_off),
+        ring_offsets=np.concatenate(ring_off),
+        coords=np.concatenate(coords) if coords else np.empty((0, 2)),
+    )

@@ -265,6 +265,23 @@ def geo_explode(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
     return fn
 
 
+def geo_subdivide(max_vertices: int = 256, geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
+    """ST_Subdivide stage: split oversized geometries into <= max_vertices
+    pieces; other columns replicate per piece (the explode contract —
+    `geom/clip.py subdivide`). The join-side prep for skewed polygon tables:
+    one continent-sized polygon becomes many tile-sized rows BEFORE the
+    cell-replication exchange, so no single partition inherits the hot task."""
+    from geopolars_ray.geom.clip import subdivide
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga, enc = decode_geometry(batch, geometry_col)
+        out, parent = subdivide(ga, max_vertices=max_vertices)
+        taken = batch.take(pa.array(parent))
+        return _set_geometry(taken, geometry_col, out, enc)
+
+    return fn
+
+
 def collect_by(
     ds,
     by,

@@ -265,3 +265,43 @@ def test_clip_lines_vectorized_equals_generic():
     got = out.to_pylist()[0]
     assert got[0] in ("linestring", "multilinestring")
     assert abs(K.euclidean_length(out)[0] - 8.0) < 1e-12  # left half of the 16-perimeter square
+
+
+def test_subdivide():
+    """ST_Subdivide: vertex budget honored, area exact, lines split too."""
+    import numpy as np
+
+    from geopolars_ray.geom import GeometryArray
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.clip import subdivide
+
+    ang = np.linspace(0, 2 * np.pi, 2000, endpoint=False)
+    ring = [(float(np.cos(a) * 10 + 50), float(np.sin(a) * 10 + 50)) for a in ang]
+    ring.append(ring[0])
+    hole = [(float(np.cos(a) * 2 + 50), float(np.sin(a) * 2 + 50)) for a in ang[::40]][::-1]
+    hole.append(hole[0])
+    zig = [(float(i * 0.1), float((i % 2) * 0.05)) for i in range(900)]
+    ga = GeometryArray.from_pylist([
+        ("polygon", [ring, hole]),
+        ("linestring", zig),
+        ("point", (1.0, 2.0)),
+        None,
+    ])
+    out, parent = subdivide(ga, max_vertices=100)
+    nv = out.coords_per_geom()
+    assert nv.max() <= 100
+    # polygon-with-hole area preserved across pieces
+    a_in = K.area(ga)[0]
+    a_out = K.area(out)[parent == 0].sum()
+    assert np.isclose(a_out, a_in, rtol=1e-12)
+    # line length preserved
+    l_in = K.euclidean_length(ga)[1]
+    l_out = K.euclidean_length(out)[parent == 1].sum()
+    assert np.isclose(l_out, l_in, rtol=1e-12)
+    # small geometries pass through untouched; missing stays missing
+    assert out.take(np.flatnonzero(parent == 2)).to_pylist() == [("point", (1.0, 2.0))]
+    assert out.take(np.flatnonzero(parent == 3)).to_pylist() == [None]
+    # degenerate coincident coords hit the max_depth warning path, not a hang
+    dup = GeometryArray.from_pylist([("linestring", [(1.0, 1.0)] * 300)])
+    out2, p2 = subdivide(dup, max_vertices=100, max_depth=4)
+    assert len(out2) >= 1 and (p2 == 0).all()
