@@ -46,6 +46,70 @@ def bbox_envelope_filter(bbox, geometry_col: str = "geometry"):
     return fn
 
 
+def _as_geometry_array(mask):
+    """Coerce a mask spec — pylist tuple, WKB bytes, or a 1-row
+    GeometryArray — to a GeometryArray of exactly one geometry."""
+    from geopolars_ray.geom import GeometryArray, decode_wkb
+
+    if isinstance(mask, GeometryArray):
+        ga = mask
+    elif isinstance(mask, (bytes, bytearray)):
+        ga = decode_wkb(pa.array([bytes(mask)], pa.binary()))
+    else:
+        ga = GeometryArray.from_pylist([mask])
+    if len(ga) != 1 or ga.is_missing()[0]:
+        raise ValueError("mask must be exactly one non-missing geometry")
+    return ga
+
+
+def mask_filter(mask, geometry_col: str = "geometry"):
+    """GeoPandas-style ``read_file(mask=...)`` stage: keep rows intersecting
+    the mask geometry. Envelope candidates first; Point rows then take the
+    vectorized point-in-polygon test (boundary-EXCLUSIVE — the same PIP
+    semantics as every sjoin in this engine; GeoPandas/pyogrio's mask is
+    boundary-inclusive, a documented measure-zero delta), non-point rows the
+    exact distance-zero intersects test (containment, crossing and touching
+    all covered by the distance kernel)."""
+    from geopolars_ray.geom import decode_wkb
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.array import POINT, POLYGON, MULTIPOLYGON
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+
+    mga = _as_geometry_array(mask)
+    mx0, my0, mx1, my1 = (float(v[0]) for v in K.bounds(mga))
+    mask_rings = None
+    if int(mga.types[0]) in (POLYGON, MULTIPOLYGON):
+        from geopolars_ray.geom.kernels import _rings_of
+
+        mask_rings = _rings_of(mga, 0)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ga = decode_wkb(batch[geometry_col])
+        gx0, gy0, gx1, gy1 = K.bounds(ga)
+        cand = (gx0 <= mx1) & (gx1 >= mx0) & (gy0 <= my1) & (gy1 >= my0)
+        cand = np.where(np.isnan(gx0), False, cand)
+        keep = np.zeros(len(ga), dtype=bool)
+        idx = np.flatnonzero(cand)
+        if len(idx):
+            if mask_rings is not None:
+                pts = idx[ga.types[idx] == POINT]
+                if len(pts):
+                    co = ga.coord_offsets()[:-1]
+                    keep[pts] = points_in_polygon_single(
+                        ga.coords[co[pts], 0], ga.coords[co[pts], 1], mask_rings
+                    )
+                rest = idx[ga.types[idx] != POINT]
+            else:
+                rest = idx
+            if len(rest):
+                sub = ga.take(rest)
+                mrep = mga.take(np.zeros(len(rest), dtype=np.int64))
+                keep[rest] = K.distance(sub, mrep) == 0.0
+        return batch.filter(pa.array(keep))
+
+    return fn
+
+
 def geo_metadata(geometry_col: str = "geometry", crs: str = "EPSG:4326", encoding: str = "WKB",
                  covering: bool = False, bbox_col: str = "bbox") -> dict:
     col: dict = {"encoding": encoding, "crs": crs}
@@ -217,6 +281,7 @@ def read_file(
     fids: list[int] | None = None,
     skip_features: int = 0,
     max_features: int | None = None,
+    mask=None,
     **kw,
 ):
     """Format-dispatching vector read — the reference's ``read_file``
@@ -240,6 +305,19 @@ def read_file(
     where the window is resolved against the where-filtered rowid stream in
     the same SQLite query (OGR's post-filter window semantics).
     """
+    mask_stage = None
+    if mask is not None:
+        # GeoPandas rule: mask and bbox are mutually exclusive. The mask's
+        # envelope BECOMES the bbox (every reader's pushdown prunes on it),
+        # then the exact intersects refine runs post-scan.
+        if bbox is not None:
+            raise ValueError("mask cannot be combined with bbox (GeoPandas rule)")
+        from geopolars_ray.geom import kernels as _K
+
+        mga = _as_geometry_array(mask)
+        _x0, _y0, _x1, _y1 = _K.bounds(mga)
+        bbox = (float(_x0[0]), float(_y0[0]), float(_x1[0]), float(_y1[0]))
+        mask_stage = mask_filter(mga, geometry_col)
     paths_list = [path] if isinstance(path, str) else list(path)
     first = paths_list[0]
     suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
@@ -278,6 +356,8 @@ def read_file(
             out = out.union(one(p))
         if where is not None and not isinstance(where, str):
             out = out.map_batches(attribute_filter(where), batch_format="pyarrow")
+        if mask_stage is not None:
+            out = out.map_batches(mask_stage, batch_format="pyarrow")
         return out
     sel = {}
     if fids is not None or has_window:
@@ -335,6 +415,8 @@ def read_file(
         raise ValueError(f"unsupported vector format {suffix!r} for {first!r}")
     if where is not None:
         out = out.map_batches(attribute_filter(where), batch_format="pyarrow")
+    if mask_stage is not None:
+        out = out.map_batches(mask_stage, batch_format="pyarrow")
     return out
 
 

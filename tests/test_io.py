@@ -727,3 +727,38 @@ def test_geoparquet_dataset_covering(ray_session, tmp_path):
     got = read_geo_dataset(out, bbox=box).to_pandas()
     inside = ((xs >= box[0]) & (xs <= box[2]) & (ys >= box[1]) & (ys <= box[3])).sum()
     assert len(got) == inside > 0
+
+
+def test_read_file_mask(ray_session, tmp_path):
+    """GeoPandas-style mask=: exact intersects refine on top of the mask's
+    envelope pushdown; point rows vectorized PIP, lines via distance==0."""
+    import ray
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file, write_geoparquet
+
+    rng = np.random.default_rng(19)
+    n = 5000
+    xs, ys = rng.uniform(-50, 50, n), rng.uniform(-50, 50, n)
+    geoms = [("point", (float(x), float(y))) for x, y in zip(xs, ys)]
+    # a line crossing the mask but with no vertex inside it, one far away
+    geoms += [("linestring", [(-40.0, 5.0), (40.0, 5.0)]),
+              ("linestring", [(40.0, 40.0), (45.0, 45.0)])]
+    t = pa.table({"id": np.arange(len(geoms)),
+                  "geometry": encode_wkb(GeometryArray.from_pylist(geoms))})
+    p = str(tmp_path / "m.parquet")
+    write_geoparquet(t, p)
+
+    diamond = ("polygon", [[(-10.0, 0.0), (0.0, -10.0), (10.0, 0.0), (0.0, 10.0), (-10.0, 0.0)]])
+    got = read_file(p, mask=diamond).to_pandas()
+    inside = (np.abs(xs) + np.abs(ys)) < 10.0
+    expect = set(np.nonzero(inside)[0].astype(int)) | {n}  # crossing line matches
+    assert set(got["id"].astype(int)) == expect
+
+    # WKB mask form and the bbox-exclusivity rule
+    wkb_mask = encode_wkb(GeometryArray.from_pylist([diamond]))[0].as_py()
+    got2 = read_file(p, mask=wkb_mask).to_pandas()
+    assert set(got2["id"].astype(int)) == expect
+    import pytest as _p
+    with _p.raises(ValueError, match="mask cannot be combined"):
+        read_file(p, mask=diamond, bbox=(0, 0, 1, 1))
