@@ -351,6 +351,65 @@ def _wrap_lam(lam: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# equidistant cylindrical (EPSG method 1028, ellipsoidal) — +proj=eqc,
+# EPSG:4087. y IS the meridian arc, reusing the anchored Krüger series
+# (the transverse-Mercator northing on the central meridian is exactly
+# A_BAR * rectifying latitude).
+# --------------------------------------------------------------------------
+
+
+def _nu_cos(lat_ts: float) -> float:
+    p = np.radians(lat_ts)
+    return float(WGS84_A * np.cos(p) / np.sqrt(1.0 - _E2 * np.sin(p) ** 2))
+
+
+def eqc_forward(lon, lat, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    x = x0 + _nu_cos(lat_ts) * _wrap_lam(np.radians(lon - lon0))
+    _, M = tm_forward(np.full_like(lat, lon0), lat, lon0, 1.0)
+    return x, y0 + M
+
+
+def eqc_inverse(x, y, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    lon = lon0 + np.degrees((x - x0) / _nu_cos(lat_ts))
+    _, lat = tm_inverse(np.zeros_like(y), y - y0, lon0, 1.0)
+    return lon, lat
+
+
+# --------------------------------------------------------------------------
+# cylindrical equal-area (EPSG method 9835, ellipsoidal) — +proj=cea,
+# EPSG:6933 (NSIDC EASE-Grid 2.0 Global, lat_ts=30). Authalic machinery
+# shared with LAEA: y = a*q(phi)/(2*m(lat_ts)), exactly area-preserving.
+# --------------------------------------------------------------------------
+
+
+def cea_forward(lon, lat, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    m = _nu_cos(lat_ts) / WGS84_A  # cos(ts)/sqrt(1-e^2 sin^2 ts)
+    x = x0 + _nu_cos(lat_ts) * _wrap_lam(np.radians(lon - lon0))
+    y = y0 + WGS84_A * _q_auth(np.sin(np.radians(lat))) / (2.0 * m)
+    return x, y
+
+
+def cea_inverse(x, y, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    m = _nu_cos(lat_ts) / WGS84_A
+    lon = lon0 + np.degrees((x - x0) / _nu_cos(lat_ts))
+    q = 2.0 * m * (y - y0) / WGS84_A
+    beta = np.arcsin(np.clip(q / _QP, -1.0, 1.0))
+    return lon, np.degrees(_authalic_to_geodetic(beta))
+
+
+# --------------------------------------------------------------------------
 # ellipsoidal Mercator (Snyder ch. 7) — EPSG:3395
 # --------------------------------------------------------------------------
 
@@ -771,6 +830,10 @@ def parse_crs(crs: str) -> dict:
     if up == "EPSG:3577":  # GDA94 / Australian Albers (southern cone, n < 0)
         return {"proj": "aea", "lat_0": 0.0, "lon_0": 132.0, "lat_1": -18.0, "lat_2": -36.0,
                 "x_0": 0.0, "y_0": 0.0}
+    if up == "EPSG:4087":  # WGS84 / World Equidistant Cylindrical (method 1028)
+        return {"proj": "eqc", "lon_0": 0.0, "lat_ts": 0.0, "x_0": 0.0, "y_0": 0.0}
+    if up == "EPSG:6933":  # WGS84 / NSIDC EASE-Grid 2.0 Global (method 9835)
+        return {"proj": "cea", "lon_0": 0.0, "lat_ts": 30.0, "x_0": 0.0, "y_0": 0.0}
     if up == "EPSG:3413":  # NSIDC Sea Ice Polar Stereographic North
         return {"proj": "stere", "lat_ts": 70.0, "lon_0": -45.0, "south": False,
                 "x_0": 0.0, "y_0": 0.0, "k_0": 1.0}
@@ -835,6 +898,10 @@ def parse_crs(crs: str) -> dict:
         if proj == "aeqd":
             return {"proj": "aeqd", "lat_0": float(params.get("lat_0", 0.0)),
                     "lon_0": float(params.get("lon_0", 0.0)),
+                    "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
+        if proj in ("eqc", "cea"):
+            return {"proj": proj, "lon_0": float(params.get("lon_0", 0.0)),
+                    "lat_ts": float(params.get("lat_ts", 0.0)),
                     "x_0": float(params.get("x_0", 0.0)), "y_0": float(params.get("y_0", 0.0))}
         if proj == "sterea":
             # EPSG 9809 oblique/equatorial stereographic (double projection)
@@ -907,6 +974,10 @@ def _to_lonlat(x: np.ndarray, y: np.ndarray, spec: dict):
                              spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_inverse(x, y, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
+    if p == "eqc":
+        return eqc_inverse(x, y, spec["lon_0"], spec["lat_ts"], spec["x_0"], spec["y_0"])
+    if p == "cea":
+        return cea_inverse(x, y, spec["lon_0"], spec["lat_ts"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 
@@ -942,6 +1013,10 @@ def _from_lonlat(lon: np.ndarray, lat: np.ndarray, spec: dict):
                              spec["k_0"], spec["x_0"], spec["y_0"])
     if p == "aeqd":
         return aeqd_forward(lon, lat, spec["lon_0"], spec["lat_0"], spec["x_0"], spec["y_0"])
+    if p == "eqc":
+        return eqc_forward(lon, lat, spec["lon_0"], spec["lat_ts"], spec["x_0"], spec["y_0"])
+    if p == "cea":
+        return cea_forward(lon, lat, spec["lon_0"], spec["lat_ts"], spec["x_0"], spec["y_0"])
     raise ValueError(f"unsupported projection {p!r}")
 
 

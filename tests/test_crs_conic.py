@@ -389,3 +389,40 @@ def test_generic_tmerc():
     assert np.abs(la2 - lat_r).max() < 1e-8
     s = C.parse_crs(crs)
     assert s["proj"] == "tmerc" and s["k_0"] == 0.9996012717 and s["y_0"] == -100_000.0
+
+
+def test_eqc_and_cea():
+    """eqc (EPSG 1028): y IS the geodesic meridian arc; cea (EPSG 9835):
+    exactly equal-area everywhere; EASE-Grid 2.0 (EPSG:6933) width anchor."""
+    from geopolars_ray.geom.geodesic import geodesic_inverse_m
+
+    # eqc northing == true meridian distance from the equator (Karney inverse)
+    lats = np.array([-80.0, -33.3, 0.0, 12.5, 47.9, 89.0])
+    _, y = C.eqc_forward(np.zeros_like(lats), lats)
+    m_true = np.where(
+        lats == 0.0, 0.0,
+        np.sign(lats) * geodesic_inverse_m(np.zeros_like(lats), np.zeros_like(lats),
+                                           np.zeros_like(lats), np.abs(lats)))
+    assert np.abs(y - m_true).max() < 1e-3  # sub-mm
+    # roundtrip + equator scale
+    rng = np.random.default_rng(30)
+    lon = rng.uniform(-179.0, 179.0, 3000)
+    lat = rng.uniform(-89.0, 89.0, 3000)
+    X, Y = C.transform_points(lon, lat, "EPSG:4326", "EPSG:4087")
+    lo, la = C.transform_points(X, Y, "EPSG:4087", "EPSG:4326")
+    assert np.abs(lo - lon).max() < 1e-9 and np.abs(la - lat).max() < 1e-8
+
+    # cea: the area-scale Jacobian is 1 at every sampled point
+    crs = "+proj=cea +lat_ts=30 +lon_0=0"
+    fwd = lambda lo_, la_: C.transform_points(lo_, la_, "EPSG:4326", crs)
+    for lon_s, lat_s in ((0.0, 0.0), (120.0, 55.0), (-60.0, -70.0), (10.0, 30.0)):
+        _, _, area_scale = _fd_scales(fwd, lon_s, lat_s)
+        assert abs(area_scale - 1.0) < 1e-6, (lon_s, lat_s)
+    # EASE-Grid 2.0 published full-map half-width: x(180deg) = 17367530.45 m
+    X6, _ = C.transform_points(np.array([180.0 - 1e-12]), np.array([0.0]),
+                               "EPSG:4326", "EPSG:6933")
+    assert abs(X6[0] - 17_367_530.45) < 0.01
+    X2, Y2 = C.transform_points(lon, lat, "EPSG:4326", "EPSG:6933")
+    lo2, la2 = C.transform_points(X2, Y2, "EPSG:6933", "EPSG:4326")
+    # authalic->geodetic series truncation: ~1.5e-8 deg (~1.6 mm)
+    assert np.abs(lo2 - lon).max() < 1e-9 and np.abs(la2 - lat).max() < 5e-8
