@@ -29,9 +29,13 @@ series as used by every modern UTM implementation):
   datums (27700, 21781, 2056) are NOT aliased because their datum shifts
   are tens-to-hundreds of meters; spell the proj-string to get the pure
   WGS84 projection math;
+- equidistant cylindrical (EPSG method 1028, y = true meridian arc via the
+  Krüger rectifying series), incl. EPSG:4087; cylindrical equal-area
+  (EPSG method 9835 on the authalic machinery), incl. EPSG:6933
+  (NSIDC EASE-Grid 2.0, anchored on its published half-width);
 - proj-strings: ``+proj=longlat | webmerc | merc (ellipsoidal) |
   utm +zone=N [+south] | tmerc | laea | lcc | aea | stere | sterea |
-  somerc | aeqd`` with the usual
+  somerc | aeqd | eqc | cea`` with the usual
   ``+lat_0 +lon_0 +lat_1 +lat_2 +lat_ts +x_0 +y_0 +k_0`` parameters.
 
 All projections use the WGS84 ellipsoid. EPSG:2154/5070 are nominally GRS80;
@@ -936,9 +940,9 @@ def parse_crs(crs: str) -> dict:
                     "k_0": float(params.get("k_0", params.get("k", 1.0)))}
         raise ValueError(f"unsupported proj-string {crs!r}")
     raise ValueError(
-        f"unsupported CRS {crs!r} (supported: EPSG:4326/3857/3035/3395/2154/5070/3413/3031, "
-        "EPSG:326xx/327xx UTM, +proj=longlat|webmerc|merc|utm|tmerc|laea|lcc|aea|stere|"
-        "sterea|somerc|aeqd strings)"
+        f"unsupported CRS {crs!r} (supported: EPSG:4326/3857/3035/3395/2154/5070/3413/3031/"
+        "4087/6933, EPSG:326xx/327xx UTM, +proj=longlat|webmerc|merc|utm|tmerc|laea|lcc|aea|"
+        "stere|sterea|somerc|aeqd|eqc|cea strings)"
     )
 
 
