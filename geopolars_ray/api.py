@@ -449,6 +449,9 @@ class GeoDataset:
     def remove_repeated_points(self, tolerance: float = 0.0) -> "GeoDataset":
         return self._apply("remove_repeated_points", tolerance=tolerance)
 
+    def snap_to_grid(self, size: float, origin_x: float = 0.0, origin_y: float = 0.0) -> "GeoDataset":
+        return self._apply("snap_to_grid", size=size, origin_x=origin_x, origin_y=origin_y)
+
     def shortest_line(self, other_col: str, out_col: str = "shortest_line") -> "GeoDataset":
         """Shortest connecting LineString vs an aligned geometry column
         (shapely ``shortest_line``), appended as a WKB column."""

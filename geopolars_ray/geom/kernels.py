@@ -777,6 +777,26 @@ def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     return out, parent
 
 
+def snap_to_grid(ga: GeometryArray, size: float, origin_x: float = 0.0,
+                 origin_y: float = 0.0) -> GeometryArray:
+    """PostGIS ``ST_SnapToGrid``: round every coordinate to the grid of
+    spacing ``size`` anchored at (origin_x, origin_y). Offsets/types pass
+    through — collapsed consecutive duplicates are NOT removed (chain with
+    ``remove_repeated_points`` for the usual snap-then-dedup cleaning, like
+    PostGIS users chain ST_SnapToGrid with ST_SimplifyPreserveTopology)."""
+    if not size > 0:
+        raise ValueError("grid size must be > 0")
+    c = ga.coords
+    out = np.empty_like(c)
+    out[:, 0] = origin_x + np.round((c[:, 0] - origin_x) / size) * size
+    out[:, 1] = origin_y + np.round((c[:, 1] - origin_y) / size) * size
+    return GeometryArray(
+        types=ga.types, geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets, ring_offsets=ga.ring_offsets,
+        coords=out,
+    )
+
+
 def reverse(ga: GeometryArray) -> GeometryArray:
     """Reverse coordinate order within every ring (shapely ``reverse``):
     lines flip direction, rings flip winding. Offsets/types unchanged —
@@ -832,8 +852,18 @@ def remove_repeated_points(ga: GeometryArray, tolerance: float = 0.0) -> Geometr
                     last = i
     firsts = ga.ring_offsets[:-1][ga.ring_offsets[:-1] < n]
     keep[firsts] = True
-    lasts = ga.ring_offsets[1:] - 1
-    keep[lasts[lasts >= 0]] = True  # endpoints survive (GEOS)
+    # endpoint VALUES survive (GEOS): force-keep each ring's last coord,
+    # except when it exactly duplicates the previous KEPT coord — dropping
+    # an exact duplicate doesn't move the endpoint
+    nz = ga.ring_offsets[1:] > ga.ring_offsets[:-1]
+    lasts = (ga.ring_offsets[1:] - 1)[nz]
+    keep[lasts] = True
+    multi = lasts[lasts > ga.ring_offsets[:-1][nz]]
+    if len(multi):
+        run_max = np.maximum.accumulate(np.where(keep, np.arange(n, dtype=np.int64), -1))
+        prevk = run_max[multi - 1]  # >= ring first (always kept)
+        dup = (ga.coords[multi] == ga.coords[prevk]).all(axis=1)
+        keep[multi[dup]] = False
     counts = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
     kept_per_ring = np.zeros(ga.n_rings, dtype=np.int64)
     nz = counts > 0

@@ -139,6 +139,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "segmentize": (K.segmentize, "geometry"),
     "line_interpolate_point": (K.line_interpolate_point, "geometry"),
     "reverse": (K.reverse, "geometry"),
+    "snap_to_grid": (K.snap_to_grid, "geometry"),
     "remove_repeated_points": (K.remove_repeated_points, "geometry"),
     "affine_transform": (K.affine_transform, "geometry"),
     "translate": (K.translate, "geometry"),

@@ -860,3 +860,36 @@ def test_review_fixes_r4_final():
     r = K.minimum_bounding_radius(GeometryArray.from_pylist(
         [("multipoint", [(float(np.cos(a) * 10), float(np.sin(a) * 10)) for a in ang])]))
     assert np.isclose(r[0], 10.0, rtol=1e-9)
+
+
+def test_snap_to_grid():
+    ga = GeometryArray.from_pylist(
+        [("linestring", [(0.12, 0.87), (1.04, 2.49), (1.04, 2.51)]),
+         ("point", (7.77, -3.33)), None]
+    )
+    out = K.snap_to_grid(ga, 0.5)
+    lst = out.to_pylist()
+    assert lst[0] == ("linestring", [(0.0, 1.0), (1.0, 2.5), (1.0, 2.5)])
+    assert lst[1] == ("point", (8.0, -3.5)) and lst[2] is None
+    # anchored origin shifts the lattice
+    assert K.snap_to_grid(ga, 0.5, origin_x=0.25).to_pylist()[1][1] == (7.75, -3.5)
+    # the PostGIS-style cleaning chain: snap then drop collapsed duplicates
+    cleaned = K.remove_repeated_points(out)
+    assert cleaned.to_pylist()[0] == ("linestring", [(0.0, 1.0), (1.0, 2.5)])
+    with pytest.raises(ValueError, match="> 0"):
+        K.snap_to_grid(ga, 0.0)
+
+
+def test_segmentize_length_preservation_property():
+    """Planar segmentize inserts only collinear points: per-row euclidean
+    length is invariant for any random polyline and cap."""
+    rng = np.random.default_rng(49)
+    for _ in range(20):
+        k = rng.integers(2, 12)
+        line = [("linestring", [tuple(p) for p in rng.uniform(-100, 100, (k, 2))])]
+        ga = GeometryArray.from_pylist(line)
+        cap = float(rng.uniform(0.5, 50.0))
+        out = K.segmentize(ga, cap)
+        assert np.isclose(K.euclidean_length(out)[0], K.euclidean_length(ga)[0], rtol=1e-12)
+        d = np.diff(out.coords, axis=0)
+        assert np.hypot(d[:, 0], d[:, 1]).max() <= cap + 1e-9
