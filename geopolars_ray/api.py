@@ -345,6 +345,11 @@ class GeoDataset:
         """Geohash string of each point geometry (prefix-nesting layout key)."""
         return self._apply("geohash", out_col, precision=precision)
 
+    def quadkey(self, level: int = 12, out_col: str = "quadkey") -> "GeoDataset":
+        """Bing quadkey string of each point geometry (WebMercator tiles,
+        prefix-nesting layout key)."""
+        return self._apply("quadkey", out_col, level=level)
+
     def to_crs(self, *args: str, from_crs: str | None = None, to_crs: str | None = None) -> "GeoDataset":
         """Reproject. Two calling styles, both unambiguous:
 

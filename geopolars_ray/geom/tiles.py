@@ -216,3 +216,67 @@ def geohash_neighbors(gh: np.ndarray) -> np.ndarray:
         # polar out-of-range: no neighbor -> the cell itself
         out[:, j] = np.where(oob, gh.astype(f"U{precision}"), enc)
     return out
+
+
+def quadkey_encode(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndarray:
+    """Bing Maps quadkey of lon/lat points -> fixed-length digit strings.
+
+    Standard public scheme (Microsoft Bing tile system): WebMercator tile
+    (tx, ty) at ``level``, then one base-4 digit per zoom level MSB-first
+    (digit = ty_bit*2 + tx_bit). Like geohash the key is a STRING whose
+    prefixes nest — level l-1 is a prefix of level l — so it serves as a
+    partitioned layout key and prefix-join key for Bing/slippy-tile data.
+    Latitudes clamp to the WebMercator ±85.05113° domain; NaN rows -> "".
+    """
+    if not 1 <= level <= 23:
+        raise ValueError("quadkey level must be in 1..23")
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    nan = np.isnan(lon) | np.isnan(lat)
+    lat_c = np.clip(np.nan_to_num(lat), -85.05112878, 85.05112878)
+    lon_c = np.nan_to_num(lon)
+    n_tiles = 1 << level
+    s = np.sin(np.radians(lat_c))
+    x = (lon_c + 180.0) / 360.0
+    y = 0.5 - np.log((1.0 + s) / (1.0 - s)) / (4.0 * np.pi)
+    tx = np.clip((x * n_tiles).astype(np.int64), 0, n_tiles - 1).astype(np.uint64)
+    ty = np.clip((y * n_tiles).astype(np.int64), 0, n_tiles - 1).astype(np.uint64)
+    chars = np.empty((len(lon), level), dtype=np.uint8)
+    one = np.uint64(1)
+    for j in range(level):
+        shift = np.uint64(level - 1 - j)
+        digit = (((ty >> shift) & one) << one) | ((tx >> shift) & one)
+        chars[:, j] = digit.astype(np.uint8) + ord("0")
+    out = chars.view(f"S{level}").ravel().astype(str)
+    if nan.any():
+        out = out.astype(object)
+        out[nan] = ""
+    return out
+
+
+def quadkey_decode(qk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Tile-center (lon, lat) of equal-length quadkeys (vectorized)."""
+    qk = np.asarray(qk)
+    if qk.size == 0:
+        return np.empty(0), np.empty(0)
+    b = np.char.encode(qk.astype(str), "ascii")
+    level = len(b.flat[0])
+    if level < 1 or level > 23 or any(len(s) != level for s in b.flat):
+        raise ValueError("quadkey_decode needs equal-length quadkeys of level 1..23")
+    chars = np.frombuffer(b"".join(b.ravel().tolist()), dtype=np.uint8).reshape(-1, level)
+    digits = chars - ord("0")
+    if (digits > 3).any() or (digits < 0).any():
+        raise ValueError("invalid quadkey digit")
+    tx = np.zeros(len(chars), dtype=np.uint64)
+    ty = np.zeros(len(chars), dtype=np.uint64)
+    one = np.uint64(1)
+    for j in range(level):
+        d = digits[:, j].astype(np.uint64)
+        tx = (tx << one) | (d & one)
+        ty = (ty << one) | ((d >> one) & one)
+    n_tiles = float(1 << level)
+    x = (tx.astype(np.float64) + 0.5) / n_tiles
+    y = (ty.astype(np.float64) + 0.5) / n_tiles
+    lon = x * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(np.pi * (1.0 - 2.0 * y))))
+    return lon, lat

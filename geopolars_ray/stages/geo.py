@@ -156,6 +156,11 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
         lambda ga, precision=9: tiles_mod.geohash_encode(K.get_x(ga), K.get_y(ga), precision),
         "scalar",
     ),
+    # Bing/slippy quadkey string (prefix-nesting, WebMercator tiles)
+    "quadkey": (
+        lambda ga, level=12: tiles_mod.quadkey_encode(K.get_x(ga), K.get_y(ga), level),
+        "scalar",
+    ),
 }
 
 

@@ -336,3 +336,39 @@ def test_geohash_nan_sentinel():
 
     out = geohash_encode(np.array([10.0, np.nan]), np.array([50.0, np.nan]), 5)
     assert out[1] == "" and len(out[0]) == 5
+
+
+def test_quadkey():
+    from geopolars_ray.geom.tiles import quadkey_decode, quadkey_encode
+    from geopolars_ray.geom.crs import lonlat_to_webmercator, WEBMERCATOR_R
+
+    # level-1 quadrants (Bing digit = ty_bit*2 + tx_bit; y grows SOUTH)
+    lon = np.array([-90.0, 90.0, -90.0, 90.0])
+    lat = np.array([45.0, 45.0, -45.0, -45.0])
+    assert quadkey_encode(lon, lat, 1).tolist() == ["0", "1", "2", "3"]
+    # prefix nesting: level l-1 is a prefix of level l
+    rng = np.random.default_rng(51)
+    lo = rng.uniform(-179.9, 179.9, 4000)
+    la = rng.uniform(-84.0, 84.0, 4000)
+    q12 = quadkey_encode(lo, la, 12)
+    q8 = quadkey_encode(lo, la, 8)
+    assert all(b == a[:8] for a, b in zip(q12, q8))
+    # independent cross-check: digits == interleaved bits of the WebMercator
+    # tile coordinates computed from the projection itself
+    z = 10
+    X, Y = lonlat_to_webmercator(lo, la)
+    tx = np.clip(((X / WEBMERCATOR_R + np.pi) / (2 * np.pi) * (1 << z)).astype(np.int64), 0, (1 << z) - 1)
+    ty = np.clip(((np.pi - Y / WEBMERCATOR_R) / (2 * np.pi) * (1 << z)).astype(np.int64), 0, (1 << z) - 1)
+    qz = quadkey_encode(lo, la, z)
+    for i in (0, 100, 2222, 3999):
+        expect = "".join(str(((ty[i] >> (z - 1 - j)) & 1) * 2 + ((tx[i] >> (z - 1 - j)) & 1))
+                         for j in range(z))
+        assert qz[i] == expect
+    # decode: cell center within half a cell; roundtrip stable
+    dlon, dlat = quadkey_decode(q12)
+    assert np.abs(dlon - lo).max() < 360.0 / (1 << 12)
+    assert (quadkey_encode(dlon, dlat, 12) == q12).all()
+    # NaN sentinel + level bounds
+    assert quadkey_encode(np.array([np.nan]), np.array([1.0]), 5)[0] == ""
+    with pytest.raises(ValueError, match="level"):
+        quadkey_encode(lo, la, 0)
