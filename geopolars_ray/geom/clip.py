@@ -632,14 +632,17 @@ def subdivide(ga: GeometryArray, max_vertices: int = 256, max_depth: int = 24):
     the explode() contract, so other columns replicate with ``take``.
 
     Each round shifts every oversized geometry so its own bbox CENTER sits
-    at the origin (per-geometry vectorized), clips the whole oversized
-    subset against the two half-planes of one axis (alternating x/y — a
-    k-d-style split), shifts back, and re-queues pieces still over the
-    budget. Splitting at the bbox center guarantees both halves shrink, so
-    depth is O(log(vertices/max_vertices)); degenerate inputs that cannot
-    shrink (all-coincident vertices) stop at ``max_depth`` with a loud
-    warning and are emitted as-is. Pieces share their split-boundary
-    vertices, exactly like PostGIS output.
+    at the origin (per-geometry vectorized), clips against the two
+    half-planes of each geometry's LONGER bbox axis (a k-d-style split —
+    per-geometry axis choice, so axis-aligned lines never split along their
+    zero-extent axis, where the boundary-inclusive clips would keep the
+    whole geometry in BOTH halves and duplicate it), shifts back, and
+    re-queues pieces still over the budget. A geometry that a split cannot
+    shrink (both halves keep every coord — e.g. a plus-shaped line whose
+    long arm lies exactly on the split line, or all-coincident coords) is
+    emitted ONCE as-is with a loud warning rather than duplicated or
+    looped. Pieces share their split-boundary vertices, exactly like
+    PostGIS output.
 
     The classic use is join-side preparation at scale: subdividing a
     continent-sized polygon into tile-sized pieces turns one hot task in a
@@ -675,39 +678,103 @@ def subdivide(ga: GeometryArray, max_vertices: int = 256, max_depth: int = 24):
             done_pieces.append(cur.take(big_rows))
             done_parents.append(parents[big_rows])
             break
-        sub = cur.take(big_rows)
-        sub_parents = parents[big_rows]
-        # per-geometry bbox-center shift to the origin
-        x0, y0, x1, y1 = K.bounds(sub)
-        cx = 0.5 * (x0 + x1)
-        cy = 0.5 * (y0 + y1)
-        gidx = sub.geom_index_of_coords()
-        shifted = GeometryArray(
-            types=sub.types, geom_offsets=sub.geom_offsets,
-            part_offsets=sub.part_offsets, ring_offsets=sub.ring_offsets,
-            coords=sub.coords - np.column_stack([cx, cy])[gidx],
-        )
-        lim = float(np.abs(shifted.coords).max()) + 1.0 if len(shifted.coords) else 1.0
-        axis = depth % 2
-        if axis == 0:
-            lo = clip_by_rect(shifted, -lim, -lim, 0.0, lim)
-            hi = clip_by_rect(shifted, 0.0, -lim, lim, lim)
-        else:
-            lo = clip_by_rect(shifted, -lim, -lim, lim, 0.0)
-            hi = clip_by_rect(shifted, -lim, 0.0, lim, lim)
-        halves, half_parents = [], []
-        for h in (lo, hi):
-            back = GeometryArray(
-                types=h.types, geom_offsets=h.geom_offsets,
-                part_offsets=h.part_offsets, ring_offsets=h.ring_offsets,
-                coords=h.coords + np.column_stack([cx, cy])[h.geom_index_of_coords()]
-                if len(h.coords) else h.coords,
+        sub_all = cur.take(big_rows)
+        par_all = parents[big_rows]
+        x0a, y0a, x1a, y1a = K.bounds(sub_all)
+        # per-geometry split axis: the LONGER bbox side; zero-extent-both
+        # geometries (all-coincident coords) cannot shrink — emit as-is
+        ext_x = x1a - x0a
+        ext_y = y1a - y0a
+        degenerate = (ext_x <= 0) & (ext_y <= 0)
+        if degenerate.any():
+            drows = np.flatnonzero(degenerate)
+            logging.getLogger("geopolars_ray.clip").warning(
+                "subdivide: %d oversized geometries have zero bbox extent "
+                "(all-coincident coords) — emitted as-is", len(drows),
             )
-            keep = ~back.is_missing() & (back.coords_per_geom() > 0)
-            rows = np.flatnonzero(keep)
-            if len(rows):
-                halves.append(back.take(rows))
-                half_parents.append(sub_parents[rows])
+            done_pieces.append(sub_all.take(drows))
+            done_parents.append(par_all[drows])
+        split_x_mask = (ext_x >= ext_y) & ~degenerate
+        halves, half_parents = [], []
+        # (multi)point rows split by DIRECT half-open coordinate partition
+        # (x <= center goes lo, x > center goes hi): boundary points are
+        # genuine duplicates for point clouds, unlike the shared boundary
+        # VERTICES of clipped lines/polygons
+        from geopolars_ray.geom.array import MULTIPOINT, POINT
+        is_mp = np.isin(sub_all.types, (MULTIPOINT, POINT)) & ~degenerate
+        mp_rows = np.flatnonzero(is_mp)
+        if len(mp_rows):
+            mp = sub_all.take(mp_rows)
+            mp_par = par_all[mp_rows]
+            g = mp.geom_index_of_coords()
+            on_x_g = split_x_mask[mp_rows]
+            center = np.where(on_x_g, 0.5 * (x0a + x1a)[mp_rows], 0.5 * (y0a + y1a)[mp_rows])
+            val = np.where(on_x_g[g], mp.coords[:, 0], mp.coords[:, 1])
+            lo_mask = val <= center[g]
+            for side in (lo_mask, ~lo_mask):
+                counts = np.bincount(g[side], minlength=len(mp))
+                geom_off = np.zeros(len(mp) + 1, dtype=np.int64)
+                np.cumsum(counts, out=geom_off[1:])
+                k = int(counts.sum())
+                side_ga = GeometryArray(
+                    types=np.where(counts > 0, np.int8(MULTIPOINT), np.int8(-1)).astype(np.int8),
+                    geom_offsets=geom_off,
+                    part_offsets=np.arange(k + 1, dtype=np.int64),
+                    ring_offsets=np.arange(k + 1, dtype=np.int64),
+                    coords=mp.coords[side],
+                )
+                rows = np.flatnonzero(counts > 0)
+                if len(rows):
+                    halves.append(side_ga.take(rows))
+                    half_parents.append(mp_par[rows])
+        for group_mask, on_x in ((split_x_mask & ~is_mp, True),
+                                 ((~split_x_mask) & ~degenerate & ~is_mp, False)):
+            grows = np.flatnonzero(group_mask)
+            if not len(grows):
+                continue
+            sub = sub_all.take(grows)
+            sub_parents = par_all[grows]
+            nv_parent = sub.coords_per_geom()
+            x0, y0, x1, y1 = K.bounds(sub)
+            cx = 0.5 * (x0 + x1)
+            cy = 0.5 * (y0 + y1)
+            gidx = sub.geom_index_of_coords()
+            shifted = GeometryArray(
+                types=sub.types, geom_offsets=sub.geom_offsets,
+                part_offsets=sub.part_offsets, ring_offsets=sub.ring_offsets,
+                coords=sub.coords - np.column_stack([cx, cy])[gidx],
+            )
+            lim = float(np.abs(shifted.coords).max()) + 1.0 if len(shifted.coords) else 1.0
+            if on_x:
+                lo = clip_by_rect(shifted, -lim, -lim, 0.0, lim)
+                hi = clip_by_rect(shifted, 0.0, -lim, lim, lim)
+            else:
+                lo = clip_by_rect(shifted, -lim, -lim, lim, 0.0)
+                hi = clip_by_rect(shifted, -lim, 0.0, lim, lim)
+            # no-progress guard: if BOTH halves kept every coord, the split
+            # duplicated the geometry (it lies on the split line) — emit the
+            # parent once instead
+            stuck = (lo.coords_per_geom() >= nv_parent) & (hi.coords_per_geom() >= nv_parent)
+            if stuck.any():
+                srows = np.flatnonzero(stuck)
+                logging.getLogger("geopolars_ray.clip").warning(
+                    "subdivide: %d oversized geometries lie on their own "
+                    "split line and cannot shrink — emitted as-is", len(srows),
+                )
+                done_pieces.append(sub.take(srows))
+                done_parents.append(sub_parents[srows])
+            for h in (lo, hi):
+                back = GeometryArray(
+                    types=h.types, geom_offsets=h.geom_offsets,
+                    part_offsets=h.part_offsets, ring_offsets=h.ring_offsets,
+                    coords=h.coords + np.column_stack([cx, cy])[h.geom_index_of_coords()]
+                    if len(h.coords) else h.coords,
+                )
+                keep = ~back.is_missing() & (back.coords_per_geom() > 0) & ~stuck
+                rows = np.flatnonzero(keep)
+                if len(rows):
+                    halves.append(back.take(rows))
+                    half_parents.append(sub_parents[rows])
         if not halves:
             break
         cur = _concat_geoms(halves)

@@ -863,6 +863,14 @@ def remove_repeated_points(ga: GeometryArray, tolerance: float = 0.0) -> Geometr
         run_max = np.maximum.accumulate(np.where(keep, np.arange(n, dtype=np.int64), -1))
         prevk = run_max[multi - 1]  # >= ring first (always kept)
         dup = (ga.coords[multi] == ga.coords[prevk]).all(axis=1)
+        # never collapse a ring below 2 coords: GEOS cannot represent a
+        # 1-point LINESTRING, so LINESTRING [(a),(a)] stays 2 coords
+        if dup.any():
+            ring_of_multi = np.searchsorted(ga.ring_offsets, multi, side="right") - 1
+            kept_per = _range_sums(keep.astype(np.float64),
+                                   ga.ring_offsets[:-1][ring_of_multi],
+                                   ga.ring_offsets[1:][ring_of_multi]).astype(np.int64)
+            dup &= kept_per >= 3
         keep[multi[dup]] = False
     counts = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
     kept_per_ring = np.zeros(ga.n_rings, dtype=np.int64)

@@ -143,10 +143,19 @@ def geohash_encode(lon: np.ndarray, lat: np.ndarray, precision: int = 9) -> np.n
 
 
 def geohash_decode(gh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Cell-center (lon, lat) of equal-length geohash strings (vectorized)."""
+    """Cell-center (lon, lat) of equal-length geohash strings (vectorized).
+    The encoder's ``""`` missing sentinel round-trips to (NaN, NaN)."""
     gh = np.asarray(gh)
     if gh.size == 0:
         return np.empty(0), np.empty(0)
+    sb = gh.astype(str)
+    empty = np.char.str_len(sb) == 0
+    if empty.any():
+        lon = np.full(gh.size, np.nan)
+        lat = np.full(gh.size, np.nan)
+        if (~empty).any():
+            lon[~empty], lat[~empty] = geohash_decode(sb[~empty])
+        return lon, lat
     b = np.char.encode(gh.astype(str), "ascii")
     precision = len(b.flat[0])
     if precision < 1 or precision > 12 or any(len(s) != precision for s in b.flat):
@@ -255,11 +264,20 @@ def quadkey_encode(lon: np.ndarray, lat: np.ndarray, level: int = 12) -> np.ndar
 
 
 def quadkey_decode(qk: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Tile-center (lon, lat) of equal-length quadkeys (vectorized)."""
+    """Tile-center (lon, lat) of equal-length quadkeys (vectorized).
+    The encoder's ``""`` missing sentinel round-trips to (NaN, NaN)."""
     qk = np.asarray(qk)
     if qk.size == 0:
         return np.empty(0), np.empty(0)
-    b = np.char.encode(qk.astype(str), "ascii")
+    sb = qk.astype(str)
+    empty = np.char.str_len(sb) == 0
+    if empty.any():
+        lon = np.full(qk.size, np.nan)
+        lat = np.full(qk.size, np.nan)
+        if (~empty).any():
+            lon[~empty], lat[~empty] = quadkey_decode(sb[~empty])
+        return lon, lat
+    b = np.char.encode(sb, "ascii")
     level = len(b.flat[0])
     if level < 1 or level > 23 or any(len(s) != level for s in b.flat):
         raise ValueError("quadkey_decode needs equal-length quadkeys of level 1..23")

@@ -102,9 +102,16 @@ def mask_filter(mask, geometry_col: str = "geometry"):
             else:
                 rest = idx
             if len(rest):
-                sub = ga.take(rest)
-                mrep = mga.take(np.zeros(len(rest), dtype=np.int64))
-                keep[rest] = K.distance(sub, mrep) == 0.0
+                # chunk the mask replication: take() copies the mask coords
+                # per row, so bound rows-per-chunk by a coords budget (the
+                # exact per-row distance test itself is the generic
+                # geometry⊗geometry path)
+                step = max(1, 4_000_000 // max(len(mga.coords), 1))
+                for s0 in range(0, len(rest), step):
+                    blk = rest[s0 : s0 + step]
+                    sub = ga.take(blk)
+                    mrep = mga.take(np.zeros(len(blk), dtype=np.int64))
+                    keep[blk] = K.distance(sub, mrep) == 0.0
         return batch.filter(pa.array(keep))
 
     return fn
@@ -228,34 +235,45 @@ def read_geo_dataset(
 ):
     """ray.data.read_parquet + optional bbox pushdown on the geometry column.
 
-    When the file carries a GeoParquet 1.1 ``covering`` bbox column
-    (``write_geoparquet(covering=True)``), the bbox predicate is pushed into
-    the parquet scan itself (``filter=``) — row groups whose bbox-leaf
-    STATISTICS miss the query box are pruned before any byte is read, and
-    the row filter is exact for envelope semantics because the stored bbox
-    IS the envelope. Otherwise the filter tests geometry ENVELOPE
-    intersection (the candidate semantics of the reference's
-    ``read_file(bbox=...)`` OGR pushdown) as a vectorized map_batches stage
-    right after the scan.
+    When EVERY input file carries a GeoParquet 1.1 ``covering`` bbox column
+    (``write_geoparquet(covering=True)``; mixed covering/plain inputs fall
+    back — a pushed filter on a column some files lack would crash the
+    scan), the bbox predicate is pushed into the parquet scan itself
+    (``filter=``) — row groups whose bbox-leaf STATISTICS miss the query
+    box are pruned before any byte is read, and the row filter is exact for
+    envelope semantics because the stored bbox IS the envelope. The
+    internal bbox column is dropped afterwards when ``columns`` didn't ask
+    for it. Otherwise the filter tests geometry ENVELOPE intersection (the
+    candidate semantics of the reference's ``read_file(bbox=...)`` OGR
+    pushdown) as a vectorized map_batches stage right after the scan.
     """
     if bbox is None:
         return ray.data.read_parquet(paths, columns=columns)
     import os
 
-    first = paths if isinstance(paths, str) else list(paths)[0]
-    if os.path.isdir(first):
-        cand = [os.path.join(first, f) for f in sorted(os.listdir(first)) if f.endswith(".parquet")]
-        first = cand[0] if cand else first
+    plist = [paths] if isinstance(paths, (str, os.PathLike)) else list(paths)
+    files: list[str] = []
+    for p in plist:
+        p = os.fspath(p)
+        if os.path.isdir(p):
+            files += [os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        else:
+            files.append(p)
     bbox_col = None
     try:
-        bbox_col = _covering_bbox_col(first, geometry_col)
+        cols_found = {_covering_bbox_col(f, geometry_col) for f in files} if files else {None}
+        if len(cols_found) == 1:
+            bbox_col = cols_found.pop()
     except Exception:
-        pass  # unreadable side-file metadata -> post-scan filter
+        bbox_col = None  # unreadable footer -> post-scan filter
     if bbox_col is not None:
         cols = None if columns is None else list(dict.fromkeys([*columns, bbox_col]))
-        return ray.data.read_parquet(
+        ds = ray.data.read_parquet(
             paths, columns=cols, filter=covering_filter_expression(bbox, bbox_col)
         )
+        if columns is not None and bbox_col not in columns:
+            ds = ds.map_batches(lambda b: b.drop_columns([bbox_col]), batch_format="pyarrow")
+        return ds
     ds = ray.data.read_parquet(paths, columns=columns)
     return ds.map_batches(bbox_envelope_filter(bbox, geometry_col), batch_format="pyarrow")
 
@@ -307,16 +325,21 @@ def read_file(
     """
     mask_stage = None
     if mask is not None:
-        # GeoPandas rule: mask and bbox are mutually exclusive. The mask's
-        # envelope BECOMES the bbox (every reader's pushdown prunes on it),
-        # then the exact intersects refine runs post-scan.
+        # GeoPandas rules: mask excludes bbox and fids. With a feature
+        # window (skip/max) the mask runs purely post-scan (no envelope
+        # pushdown — the window slices RAW feature order, pyogrio-style);
+        # otherwise the mask's envelope BECOMES the bbox so every reader's
+        # pushdown prunes on it before the exact intersects refine.
         if bbox is not None:
             raise ValueError("mask cannot be combined with bbox (GeoPandas rule)")
+        if fids is not None:
+            raise ValueError("mask cannot be combined with fids (pyogrio rule)")
         from geopolars_ray.geom import kernels as _K
 
         mga = _as_geometry_array(mask)
-        _x0, _y0, _x1, _y1 = _K.bounds(mga)
-        bbox = (float(_x0[0]), float(_y0[0]), float(_x1[0]), float(_y1[0]))
+        if not (skip_features or max_features is not None):
+            _x0, _y0, _x1, _y1 = _K.bounds(mga)
+            bbox = (float(_x0[0]), float(_y0[0]), float(_x1[0]), float(_y1[0]))
         mask_stage = mask_filter(mga, geometry_col)
     paths_list = [path] if isinstance(path, str) else list(path)
     first = paths_list[0]

@@ -305,3 +305,26 @@ def test_subdivide():
     dup = GeometryArray.from_pylist([("linestring", [(1.0, 1.0)] * 300)])
     out2, p2 = subdivide(dup, max_vertices=100, max_depth=4)
     assert len(out2) >= 1 and (p2 == 0).all()
+
+
+def test_subdivide_no_duplication_review_fixes():
+    """r4-final review pins: zero-extent-axis and on-split-line geometries
+    must not duplicate; multipoints split half-open; degenerates emit once."""
+    import numpy as np
+
+    from geopolars_ray.geom import GeometryArray
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.clip import subdivide
+
+    h = GeometryArray.from_pylist([("linestring", [(float(i), 0.0) for i in range(300)])])
+    out, _ = subdivide(h, max_vertices=100)
+    assert np.isclose(K.euclidean_length(out).sum(), 299.0)
+    v = GeometryArray.from_pylist([("linestring", [(0.0, float(i)) for i in range(300)])])
+    out, _ = subdivide(v, max_vertices=100)
+    assert np.isclose(K.euclidean_length(out).sum(), 299.0)
+    mp = GeometryArray.from_pylist([("multipoint", [(float(i % 7), 3.0) for i in range(301)])])
+    out, _ = subdivide(mp, max_vertices=100)
+    assert out.coords_per_geom().sum() == 301  # exact: no boundary dups
+    dup = GeometryArray.from_pylist([("linestring", [(1.0, 1.0)] * 300)])
+    out, p = subdivide(dup, max_vertices=100, max_depth=8)
+    assert len(out) == 1 and out.coords_per_geom()[0] == 300

@@ -762,3 +762,61 @@ def test_read_file_mask(ray_session, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="mask cannot be combined"):
         read_file(p, mask=diamond, bbox=(0, 0, 1, 1))
+
+
+def test_covering_review_fixes(ray_session, tmp_path):
+    """Mixed covering/plain inputs fall back (no crash); columns= projection
+    is honored (bbox column dropped); Path input works."""
+    from pathlib import Path
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_geo_dataset, write_geoparquet
+
+    rng = np.random.default_rng(20)
+    n = 2000
+    xs, ys = rng.uniform(-50, 50, n), rng.uniform(-50, 50, n)
+    t = pa.table({"id": np.arange(n), "geometry": encode_wkb(GeometryArray.from_points(xs, ys))})
+    cov = str(tmp_path / "c.parquet")
+    plain = str(tmp_path / "p.parquet")
+    write_geoparquet(t, cov, covering=True)
+    write_geoparquet(t, plain)
+    box = (-10.0, -10.0, 10.0, 10.0)
+    inside = int(((xs >= -10) & (xs <= 10) & (ys >= -10) & (ys <= 10)).sum())
+    # mixed inputs: post-scan fallback, correct rows, no crash
+    mixed = read_geo_dataset([cov, plain], bbox=box)
+    assert mixed.count() == 2 * inside
+    # projection honored on the pushed path
+    sel = read_geo_dataset(cov, columns=["id", "geometry"], bbox=box)
+    assert set(sel.schema().names) == {"id", "geometry"}
+    assert sel.count() == inside
+    # pathlib.Path input
+    assert read_geo_dataset(Path(cov), bbox=box).count() == inside
+
+
+def test_mask_review_fixes(ray_session, tmp_path):
+    """mask+fids refuses with a mask-named error; mask+window is allowed
+    (post-scan, pyogrio-style)."""
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file
+
+    t = pa.table({
+        "id": np.arange(6),
+        "geometry": encode_wkb(GeometryArray.from_pylist(
+            [("point", (float(i), 0.0)) for i in range(6)])),
+    })
+    import json
+    gj = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "properties": {"id": i},
+         "geometry": {"type": "Point", "coordinates": [float(i), 0.0]}}
+        for i in range(6)]}
+    p = str(tmp_path / "m.geojson")
+    open(p, "w").write(json.dumps(gj))
+    diamond = ("polygon", [[(1.5, -1.0), (4.5, -1.0), (4.5, 1.0), (1.5, 1.0), (1.5, -1.0)]])
+    got = read_file(p, mask=diamond).to_pandas()
+    assert sorted(got["id"]) == [2, 3, 4]
+    # window + mask: first 4 features, then mask -> ids 2,3
+    got2 = read_file(p, mask=diamond, max_features=4).to_pandas()
+    assert sorted(got2["id"]) == [2, 3]
+    import pytest as _p
+    with _p.raises(ValueError, match="mask cannot be combined with fids"):
+        read_file(p, mask=diamond, fids=[1])

@@ -372,3 +372,17 @@ def test_quadkey():
     assert quadkey_encode(np.array([np.nan]), np.array([1.0]), 5)[0] == ""
     with pytest.raises(ValueError, match="level"):
         quadkey_encode(lo, la, 0)
+
+
+def test_tile_decode_sentinel_roundtrip():
+    from geopolars_ray.geom.tiles import (
+        geohash_decode, geohash_encode, quadkey_decode, quadkey_encode,
+    )
+
+    lon = np.array([10.0, np.nan, -50.0])
+    lat = np.array([20.0, np.nan, 7.0])
+    for enc, dec in ((quadkey_encode, quadkey_decode), (geohash_encode, geohash_decode)):
+        keys = enc(lon, lat, 7)
+        dlon, dlat = dec(keys)
+        assert np.isnan(dlon[1]) and np.isnan(dlat[1])
+        assert abs(dlon[0] - 10.0) < 0.5 and abs(dlat[2] - 7.0) < 0.5
