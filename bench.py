@@ -231,6 +231,18 @@ def kernel_benchmarks() -> dict:
                           ring_offsets=seq * (v + 1), coords=coords), 2.0), m) / 1e6, 2)
     out["somerc_forward_mrows_s"] = round(
         best_rate(lambda: crs_mod.somerc_forward(xc, np.clip(yc, 40, 55), 7.44, 46.95), n) / 1e6, 2)
+    from geopolars_ray.geom.clip import subdivide as _subdiv
+
+    # bounded slice: 20k 17-vertex rings split once (~2 pieces each)
+    polys_s = GeometryArray(
+        types=polys.types[:20_000], geom_offsets=polys.geom_offsets[:20_001],
+        part_offsets=polys.part_offsets[:20_001], ring_offsets=polys.ring_offsets[:20_001],
+        coords=polys.coords[: 20_000 * (v + 1)],
+    )
+    out["subdivide_krows_s"] = round(
+        best_rate(lambda: _subdiv(polys_s, max_vertices=12), 20_000) / 1e3, 1)
+    out["quadkey_l12_mrows_s"] = round(
+        best_rate(lambda: tiles_mod.quadkey_encode(x, y, 12), n) / 1e6, 2)
     from geopolars_ray.stages.dedup import MinHasher, SimHasher
 
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 26, 2000)) for _ in range(512)]
