@@ -893,3 +893,48 @@ def test_segmentize_length_preservation_property():
         assert np.isclose(K.euclidean_length(out)[0], K.euclidean_length(ga)[0], rtol=1e-12)
         d = np.diff(out.coords, axis=0)
         assert np.hypot(d[:, 0], d[:, 1]).max() <= cap + 1e-9
+
+
+def test_distance_generic_vectorized_vs_reference():
+    """The batched generic distance == the per-row reference across all
+    type pairs, including crossing / containment / disjoint-multipart
+    zero-distance cases."""
+    rng = np.random.default_rng(53)
+
+    def rand_geom(kind):
+        if kind == 0:
+            return ("point", tuple(rng.uniform(0, 30, 2)))
+        if kind == 1:
+            return ("linestring", [tuple(p) for p in rng.uniform(0, 30, (rng.integers(2, 6), 2))])
+        if kind == 2:
+            cx, cy, r = rng.uniform(5, 25), rng.uniform(5, 25), rng.uniform(1, 6)
+            a = np.linspace(0, 2 * np.pi, 8)[:-1]
+            ring = [(float(cx + r * np.cos(t)), float(cy + r * np.sin(t))) for t in a]
+            ring.append(ring[0])
+            return ("polygon", [ring])
+        if kind == 3:
+            return ("multipoint", [tuple(p) for p in rng.uniform(0, 30, (rng.integers(1, 5), 2))])
+        if kind == 4:
+            return ("multilinestring",
+                    [[tuple(p) for p in rng.uniform(0, 30, (rng.integers(2, 4), 2))]
+                     for _ in range(rng.integers(1, 3))])
+        out = []
+        for _ in range(2):
+            cx, cy = rng.uniform(3, 27, 2)
+            s = rng.uniform(0.5, 3)
+            out.append([[(cx, cy), (cx + s, cy), (cx + s, cy + s), (cx, cy + s), (cx, cy)]])
+        return ("multipolygon", out)
+
+    A = [rand_geom(rng.integers(0, 6)) for _ in range(2000)] + [None]
+    B = [rand_geom(rng.integers(0, 6)) for _ in range(2000)] + [("point", (0.0, 0.0))]
+    ga, gb = GeometryArray.from_pylist(A), GeometryArray.from_pylist(B)
+    d = K.distance(ga, gb)
+    assert np.isnan(d[-1])
+    n_zero = 0
+    for i in range(2000):
+        if ga.types[i] == POINT and gb.types[i] == POINT:
+            continue
+        ref = K._geom_pair_distance(ga, gb, i)
+        assert np.isclose(d[i], ref, rtol=1e-12, atol=1e-12), (i, d[i], ref)
+        n_zero += ref == 0.0
+    assert n_zero > 50  # the fuzz actually exercised the zero short-circuits
