@@ -436,6 +436,10 @@ class GeoDataset:
             )
         )
 
+    def representative_point(self) -> "GeoDataset":
+        """A point guaranteed ON/IN each geometry (GeoPandas parity)."""
+        return self._apply("representative_point")
+
     def oriented_envelope(self) -> "GeoDataset":
         """Minimum rotated rectangle (GeoPandas ``minimum_rotated_rectangle``)."""
         return self._apply("oriented_envelope")

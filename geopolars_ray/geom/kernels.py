@@ -1350,6 +1350,97 @@ def convex_hull(ga: GeometryArray) -> GeometryArray:
     return GeometryArray.from_pylist(out_geoms)
 
 
+def representative_point(ga: GeometryArray) -> GeometryArray:
+    """A point guaranteed to intersect each geometry (GeoPandas
+    ``representative_point`` / GEOS ``InteriorPoint`` semantics, not
+    bit-identical to GEOS):
+
+    - polygons: the midpoint of the WIDEST inside-span of the horizontal
+      scanline through the bbox-center (nudged off any vertex y so the
+      even-odd crossing parity is well-defined) — strictly interior, holes
+      respected;
+    - lines: the vertex closest to the geometry's centroid (on the line by
+      construction);
+    - points/multipoints: the coord closest to the centroid;
+    - missing/empty: missing.
+
+    Vectorized: every (polygon row × edge) pair scores its scanline
+    crossing in one pass; spans resolve with a per-row sort + parity walk
+    on the (few) crossings.
+    """
+    n = len(ga)
+    cen = centroid(ga)
+    cen_ok = ~cen.is_missing()
+    out_x = np.full(n, np.nan)
+    out_y = np.full(n, np.nan)
+    c0, c1 = _coord_ranges(ga)
+    # lines / points: vertex nearest the centroid (vectorized pair scan)
+    vertexish = np.isin(ga.types, (POINT, MULTIPOINT, LINESTRING, LINEARRING, MULTILINESTRING))
+    vrows = np.flatnonzero(vertexish & cen_ok & (c1 > c0))
+    if len(vrows):
+        cc = cen.coords[np.cumsum(cen_ok.astype(np.int64)) - 1]  # per-row centroid coords
+        counts = (c1 - c0)[vrows]
+        rid = np.repeat(np.arange(len(vrows)), counts)
+        vi = _expand_ranges(c0[vrows], c1[vrows])
+        d2 = (ga.coords[vi, 0] - cc[vrows][rid, 0]) ** 2 + (ga.coords[vi, 1] - cc[vrows][rid, 1]) ** 2
+        off = np.zeros(len(vrows), dtype=np.int64)
+        np.cumsum(counts[:-1], out=off[1:])
+        dmin = np.minimum.reduceat(d2, off)
+        hit = np.flatnonzero(d2 == np.repeat(dmin, counts))
+        first = hit[np.searchsorted(hit, off)]
+        out_x[vrows] = ga.coords[vi[first], 0]
+        out_y[vrows] = ga.coords[vi[first], 1]
+    # polygons: widest scanline span
+    prows = np.flatnonzero(np.isin(ga.types, _POLY_TYPES) & (c1 > c0))
+    if len(prows):
+        xmin, ymin, xmax, ymax = bounds(ga)
+        yc = 0.5 * (ymin[prows] + ymax[prows])
+        # nudge off any vertex y (parity safety): deterministic epsilon of
+        # the bbox height, retried with growing offsets until clear
+        height = np.maximum(ymax[prows] - ymin[prows], 1e-300)
+        counts = (c1 - c0)[prows]
+        rid = np.repeat(np.arange(len(prows)), counts)
+        vi = _expand_ranges(c0[prows], c1[prows])
+        vy = ga.coords[vi, 1]
+        for k in range(1, 8):
+            on_vertex = np.zeros(len(prows), dtype=bool)
+            np.logical_or.at(on_vertex, rid, vy == yc[rid])
+            if not on_vertex.any():
+                break
+            yc = np.where(on_vertex, yc + height * (0.5 ** (k + 3)), yc)
+        # scanline crossings: every within-ring edge of every polygon row
+        is_seg = _seg_valid(ga)
+        srows_counts = np.maximum(counts - 1, 0)
+        srid = np.repeat(np.arange(len(prows)), srows_counts)
+        si = _expand_ranges(c0[prows], np.maximum(c1[prows] - 1, c0[prows]))
+        y1 = ga.coords[si, 1]
+        y2 = ga.coords[si + 1, 1]
+        x1 = ga.coords[si, 0]
+        x2 = ga.coords[si + 1, 0]
+        yq = yc[srid]
+        crosses = ((y1 > yq) != (y2 > yq)) & is_seg[si]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1 + (yq - y1) * (x2 - x1) / (y2 - y1)
+        # per-row: sort crossings, adjacent pairs alternate inside/outside
+        # starting inside after the first crossing (even-odd)
+        cross_rows = srid[crosses]
+        cross_x = xint[crosses]
+        order = np.lexsort((cross_x, cross_rows))
+        cr = cross_rows[order]
+        cx = cross_x[order]
+        cut = np.flatnonzero(np.diff(cr)) + 1
+        for rows_grp, xs_grp in zip(np.split(cr, cut), np.split(cx, cut)):
+            r = rows_grp[0]
+            if len(xs_grp) < 2:
+                continue
+            spans = xs_grp[1::2] - xs_grp[0:-1:2] if len(xs_grp) % 2 == 0 else xs_grp[1::2] - xs_grp[: len(xs_grp) - 1 : 2]
+            k = int(np.argmax(spans))
+            out_x[prows[r]] = 0.5 * (xs_grp[2 * k] + xs_grp[2 * k + 1])
+            out_y[prows[r]] = yc[r]
+    ok = ~np.isnan(out_x)
+    return _points_or_missing(out_x, out_y, ok)
+
+
 def oriented_envelope(ga: GeometryArray) -> GeometryArray:
     """Minimum rotated rectangle per geometry (shapely ``oriented_envelope``
     / GeoPandas ``minimum_rotated_rectangle``).

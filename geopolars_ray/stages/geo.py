@@ -129,6 +129,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "x": (K.get_x, "scalar"),
     "y": (K.get_y, "scalar"),
     "centroid": (K.centroid, "geometry"),
+    "representative_point": (K.representative_point, "geometry"),
     "envelope": (K.envelope, "geometry"),
     "convex_hull": (K.convex_hull, "geometry"),
     "oriented_envelope": (K.oriented_envelope, "geometry"),

@@ -938,3 +938,48 @@ def test_distance_generic_vectorized_vs_reference():
         assert np.isclose(d[i], ref, rtol=1e-12, atol=1e-12), (i, d[i], ref)
         n_zero += ref == 0.0
     assert n_zero > 50  # the fuzz actually exercised the zero short-circuits
+
+
+def test_representative_point():
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+
+    ga = GeometryArray.from_pylist(
+        [
+            # C-shape: the bbox center is OUTSIDE — centroid would fail here
+            ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 2.0), (2.0, 2.0),
+                          (2.0, 8.0), (10.0, 8.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]),
+            # square with a center hole: point must avoid the hole
+            ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+                         [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)]]),
+            ("linestring", [(0.0, 0.0), (5.0, 5.0), (10.0, 0.0)]),
+            ("point", (3.0, 4.0)),
+            ("multipoint", [(0.0, 0.0), (9.0, 9.0)]),
+            None,
+        ]
+    )
+    rp = representative_point_lst = K.representative_point(ga).to_pylist()
+    for i in (0, 1):
+        typ, (px, py) = rp[i]
+        assert typ == "point"
+        rings = [np.array(r) for r in ga.to_pylist()[i][1]]
+        assert points_in_polygon_single(np.array([px]), np.array([py]), rings)[0], i
+    assert rp[2][1] in [(0.0, 0.0), (5.0, 5.0), (10.0, 0.0)]  # a line vertex
+    assert rp[3] == ("point", (3.0, 4.0))
+    assert rp[4][1] in [(0.0, 0.0), (9.0, 9.0)]
+    assert rp[5] is None
+
+    # fuzz: strictly interior for random convex-ish polygons
+    rng = np.random.default_rng(55)
+    geoms = []
+    for _ in range(300):
+        cx, cy, r = rng.uniform(5, 95), rng.uniform(5, 95), rng.uniform(1, 5)
+        a = np.sort(rng.uniform(0, 2 * np.pi, rng.integers(5, 12)))
+        ring = [(float(cx + r * np.cos(t)), float(cy + r * np.sin(t))) for t in a]
+        ring.append(ring[0])
+        geoms.append(("polygon", [ring]))
+    g = GeometryArray.from_pylist(geoms)
+    pts = K.representative_point(g)
+    for i, (_, rings) in enumerate(geoms):
+        px, py = pts.to_pylist()[i][1]
+        assert points_in_polygon_single(np.array([px]), np.array([py]),
+                                        [np.array(rings[0])])[0], i
