@@ -440,6 +440,11 @@ class GeoDataset:
         """A point guaranteed ON/IN each geometry (GeoPandas parity)."""
         return self._apply("representative_point")
 
+    def extract_unique_points(self) -> "GeoDataset":
+        """Distinct coordinates per geometry as MULTIPOINT (shapely parity;
+        coordinate-sorted, not first-occurrence order)."""
+        return self._apply("extract_unique_points")
+
     def oriented_envelope(self) -> "GeoDataset":
         """Minimum rotated rectangle (GeoPandas ``minimum_rotated_rectangle``)."""
         return self._apply("oriented_envelope")

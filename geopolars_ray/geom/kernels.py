@@ -1350,6 +1350,34 @@ def convex_hull(ga: GeometryArray) -> GeometryArray:
     return GeometryArray.from_pylist(out_geoms)
 
 
+def extract_unique_points(ga: GeometryArray) -> GeometryArray:
+    """shapely ``extract_unique_points``: the distinct coordinates of each
+    geometry as a MULTIPOINT (order of first occurrence is NOT preserved —
+    points come out coordinate-sorted, the batch dedup order; shapely
+    preserves first occurrence, a documented delta). Missing/empty stay
+    missing. One global lexsort over (geom, x, y), no per-row Python."""
+    n = len(ga)
+    gidx = ga.geom_index_of_coords()
+    x, y = ga.coords[:, 0], ga.coords[:, 1]
+    order = np.lexsort((y, x, gidx))
+    sg, sx, sy = gidx[order], x[order], y[order]
+    keep = np.ones(len(sg), dtype=bool)
+    if len(sg) > 1:
+        keep[1:] = (sg[1:] != sg[:-1]) | (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])
+    sg, sx, sy = sg[keep], sx[keep], sy[keep]
+    counts = np.bincount(sg, minlength=n)
+    geom_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=geom_offsets[1:])
+    k = int(counts.sum())
+    return GeometryArray(
+        types=np.where(counts > 0, np.int8(MULTIPOINT), np.int8(MISSING)).astype(np.int8),
+        geom_offsets=geom_offsets,
+        part_offsets=np.arange(k + 1, dtype=np.int64),
+        ring_offsets=np.arange(k + 1, dtype=np.int64),
+        coords=np.column_stack([sx, sy]),
+    )
+
+
 def representative_point(ga: GeometryArray) -> GeometryArray:
     """A point guaranteed to intersect each geometry (GeoPandas
     ``representative_point`` / GEOS ``InteriorPoint`` semantics, not

@@ -983,3 +983,20 @@ def test_representative_point():
         px, py = pts.to_pylist()[i][1]
         assert points_in_polygon_single(np.array([px]), np.array([py]),
                                         [np.array(rings[0])])[0], i
+
+
+def test_extract_unique_points():
+    ga = GeometryArray.from_pylist(
+        [
+            ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)]]),  # closing dup
+            ("linestring", [(1.0, 1.0), (2.0, 2.0), (1.0, 1.0), (2.0, 2.0)]),
+            ("point", (5.0, 5.0)),
+            None,
+        ]
+    )
+    out = K.extract_unique_points(ga)
+    lst = out.to_pylist()
+    assert lst[0] == ("multipoint", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)])
+    assert lst[1] == ("multipoint", [(1.0, 1.0), (2.0, 2.0)])
+    assert lst[2] == ("multipoint", [(5.0, 5.0)])
+    assert lst[3] is None
