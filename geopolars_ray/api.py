@@ -440,6 +440,10 @@ class GeoDataset:
         """A point guaranteed ON/IN each geometry (GeoPandas parity)."""
         return self._apply("representative_point")
 
+    def line_merge(self) -> "GeoDataset":
+        """Join MultiLineString parts at degree-2 endpoints (ST_LineMerge)."""
+        return self._apply("line_merge")
+
     def extract_unique_points(self) -> "GeoDataset":
         """Distinct coordinates per geometry as MULTIPOINT (shapely parity;
         coordinate-sorted, not first-occurrence order)."""

@@ -1350,6 +1350,70 @@ def convex_hull(ga: GeometryArray) -> GeometryArray:
     return GeometryArray.from_pylist(out_geoms)
 
 
+def line_merge(ga: GeometryArray) -> GeometryArray:
+    """shapely ``line_merge`` / ST_LineMerge: join a MULTILINESTRING's parts
+    wherever exactly TWO line ends meet (degree-2 nodes); junction nodes
+    (degree >= 3) stay split, closed chains become a single closed line.
+    Non-multiline rows pass through unchanged. Per-geometry chain walk over
+    its (few) parts; endpoint matching is exact coordinate equality, like
+    GEOS."""
+    out: list = []
+    src = ga.to_pylist()
+    for i, g in enumerate(src):
+        if g is None or g[0] != "multilinestring":
+            out.append(g)
+            continue
+        parts = [list(p) for p in g[1] if len(p) >= 2]
+        if not parts:
+            out.append(g)
+            continue
+        # endpoint -> list of (part index, end: 0=start 1=end)
+        from collections import defaultdict
+
+        node: dict = defaultdict(list)
+        for pi, p in enumerate(parts):
+            node[p[0]].append((pi, 0))
+            node[p[-1]].append((pi, 1))
+        used = [False] * len(parts)
+        merged = []
+        for pi in range(len(parts)):
+            if used[pi]:
+                continue
+            # walk backwards to the chain start (or detect a loop)
+            chain = [(pi, False)]  # (part, reversed?)
+            used[pi] = True
+            for direction in (0, 1):  # extend tail (end side), then head
+                cur, rev = chain[-1] if direction == 0 else chain[0]
+                while True:
+                    p = parts[cur]
+                    tip = (p[0] if rev else p[-1]) if direction == 0 else (p[-1] if rev else p[0])
+                    cands = [e for e in node[tip] if not used[e[0]]]
+                    if len(node[tip]) != 2 or len(cands) != 1:
+                        break
+                    nxt, end = cands[0]
+                    # entering at 'end': if we arrive at its START the part
+                    # continues forward, else reversed — flipped for the
+                    # head-extension direction
+                    nrev = (end == 1) if direction == 0 else (end == 0)
+                    used[nxt] = True
+                    if direction == 0:
+                        chain.append((nxt, nrev))
+                        cur, rev = nxt, nrev
+                    else:
+                        chain.insert(0, (nxt, nrev))
+                        cur, rev = nxt, nrev
+            coords = []
+            for j, (p_idx, rev) in enumerate(chain):
+                seq = parts[p_idx][::-1] if rev else parts[p_idx]
+                coords.extend(seq if j == 0 else seq[1:])
+            merged.append(coords)
+        if len(merged) == 1:
+            out.append(("linestring", [tuple(c) for c in merged[0]]))
+        else:
+            out.append(("multilinestring", [[tuple(c) for c in m] for m in merged]))
+    return GeometryArray.from_pylist(out)
+
+
 def extract_unique_points(ga: GeometryArray) -> GeometryArray:
     """shapely ``extract_unique_points``: the distinct coordinates of each
     geometry as a MULTIPOINT (order of first occurrence is NOT preserved —

@@ -131,6 +131,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "centroid": (K.centroid, "geometry"),
     "representative_point": (K.representative_point, "geometry"),
     "extract_unique_points": (K.extract_unique_points, "geometry"),
+    "line_merge": (K.line_merge, "geometry"),
     "envelope": (K.envelope, "geometry"),
     "convex_hull": (K.convex_hull, "geometry"),
     "oriented_envelope": (K.oriented_envelope, "geometry"),

@@ -1000,3 +1000,49 @@ def test_extract_unique_points():
     assert lst[1] == ("multipoint", [(1.0, 1.0), (2.0, 2.0)])
     assert lst[2] == ("multipoint", [(5.0, 5.0)])
     assert lst[3] is None
+
+
+def test_line_merge():
+    ga = GeometryArray.from_pylist(
+        [
+            # chain of three parts, middle one reversed -> one line
+            ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)],
+                                 [(2.0, 0.0), (1.0, 0.0)],
+                                 [(2.0, 0.0), (3.0, 0.0)]]),
+            # T-junction: degree-3 node keeps all three split
+            ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)],
+                                 [(1.0, 0.0), (2.0, 0.0)],
+                                 [(1.0, 0.0), (1.0, 1.0)]]),
+            # closed square from four edges -> one closed line
+            ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)], [(1.0, 0.0), (1.0, 1.0)],
+                                 [(1.0, 1.0), (0.0, 1.0)], [(0.0, 1.0), (0.0, 0.0)]]),
+            ("linestring", [(5.0, 5.0), (6.0, 6.0)]),  # passthrough
+            None,
+        ]
+    )
+    out = K.line_merge(ga).to_pylist()
+    assert out[0] == ("linestring", [(0.0, 0.0), (1.0, 0.0), (2.0, 0.0), (3.0, 0.0)])
+    assert out[1][0] == "multilinestring" and len(out[1][1]) == 3
+    typ, coords = out[2]
+    assert typ == "linestring" and len(coords) == 5 and coords[0] == coords[-1]
+    # length invariant
+    assert np.isclose(K.euclidean_length(K.line_merge(ga))[2], 4.0)
+    assert out[3] == ("linestring", [(5.0, 5.0), (6.0, 6.0)])
+    assert out[4] is None
+    # fuzz: merging preserves total length and never increases part count
+    rng = np.random.default_rng(58)
+    for _ in range(50):
+        pts = [tuple(p) for p in rng.uniform(0, 10, (8, 2))]
+        # random chain cut into segments, some reversed, plus a stray part
+        segs = [[pts[i], pts[i + 1]] for i in range(7)]
+        for s in segs:
+            if rng.random() < 0.5:
+                s.reverse()
+        rng.shuffle(segs)
+        segs.append([tuple(rng.uniform(20, 30, 2)), tuple(rng.uniform(20, 30, 2))])
+        g = GeometryArray.from_pylist([("multilinestring", segs)])
+        m = K.line_merge(g)
+        assert np.isclose(K.euclidean_length(m)[0], K.euclidean_length(g)[0], rtol=1e-12)
+        typ, data = m.to_pylist()[0]
+        n_parts = 1 if typ == "linestring" else len(data)
+        assert n_parts <= 8
