@@ -912,13 +912,7 @@ def _directed_hausdorff(A: GeometryArray, B: GeometryArray, rows: np.ndarray) ->
     # Segments global: index j is a segment iff j and j+1 are in the same
     # ring; for each row, its segments are the js in [b0, b1-1) that are not
     # ring-ends. Precompute global "is segment start" then per-row gather.
-    nb_coords = len(B.coords)
-    is_seg = np.zeros(max(nb_coords - 1, 0), dtype=bool)
-    if nb_coords > 1:
-        is_seg[:] = True
-        ring_ends = B.ring_offsets[1:] - 1
-        ring_ends = ring_ends[(ring_ends >= 0) & (ring_ends < nb_coords - 1)]
-        is_seg[ring_ends] = False
+    is_seg = _seg_valid(B)
     # per-row segment indices: all j in [b0, b1-1) with is_seg[j]; plus
     # single-coord rings (their coord as a degenerate segment). For
     # simplicity treat EVERY ring-last coord as a degenerate segment too —
@@ -992,6 +986,10 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     NaN where either side is missing/empty."""
     if len(lhs) != len(rhs):
         raise ValueError("hausdorff_distance requires aligned columns of equal length")
+    # open-ring polygons: make the implicit closing edge explicit so the
+    # vertex-to-segment pass sees it (same normalization as _distance_generic)
+    lhs = _ensure_closed_rings(lhs)
+    rhs = _ensure_closed_rings(rhs)
     n = len(lhs)
     out = np.full(n, np.nan)
     a0, a1 = _coord_ranges(lhs)
@@ -1354,9 +1352,14 @@ def line_merge(ga: GeometryArray) -> GeometryArray:
     """shapely ``line_merge`` / ST_LineMerge: join a MULTILINESTRING's parts
     wherever exactly TWO line ends meet (degree-2 nodes); junction nodes
     (degree >= 3) stay split, closed chains become a single closed line.
-    Non-multiline rows pass through unchanged. Per-geometry chain walk over
-    its (few) parts; endpoint matching is exact coordinate equality, like
+    Non-multiline rows pass through unchanged (zero-copy when the column
+    holds no multilinestring at all). Per-geometry chain walk over its
+    (few) parts; endpoint matching is exact coordinate equality, like
     GEOS."""
+    from collections import defaultdict
+
+    if not (ga.types == MULTILINESTRING).any():
+        return ga
     out: list = []
     src = ga.to_pylist()
     for i, g in enumerate(src):
@@ -1368,8 +1371,6 @@ def line_merge(ga: GeometryArray) -> GeometryArray:
             out.append(g)
             continue
         # endpoint -> list of (part index, end: 0=start 1=end)
-        from collections import defaultdict
-
         node: dict = defaultdict(list)
         for pi, p in enumerate(parts):
             node[p[0]].append((pi, 0))
@@ -1447,17 +1448,22 @@ def representative_point(ga: GeometryArray) -> GeometryArray:
     ``representative_point`` / GEOS ``InteriorPoint`` semantics, not
     bit-identical to GEOS):
 
-    - polygons: the midpoint of the WIDEST inside-span of the horizontal
-      scanline through the bbox-center (nudged off any vertex y so the
-      even-odd crossing parity is well-defined) — strictly interior, holes
-      respected;
+    - polygons: the midpoint of the WIDEST inside-span of a horizontal
+      scanline through each polygon PART's own bbox-center (nudged off any
+      vertex y so the even-odd crossing parity is well-defined), widest
+      part wins per row — strictly interior, holes respected. Per-PART
+      scanlines (like GEOS InteriorPointArea, which processes each polygon
+      of a multipolygon independently) because a gapped multipolygon's
+      union-bbox center line can miss every part. Degenerate parts
+      (zero height, no crossings) fall back to the first coordinate —
+      on the boundary, hence still intersecting;
     - lines: the vertex closest to the geometry's centroid (on the line by
       construction);
     - points/multipoints: the coord closest to the centroid;
     - missing/empty: missing.
 
-    Vectorized: every (polygon row × edge) pair scores its scanline
-    crossing in one pass; spans resolve with a per-row sort + parity walk
+    Vectorized: every (polygon part × edge) pair scores its scanline
+    crossing in one pass; spans resolve with a per-part sort + parity walk
     on the (few) crossings.
     """
     n = len(ga)
@@ -1482,53 +1488,91 @@ def representative_point(ga: GeometryArray) -> GeometryArray:
         first = hit[np.searchsorted(hit, off)]
         out_x[vrows] = ga.coords[vi[first], 0]
         out_y[vrows] = ga.coords[vi[first], 1]
-    # polygons: widest scanline span
-    prows = np.flatnonzero(np.isin(ga.types, _POLY_TYPES) & (c1 > c0))
+    # polygons: widest scanline span, one scanline per polygon PART
+    ga_c = _ensure_closed_rings(ga)
+    prows = np.flatnonzero(np.isin(ga_c.types, _POLY_TYPES) & (c1 > c0))
     if len(prows):
-        xmin, ymin, xmax, ymax = bounds(ga)
-        yc = 0.5 * (ymin[prows] + ymax[prows])
-        # nudge off any vertex y (parity safety): deterministic epsilon of
-        # the bbox height, retried with growing offsets until clear
-        height = np.maximum(ymax[prows] - ymin[prows], 1e-300)
-        counts = (c1 - c0)[prows]
-        rid = np.repeat(np.arange(len(prows)), counts)
-        vi = _expand_ranges(c0[prows], c1[prows])
-        vy = ga.coords[vi, 1]
-        for k in range(1, 8):
-            on_vertex = np.zeros(len(prows), dtype=bool)
-            np.logical_or.at(on_vertex, rid, vy == yc[rid])
-            if not on_vertex.any():
-                break
-            yc = np.where(on_vertex, yc + height * (0.5 ** (k + 3)), yc)
-        # scanline crossings: every within-ring edge of every polygon row
-        is_seg = _seg_valid(ga)
-        srows_counts = np.maximum(counts - 1, 0)
-        srid = np.repeat(np.arange(len(prows)), srows_counts)
-        si = _expand_ranges(c0[prows], np.maximum(c1[prows] - 1, c0[prows]))
-        y1 = ga.coords[si, 1]
-        y2 = ga.coords[si + 1, 1]
-        x1 = ga.coords[si, 0]
-        x2 = ga.coords[si + 1, 0]
-        yq = yc[srid]
-        crosses = ((y1 > yq) != (y2 > yq)) & is_seg[si]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1 + (yq - y1) * (x2 - x1) / (y2 - y1)
-        # per-row: sort crossings, adjacent pairs alternate inside/outside
-        # starting inside after the first crossing (even-odd)
-        cross_rows = srid[crosses]
-        cross_x = xint[crosses]
-        order = np.lexsort((cross_x, cross_rows))
-        cr = cross_rows[order]
-        cx = cross_x[order]
-        cut = np.flatnonzero(np.diff(cr)) + 1
-        for rows_grp, xs_grp in zip(np.split(cr, cut), np.split(cx, cut)):
-            r = rows_grp[0]
-            if len(xs_grp) < 2:
-                continue
-            spans = xs_grp[1::2] - xs_grp[0:-1:2] if len(xs_grp) % 2 == 0 else xs_grp[1::2] - xs_grp[: len(xs_grp) - 1 : 2]
-            k = int(np.argmax(spans))
-            out_x[prows[r]] = 0.5 * (xs_grp[2 * k] + xs_grp[2 * k + 1])
-            out_y[prows[r]] = yc[r]
+        part_counts = (ga_c.geom_offsets[prows + 1] - ga_c.geom_offsets[prows]).astype(np.int64)
+        part_row = np.repeat(np.arange(len(prows)), part_counts)  # part -> prows slot
+        part_idx = _expand_ranges(ga_c.geom_offsets[prows], ga_c.geom_offsets[prows + 1])
+        pc0 = ga_c.ring_offsets[ga_c.part_offsets[part_idx]]
+        pc1 = ga_c.ring_offsets[ga_c.part_offsets[part_idx + 1]]
+        live = pc1 > pc0
+        part_row, pc0, pc1 = part_row[live], pc0[live], pc1[live]
+        n_parts = len(part_row)
+        if n_parts:
+            counts = pc1 - pc0
+            rid = np.repeat(np.arange(n_parts), counts)
+            vi = _expand_ranges(pc0, pc1)
+            vy = ga_c.coords[vi, 1]
+            off = np.zeros(n_parts, dtype=np.int64)
+            np.cumsum(counts[:-1], out=off[1:])
+            ymin_p = np.minimum.reduceat(vy, off)
+            ymax_p = np.maximum.reduceat(vy, off)
+            yc = 0.5 * (ymin_p + ymax_p)
+            # nudge off any vertex y (parity safety): deterministic epsilon
+            # of the part height, retried with growing offsets until clear
+            height = np.maximum(ymax_p - ymin_p, 1e-300)
+            for k in range(1, 8):
+                on_vertex = np.zeros(n_parts, dtype=bool)
+                np.logical_or.at(on_vertex, rid, vy == yc[rid])
+                if not on_vertex.any():
+                    break
+                yc = np.where(on_vertex, yc + height * (0.5 ** (k + 3)), yc)
+            # scanline crossings: every within-ring edge of every part
+            is_seg = _seg_valid(ga_c)
+            seg_counts = np.maximum(counts - 1, 0)
+            srid = np.repeat(np.arange(n_parts), seg_counts)
+            si = _expand_ranges(pc0, np.maximum(pc1 - 1, pc0))
+            y1 = ga_c.coords[si, 1]
+            y2 = ga_c.coords[si + 1, 1]
+            x1 = ga_c.coords[si, 0]
+            x2 = ga_c.coords[si + 1, 0]
+            yq = yc[srid]
+            crosses = ((y1 > yq) != (y2 > yq)) & is_seg[si]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (yq - y1) * (x2 - x1) / (y2 - y1)
+            # per-part: sort crossings, adjacent pairs alternate
+            # inside/outside starting inside after the first crossing
+            best_w = np.full(n_parts, -np.inf)
+            best_x = np.zeros(n_parts)
+            cross_parts = srid[crosses]
+            cross_x = xint[crosses]
+            if len(cross_parts):
+                order = np.lexsort((cross_x, cross_parts))
+                cp = cross_parts[order]
+                cx = cross_x[order]
+                cut = np.flatnonzero(np.diff(cp)) + 1
+                for parts_grp, xs_grp in zip(np.split(cp, cut), np.split(cx, cut)):
+                    if len(xs_grp) < 2:
+                        continue
+                    m = len(xs_grp) - (len(xs_grp) % 2)
+                    spans = xs_grp[1:m:2] - xs_grp[0:m:2]
+                    kk = int(np.argmax(spans))
+                    p = parts_grp[0]
+                    best_w[p] = spans[kk]
+                    best_x[p] = 0.5 * (xs_grp[2 * kk] + xs_grp[2 * kk + 1])
+            # per row: the widest-span part wins
+            rcounts = np.bincount(part_row, minlength=len(prows))
+            has = rcounts > 0
+            if has.any():
+                r_off = np.zeros(len(prows), dtype=np.int64)
+                np.cumsum(rcounts[:-1], out=r_off[1:])
+                wmax = np.maximum.reduceat(best_w, r_off[has])
+                hit = np.flatnonzero(best_w == np.repeat(wmax, rcounts[has]))
+                first = hit[np.searchsorted(hit, r_off[has])]
+                valid = np.isfinite(wmax)
+                rows_sel = np.flatnonzero(has)[valid]
+                out_x[prows[rows_sel]] = best_x[first[valid]]
+                out_y[prows[rows_sel]] = yc[first[valid]]
+        # degenerate polygons (zero-height parts, no crossings anywhere):
+        # first coordinate — on the boundary, hence still intersecting
+        miss = prows[np.isnan(out_x[prows])]
+        if len(miss):
+            # c0 indexes the PRE-closure coords; the first coord of a
+            # geometry is the same value in both arrays
+            out_x[miss] = ga.coords[c0[miss], 0]
+            out_y[miss] = ga.coords[c0[miss], 1]
     ok = ~np.isnan(out_x)
     return _points_or_missing(out_x, out_y, ok)
 
@@ -1885,6 +1929,46 @@ def _seg_valid(ga: GeometryArray) -> np.ndarray:
     return v
 
 
+def _ensure_closed_rings(ga: GeometryArray) -> GeometryArray:
+    """Return ``ga`` with every polygon/linearring ring explicitly closed
+    (first coord appended where last != first).
+
+    Open rings are a supported representation elsewhere (``area`` closes
+    implicitly via the shoelace wrap, ``strtree._crossings_and_boundary``
+    appends the closing edge), but the batched distance / containment /
+    scanline kernels enumerate explicit within-ring segments only — they
+    normalize through here first so the implicit closing edge exists.
+    Returns ``ga`` unchanged (zero-copy) when every ring is already closed,
+    the overwhelmingly common case."""
+    closeable = np.isin(ga.types, _POLY_TYPES) | (ga.types == LINEARRING)
+    if not closeable.any():
+        return ga
+    ring_counts = ga.part_offsets[ga.geom_offsets[1:]] - ga.part_offsets[ga.geom_offsets[:-1]]
+    ring_closeable = np.repeat(closeable, ring_counts)
+    rlen = ga.ring_offsets[1:] - ga.ring_offsets[:-1]
+    cand = np.flatnonzero(ring_closeable & (rlen >= 3))
+    if not len(cand):
+        return ga
+    first = ga.coords[ga.ring_offsets[:-1][cand]]
+    last = ga.coords[ga.ring_offsets[1:][cand] - 1]
+    open_rings = cand[(first != last).any(axis=1)]
+    if not len(open_rings):
+        return ga
+    need = np.zeros(len(rlen), dtype=np.int64)
+    need[open_rings] = 1
+    pos = ga.ring_offsets[1:][open_rings]
+    vals = ga.coords[ga.ring_offsets[:-1][open_rings]]
+    new_coords = np.insert(ga.coords, pos, vals, axis=0)
+    new_ring = ga.ring_offsets + np.concatenate([[0], np.cumsum(need)])
+    return GeometryArray(
+        types=ga.types,
+        geom_offsets=ga.geom_offsets,
+        part_offsets=ga.part_offsets,
+        ring_offsets=new_ring,
+        coords=new_coords,
+    )
+
+
 def _pairs_per_row(ca, cb, budget=8_000_000):
     """Yield (live_rows, vi, cj, prow) chunks of per-row cross products
     between index ranges ca=(starts,ends) and cb=(starts,ends)."""
@@ -1920,17 +2004,27 @@ def _min_vert_to_side(A: GeometryArray, B: GeometryArray, rows: np.ndarray,
     b0, b1 = _coord_ranges(B)
     is_seg = _seg_valid(B)
     ca = (a0[rows], a1[rows])
-    # point pass ONLY for rows whose B side has no real segment (isolated
-    # points / multipoints): segment projections with t-clamping already
-    # cover every segment endpoint, so running both would double the work
+    # point pass only for rows whose B side has a coord NOT covered by the
+    # segment pass: segment projections with t-clamping already cover every
+    # segment endpoint, so the pass is needed exactly when B has no real
+    # segment at all OR has an isolated single-coord ring mixed in with
+    # segments (e.g. multilinestring [[a,b],[c]] — c sits in no segment)
     if len(is_seg):
         seg_counts = _range_sums(is_seg.astype(np.float64), b0[rows],
                                  np.maximum(b1[rows] - 1, b0[rows]))
         no_seg = seg_counts == 0
     else:
         no_seg = np.ones(len(rows), dtype=bool)
-    pt_b0 = np.where(no_seg, b0[rows], b0[rows])
-    pt_b1 = np.where(no_seg, b1[rows], b0[rows])  # empty range when segs exist
+    rlen = B.ring_offsets[1:] - B.ring_offsets[:-1]
+    iso = np.zeros(len(B.coords), dtype=bool)
+    solo = np.flatnonzero(rlen == 1)
+    if len(solo):
+        iso[B.ring_offsets[:-1][solo]] = True
+    iso_counts = _range_sums(iso.astype(np.float64), b0[rows], b1[rows]) \
+        if len(iso) else np.zeros(len(rows))
+    run_pts = no_seg | (iso_counts > 0)
+    pt_b0 = b0[rows]
+    pt_b1 = np.where(run_pts, b1[rows], b0[rows])  # empty range when covered
     for sel, vi, cj, prow in _pairs_per_row(ca, (pt_b0, pt_b1)):
         dq = A.coords[vi] - B.coords[cj]
         d2 = dq[:, 0] ** 2 + dq[:, 1] ** 2
@@ -2055,6 +2149,11 @@ def _distance_generic(lhs: GeometryArray, rhs: GeometryArray, rows: np.ndarray) 
     polygon containment of the other side's representative vertex (one
     vertex suffices: partial overlaps are already zeroed by the crossing
     test). All expansions budget-chunked like hausdorff."""
+    # open-ring polygons carry an implicit closing edge the explicit-segment
+    # enumeration below would otherwise miss (wrong distances AND broken
+    # containment parity)
+    lhs = _ensure_closed_rings(lhs)
+    rhs = _ensure_closed_rings(rhs)
     d2min = np.full(len(rows), np.inf)
     _min_vert_to_side(lhs, rhs, rows, d2min)
     # mirrored direction

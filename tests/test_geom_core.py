@@ -1046,3 +1046,73 @@ def test_line_merge():
         typ, data = m.to_pylist()[0]
         n_parts = 1 if typ == "linestring" else len(data)
         assert n_parts <= 8
+
+
+def test_representative_point_gapped_multipolygon():
+    # the union-bbox center scanline (y=5) misses BOTH parts; per-part
+    # scanlines must still find an interior point (third-review regression)
+    mp = ("multipolygon", [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]],
+                           [[(0.0, 9.0), (1.0, 9.0), (1.0, 10.0), (0.0, 10.0), (0.0, 9.0)]]])
+    rp = K.representative_point(GeometryArray.from_pylist([mp])).to_pylist()[0]
+    assert rp is not None and rp[0] == "point"
+    x, y = rp[1]
+    assert 0.0 < x < 1.0 and (0.0 < y < 1.0 or 9.0 < y < 10.0)
+    # widest part wins: a 10-wide part beats a 1-wide part
+    mp2 = ("multipolygon", [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]],
+                            [[(0.0, 9.0), (10.0, 9.0), (10.0, 10.0), (0.0, 10.0), (0.0, 9.0)]]])
+    rp2 = K.representative_point(GeometryArray.from_pylist([mp2])).to_pylist()[0]
+    assert 9.0 < rp2[1][1] < 10.0
+
+
+def test_representative_point_degenerate_only_batch():
+    # a batch whose only polygon rows have zero scanline crossings used to
+    # raise IndexError on rows_grp[0] over an empty split; now it falls back
+    # to a boundary coordinate
+    deg = ("polygon", [[(0.0, 0.0), (5.0, 0.0), (10.0, 0.0), (0.0, 0.0)]])  # zero height
+    out = K.representative_point(GeometryArray.from_pylist([deg])).to_pylist()
+    assert out[0] == ("point", (0.0, 0.0))
+
+
+def test_representative_point_open_ring():
+    # open rings carry an implicit closing edge; parity must see it
+    op = ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)]])
+    rp = K.representative_point(GeometryArray.from_pylist([op])).to_pylist()[0]
+    assert rp is not None
+    x, y = rp[1]
+    assert 0.0 < x < 10.0 and 0.0 < y < 10.0
+
+
+def test_distance_open_ring_polygon():
+    # area() treats open rings as closed (implicit last->first edge); the
+    # batched distance kernel must agree on both containment and the edge
+    op = ("polygon", [[(10.0, 10.0), (0.0, 10.0), (0.0, 0.0), (10.0, 0.0)]])
+    ga = GeometryArray.from_pylist([op, op])
+    pts = GeometryArray.from_pylist([("point", (5.0, 5.0)), ("point", (12.0, 5.0))])
+    d = K.distance(ga, pts)
+    assert d[0] == 0.0          # strictly inside
+    assert np.isclose(d[1], 2.0)  # nearest edge is the IMPLICIT closing edge x=10
+    # hausdorff also sees the closing edge: a multipoint covering every
+    # corner (poly->pts direction = 0) plus (11,5), whose nearest feature
+    # is the implicit x=10 edge (1.0 closed vs ~5.1 treating the ring open)
+    mp = ("multipoint", [(10.0, 10.0), (0.0, 10.0), (0.0, 0.0), (10.0, 0.0), (11.0, 5.0)])
+    h = K.hausdorff_distance(GeometryArray.from_pylist([mp]), GeometryArray.from_pylist([op]))
+    assert np.isclose(h[0], 1.0)
+
+
+def test_distance_isolated_points_both_sides():
+    # nearest pair is isolated-coord <-> isolated-coord: neither the
+    # vertex-to-segment passes nor a no-segment-gated point pass covers it
+    A = ("multilinestring", [[(100.0, 100.0), (101.0, 100.0)], [(0.0, 0.0)]])
+    B = ("multilinestring", [[(-100.0, -100.0), (-101.0, -100.0)], [(0.0, 1.0)]])
+    d = K.distance(GeometryArray.from_pylist([A]), GeometryArray.from_pylist([B]))
+    assert np.isclose(d[0], 1.0)
+
+
+def test_line_merge_passthrough_zero_copy():
+    # a column with no multilinestring returns the SAME array object
+    ga = GeometryArray.from_pylist([
+        ("linestring", [(0.0, 0.0), (1.0, 1.0)]),
+        ("polygon", [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]]),
+        None,
+    ])
+    assert K.line_merge(ga) is ga
