@@ -492,6 +492,37 @@ class GeoDataset:
             )
         )
 
+    def overlay(self, other_col: str, how: str = "intersection") -> "GeoDataset":
+        """Row-wise polygon boolean overlay vs an aligned geometry column
+        (GeoPandas GeoSeries set-op semantics: the geometry column is
+        replaced by the result; empty results become null). ``how`` is one
+        of intersection / union / difference / symmetric_difference.
+        Arbitrary operands: concave, holes, multi-part, even-odd fill —
+        `geom/overlay.py` (beyond-reference: GeoPolars has no overlay)."""
+        from geopolars_ray.stages.geo import geo_overlay
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_overlay(self.geometry_col, other_col, how), batch_format="pyarrow"
+            )
+        )
+
+    def intersection(self, other_col: str) -> "GeoDataset":
+        """Row-wise A ∩ B vs an aligned geometry column (shapely parity)."""
+        return self.overlay(other_col, "intersection")
+
+    def union(self, other_col: str) -> "GeoDataset":
+        """Row-wise A ∪ B vs an aligned geometry column (shapely parity)."""
+        return self.overlay(other_col, "union")
+
+    def difference(self, other_col: str) -> "GeoDataset":
+        """Row-wise A − B vs an aligned geometry column (shapely parity)."""
+        return self.overlay(other_col, "difference")
+
+    def symmetric_difference(self, other_col: str) -> "GeoDataset":
+        """Row-wise A ⊕ B vs an aligned geometry column (shapely parity)."""
+        return self.overlay(other_col, "symmetric_difference")
+
     def interpolate(self, distance, normalized: bool = False) -> "GeoDataset":
         """Point at ``distance`` along each line (shapely ``interpolate``;
         negative measures from the end, ``normalized`` = fraction of length).

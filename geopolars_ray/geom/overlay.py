@@ -1,0 +1,639 @@
+"""General polygon boolean overlay — sweep-line subdivision + parity labels.
+
+``intersection`` / ``union`` / ``difference`` / ``symmetric_difference``
+between two arbitrary polygon operands: concave, with holes, multi-part,
+in any ring orientation (inputs are interpreted with EVEN-ODD fill, so
+orientation never matters — a "hole" crossing its own outer ring is a
+legal even-odd region, not an error). This closes the documented r3/r4
+gap "general CONCAVE x concave overlays remain out of scope" — the
+reference itself has no overlay ops (its `geo`-crate surface stops at
+predicates, `geopolars/geopolars-geo/src/ops`), so this exceeds
+reference parity the same way the writers do.
+
+Design (two public, widely reimplemented building blocks):
+
+1. **Subdivision** uses the Bentley–Ottmann sweep exactly as in Martinez,
+   Rueda, Feito 2009 ("A new algorithm for computing Boolean operations
+   on polygons", Computers & Geosciences 35): every edge of both operands
+   becomes a (left, right) event pair in a priority queue ordered by x
+   then y; a status structure holds segments crossing the sweep line in
+   vertical order; on insertion/removal neighbor pairs are intersected
+   and SUBDIVIDED at intersection points (including partial/contained
+   collinear overlaps). After the sweep, no two edges cross or partially
+   overlap — only exact duplicates remain.
+2. **Labeling** departs from Martinez's incremental inOut/otherInOut
+   transition flags (which assume each operand's rings never cross each
+   other) in favor of exact even-odd PARITY labels computed on the
+   subdivided arrangement: identical edges are grouped with a per-operand
+   multiplicity, and for each unique edge the crossing parity of each
+   operand strictly below the edge midpoint is counted with the standard
+   half-open ray-cast rule (vectorized NumPy, one n x n pass per
+   geometry). The parity above = parity below XOR multiplicity; vertical
+   edges use left/right limit probes instead. An edge is a result
+   boundary iff the operation's predicate (AND / OR / AND-NOT / XOR of
+   the two parities) differs between its two sides. This labeling is
+   total: self-crossing rings, rings crossing sibling rings of the same
+   operand, and collinear overlaps WITHIN one operand (multiplicity-2
+   parity cancellation) all label correctly, where transition-flag
+   propagation silently corrupts.
+3. Kept edges connect into rings by an angular walk: at each node the
+   continuation is the tightest CCW turn from the reversed incoming
+   direction (at 4-valent crossing nodes this pairs angularly adjacent
+   edges, so traced rings never self-cross); a containment post-pass
+   assigns hole depth (exterior rings CCW at even depth, holes CW —
+   probe = first-edge midpoint, even-odd ray cast).
+
+Scale note: overlay is inherently per-geometry O((n+k) log n) sweep work
+plus an O(n^2) vectorized parity pass, with data-dependent control flow —
+it does not vectorize across the coordinate axis like the other kernels
+(GEOS pays the same shape). The Ray-scale story is ROW parallelism: the
+stage wrapper runs this inside ``map_batches``, so blocks of rows overlay
+concurrently across the cluster; per-row cost is the algorithmic minimum.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import defaultdict
+from itertools import count
+
+import numpy as np
+
+SUBJECT = 0
+CLIPPING = 1
+
+OPS = ("intersection", "union", "difference", "symmetric_difference")
+
+_seq = count()
+
+
+class _Event:
+    __slots__ = ("x", "y", "left", "other", "pol", "seq")
+
+    def __init__(self, x: float, y: float, left: bool, pol: int):
+        self.x = x
+        self.y = y
+        self.left = left
+        self.other: "_Event" = None  # type: ignore[assignment]
+        self.pol = pol
+        self.seq = next(_seq)
+
+    # segment helpers ------------------------------------------------------
+    def seg_below_point(self, px: float, py: float) -> bool:
+        """True if this event's SEGMENT lies below point (px, py)."""
+        if self.left:
+            return _area(self.x, self.y, self.other.x, self.other.y, px, py) > 0
+        return _area(self.other.x, self.other.y, self.x, self.y, px, py) > 0
+
+    # heapq support (queue order via _evt_before; seq breaks exact ties)
+    def __lt__(self, o: "_Event") -> bool:
+        b = _evt_before(self, o)
+        if b != _evt_before(o, self):
+            return b
+        return self.seq < o.seq
+
+
+def _area(ax, ay, bx, by, cx, cy) -> float:
+    """Twice the signed area of triangle abc (positive = CCW)."""
+    return (ax - cx) * (by - cy) - (bx - cx) * (ay - cy)
+
+
+def _evt_before(e1: _Event, e2: _Event) -> bool:
+    """Queue order: does e1 process before e2?"""
+    if e1.x != e2.x:
+        return e1.x < e2.x
+    if e1.y != e2.y:
+        return e1.y < e2.y
+    if e1.left != e2.left:
+        return not e1.left  # right endpoints first
+    a = _area(e1.x, e1.y, e1.other.x, e1.other.y, e2.other.x, e2.other.y)
+    if a != 0:
+        # same point, same kind: the event whose segment is below first
+        return e1.seg_below_point(e2.other.x, e2.other.y)
+    return e1.pol < e2.pol
+
+
+def _seg_below(e1: _Event, e2: _Event) -> bool:
+    """Status order: is e1's segment below e2's at the sweep position?
+    Only valid for left events currently coexisting in the status."""
+    if e1 is e2:
+        return False
+    if (_area(e1.x, e1.y, e1.other.x, e1.other.y, e2.x, e2.y) != 0
+            or _area(e1.x, e1.y, e1.other.x, e1.other.y, e2.other.x, e2.other.y) != 0):
+        # not collinear
+        if e1.x == e2.x and e1.y == e2.y:
+            return e1.seg_below_point(e2.other.x, e2.other.y)
+        if _evt_before(e1, e2):
+            # T-junction tie: e2's left point may lie EXACTLY ON e1's
+            # segment — order by where e2 heads (its other endpoint)
+            if _area(e1.x, e1.y, e1.other.x, e1.other.y, e2.x, e2.y) == 0:
+                return e1.seg_below_point(e2.other.x, e2.other.y)
+            return e1.seg_below_point(e2.x, e2.y)
+        if _area(e2.x, e2.y, e2.other.x, e2.other.y, e1.x, e1.y) == 0:
+            return not e2.seg_below_point(e1.other.x, e1.other.y)
+        return not e2.seg_below_point(e1.x, e1.y)
+    # collinear segments
+    if e1.pol != e2.pol:
+        return e1.pol < e2.pol
+    if e1.x == e2.x and e1.y == e2.y:
+        return e1.seq < e2.seq
+    return _evt_before(e1, e2)
+
+
+def _find_intersection(a0, a1, b0, b1):
+    """Segment intersection: (0,) | (1, p) | (2, p0, p1) — p0/p1 span the
+    collinear overlap. Endpoint-snapped so shared endpoints come back
+    exactly as the input coordinate."""
+    dax, day = a1[0] - a0[0], a1[1] - a0[1]
+    dbx, dby = b1[0] - b0[0], b1[1] - b0[1]
+    ex, ey = b0[0] - a0[0], b0[1] - a0[1]
+    denom = dax * dby - day * dbx
+    if denom != 0:
+        s = (ex * dby - ey * dbx) / denom
+        if s < 0 or s > 1:
+            return (0,)
+        t = (ex * day - ey * dax) / denom
+        if t < 0 or t > 1:
+            return (0,)
+        # snap to exact endpoints when the parameter lands there
+        if s == 0:
+            return (1, a0)
+        if s == 1:
+            return (1, a1)
+        if t == 0:
+            return (1, b0)
+        if t == 1:
+            return (1, b1)
+        return (1, (a0[0] + s * dax, a0[1] + s * day))
+    # parallel
+    if ex * day - ey * dax != 0:
+        return (0,)
+    # collinear: overlap interval via projection on the dominant axis
+    if abs(dax) >= abs(day):
+        key = 0
+    else:
+        key = 1
+    lo_a, hi_a = (a0, a1) if a0[key] <= a1[key] else (a1, a0)
+    lo_b, hi_b = (b0, b1) if b0[key] <= b1[key] else (b1, b0)
+    lo = lo_a if lo_a[key] >= lo_b[key] else lo_b
+    hi = hi_a if hi_a[key] <= hi_b[key] else hi_b
+    if lo[key] > hi[key]:
+        return (0,)
+    if lo[key] == hi[key]:
+        return (1, lo)
+    return (2, lo, hi)
+
+
+class _Sweep:
+    """Bentley–Ottmann pass whose ONLY job is subdivision: after run(),
+    the collected segments form an arrangement where any two edges are
+    either disjoint, share endpoints, or are exact duplicates."""
+
+    def __init__(self):
+        self.queue: list[_Event] = []
+        self.status: list[_Event] = []
+        self.events: list[_Event] = []  # every processed left/right event
+
+    # -- event construction --------------------------------------------
+    def add_ring(self, ring, pol: int) -> None:
+        n = len(ring)
+        for i in range(n):
+            p = ring[i]
+            q = ring[(i + 1) % n]
+            if p == q:
+                continue  # degenerate edge
+            e1 = _Event(p[0], p[1], False, pol)
+            e2 = _Event(q[0], q[1], False, pol)
+            e1.other = e2
+            e2.other = e1
+            if _evt_before(e1, e2):
+                e1.left = True
+            else:
+                e2.left = True
+            heapq.heappush(self.queue, e1)
+            heapq.heappush(self.queue, e2)
+
+    # -- status helpers --------------------------------------------------
+    def _insert(self, ev: _Event) -> int:
+        lo, hi = 0, len(self.status)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _seg_below(self.status[mid], ev):
+                lo = mid + 1
+            else:
+                hi = mid
+        self.status.insert(lo, ev)
+        return lo
+
+    # -- subdivision -------------------------------------------------------
+    def _divide(self, le: _Event, p) -> None:
+        """Split left event le's segment at interior point p."""
+        r = _Event(p[0], p[1], False, le.pol)
+        r.other = le
+        l = _Event(p[0], p[1], True, le.pol)
+        l.other = le.other
+        if _evt_before(le.other, l):
+            # rounding pathologies: division point sorts after the right
+            # endpoint — swap the half's endpoint roles
+            le.other.left = True
+            l.left = False
+        le.other.other = l
+        le.other = r
+        heapq.heappush(self.queue, l)
+        heapq.heappush(self.queue, r)
+
+    def _possible_intersection(self, e1: _Event, e2: _Event) -> None:
+        res = _find_intersection((e1.x, e1.y), (e1.other.x, e1.other.y),
+                                 (e2.x, e2.y), (e2.other.x, e2.other.y))
+        if res[0] == 0:
+            return
+        if res[0] == 1:
+            p = res[1]
+            if (e1.x, e1.y) == (e2.x, e2.y) or \
+               (e1.other.x, e1.other.y) == (e2.other.x, e2.other.y):
+                return  # share an endpoint on the same side: no action
+            if p != (e1.x, e1.y) and p != (e1.other.x, e1.other.y):
+                self._divide(e1, p)
+            if p != (e2.x, e2.y) and p != (e2.other.x, e2.other.y):
+                self._divide(e2, p)
+            return
+        # collinear overlap (same or different operand): subdivide so the
+        # overlapping portions become EXACT duplicates — the parity
+        # labeling then cancels/keeps them by multiplicity
+        left_coincide = (e1.x, e1.y) == (e2.x, e2.y)
+        right_coincide = (e1.other.x, e1.other.y) == (e2.other.x, e2.other.y)
+        lefts = [] if left_coincide else (
+            [e2, e1] if _evt_before(e2, e1) else [e1, e2])
+        rights = [] if right_coincide else (
+            [e2.other, e1.other] if _evt_before(e2.other, e1.other)
+            else [e1.other, e2.other])
+        if left_coincide:
+            # both start together: split the longer tail
+            if not right_coincide:
+                self._divide(rights[1].other, (rights[0].x, rights[0].y))
+            return
+        if right_coincide:
+            self._divide(lefts[0], (lefts[1].x, lefts[1].y))
+            return
+        if lefts[0] is not rights[1].other:
+            # partial overlap: neither contains the other
+            self._divide(lefts[0], (lefts[1].x, lefts[1].y))
+            self._divide(lefts[1], (rights[0].x, rights[0].y))
+            return
+        # one segment contains the other
+        self._divide(lefts[0], (lefts[1].x, lefts[1].y))
+        self._divide(rights[1].other, (rights[0].x, rights[0].y))
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> list[_Event]:
+        status = self.status
+        while self.queue:
+            ev = heapq.heappop(self.queue)
+            self.events.append(ev)
+            if ev.left:
+                idx = self._insert(ev)
+                nxt = status[idx + 1] if idx + 1 < len(status) else None
+                if nxt is not None:
+                    self._possible_intersection(ev, nxt)
+                prev = status[idx - 1] if idx > 0 else None
+                if prev is not None:
+                    self._possible_intersection(prev, ev)
+            else:
+                le = ev.other
+                try:
+                    idx = status.index(le)
+                except ValueError:
+                    continue  # already removed (defensive)
+                prev = status[idx - 1] if idx > 0 else None
+                nxt = status[idx + 1] if idx + 1 < len(status) else None
+                status.pop(idx)
+                if prev is not None and nxt is not None:
+                    self._possible_intersection(prev, nxt)
+        return self.events
+
+
+def _collect_groups(events: list[_Event]):
+    """Final subdivided segments, grouped by exact canonical endpoints.
+
+    Returns (p_lo, p_hi, mult_subject, mult_clipping) per unique segment,
+    with p_lo < p_hi lexicographically.
+    """
+    groups: dict[tuple, list[int]] = {}
+    seen: set[int] = set()
+    for e in events:
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        seen.add(id(e.other))
+        p = (e.x, e.y)
+        q = (e.other.x, e.other.y)
+        if p == q:
+            continue  # zero-length fragment (rounding)
+        key = (p, q) if p < q else (q, p)
+        m = groups.setdefault(key, [0, 0])
+        m[e.pol] += 1
+    return [(k[0], k[1], m[0], m[1]) for k, m in groups.items()]
+
+
+def _label_keep(groups, operation: str) -> list[tuple]:
+    """Even-odd parity labeling of the subdivided arrangement.
+
+    For each unique edge, the operation predicate is evaluated on the
+    (subject-parity, clipping-parity) of the regions on its two sides;
+    the edge is kept iff the predicate differs across sides. Non-vertical
+    edges probe strictly-below parity at the midpoint x with the
+    half-open [x_lo, x_hi) span rule (right-limit convention) and derive
+    the above-parity by XOR with the edge group's own multiplicity;
+    vertical edges probe the left/right limits instead. After sweep
+    subdivision no edge endpoint lies in another edge's interior, so
+    every comparison below is exact except for near-parallel float
+    coincidences — the same tolerance class as the sweep itself. The
+    probe x strip dimension is chunked so peak memory stays O(n * 512)
+    regardless of geometry size.
+    """
+    n = len(groups)
+    x1 = np.fromiter((g[0][0] for g in groups), dtype=np.float64, count=n)
+    y1 = np.fromiter((g[0][1] for g in groups), dtype=np.float64, count=n)
+    x2 = np.fromiter((g[1][0] for g in groups), dtype=np.float64, count=n)
+    y2 = np.fromiter((g[1][1] for g in groups), dtype=np.float64, count=n)
+    mS = np.fromiter((g[2] for g in groups), dtype=np.int64, count=n)
+    mC = np.fromiter((g[3] for g in groups), dtype=np.int64, count=n)
+    mx = 0.5 * (x1 + x2)
+    my = 0.5 * (y1 + y2)
+    vert = x1 == x2
+    dx = np.where(vert, 1.0, x2 - x1)
+    slope = (y2 - y1) / dx
+    s_r = np.empty(n, dtype=np.int64)
+    c_r = np.empty(n, dtype=np.int64)
+    s_l = np.empty(n, dtype=np.int64)
+    c_l = np.empty(n, dtype=np.int64)
+    chunk = 512
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pxs = mx[lo:hi][None, :]  # (1, c) probe columns
+        # y of every segment j evaluated at each probe x: (j, c)
+        yat = y1[:, None] + (pxs - x1[:, None]) * slope[:, None]
+        below = yat < my[lo:hi][None, :]
+        not_self = np.ones((n, hi - lo), dtype=bool)
+        not_self[np.arange(lo, hi), np.arange(hi - lo)] = False
+        # right-limit: x1j <= px < x2j ; left-limit: x1j < px <= x2j
+        span_r = (x1[:, None] <= pxs) & (pxs < x2[:, None])
+        span_l = (x1[:, None] < pxs) & (pxs <= x2[:, None])
+        cross_r = span_r & below & not_self
+        cross_l = span_l & below & not_self
+        s_r[lo:hi] = (mS[:, None] * cross_r).sum(axis=0) & 1
+        c_r[lo:hi] = (mC[:, None] * cross_r).sum(axis=0) & 1
+        s_l[lo:hi] = (mS[:, None] * cross_l).sum(axis=0) & 1
+        c_l[lo:hi] = (mC[:, None] * cross_l).sum(axis=0) & 1
+
+    def inside(s, c):
+        if operation == "intersection":
+            return s & c
+        if operation == "union":
+            return s | c
+        if operation == "difference":
+            return s & (1 - c)
+        return s ^ c  # symmetric_difference
+
+    # side A / side B of each edge: below vs above for non-vertical
+    # (above-parity = below-parity XOR own multiplicity), left vs right
+    # limits for vertical
+    side_a = np.where(vert, inside(s_l, c_l), inside(s_r, c_r))
+    side_b = np.where(vert, inside(s_r, c_r),
+                      inside(s_r ^ (mS & 1), c_r ^ (mC & 1)))
+    keep = side_a != side_b
+    return [(groups[i][0], groups[i][1]) for i in np.flatnonzero(keep)]
+
+
+def _connect_edges(segments: list[tuple]) -> list[list[tuple]]:
+    """Assemble kept (undirected, unique) boundary edges into closed
+    rings. Deterministic start: segments in lexicographic order; at each
+    node the continuation is the tightest CCW turn from the REVERSED
+    incoming direction. At 4-valent crossing nodes (two result rings
+    touching — every xor crossing is one) this always pairs
+    angularly-adjacent edges, so traced rings never cross; a positional
+    scan can weave a self-crossing "butterfly" ring there instead."""
+    at_point: dict[tuple, list[int]] = defaultdict(list)
+    for i, (p, q) in enumerate(segments):
+        at_point[p].append(i)
+        at_point[q].append(i)
+    used = [False] * len(segments)
+    order = sorted(range(len(segments)), key=lambda i: segments[i])
+    rings: list[list[tuple]] = []
+    for i0 in order:
+        if used[i0]:
+            continue
+        p0, q0 = segments[i0]
+        start, cur = (p0, q0) if p0 < q0 else (q0, p0)
+        used[i0] = True
+        ring = [start]
+        prev_pt = start
+        closed = False
+        while True:
+            if cur == start:
+                closed = True
+                break
+            ring.append(cur)
+            cands = [j for j in at_point.get(cur, ()) if not used[j]]
+            if not cands:
+                break  # open chain (numerical degeneracy) — dropped
+            if len(cands) == 1:
+                j = cands[0]
+            else:
+                ref = math.atan2(prev_pt[1] - cur[1], prev_pt[0] - cur[0])
+                j, best_turn = -1, None
+                for k in cands:
+                    a, b = segments[k]
+                    w = b if a == cur else a
+                    ang = math.atan2(w[1] - cur[1], w[0] - cur[0])
+                    turn = (ang - ref) % (2.0 * math.pi)
+                    if turn == 0.0:
+                        turn = 2.0 * math.pi  # exact back-track last
+                    if best_turn is None or turn < best_turn:
+                        j, best_turn = k, turn
+            used[j] = True
+            a, b = segments[j]
+            prev_pt, cur = cur, (b if a == cur else a)
+        if closed and len(ring) >= 3:
+            rings.append(ring)
+    return rings
+
+
+def _ring_signed_area(ring) -> float:
+    s = 0.0
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return 0.5 * s
+
+
+def _point_in_ring(px: float, py: float, ring) -> bool:
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+def _assemble(rings: list[list[tuple]]):
+    """Group rings into ("multipolygon", ...) structure by containment
+    depth: exteriors (even depth) CCW, their holes (odd depth) CW. Probe =
+    first-edge midpoint (never a shared vertex)."""
+    if not rings:
+        return None
+    order = sorted(range(len(rings)),
+                   key=lambda i: -abs(_ring_signed_area(rings[i])))
+    depth = [0] * len(rings)
+    parent = [-1] * len(rings)
+    for oi, i in enumerate(order):
+        r = rings[i]
+        px = 0.5 * (r[0][0] + r[1][0])
+        py = 0.5 * (r[0][1] + r[1][1])
+        # immediate parent: the SMALLEST larger ring containing the probe —
+        # scan larger rings from smallest to largest
+        for j in reversed(order[:oi]):
+            if _point_in_ring(px, py, rings[j]):
+                parent[i] = j
+                depth[i] = depth[j] + 1
+                break
+    polys = {}
+    for i in order:
+        if depth[i] % 2 == 0:
+            ring = rings[i]
+            if _ring_signed_area(ring) < 0:
+                ring = ring[::-1]
+            polys[i] = [ring + [ring[0]]]  # closed-ring output convention
+    for i in range(len(rings)):
+        if depth[i] % 2 == 1:
+            ring = rings[i]
+            if _ring_signed_area(ring) > 0:
+                ring = ring[::-1]
+            polys[parent[i]].append(ring + [ring[0]])
+    parts = [polys[i] for i in sorted(polys)]
+    return ("multipolygon", parts)
+
+
+def _clean_ring(r) -> list[tuple]:
+    """Tuple-ize, drop consecutive duplicate coords and the closing dup."""
+    out: list[tuple] = []
+    for p in r:
+        t = (p[0], p[1])
+        if not out or out[-1] != t:
+            out.append(t)
+    if len(out) > 1 and out[0] == out[-1]:
+        out.pop()
+    return out
+
+
+def _rings_of(geom) -> list:
+    if geom is None:
+        return []
+    t, data = geom
+    if t == "polygon":
+        rings = data
+    elif t == "multipolygon":
+        rings = [r for poly in data for r in poly]
+    else:
+        raise TypeError(f"overlay requires polygonal operands, got {t!r}")
+    cleaned = (_clean_ring(r) for r in rings)
+    return [r for r in cleaned if len(r) >= 3]
+
+
+def _bbox(rings):
+    xs = [p[0] for r in rings for p in r]
+    ys = [p[1] for r in rings for p in r]
+    return min(xs), min(ys), max(xs), max(ys)
+
+
+def boolean_op(subject, clipping, operation: str):
+    """Overlay two polygon geometries (pylist tuple form). Returns a
+    ("multipolygon", parts) tuple, or None for an empty result. Inputs are
+    even-odd interpreted; either input may be None/empty."""
+    if operation not in OPS:
+        raise ValueError(f"operation must be one of {OPS}, got {operation!r}")
+    s_rings = _rings_of(subject)
+    c_rings = _rings_of(clipping)
+    # trivial operands
+    if not s_rings or not c_rings:
+        if operation == "intersection":
+            return None
+        if operation == "difference":
+            return _assemble_input(s_rings) if s_rings else None
+        rings = s_rings or c_rings
+        return _assemble_input(rings) if rings else None
+    # disjoint bboxes: no edge interaction
+    sb = _bbox(s_rings)
+    cb = _bbox(c_rings)
+    if sb[2] < cb[0] or cb[2] < sb[0] or sb[3] < cb[1] or cb[3] < sb[1]:
+        if operation == "intersection":
+            return None
+        if operation == "difference":
+            return _assemble_input(s_rings)
+        return _assemble_input(s_rings + c_rings)
+    sweep = _Sweep()
+    for r in s_rings:
+        sweep.add_ring(r, SUBJECT)
+    for r in c_rings:
+        sweep.add_ring(r, CLIPPING)
+    events = sweep.run()
+    groups = _collect_groups(events)
+    kept = _label_keep(groups, operation)
+    rings = _connect_edges(kept)
+    return _assemble(rings)
+
+
+def _assemble_input(rings: list) -> tuple | None:
+    """Assemble RAW input rings (one operand, no interaction with the
+    other) into the output structure. Input rings may still self-cross or
+    overlap under even-odd fill, so run them through the same
+    subdivide + parity pipeline as a single-operand identity op."""
+    if not rings:
+        return None
+    sweep = _Sweep()
+    for r in rings:
+        sweep.add_ring(r, SUBJECT)
+    events = sweep.run()
+    groups = _collect_groups(events)
+    kept = _label_keep(groups, "union")  # parity of S alone (C empty)
+    return _assemble(_connect_edges(kept))
+
+
+def overlay_pylist(lhs: list, rhs: list, operation: str) -> list:
+    """Row-wise overlay over two aligned pylist geometry columns."""
+    out = []
+    for a, b in zip(lhs, rhs):
+        if a is None and b is None:
+            out.append(None)
+            continue
+        out.append(boolean_op(a, b, operation))
+    return out
+
+
+def overlay_arrays(lga, rga, operation: str):
+    """Row-wise boolean overlay between two aligned GeometryArrays.
+
+    Polygonal rows only (polygon/multipolygon; None passes through, and a
+    None on ONE side behaves as the empty region — so e.g. difference
+    against a null clip returns the subject). Single-part results collapse
+    to POLYGON, multi-part stay MULTIPOLYGON, empty results are None.
+    """
+    from geopolars_ray.geom.array import GeometryArray
+
+    out = []
+    for a, b in zip(lga.to_pylist(), rga.to_pylist()):
+        if a is None and b is None:
+            out.append(None)
+            continue
+        g = boolean_op(a, b, operation)
+        if g is not None and len(g[1]) == 1:
+            g = ("polygon", g[1][0])
+        out.append(g)
+    return GeometryArray.from_pylist(out)

@@ -405,6 +405,33 @@ def geo_hausdorff(
     return fn
 
 
+def geo_overlay(
+    left_col: str, right_col: str, operation: str, out_col: str | None = None
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise polygon boolean overlay between two aligned geometry
+    columns (`geom/overlay.py boolean_op` — sweep-line subdivision +
+    even-odd parity labels). ``operation`` is one of intersection / union /
+    difference / symmetric_difference. The result REPLACES ``left_col``
+    (GeoPandas GeoSeries semantics) unless ``out_col`` names a new WKB
+    column. Beyond-reference: the reference has no overlay ops."""
+    from geopolars_ray.geom.overlay import OPS, overlay_arrays
+
+    if operation not in OPS:
+        raise ValueError(f"operation must be one of {OPS}, got {operation!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, enc = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        res = overlay_arrays(lga, rga, operation)
+        if out_col is None:
+            return _set_geometry(batch, left_col, res, enc)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, encode_wkb(res))
+
+    return fn
+
+
 def geo_project(
     line_col: str, point_col: str, out_col: str = "measure", normalized: bool = False
 ) -> Callable[[pa.Table], pa.Table]:
