@@ -332,7 +332,11 @@ class GeoDataset:
         return self._apply("clip_by_convex", ring=ring)
 
     def buffer(self, distance: float, quad_segs: int = 8) -> "GeoDataset":
-        """Point buffer (circular 4*quad_segs-gon); non-point rows raise."""
+        """Buffer of ANY geometry type (shapely ``buffer`` semantics,
+        round caps/joins as 4*quad_segs-gon circles). Points take the
+        vectorized fast path; lines/polygons build the Minkowski sum on
+        the overlay engine; negative distance erodes polygons
+        (`geom/buffer.py` — empty erosions become null rows)."""
         return self._apply("buffer", distance=distance, quad_segs=quad_segs)
 
     def geodesic_buffer(self, distance_m: float, quad_segs: int = 8) -> "GeoDataset":

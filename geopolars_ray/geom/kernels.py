@@ -2401,8 +2401,9 @@ def buffer_points(ga: GeometryArray, distance: float, quad_segs: int = 8) -> Geo
     dominant buffer use in join pipelines: buffer points, then sjoin).
 
     Fully vectorized: one (n_points, k, 2) broadcast. Only Point rows are
-    supported — line/polygon offset curves need a full Minkowski/offset
-    construction, which is deliberately NOT faked; non-point input raises.
+    supported HERE — the registry's "buffer" kernel dispatches non-point
+    rows to the general Minkowski construction in `geom/buffer.py`
+    (overlay-based); calling this kernel directly with them raises.
     Missing rows pass through as missing. ``distance <= 0`` raises.
 
     The inscribed regular k-gon has area ``0.5 * k * d^2 * sin(2*pi/k)``

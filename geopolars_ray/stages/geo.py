@@ -35,6 +35,12 @@ def _clip_by_rect(ga: GeometryArray, xmin: float, ymin: float, xmax: float, ymax
     return clip_by_rect(ga, xmin, ymin, xmax, ymax)
 
 
+def _buffer_geoms(ga: GeometryArray, distance: float, quad_segs: int = 8) -> GeometryArray:
+    from geopolars_ray.geom.buffer import buffer_geoms
+
+    return buffer_geoms(ga, distance, quad_segs)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -152,7 +158,10 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "to_crs": (crs_mod.to_crs, "geometry"),
     "clip_by_rect": (_clip_by_rect, "geometry"),
     "clip_by_convex": (_clip_by_convex, "geometry"),
-    "buffer": (K.buffer_points, "geometry"),
+    # general buffer: vectorized fast path on all-point arrays, overlay
+    # union construction (rect-per-edge + circle-per-vertex, erosion via
+    # difference for d<0) on everything else — geom/buffer.py
+    "buffer": (_buffer_geoms, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
