@@ -527,6 +527,27 @@ class GeoDataset:
         """Row-wise A ⊕ B vs an aligned geometry column (shapely parity)."""
         return self.overlay(other_col, "symmetric_difference")
 
+    def dissolve(self, by, count_col: str = "n_rows",
+                 num_partitions: int = 32) -> "GeoDataset":
+        """Grouped unary union (GeoPandas ``dissolve(by=...)``): one
+        dissolved (multi)polygon per key, interior seams removed, plus a
+        row count. Combiner-first: blocks partial-union before the single
+        hash exchange (`stages/dissolve.py`)."""
+        from geopolars_ray.stages.dissolve import dissolve as _dissolve
+
+        return self._wrap(_dissolve(self._ds, by,
+                                    geometry_col=self.geometry_col,
+                                    count_col=count_col,
+                                    num_partitions=num_partitions))
+
+    def make_valid(self) -> "GeoDataset":
+        """Structural repair of invalid polygons (GEOS ``make_valid``
+        "structure" method, keep_collapsed=False): self-crossing and
+        overlapping rings resolved by even-odd parity, orientation and
+        hole nesting normalized. Non-polygonal rows pass through
+        (`geom/overlay.py make_valid_geom`)."""
+        return self._apply("make_valid")
+
     def interpolate(self, distance, normalized: bool = False) -> "GeoDataset":
         """Point at ``distance`` along each line (shapely ``interpolate``;
         negative measures from the end, ``normalized`` = fraction of length).

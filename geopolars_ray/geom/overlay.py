@@ -606,6 +606,32 @@ def _assemble_input(rings: list) -> tuple | None:
     return _assemble(_connect_edges(kept))
 
 
+def make_valid_geom(geom):
+    """Even-odd structural repair of ONE polygonal geometry (the GEOS
+    ``make_valid`` "structure" method with keep_collapsed=False): rings
+    are subdivided at every self- and mutual crossing, regions of even
+    crossing parity become holes/voids, orientation is normalized
+    (exteriors CCW, holes CW) and nesting depth reassigned. Non-polygonal
+    geometries are returned unchanged (points/lines carry no ring
+    validity constraints in this engine); None passes through; a fully
+    degenerate polygon (zero area everywhere) becomes None."""
+    if geom is None or geom[0] not in ("polygon", "multipolygon"):
+        return geom
+    g = _assemble_input(_rings_of(geom))
+    if g is not None and len(g[1]) == 1:
+        return ("polygon", g[1][0])
+    return g
+
+
+def make_valid_arrays(ga):
+    """Row-wise ``make_valid_geom`` over a GeometryArray."""
+    from geopolars_ray.geom.array import GeometryArray
+
+    return GeometryArray.from_pylist(
+        [make_valid_geom(g) for g in ga.to_pylist()]
+    )
+
+
 def overlay_pylist(lhs: list, rhs: list, operation: str) -> list:
     """Row-wise overlay over two aligned pylist geometry columns."""
     out = []

@@ -41,6 +41,12 @@ def _buffer_geoms(ga: GeometryArray, distance: float, quad_segs: int = 8) -> Geo
     return buffer_geoms(ga, distance, quad_segs)
 
 
+def _make_valid(ga: GeometryArray) -> GeometryArray:
+    from geopolars_ray.geom.overlay import make_valid_arrays
+
+    return make_valid_arrays(ga)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -162,6 +168,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     # union construction (rect-per-edge + circle-per-vertex, erosion via
     # difference for d<0) on everything else — geom/buffer.py
     "buffer": (_buffer_geoms, "geometry"),
+    # even-odd structural repair of invalid polygons (geom/overlay.py)
+    "make_valid": (_make_valid, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
