@@ -540,6 +540,21 @@ class GeoDataset:
                                     count_col=count_col,
                                     num_partitions=num_partitions))
 
+    def overlay_join(self, right: pa.Table, how: str = "intersection",
+                     concurrency: int = 4, batch_size: int = 512,
+                     ) -> "GeoDataset":
+        """Frame-level overlay against a broadcast polygon table
+        (GeoPandas ``gpd.overlay(df1, df2, how=...)`` semantics: output
+        rows are piecewise geometries carrying suffixed attributes of
+        the covering inputs). ``how``: intersection / difference /
+        identity / union / symmetric_difference
+        (`stages/overlay_join.py`)."""
+        from geopolars_ray.stages.overlay_join import broadcast_overlay_join
+
+        return self._wrap(broadcast_overlay_join(
+            self._ds, right, how=how, geometry_col=self.geometry_col,
+            concurrency=concurrency, batch_size=batch_size))
+
     def make_valid(self) -> "GeoDataset":
         """Structural repair of invalid polygons (GEOS ``make_valid``
         "structure" method, keep_collapsed=False): self-crossing and
