@@ -294,18 +294,53 @@ def q_geo_distance(sf_dir: str):
 
 
 def q_geo_grid_tile(sf_dir: str):
-    """Grid tile assignment + per-tile count (floor-arithmetic oracle)."""
+    """Grid tile assignment CHAINED with distributed dissolve (registry-cap
+    trick): each row contributes a unit square at integer offset
+    ``c_custkey % 7`` and the squares dissolve per tile
+    (`stages/dissolve.py` — map-side partial union + one hash exchange).
+    Adjacent offsets share edges, so seams really dissolve; missing
+    offsets leave disjoint parts. The dissolved area is therefore exactly
+    COUNT(DISTINCT c_custkey % 7) per tile and ``n_rows`` from the
+    dissolve equals the old n_pts — both closed-form in SQL."""
+    from geopolars_ray.stages.dissolve import dissolve
 
-    def tile(batch: pa.Table) -> pa.Table:
+    def tile_and_square(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
         t = tiles_mod.grid_tile_id(x, y, cell_deg=CELL)
-        return batch.append_column("tile", pa.array(t))
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # vectorized unit-square column: closed 5-point rings
+        n = len(k)
+        x0 = (k % 7).astype(np.float64)
+        ring = np.zeros((n, 5, 2))
+        ring[:, 0, 0] = x0
+        ring[:, 1, 0] = x0 + 1.0
+        ring[:, 2, 0] = x0 + 1.0
+        ring[:, 2, 1] = 1.0
+        ring[:, 3, 0] = x0
+        ring[:, 3, 1] = 1.0
+        ring[:, 4, 0] = x0
+        seq = np.arange(n + 1, dtype=np.int64)
+        ga = GeometryArray(
+            types=np.full(n, 3, dtype=np.int8),  # POLYGON
+            geom_offsets=seq, part_offsets=seq, ring_offsets=seq * 5,
+            coords=ring.reshape(-1, 2),
+        )
+        return pa.table({"tile": pa.array(t), "geometry": encode_wkb(ga)})
 
-    ds = customer_points(sf_dir, with_geometry=False).map_batches(tile, batch_format="pyarrow")
-    from geopolars_ray.stages.agg import hash_aggregate
+    ds = customer_points(sf_dir, with_geometry=False).map_batches(
+        tile_and_square, batch_format="pyarrow")
+    out = dissolve(ds, "tile", count_col="n_pts", num_partitions=8)
 
-    return hash_aggregate(ds, ["tile"], [("x", "count", "n_pts")], num_partitions=8)
+    def finish(batch: pa.Table) -> pa.Table:
+        area = K.area(decode_wkb(batch["geometry"]))
+        return pa.table({
+            "tile": batch["tile"],
+            "n_pts": batch["n_pts"],
+            "dissolved_area": pa.array(np.rint(area).astype(np.int64)),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def q_geo_sjoin_left(sf_dir: str):
@@ -1178,16 +1213,54 @@ def q_geo_exterior_len(sf_dir: str):
 
 
 def q_geo_type_flags(sf_dir: str):
-    """geom_type / is_empty / is_ring accessors over point and ring rows."""
+    """geom_type / is_empty / is_ring accessors, CHAINED (registry-cap
+    trick, COVERAGE.md "Registry note") with the boolean-overlay engine:
+    per customer key an integer rect pair is derived covering all three
+    interaction classes (k%3: partial overlap / strict containment —
+    the hole-assembly path / disjoint), run through the REAL sweep +
+    parity + ring assembly (`geom/overlay.py overlay_arrays`) for all
+    four operations. Integer coordinates make every area an exact
+    integer, so the oracle is closed-form LEAST/GREATEST arithmetic."""
+    from geopolars_ray.geom.overlay import overlay_arrays
 
     def flags(batch: pa.Table) -> pa.Table:
         ga = decode_wkb(batch["geometry"])
         batch = batch.append_column("type_id", pa.array(K.geom_type(ga).astype(np.int32)))
         batch = batch.append_column("empty", pa.array(K.is_empty(ga)))
-        return batch.append_column("ring", pa.array(K.is_ring(ga)))
+        batch = batch.append_column("ring", pa.array(K.is_ring(ga)))
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x0 = k % 11
+        y0 = k % 13
+        w = 4 + k % 3
+        h = 5 + k % 4
+        m = k % 3
+        r2x1 = np.select([m == 0, m == 1], [x0 + 2, x0 + 1], x0 + w + 3)
+        r2y1 = np.select([m == 0, m == 1], [y0 + 2, y0 + 1], y0)
+        r2x2 = np.select([m == 0, m == 1], [x0 + 2 + w, x0 + w - 1], x0 + w + 5)
+        r2y2 = np.select([m == 0, m == 1], [y0 + 2 + h, y0 + h - 1], y0 + 2)
+
+        def rects(ax1, ay1, ax2, ay2):
+            return GeometryArray.from_pylist([
+                ("polygon", [[(float(a), float(b)), (float(c), float(b)),
+                              (float(c), float(d)), (float(a), float(d))]])
+                for a, b, c, d in zip(ax1, ay1, ax2, ay2)
+            ])
+
+        g1 = rects(x0, y0, x0 + w, y0 + h)
+        g2 = rects(r2x1, r2y1, r2x2, r2y2)
+        for op, name in (("intersection", "inter_area"),
+                         ("union", "union_area"),
+                         ("difference", "diff_area"),
+                         ("symmetric_difference", "symdiff_area")):
+            area = K.area(overlay_arrays(g1, g2, op))
+            area = np.where(np.isnan(area), 0.0, area)  # empty result = 0
+            batch = batch.append_column(name, pa.array(np.rint(area).astype(np.int64)))
+        return batch
 
     ds = customer_points(sf_dir).map_batches(flags, batch_format="pyarrow")
-    return ds.select_columns(["c_custkey", "type_id", "empty", "ring"])
+    return ds.select_columns(["c_custkey", "type_id", "empty", "ring",
+                              "inter_area", "union_area", "diff_area",
+                              "symdiff_area"])
 
 
 def q_geo_sjoin_part(sf_dir: str):
@@ -1873,8 +1946,12 @@ ORACLE_SQL = {
         f"FROM ({_CPTS}) c JOIN ({_RECT}) r ON c.c_nationkey = r.n_nationkey"
     ),
     "geo_grid_tile": (
+        # dissolve leg: unit squares at integer offsets k%7 merge per tile,
+        # so the dissolved area is exactly the count of distinct offsets
         f"SELECT CAST(floor((x + 180.0)/15.0)*12 + floor((y + 90.0)/15.0) AS BIGINT) AS tile, "
-        f"count(*) AS n_pts FROM ({_CPTS}) GROUP BY 1"
+        f"count(*) AS n_pts, "
+        f"CAST(count(DISTINCT c_custkey % 7) AS BIGINT) AS dissolved_area "
+        f"FROM ({_CPTS}) GROUP BY 1"
     ),
     # r4 registry swap: geo_sjoin_inner retired for dd_substring under the
     # 50-entry gate cap — broadcast PIP stays starred via geo_sjoin_left
@@ -1922,7 +1999,25 @@ ORACLE_SQL = {
     ),
     "geo_exterior_len": f"SELECT n_nationkey, 2.0*(w+h) AS ext_len FROM ({_RECT})",
     "geo_type_flags": (
-        "SELECT c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring FROM customer"
+        # overlay leg: integer rect pairs (k%3 -> partial/contained/disjoint);
+        # intersection is closed-form LEAST/GREATEST, the rest are
+        # inclusion-exclusion over exact integers
+        "WITH t0 AS (SELECT c_custkey, c_custkey % 11 AS x0, c_custkey % 13 AS y0, "
+        "4 + c_custkey % 3 AS w, 5 + c_custkey % 4 AS h, c_custkey % 3 AS m FROM customer), "
+        "t1 AS (SELECT c_custkey, x0 AS r1x1, y0 AS r1y1, x0 + w AS r1x2, y0 + h AS r1y2, "
+        "CASE WHEN m = 0 THEN x0 + 2 WHEN m = 1 THEN x0 + 1 ELSE x0 + w + 3 END AS r2x1, "
+        "CASE WHEN m = 0 THEN y0 + 2 WHEN m = 1 THEN y0 + 1 ELSE y0 END AS r2y1, "
+        "CASE WHEN m = 0 THEN x0 + 2 + w WHEN m = 1 THEN x0 + w - 1 ELSE x0 + w + 5 END AS r2x2, "
+        "CASE WHEN m = 0 THEN y0 + 2 + h WHEN m = 1 THEN y0 + h - 1 ELSE y0 + 2 END AS r2y2 "
+        "FROM t0), "
+        "t2 AS (SELECT c_custkey, (r1x2 - r1x1) * (r1y2 - r1y1) AS a1, "
+        "(r2x2 - r2x1) * (r2y2 - r2y1) AS a2, "
+        "GREATEST(0, LEAST(r1x2, r2x2) - GREATEST(r1x1, r2x1)) * "
+        "GREATEST(0, LEAST(r1y2, r2y2) - GREATEST(r1y1, r2y1)) AS ia FROM t1) "
+        "SELECT c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring, "
+        "CAST(ia AS BIGINT) AS inter_area, CAST(a1 + a2 - ia AS BIGINT) AS union_area, "
+        "CAST(a1 - ia AS BIGINT) AS diff_area, "
+        "CAST(a1 + a2 - 2 * ia AS BIGINT) AS symdiff_area FROM t2"
     ),
     "geo_sjoin_part": (
         f"SELECT c.c_custkey, r.n_nationkey FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND}"
