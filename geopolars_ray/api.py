@@ -501,7 +501,8 @@ class GeoDataset:
         (GeoPandas GeoSeries set-op semantics: the geometry column is
         replaced by the result; empty results become null). ``how`` is one
         of intersection / union / difference / symmetric_difference.
-        Arbitrary operands: concave, holes, multi-part, even-odd fill —
+        POLYGONAL rows only (non-polygonal rows raise TypeError); any
+        polygonal shape: concave, holes, multi-part, even-odd fill —
         `geom/overlay.py` (beyond-reference: GeoPolars has no overlay)."""
         from geopolars_ray.stages.geo import geo_overlay
 
@@ -512,19 +513,31 @@ class GeoDataset:
         )
 
     def intersection(self, other_col: str) -> "GeoDataset":
-        """Row-wise A ∩ B vs an aligned geometry column (shapely parity)."""
+        """Row-wise A ∩ B vs an aligned geometry column. POLYGONAL
+        rows only (polygon/multipolygon; shapely also accepts
+        points/lines — those raise TypeError here, same as
+        ``overlay``); matches shapely on polygonal inputs."""
         return self.overlay(other_col, "intersection")
 
     def union(self, other_col: str) -> "GeoDataset":
-        """Row-wise A ∪ B vs an aligned geometry column (shapely parity)."""
+        """Row-wise A ∪ B vs an aligned geometry column. POLYGONAL
+        rows only (polygon/multipolygon; shapely also accepts
+        points/lines — those raise TypeError here, same as
+        ``overlay``); matches shapely on polygonal inputs."""
         return self.overlay(other_col, "union")
 
     def difference(self, other_col: str) -> "GeoDataset":
-        """Row-wise A − B vs an aligned geometry column (shapely parity)."""
+        """Row-wise A − B vs an aligned geometry column. POLYGONAL
+        rows only (polygon/multipolygon; shapely also accepts
+        points/lines — those raise TypeError here, same as
+        ``overlay``); matches shapely on polygonal inputs."""
         return self.overlay(other_col, "difference")
 
     def symmetric_difference(self, other_col: str) -> "GeoDataset":
-        """Row-wise A ⊕ B vs an aligned geometry column (shapely parity)."""
+        """Row-wise A ⊕ B vs an aligned geometry column. POLYGONAL
+        rows only (polygon/multipolygon; shapely also accepts
+        points/lines — those raise TypeError here, same as
+        ``overlay``); matches shapely on polygonal inputs."""
         return self.overlay(other_col, "symmetric_difference")
 
     def dissolve(self, by, count_col: str = "n_rows",

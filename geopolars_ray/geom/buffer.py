@@ -66,6 +66,11 @@ def _union_tree(pieces: list):
     pieces = [p for p in pieces if p is not None]
     if not pieces:
         return None
+    if len(pieces) == 1:
+        # never passed through boolean_op: normalize so rings come back
+        # CLOSED (ring[0] == ring[-1]) like every other overlay output —
+        # a raw open _circle ring here would serialize as invalid WKB
+        return boolean_op(pieces[0], None, "union")
     while len(pieces) > 1:
         nxt = []
         for i in range(0, len(pieces) - 1, 2):

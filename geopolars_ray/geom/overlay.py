@@ -69,7 +69,7 @@ _seq = count()
 
 
 class _Event:
-    __slots__ = ("x", "y", "left", "other", "pol", "seq")
+    __slots__ = ("x", "y", "left", "other", "pol", "seq", "void")
 
     def __init__(self, x: float, y: float, left: bool, pol: int):
         self.x = x
@@ -78,6 +78,7 @@ class _Event:
         self.other: "_Event" = None  # type: ignore[assignment]
         self.pol = pol
         self.seq = next(_seq)
+        self.void = False  # lazily-deleted heap entry (see _divide)
 
     # segment helpers ------------------------------------------------------
     def seg_below_point(self, px: float, py: float) -> bool:
@@ -194,25 +195,27 @@ class _Sweep:
         self.queue: list[_Event] = []
         self.status: list[_Event] = []
         self.events: list[_Event] = []  # every processed left/right event
+        self.divided = False  # did any _divide fire? (fixed-point test)
 
     # -- event construction --------------------------------------------
+    def add_segment(self, p, q, pol: int) -> None:
+        if p == q:
+            return  # degenerate edge
+        e1 = _Event(p[0], p[1], False, pol)
+        e2 = _Event(q[0], q[1], False, pol)
+        e1.other = e2
+        e2.other = e1
+        if _evt_before(e1, e2):
+            e1.left = True
+        else:
+            e2.left = True
+        heapq.heappush(self.queue, e1)
+        heapq.heappush(self.queue, e2)
+
     def add_ring(self, ring, pol: int) -> None:
         n = len(ring)
         for i in range(n):
-            p = ring[i]
-            q = ring[(i + 1) % n]
-            if p == q:
-                continue  # degenerate edge
-            e1 = _Event(p[0], p[1], False, pol)
-            e2 = _Event(q[0], q[1], False, pol)
-            e1.other = e2
-            e2.other = e1
-            if _evt_before(e1, e2):
-                e1.left = True
-            else:
-                e2.left = True
-            heapq.heappush(self.queue, e1)
-            heapq.heappush(self.queue, e2)
+            self.add_segment(ring[i], ring[(i + 1) % n], pol)
 
     # -- status helpers --------------------------------------------------
     def _insert(self, ev: _Event) -> int:
@@ -228,20 +231,25 @@ class _Sweep:
 
     # -- subdivision -------------------------------------------------------
     def _divide(self, le: _Event, p) -> None:
-        """Split left event le's segment at interior point p."""
+        """Split left event le's segment at interior point p.
+
+        The queued right event's sort key must never change (mutating
+        ``left``/``other`` of an event inside the heapq breaks the heap
+        invariant and corrupts sweep order), so the old right event is
+        lazily deleted (``void``) and BOTH halves get fresh events; the
+        second half's endpoint roles are assigned by ``_evt_before``,
+        which also handles the rounding pathology where p sorts past the
+        right endpoint. ``le`` itself is in the STATUS (already popped),
+        so retargeting ``le.other`` to the new right event is safe.
+        """
+        self.divided = True
+        old = le.other
+        old.void = True
         r = _Event(p[0], p[1], False, le.pol)
         r.other = le
-        l = _Event(p[0], p[1], True, le.pol)
-        l.other = le.other
-        if _evt_before(le.other, l):
-            # rounding pathologies: division point sorts after the right
-            # endpoint — swap the half's endpoint roles
-            le.other.left = True
-            l.left = False
-        le.other.other = l
         le.other = r
-        heapq.heappush(self.queue, l)
         heapq.heappush(self.queue, r)
+        self.add_segment((p[0], p[1]), (old.x, old.y), le.pol)
 
     def _possible_intersection(self, e1: _Event, e2: _Event) -> None:
         res = _find_intersection((e1.x, e1.y), (e1.other.x, e1.other.y),
@@ -290,6 +298,8 @@ class _Sweep:
         status = self.status
         while self.queue:
             ev = heapq.heappop(self.queue)
+            if ev.void:
+                continue  # lazily-deleted half of a divided segment
             self.events.append(ev)
             if ev.left:
                 idx = self._insert(ev)
@@ -311,6 +321,167 @@ class _Sweep:
                 if prev is not None and nxt is not None:
                     self._possible_intersection(prev, nxt)
         return self.events
+
+
+_SNAP_RTOL = 1.0e-12  # relative vertex-snap tolerance (~4000 ulp)
+
+
+def _snap_vertices(groups, tol: float):
+    """Vertex snap-rounding: merge endpoint coordinates closer than
+    ``tol`` (Chebyshev) into one representative point, collapse the
+    resulting zero-length segments, and merge duplicate segments by
+    summing per-operand multiplicities.
+
+    Returns (groups, changed). Isolated vertices keep their EXACT input
+    coordinates — only near-coincident pairs (float fuzz from inexact
+    division points, e.g. 3.0 vs 3.0000000000000004) move, so exact
+    inputs with no crossings pass through bit-identical.
+    """
+    pts = sorted({g[0] for g in groups} | {g[1] for g in groups})
+    rep: dict[tuple, tuple] = {}
+    active: list[tuple] = []  # cluster representatives, ascending x
+    changed = False
+    for p in pts:
+        while active and p[0] - active[0][0] > tol:
+            active.pop(0)
+        hit = None
+        for q in active:
+            if abs(p[1] - q[1]) <= tol:
+                hit = q
+                break
+        if hit is not None:
+            rep[p] = hit
+            changed = True
+        else:
+            rep[p] = p
+            active.append(p)
+    if not changed:
+        return groups, False
+    merged: dict[tuple, list[int]] = {}
+    for p, q, m_s, m_c in groups:
+        rp, rq = rep[p], rep[q]
+        if rp == rq:
+            continue  # sliver collapsed to a point
+        key = (rp, rq) if rp < rq else (rq, rp)
+        m = merged.setdefault(key, [0, 0])
+        m[0] += m_s
+        m[1] += m_c
+    return [(k[0], k[1], m[0], m[1]) for k, m in merged.items()], True
+
+
+def _split_at_vertices(groups, tol: float):
+    """T-junction elimination: split any segment whose INTERIOR passes
+    within ``tol`` of another segment's endpoint, at that endpoint.
+
+    Needed because near-collinear configurations defeat the sweep's
+    intersection test: when a vertex lies on an edge but the float cross
+    product of the two directions is a few ulp from zero, the computed
+    "crossing" lands on the shared endpoint and no division happens,
+    leaving a vertex in an edge's interior (odd-degree nodes downstream).
+    Split points are EXISTING vertices, so no new coordinates appear and
+    the enclosing fixed-point loop converges. Returns (groups, changed).
+    """
+    pts = sorted({g[0] for g in groups} | {g[1] for g in groups})
+    m = len(pts)
+    n = len(groups)
+    if n == 0 or m == 0:
+        return groups, False
+    vx = np.fromiter((p[0] for p in pts), dtype=np.float64, count=m)
+    vy = np.fromiter((p[1] for p in pts), dtype=np.float64, count=m)
+    out: dict[tuple, list[int]] = {}
+    changed = False
+
+    def _emit(a, b, m_s, m_c):
+        key = (a, b) if a < b else (b, a)
+        mm = out.setdefault(key, [0, 0])
+        mm[0] += m_s
+        mm[1] += m_c
+
+    chunk = 256
+    for lo in range(0, n, chunk):
+        sub = groups[lo:lo + chunk]
+        c = len(sub)
+        px = np.fromiter((g[0][0] for g in sub), dtype=np.float64, count=c)
+        py = np.fromiter((g[0][1] for g in sub), dtype=np.float64, count=c)
+        qx = np.fromiter((g[1][0] for g in sub), dtype=np.float64, count=c)
+        qy = np.fromiter((g[1][1] for g in sub), dtype=np.float64, count=c)
+        dx = qx - px
+        dy = qy - py
+        l2 = dx * dx + dy * dy
+        # parameter of each vertex's projection onto each segment: (c, m)
+        t = ((vx[None, :] - px[:, None]) * dx[:, None]
+             + (vy[None, :] - py[:, None]) * dy[:, None]) / l2[:, None]
+        ex = px[:, None] + t * dx[:, None] - vx[None, :]
+        ey = py[:, None] + t * dy[:, None] - vy[None, :]
+        near = (ex * ex + ey * ey <= tol * tol) & (t > 0.0) & (t < 1.0)
+        for i in range(c):
+            p, q, m_s, m_c = sub[i]
+            hit_idx = np.flatnonzero(near[i])
+            hits = [(t[i, j], pts[j]) for j in hit_idx
+                    if pts[j] != p and pts[j] != q]
+            if not hits:
+                _emit(p, q, m_s, m_c)
+                continue
+            changed = True
+            hits.sort()
+            prev = p
+            for _, v in hits:
+                if v != prev:
+                    _emit(prev, v, m_s, m_c)
+                    prev = v
+            if prev != q:
+                _emit(prev, q, m_s, m_c)
+    if not changed:
+        return groups, False
+    return [(k[0], k[1], mm[0], mm[1]) for k, mm in out.items()], True
+
+
+def _subdivide_fixed_point(s_rings, c_rings, max_pass: int = 8):
+    """Sweep subdivision + vertex snap-rounding iterated to a FIXED POINT.
+
+    A single Bentley–Ottmann pass is not closed under its own float
+    intersection points: an inexact division point (e.g. x=2.4000…0004)
+    can create a new proper crossing between subdivided pieces that the
+    status order never re-examines, and near-coincident division points
+    computed from different segment pairs (3.0 vs 3.0000000000000004)
+    leave odd-degree nodes that break ring assembly — both observed on
+    plain integer-coordinate self-crossing rings. Each round therefore
+    (a) sweeps (division points become EXACT endpoints of the pieces
+    they spawn, so the next sweep snaps them), then (b) snap-rounds
+    near-coincident vertices within ``_SNAP_RTOL`` × coordinate scale,
+    then (c) eliminates T-junctions (vertices within tolerance of an
+    edge interior — near-collinear overlaps the sweep's crossing test
+    cannot see). Iterate until a round does none of the three (typically
+    1 extra round; ``max_pass`` bounds adversarial ping-pong). Regions
+    thinner than the snap tolerance (~4000 ulp) are collapsed by design.
+    """
+    scale = 1.0
+    for rings in (s_rings, c_rings):
+        for r in rings:
+            for x, y in r:
+                m = abs(x) if abs(x) > abs(y) else abs(y)
+                if m > scale:
+                    scale = m
+    tol = _SNAP_RTOL * scale
+    sweep = _Sweep()
+    for r in s_rings:
+        sweep.add_ring(r, SUBJECT)
+    for r in c_rings:
+        sweep.add_ring(r, CLIPPING)
+    groups = _collect_groups(sweep.run())
+    for _ in range(max_pass):
+        groups, snapped = _snap_vertices(groups, tol)
+        groups, split = _split_at_vertices(groups, tol)
+        if not snapped and not split and not sweep.divided:
+            break
+        sweep = _Sweep()
+        for p, q, m_s, m_c in groups:
+            for _ in range(m_s):
+                sweep.add_segment(p, q, SUBJECT)
+            for _ in range(m_c):
+                sweep.add_segment(p, q, CLIPPING)
+        groups = _collect_groups(sweep.run())
+    return groups
 
 
 def _collect_groups(events: list[_Event]):
@@ -578,13 +749,7 @@ def boolean_op(subject, clipping, operation: str):
         if operation == "difference":
             return _assemble_input(s_rings)
         return _assemble_input(s_rings + c_rings)
-    sweep = _Sweep()
-    for r in s_rings:
-        sweep.add_ring(r, SUBJECT)
-    for r in c_rings:
-        sweep.add_ring(r, CLIPPING)
-    events = sweep.run()
-    groups = _collect_groups(events)
+    groups = _subdivide_fixed_point(s_rings, c_rings)
     kept = _label_keep(groups, operation)
     rings = _connect_edges(kept)
     return _assemble(rings)
@@ -597,11 +762,7 @@ def _assemble_input(rings: list) -> tuple | None:
     subdivide + parity pipeline as a single-operand identity op."""
     if not rings:
         return None
-    sweep = _Sweep()
-    for r in rings:
-        sweep.add_ring(r, SUBJECT)
-    events = sweep.run()
-    groups = _collect_groups(events)
+    groups = _subdivide_fixed_point(rings, [])
     kept = _label_keep(groups, "union")  # parity of S alone (C empty)
     return _assemble(_connect_edges(kept))
 
@@ -630,17 +791,6 @@ def make_valid_arrays(ga):
     return GeometryArray.from_pylist(
         [make_valid_geom(g) for g in ga.to_pylist()]
     )
-
-
-def overlay_pylist(lhs: list, rhs: list, operation: str) -> list:
-    """Row-wise overlay over two aligned pylist geometry columns."""
-    out = []
-    for a, b in zip(lhs, rhs):
-        if a is None and b is None:
-            out.append(None)
-            continue
-        out.append(boolean_op(a, b, operation))
-    return out
 
 
 def overlay_arrays(lga, rga, operation: str):

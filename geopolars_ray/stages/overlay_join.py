@@ -81,9 +81,10 @@ class BroadcastOverlayJoin:
         self.geometry_col = geometry_col
         self.emit_pieces = emit_pieces
         self.emit_left_residual = emit_left_residual
-        self.right_geoms = decode_wkb(table[geometry_col]).to_pylist()
+        rg = decode_wkb(table[geometry_col])
+        self.right_geoms = rg.to_pylist()
         self.right_attrs = _suffix(table, "_right", [geometry_col])
-        rb = np.column_stack(K.bounds(decode_wkb(table[geometry_col])))
+        rb = np.column_stack(K.bounds(rg))
         ok = ~np.isnan(rb).any(axis=1)
         # index only non-null rights; map tree ids back to table rows
         self.rid_map = np.flatnonzero(ok)
@@ -91,8 +92,9 @@ class BroadcastOverlayJoin:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         gcol = self.geometry_col
-        lg = decode_wkb(batch[gcol]).to_pylist()
-        lb = np.column_stack(K.bounds(decode_wkb(batch[gcol])))
+        ga = decode_wkb(batch[gcol])
+        lg = ga.to_pylist()
+        lb = np.column_stack(K.bounds(ga))
         l_attrs = _suffix(batch, "_left", [gcol])
         out_li: list[int] = []
         out_ri: list[int] = []   # -1 = no right side (left residual row)
@@ -223,6 +225,12 @@ def broadcast_overlay_join(left_ds, right: pa.Table, how: str = "intersection",
     piecewise ``geometry`` column (see module docstring for ``how``)."""
     if how not in HOWS:
         raise ValueError(f"how must be one of {HOWS}, got {how!r}")
+    if how in ("union", "symmetric_difference"):
+        # these hows consume the left layer TWICE (streaming piece pass +
+        # eager right-residual fold) — materialize once so the upstream
+        # pipeline (reads, decodes, prior stages) doesn't execute twice;
+        # the object store spills if the layer exceeds memory
+        left_ds = left_ds.materialize()
     right_ref = ray.put(right)
     emit_pieces = how in ("intersection", "identity", "union")
     emit_resid = how in ("difference", "identity", "union",
