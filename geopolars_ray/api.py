@@ -287,6 +287,28 @@ class GeoDataset:
     def exterior(self) -> "GeoDataset":
         return self._apply("exterior")
 
+    def delaunay_triangles(self, only_edges: bool = False) -> "GeoDataset":
+        """shapely ``delaunay_triangles``: Delaunay triangulation of each
+        row's vertex set (MULTIPOLYGON of CCW triangles; ``only_edges``
+        gives the unique edges as MULTILINESTRING). Bowyer-Watson with
+        exact rational fallback predicates, so co-circular grids are
+        safe (`geom/delaunay.py`)."""
+        return self._apply("delaunay_triangles", only_edges=only_edges)
+
+    def voronoi_polygons(self, extend_to=None) -> "GeoDataset":
+        """shapely ``voronoi_polygons``: one cell per vertex of each
+        row, clipped to ``extend_to`` (x0, y0, x1, y1; default = bbox
+        padded by half its larger side). Cells are bisector half-plane
+        intersections over Delaunay neighbors (`geom/delaunay.py`)."""
+        return self._apply("voronoi_polygons", extend_to=extend_to)
+
+    def concave_hull(self, ratio: float = 0.0) -> "GeoDataset":
+        """GEOS ``concave_hull`` (no holes): border triangles of the
+        Delaunay triangulation eroded longest-edge-first while the edge
+        exceeds ``min + ratio * (max - min)`` of the edge lengths;
+        ratio=1 reproduces the convex hull (`geom/delaunay.py`)."""
+        return self._apply("concave_hull", ratio=ratio)
+
     def simplify(self, tolerance: float) -> "GeoDataset":
         return self._apply("simplify", tolerance=tolerance)
 
@@ -552,6 +574,19 @@ class GeoDataset:
                                     geometry_col=self.geometry_col,
                                     count_col=count_col,
                                     num_partitions=num_partitions))
+
+    def polygonize(self, by, num_partitions: int = 32) -> "GeoDataset":
+        """Faces of each key group's line arrangement (shapely/GEOS
+        ``polygonize``): line rows co-locate per key with one hash
+        exchange, each group nodes its linework and emits one row per
+        bounded face (``face_id`` deterministic, dangles and cut edges
+        dropped). Nested faces become shells with holes, exactly like
+        GEOS (`stages/polygonize.py`)."""
+        from geopolars_ray.stages.polygonize import polygonize_by
+
+        return self._wrap(polygonize_by(self._ds, by,
+                                        geometry_col=self.geometry_col,
+                                        num_partitions=num_partitions))
 
     def overlay_join(self, right: pa.Table, how: str = "intersection",
                      concurrency: int = 4, batch_size: int = 512,

@@ -455,19 +455,30 @@ def _subdivide_fixed_point(s_rings, c_rings, max_pass: int = 8):
     1 extra round; ``max_pass`` bounds adversarial ping-pong). Regions
     thinner than the snap tolerance (~4000 ulp) are collapsed by design.
     """
-    scale = 1.0
-    for rings in (s_rings, c_rings):
+    segments = []
+    for rings, pol in ((s_rings, SUBJECT), (c_rings, CLIPPING)):
         for r in rings:
-            for x, y in r:
-                m = abs(x) if abs(x) > abs(y) else abs(y)
-                if m > scale:
-                    scale = m
+            n = len(r)
+            for i in range(n):
+                segments.append((r[i], r[(i + 1) % n], pol))
+    return node_segments(segments, max_pass=max_pass)
+
+
+def node_segments(segments, max_pass: int = 8):
+    """Node raw ``(p, q, pol)`` segments (the same fixed-point pipeline
+    as ``_subdivide_fixed_point``, without the ring wrap-around) —
+    shared by overlay and ``polygonize``. Returns groups
+    ``(p_lo, p_hi, mult_subject, mult_clipping)``."""
+    scale = 1.0
+    for p, q, _pol in segments:
+        for x, y in (p, q):
+            m = abs(x) if abs(x) > abs(y) else abs(y)
+            if m > scale:
+                scale = m
     tol = _SNAP_RTOL * scale
     sweep = _Sweep()
-    for r in s_rings:
-        sweep.add_ring(r, SUBJECT)
-    for r in c_rings:
-        sweep.add_ring(r, CLIPPING)
+    for p, q, pol in segments:
+        sweep.add_segment(p, q, pol)
     groups = _collect_groups(sweep.run())
     for _ in range(max_pass):
         groups, snapped = _snap_vertices(groups, tol)

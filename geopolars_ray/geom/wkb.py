@@ -224,6 +224,10 @@ def encode_wkb(ga: GeometryArray, large: bool = False) -> pa.Array:
         elif t in (LINESTRING, LINEARRING):
             r = ga.part_offsets[parts.start]
             c = coords[ga.ring_offsets[r] : ga.ring_offsets[r + 1]]
+            if t == LINEARRING and len(c) and (c[0] != c[-1]).any():
+                # WKB has no LinearRing; shapely writes a CLOSED
+                # LineString — repeat the first coord so closure survives
+                c = np.vstack([c, c[:1]])
             blobs.append(struct.pack("<BII", 1, 2, len(c)) + c.astype("<f8").tobytes())
         elif t == POLYGON:
             p = parts.start

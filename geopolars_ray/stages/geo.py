@@ -47,6 +47,24 @@ def _make_valid(ga: GeometryArray) -> GeometryArray:
     return make_valid_arrays(ga)
 
 
+def _delaunay_triangles(ga: GeometryArray, only_edges: bool = False) -> GeometryArray:
+    from geopolars_ray.geom.delaunay import delaunay_triangles_arrays
+
+    return delaunay_triangles_arrays(ga, only_edges=only_edges)
+
+
+def _voronoi_polygons(ga: GeometryArray, extend_to=None) -> GeometryArray:
+    from geopolars_ray.geom.delaunay import voronoi_polygons_arrays
+
+    return voronoi_polygons_arrays(ga, extend_to=extend_to)
+
+
+def _concave_hull(ga: GeometryArray, ratio: float = 0.0) -> GeometryArray:
+    from geopolars_ray.geom.delaunay import concave_hull_arrays
+
+    return concave_hull_arrays(ga, ratio=ratio)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -170,6 +188,11 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "buffer": (_buffer_geoms, "geometry"),
     # even-odd structural repair of invalid polygons (geom/overlay.py)
     "make_valid": (_make_valid, "geometry"),
+    # triangulation family (geom/delaunay.py): Bowyer-Watson with exact
+    # rational fallback predicates; voronoi = bisector half-plane clips
+    "delaunay_triangles": (_delaunay_triangles, "geometry"),
+    "voronoi_polygons": (_voronoi_polygons, "geometry"),
+    "concave_hull": (_concave_hull, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (

@@ -149,6 +149,12 @@ def test_convex_clip_properties(polar, center, mask_jit, mask_r):
     assert viol <= 1e-9 * max(1.0, mask_r, np.abs(pts).max())
     # monotone on simple (star-shaped by construction) subjects
     assert K.area(once)[0] <= K.area(ga)[0] + 1e-9
-    # idempotence within float noise (no axis snap on oblique edges)
+    # idempotence within float noise (no axis snap on oblique edges).
+    # A float-noise-scale sliver may legitimately collapse to EMPTY
+    # (missing row, NaN area) on the second pass — same tolerance class
+    # as the post-first-clip NaN guard above.
     twice = clip_by_convex(once, mask)
+    if np.isnan(K.area(twice))[0]:
+        assert K.area(once)[0] <= 1e-9
+        return
     assert abs(K.area(twice)[0] - K.area(once)[0]) <= 1e-9 * max(1.0, K.area(once)[0])
