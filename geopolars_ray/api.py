@@ -309,6 +309,13 @@ class GeoDataset:
         ratio=1 reproduces the convex hull (`geom/delaunay.py`)."""
         return self._apply("concave_hull", ratio=ratio)
 
+    def node(self) -> "GeoDataset":
+        """ST_Node / shapely ``node``: each row's linework fully noded
+        against itself — split at every self-crossing, duplicate
+        segments collapsed, chains re-joined through degree-2 nodes
+        (junctions stay split). Line rows only (`geom/polygonize.py`)."""
+        return self._apply("node")
+
     def simplify(self, tolerance: float) -> "GeoDataset":
         return self._apply("simplify", tolerance=tolerance)
 

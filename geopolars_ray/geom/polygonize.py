@@ -327,3 +327,31 @@ def polygonize_full(geoms):
 def polygonize_geoms(geoms):
     """The polygons only (see ``polygonize_full``)."""
     return polygonize_full(geoms)[0]
+
+
+def node_lines(geoms):
+    """ST_Node / shapely ``node`` over a list of line geometries: the
+    fully-noded linework (segments split at every crossing, duplicates
+    collapsed) as one MULTILINESTRING of maximal chains — noded
+    segments are re-joined through degree-2 nodes, junctions stay
+    split. Returns None for empty input."""
+    from geopolars_ray.geom.array import GeometryArray
+    from geopolars_ray.geom.kernels import line_merge
+
+    segs = _segments_of(geoms)
+    if not segs:
+        return None
+    groups = node_segments(segs)
+    parts = [[p, q] for p, q, m_s, m_c in sorted(groups) if m_s + m_c > 0]
+    ml = ("multilinestring", parts)
+    merged = line_merge(GeometryArray.from_pylist([ml])).to_pylist()[0]
+    return merged
+
+
+def node_arrays(ga):
+    """Per-row ST_Node kernel: each geometry's own linework noded
+    against itself (registry kernel `stages/geo.py`)."""
+    from geopolars_ray.geom.array import GeometryArray
+
+    out = [None if g is None else node_lines([g]) for g in ga.to_pylist()]
+    return GeometryArray.from_pylist(out)

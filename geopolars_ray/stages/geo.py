@@ -65,6 +65,12 @@ def _concave_hull(ga: GeometryArray, ratio: float = 0.0) -> GeometryArray:
     return concave_hull_arrays(ga, ratio=ratio)
 
 
+def _node(ga: GeometryArray) -> GeometryArray:
+    from geopolars_ray.geom.polygonize import node_arrays
+
+    return node_arrays(ga)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -193,6 +199,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "delaunay_triangles": (_delaunay_triangles, "geometry"),
     "voronoi_polygons": (_voronoi_polygons, "geometry"),
     "concave_hull": (_concave_hull, "geometry"),
+    # ST_Node: self-noded linework, maximal chains (geom/polygonize.py)
+    "node": (_node, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (

@@ -154,6 +154,44 @@ def test_random_chords_tile_the_disk():
         assert not dangles and not cuts
 
 
+# ----------------------------------------------------------------- node
+def test_node_splits_self_crossing():
+    from geopolars_ray.geom.polygonize import node_lines
+
+    # bowtie path: crossing at (1,1) becomes a node; the closed lobe is
+    # chained through its degree-2 corners, the junction stays split
+    out = node_lines([ls((0, 0), (2, 2), (2, 0), (0, 2))])
+    assert out[0] == "multilinestring"
+    assert sorted(len(p) for p in out[1]) == [2, 2, 4]
+    assert all(p[0] == (1.0, 1.0) or p[-1] == (1.0, 1.0) for p in out[1])
+
+
+def test_node_collapses_duplicates_and_passes_simple():
+    from geopolars_ray.geom.polygonize import node_lines
+
+    assert node_lines([ls((0, 0), (1, 0)), ls((0, 0), (1, 0))]) == \
+        ("linestring", [(0.0, 0.0), (1.0, 0.0)])
+    assert node_lines([ls((0, 0), (1, 0), (2, 1))]) == \
+        ("linestring", [(0.0, 0.0), (1.0, 0.0), (2.0, 1.0)])
+
+
+def test_node_kernel_via_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+
+    geoms = [("linestring", [(0.0, 0.0), (2.0, 2.0), (2.0, 0.0), (0.0, 2.0)]),
+             None]
+    t = pa.table({"geometry": encode_wkb(GeometryArray.from_pylist(geoms)),
+                  "rid": pa.array([0, 1])})
+    out = pa.concat_tables(ray.get(
+        GeoDataset(ray.data.from_arrow(t)).node().dataset.to_arrow_refs()))
+    got = dict(zip(out["rid"].to_pylist(), decode_wkb(out["geometry"]).to_pylist()))
+    assert got[1] is None
+    assert got[0][0] == "multilinestring" and len(got[0][1]) == 3
+
+
 # ------------------------------------------------------------- Ray stage
 def test_polygonize_by_matches_local(ray_session):
     import ray
