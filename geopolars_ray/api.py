@@ -582,6 +582,40 @@ class GeoDataset:
                                     count_col=count_col,
                                     num_partitions=num_partitions))
 
+    def cluster_dbscan(self, eps: float, min_points: int, id_col: str,
+                       num_partitions: int = 32) -> "GeoDataset":
+        """ST_ClusterDBSCAN over POINT rows: appends ``cluster`` (null =
+        noise). Cluster id = the minimum member id (deterministic where
+        PostGIS is arbitrary). One dwithin self-join + neighbor counts +
+        connected components (`stages/cluster.py`)."""
+        from geopolars_ray.stages.cluster import dbscan
+        from geopolars_ray.stages.hashjoin import hash_join
+
+        pts = self.x("__cx").y("__cy")._ds
+        labels = dbscan(pts, eps, min_points, id_col=id_col,
+                        x_col="__cx", y_col="__cy",
+                        num_partitions=num_partitions)
+        out = hash_join(pts, labels, on=(id_col,), right_on=("node",),
+                        how="left", num_partitions=num_partitions)
+        return self._wrap(out.map_batches(
+            lambda b: b.drop_columns(["__cx", "__cy"]),
+            batch_format="pyarrow"))
+
+    def cluster_kmeans(self, k: int, max_iter: int = 20,
+                       cluster_col: str = "cluster") -> "GeoDataset":
+        """ST_ClusterKMeans over POINT rows: appends ``cluster_col``.
+        Exact distributed Lloyd with snap-rounded updates — labels and
+        centroids are bit-identical across parallelism levels
+        (`stages/cluster.py`)."""
+        from geopolars_ray.stages.cluster import kmeans
+
+        pts = self.x("__cx").y("__cy")._ds
+        labeled, _cents = kmeans(pts, k, x_col="__cx", y_col="__cy",
+                                 max_iter=max_iter, cluster_col=cluster_col)
+        return self._wrap(labeled.map_batches(
+            lambda b: b.drop_columns(["__cx", "__cy"]),
+            batch_format="pyarrow"))
+
     def polygonize(self, by, num_partitions: int = 32) -> "GeoDataset":
         """Faces of each key group's line arrangement (shapely/GEOS
         ``polygonize``): line rows co-locate per key with one hash
