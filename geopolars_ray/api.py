@@ -525,6 +525,18 @@ class GeoDataset:
             )
         )
 
+    def frechet_distance(self, other_col: str, out_col: str = "frechet") -> "GeoDataset":
+        """Row-wise discrete Fréchet distance vs an aligned LINE column
+        (shapely/GEOS semantics: coupling over the vertex sequences —
+        ``segmentize`` first for the continuous approximation)."""
+        from geopolars_ray.stages.geo import geo_frechet
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_frechet(self.geometry_col, other_col, out_col), batch_format="pyarrow"
+            )
+        )
+
     def overlay(self, other_col: str, how: str = "intersection") -> "GeoDataset":
         """Row-wise polygon boolean overlay vs an aligned geometry column
         (GeoPandas GeoSeries set-op semantics: the geometry column is

@@ -1014,6 +1014,72 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     return out
 
 
+def frechet_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
+    """Row-wise discrete Fréchet distance between aligned LINE columns
+    (shapely/GEOS semantics: the coupling is over the VERTEX sequences;
+    densify first — e.g. ``segmentize`` — for a tighter continuous
+    approximation, exactly GEOS's contract). Points also accepted (the
+    distance degenerates to point distance). NaN for other types or
+    missing rows.
+
+    The O(n*m) coupling DP runs per anti-diagonal: cell (i, j) needs
+    only (i-1, j), (i, j-1), (i-1, j-1), which live on the previous two
+    diagonals, so each of the n+m-1 steps is one vectorized max/min
+    over a whole diagonal — no per-cell Python, and only O(n+m) memory
+    (the distance matrix is never materialized; each diagonal's
+    distances are computed on the fly)."""
+    if len(lhs) != len(rhs):
+        raise ValueError("frechet_distance requires aligned columns of equal length")
+    n_rows = len(lhs)
+    out = np.full(n_rows, np.nan)
+    ls, le, lok = _line_slices(lhs)
+    rs, re_, rok = _line_slices(rhs)
+    # points degenerate to plain distance
+    pok = (lhs.types == POINT) & (rhs.types == POINT)
+    if pok.any():
+        li = np.flatnonzero(pok)
+        lp = lhs.coords[lhs.ring_offsets[lhs.part_offsets[lhs.geom_offsets[li]]]]
+        rp = rhs.coords[rhs.ring_offsets[rhs.part_offsets[rhs.geom_offsets[li]]]]
+        out[li] = np.hypot(lp[:, 0] - rp[:, 0], lp[:, 1] - rp[:, 1])
+    rows = np.flatnonzero(lok & rok)
+    budget = 64_000_000
+    for i in rows:
+        a = lhs.coords[ls[i]:le[i]]
+        b = rhs.coords[rs[i]:re_[i]]
+        n, m = len(a), len(b)
+        if n * m > budget:
+            raise ValueError(
+                f"frechet_distance: row with {n}x{m} vertex pairs exceeds the "
+                f"{budget} cell budget; simplify() the inputs first")
+        # anti-diagonal DP: diag k holds cells (i, k-i)
+        prev2 = None  # diagonal k-2
+        prev = np.array([np.hypot(a[0, 0] - b[0, 0], a[0, 1] - b[0, 1])])
+        for k in range(1, n + m - 1):
+            i0 = max(0, k - (m - 1))
+            i1 = min(n - 1, k)
+            ii = np.arange(i0, i1 + 1)
+            jj = k - ii
+            dk = np.hypot(a[ii, 0] - b[jj, 0], a[ii, 1] - b[jj, 1])
+            best = np.full(len(ii), np.inf)
+            # predecessor (i-1, j) on diag k-1 at position ii-1 - prev_i0
+            p_i0 = max(0, (k - 1) - (m - 1))
+            up = ii - 1 - p_i0
+            sel = ii > 0
+            best[sel] = np.minimum(best[sel], prev[up[sel]])
+            # predecessor (i, j-1) on diag k-1 at position ii - p_i0
+            left = ii - p_i0
+            sel = jj > 0
+            best[sel] = np.minimum(best[sel], prev[left[sel]])
+            if prev2 is not None:
+                pp_i0 = max(0, (k - 2) - (m - 1))
+                diag = ii - 1 - pp_i0
+                sel = (ii > 0) & (jj > 0)
+                best[sel] = np.minimum(best[sel], prev2[diag[sel]])
+            prev2, prev = prev, np.maximum(dk, best)
+        out[i] = float(prev[0])
+    return out
+
+
 def _line_slices(ga: GeometryArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(starts, ends, ok) coord ranges of single-line rows.
 

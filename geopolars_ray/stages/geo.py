@@ -453,6 +453,22 @@ def geo_hausdorff(
     return fn
 
 
+def geo_frechet(
+    left_col: str, right_col: str, out_col: str = "frechet"
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise discrete Fréchet distance between two aligned LINE
+    columns (`geom/kernels.py frechet_distance`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, pa.array(K.frechet_distance(lga, rga)))
+
+    return fn
+
+
 def geo_overlay(
     left_col: str, right_col: str, operation: str, out_col: str | None = None
 ) -> Callable[[pa.Table], pa.Table]:

@@ -1116,3 +1116,54 @@ def test_line_merge_passthrough_zero_copy():
         None,
     ])
     assert K.line_merge(ga) is ga
+
+
+# ---------------------------------------------------------------- frechet
+def _ref_frechet(a, b):
+    """Textbook O(n*m) discrete Fréchet DP (Eiter & Mannila 1994)."""
+    n, m = len(a), len(b)
+    d = np.hypot(a[:, 0, None] - b[None, :, 0], a[:, 1, None] - b[None, :, 1])
+    c = np.full((n, m), np.inf)
+    c[0, 0] = d[0, 0]
+    for i in range(n):
+        for j in range(m):
+            if i == 0 and j == 0:
+                continue
+            prev = min(c[i - 1, j] if i > 0 else np.inf,
+                       c[i, j - 1] if j > 0 else np.inf,
+                       c[i - 1, j - 1] if i > 0 and j > 0 else np.inf)
+            c[i, j] = max(d[i, j], prev)
+    return c[-1, -1]
+
+
+def test_frechet_distance_vs_reference_dp():
+    rng = np.random.default_rng(0)
+    for _ in range(25):
+        n, m = rng.integers(2, 18, 2)
+        a = rng.uniform(-5, 5, (int(n), 2))
+        b = rng.uniform(-5, 5, (int(m), 2))
+        lhs = GeometryArray.from_pylist([("linestring", [tuple(p) for p in a])])
+        rhs = GeometryArray.from_pylist([("linestring", [tuple(p) for p in b])])
+        assert np.isclose(K.frechet_distance(lhs, rhs)[0], _ref_frechet(a, b),
+                          rtol=0, atol=1e-12)
+
+
+def test_frechet_semantics_and_types():
+    lhs = GeometryArray.from_pylist([
+        ("linestring", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]),  # vs parallel
+        ("point", (0.0, 0.0)),                                 # degenerate
+        None,                                                  # missing
+        ("polygon", [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0)]]),   # unsupported
+    ])
+    rhs = GeometryArray.from_pylist([
+        ("linestring", [(0.0, 1.0), (1.0, 1.0)]),
+        ("point", (3.0, 4.0)),
+        ("linestring", [(0.0, 0.0), (1.0, 1.0)]),
+        ("linestring", [(0.0, 0.0), (1.0, 1.0)]),
+    ])
+    f = K.frechet_distance(lhs, rhs)
+    assert f[0] == 1.0          # frechet >= hausdorff; ordering forces 1.0
+    assert f[1] == 5.0          # point-point degenerates to distance
+    assert np.isnan(f[2]) and np.isnan(f[3])
+    # frechet dominates hausdorff (the coupling respects vertex order)
+    assert f[0] >= K.hausdorff_distance(lhs, rhs)[0] - 1e-12
