@@ -302,6 +302,15 @@ class GeoDataset:
         intersections over Delaunay neighbors (`geom/delaunay.py`)."""
         return self._apply("voronoi_polygons", extend_to=extend_to)
 
+    def triangulate_polygon(self, delaunay: bool = True) -> "GeoDataset":
+        """PostGIS ``ST_TriangulatePolygon`` / shapely
+        ``constrained_delaunay_triangles``: partition each polygon row
+        (holes supported) into triangles — Eberly hole bridges + ear
+        clipping, then Lawson flips to the constrained Delaunay
+        triangulation unless ``delaunay=False``
+        (`geom/triangulate.py`)."""
+        return self._apply("triangulate_polygon", delaunay=delaunay)
+
     def concave_hull(self, ratio: float = 0.0) -> "GeoDataset":
         """GEOS ``concave_hull`` (no holes): border triangles of the
         Delaunay triangulation eroded longest-edge-first while the edge

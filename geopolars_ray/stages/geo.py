@@ -71,6 +71,12 @@ def _node(ga: GeometryArray) -> GeometryArray:
     return node_arrays(ga)
 
 
+def _triangulate_polygon(ga: GeometryArray, delaunay: bool = True) -> GeometryArray:
+    from geopolars_ray.geom.triangulate import triangulate_arrays
+
+    return triangulate_arrays(ga, delaunay=delaunay)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -201,6 +207,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "concave_hull": (_concave_hull, "geometry"),
     # ST_Node: self-noded linework, maximal chains (geom/polygonize.py)
     "node": (_node, "geometry"),
+    # ST_TriangulatePolygon: ear clip + Lawson flips (geom/triangulate.py)
+    "triangulate_polygon": (_triangulate_polygon, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
