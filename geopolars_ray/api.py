@@ -503,6 +503,16 @@ class GeoDataset:
     def minimum_bounding_radius(self, out_col: str = "minimum_bounding_radius") -> "GeoDataset":
         return self._apply("minimum_bounding_radius", out_col)
 
+    def maximum_inscribed_circle(self, tolerance: float | None = None) -> "GeoDataset":
+        """Pole of inaccessibility per areal row as a POINT (GEOS
+        ``MaximumInscribedCircle`` center / mapbox polylabel); tolerance
+        defaults to bbox diagonal / 1000 (`geom/kernels.py`)."""
+        return self._apply("maximum_inscribed_circle", tolerance=tolerance)
+
+    def maximum_inscribed_radius(self, out_col: str = "maximum_inscribed_radius",
+                                 tolerance: float | None = None) -> "GeoDataset":
+        return self._apply("maximum_inscribed_radius", out_col, tolerance=tolerance)
+
     def reverse(self) -> "GeoDataset":
         return self._apply("reverse")
 

@@ -1778,6 +1778,142 @@ def _welzl_circle(pts: np.ndarray) -> tuple[float, float, float]:
     return c
 
 
+def _polylabel_one(segs: np.ndarray, tol: float):
+    """Pole of inaccessibility of the areal region bounded (even-odd) by
+    ``segs`` (m, 2, 2): the interior point maximizing distance to the
+    boundary, to within ``tol``. Mapbox-polylabel-style quadtree search,
+    run FRONTIER-WIDE: each round evaluates every surviving cell center
+    in one vectorized signed-distance pass (even-odd crossing count for
+    the sign, point-to-segment min for the magnitude), prunes cells
+    whose potential ``d + half*sqrt(2)`` cannot beat the incumbent, and
+    quarters the rest. Returns ((x, y), radius)."""
+    x1 = segs[:, 0, 0]
+    y1 = segs[:, 0, 1]
+    x2 = segs[:, 1, 0]
+    y2 = segs[:, 1, 1]
+    minx, maxx = float(segs[..., 0].min()), float(segs[..., 0].max())
+    miny, maxy = float(segs[..., 1].min()), float(segs[..., 1].max())
+
+    dvec = segs[:, 1] - segs[:, 0]
+    L2 = (dvec ** 2).sum(axis=1)
+    L2safe = np.where(L2 == 0, 1.0, L2)
+    dy = np.where(y2 == y1, 1.0, y2 - y1)
+
+    def signed_dist(P: np.ndarray) -> np.ndarray:
+        px = P[:, 0, None]
+        py = P[:, 1, None]
+        straddle = (y1[None, :] > py) != (y2[None, :] > py)
+        xint = x1[None, :] + (py - y1[None, :]) * (x2 - x1)[None, :] / dy[None, :]
+        inside = ((straddle & (px < xint)).sum(axis=1) & 1).astype(bool)
+        ap = P[:, None, :] - segs[None, :, 0]
+        t = np.clip((ap * dvec[None, :, :]).sum(axis=2) / L2safe[None, :], 0.0, 1.0)
+        proj = segs[None, :, 0] + t[:, :, None] * dvec[None, :, :]
+        d = np.sqrt(((P[:, None, :] - proj) ** 2).sum(axis=2)).min(axis=1)
+        return np.where(inside, d, -d)
+
+    w, h = maxx - minx, maxy - miny
+    size = min(w, h)
+    if size <= 0:
+        return (minx, miny), 0.0
+    half = size / 2.0
+    nx = max(1, int(np.ceil(w / size)))
+    ny = max(1, int(np.ceil(h / size)))
+    cx = minx + half + size * np.arange(nx)
+    cy = miny + half + size * np.arange(ny)
+    centers = np.stack(np.meshgrid(cx, cy), axis=-1).reshape(-1, 2)
+    # seeds: bbox center + vertex centroid (cheap interior guesses)
+    seeds = np.array([[(minx + maxx) / 2, (miny + maxy) / 2],
+                      [segs[:, 0, 0].mean(), segs[:, 0, 1].mean()]])
+    sd = signed_dist(seeds)
+    best_i = int(sd.argmax())
+    best_d = float(sd[best_i])
+    best_xy = (float(seeds[best_i, 0]), float(seeds[best_i, 1]))
+    sq2 = np.sqrt(2.0)
+    # Degenerate optima are RIDGES (a thin rectangle's whole centerline
+    # is optimal), where the surviving frontier grows like ridge_len /
+    # half — unbounded as tol -> 0. Cap the frontier at the highest-
+    # potential cells: the incumbent keeps improving and the answer
+    # stays within the cap's effective resolution, it just stops
+    # distinguishing equally-good centers (any of them is a valid pole).
+    max_cells = 65536
+    while half * sq2 > tol and len(centers):
+        d = signed_dist(centers)
+        i = int(d.argmax())
+        if d[i] > best_d:
+            best_d = float(d[i])
+            best_xy = (float(centers[i, 0]), float(centers[i, 1]))
+        keep = d + half * sq2 > best_d + tol
+        centers = centers[keep]
+        dk = d[keep]
+        if len(centers) > max_cells // 4:
+            top = np.argpartition(-dk, max_cells // 4 - 1)[:max_cells // 4]
+            centers = centers[top]
+        q = half / 2.0
+        offs = np.array([[-q, -q], [q, -q], [-q, q], [q, q]])
+        centers = (centers[:, None, :] + offs[None, :, :]).reshape(-1, 2)
+        half = q
+    return best_xy, max(best_d, 0.0)
+
+
+def _areal_segments(ga: GeometryArray, i: int) -> np.ndarray | None:
+    """All boundary segments of areal row ``i`` as (m, 2, 2), closing
+    each ring; None for non-areal/missing rows."""
+    t = ga.types[i]
+    if t not in (POLYGON, MULTIPOLYGON):
+        return None
+    segs = []
+    for p in range(ga.geom_offsets[i], ga.geom_offsets[i + 1]):
+        for r in range(ga.part_offsets[p], ga.part_offsets[p + 1]):
+            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+            if len(c) < 2:
+                continue
+            cc = np.concatenate([c, c[:1]], axis=0) if (c[0] != c[-1]).any() else c
+            segs.append(np.stack([cc[:-1], cc[1:]], axis=1))
+    if not segs:
+        return None
+    return np.concatenate(segs, axis=0)
+
+
+def maximum_inscribed_circle(ga: GeometryArray, tolerance: float | None = None) -> GeometryArray:
+    """Center of the maximum inscribed circle (pole of inaccessibility)
+    per areal row, as a POINT (GEOS ``MaximumInscribedCircle`` /
+    PostGIS ST_MaximumInscribedCircle center; mapbox polylabel).
+    ``tolerance`` defaults to bbox diagonal / 1000, GEOS's rule.
+    Non-areal rows come back missing."""
+    out: list = []
+    for i in range(len(ga)):
+        segs = _areal_segments(ga, i)
+        if segs is None:
+            out.append(None)
+            continue
+        tol = tolerance
+        if tol is None:
+            w = float(segs[..., 0].max() - segs[..., 0].min())
+            h = float(segs[..., 1].max() - segs[..., 1].min())
+            tol = max(np.hypot(w, h) / 1000.0, 1e-12)
+        (px, py), _r = _polylabel_one(segs, tol)
+        out.append(("point", (px, py)))
+    return GeometryArray.from_pylist(out)
+
+
+def maximum_inscribed_radius(ga: GeometryArray, tolerance: float | None = None) -> np.ndarray:
+    """Radius of the maximum inscribed circle per areal row (scalar
+    sibling of ``maximum_inscribed_circle``, same search)."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        segs = _areal_segments(ga, i)
+        if segs is None:
+            continue
+        tol = tolerance
+        if tol is None:
+            w = float(segs[..., 0].max() - segs[..., 0].min())
+            h = float(segs[..., 1].max() - segs[..., 1].min())
+            tol = max(np.hypot(w, h) / 1000.0, 1e-12)
+        _xy, r = _polylabel_one(segs, tol)
+        out[i] = r
+    return out
+
+
 def minimum_bounding_radius(ga: GeometryArray) -> np.ndarray:
     """Radius of the exact minimum enclosing circle per geometry (shapely
     ``minimum_bounding_radius``). NaN for missing, 0 for points.

@@ -179,6 +179,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "oriented_envelope": (K.oriented_envelope, "geometry"),
     "minimum_bounding_circle": (K.minimum_bounding_circle, "geometry"),
     "minimum_bounding_radius": (K.minimum_bounding_radius, "scalar"),
+    "maximum_inscribed_circle": (K.maximum_inscribed_circle, "geometry"),
+    "maximum_inscribed_radius": (K.maximum_inscribed_radius, "scalar"),
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),

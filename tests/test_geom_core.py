@@ -1167,3 +1167,50 @@ def test_frechet_semantics_and_types():
     assert np.isnan(f[2]) and np.isnan(f[3])
     # frechet dominates hausdorff (the coupling respects vertex order)
     assert f[0] >= K.hausdorff_distance(lhs, rhs)[0] - 1e-12
+
+
+# ------------------------------------------------- maximum inscribed circle
+def test_maximum_inscribed_circle_anchors():
+    sq = ("polygon", [[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]])
+    thin = ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 1.0), (0.0, 1.0), (0.0, 0.0)]])
+    # 4x4 with centered 2x2 hole: the optimum wedges into a corner pocket,
+    # touching both outer walls and the hole corner: r = 2 - sqrt(2)
+    ann = ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                       [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]])
+    ga = GeometryArray.from_pylist([sq, thin, ann, None, ("point", (1.0, 2.0))])
+    # NOTE: ridge-degenerate shapes (thin's whole centerline is optimal)
+    # make tiny tolerances explode the search frontier — 1e-4 is already
+    # far past any practical need (GEOS defaults to diagonal/1000)
+    r = K.maximum_inscribed_radius(ga, tolerance=1e-4)
+    assert abs(r[0] - 0.5) < 1e-3
+    assert abs(r[1] - 0.5) < 1e-3
+    assert abs(r[2] - (2.0 - np.sqrt(2.0))) < 1e-3
+    assert np.isnan(r[3]) and np.isnan(r[4])
+    pts = K.maximum_inscribed_circle(ga, tolerance=1e-4).to_pylist()
+    assert pts[0][0] == "point" and np.hypot(pts[0][1][0] - 0.5, pts[0][1][1] - 0.5) < 1e-3
+    assert abs(pts[1][1][1] - 0.5) < 1e-3  # centered in the thin axis
+    assert pts[3] is None and pts[4] is None
+
+
+def test_maximum_inscribed_center_radius_consistency():
+    """The returned radius equals the min distance from the returned
+    center to the boundary (self-consistency), and the center is inside."""
+    rng = np.random.default_rng(6)
+    geoms = []
+    for _ in range(8):
+        k = 14
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rr = rng.uniform(1, 6, k)
+        pts = [(float(ri * np.cos(a)), float(ri * np.sin(a)))
+               for ri, a in zip(rr, ang)]
+        geoms.append(("polygon", [pts + [pts[0]]]))
+    ga = GeometryArray.from_pylist(geoms)
+    centers = K.maximum_inscribed_circle(ga, tolerance=1e-4).to_pylist()
+    radii = K.maximum_inscribed_radius(ga, tolerance=1e-4)
+    from geopolars_ray.geom.kernels import _areal_segments, _min_point_to_segments
+
+    for i, (c, r) in enumerate(zip(centers, radii)):
+        segs = _areal_segments(ga, i).reshape(-1, 2, 2)
+        d = _min_point_to_segments(np.array([c[1]]), segs)
+        assert abs(d - r) < 1e-9  # radius IS the boundary distance
+        assert r > 0
