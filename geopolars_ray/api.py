@@ -311,6 +311,14 @@ class GeoDataset:
         (`geom/triangulate.py`)."""
         return self._apply("triangulate_polygon", delaunay=delaunay)
 
+    def generate_points(self, n: int, seed: int = 0) -> "GeoDataset":
+        """ST_GeneratePoints: ``n`` area-uniform random points inside
+        each polygon row as a MULTIPOINT — triangulate, draw triangles
+        by area weight, folded-parallelogram map. Seeded from
+        (seed, coordinate hash): deterministic and independent of row
+        order and parallelism (`geom/triangulate.py`)."""
+        return self._apply("generate_points", n=n, seed=seed)
+
     def concave_hull(self, ratio: float = 0.0) -> "GeoDataset":
         """GEOS ``concave_hull`` (no holes): border triangles of the
         Delaunay triangulation eroded longest-edge-first while the edge

@@ -235,6 +235,53 @@ def triangulate_polygon_rings(rings, delaunay: bool = True):
     return tris
 
 
+def generate_points_arrays(ga, n: int, seed: int = 0):
+    """ST_GeneratePoints: ``n`` uniform random points inside each areal
+    row, as a MULTIPOINT. Exactly area-uniform — the polygon is
+    triangulated (ear clip; Delaunay quality is irrelevant for
+    sampling), a triangle is drawn by area weight, and the point is
+    uniform in the triangle via the folded-parallelogram map. The
+    per-row stream is seeded from (seed, coordinate-bit hash), so
+    results are deterministic AND independent of row order, batch
+    boundaries, and parallelism. Non-areal rows come back missing."""
+    import numpy as np
+
+    from geopolars_ray.geom.array import GeometryArray
+    from geopolars_ray.geom.delaunay import coords_of_geom
+
+    out: list = []
+    for g in ga.to_pylist():
+        if g is None or g[0] not in ("polygon", "multipolygon"):
+            out.append(None)
+            continue
+        polys = [g[1]] if g[0] == "polygon" else g[1]
+        tris = []
+        for rings in polys:
+            tris.extend(triangulate_polygon_rings(rings, delaunay=False))
+        if not tris:
+            out.append(None)
+            continue
+        T = np.asarray(tris, dtype=np.float64)  # (t, 3, 2)
+        areas = 0.5 * np.abs(
+            (T[:, 1, 0] - T[:, 0, 0]) * (T[:, 2, 1] - T[:, 0, 1])
+            - (T[:, 1, 1] - T[:, 0, 1]) * (T[:, 2, 0] - T[:, 0, 0]))
+        cdf = np.cumsum(areas)
+        coords = np.asarray(coords_of_geom(g), dtype=np.float64)
+        h = np.bitwise_xor.reduce(coords.view(np.uint64).reshape(-1))
+        rng = np.random.default_rng([int(seed) & 0xFFFFFFFF,
+                                     int(h & np.uint64(0xFFFFFFFF)),
+                                     int(h >> np.uint64(32))])
+        ti = np.searchsorted(cdf, rng.random(n) * cdf[-1], side="right")
+        ti = np.minimum(ti, len(tris) - 1)
+        uv = rng.random((n, 2))
+        fold = uv.sum(axis=1) > 1.0
+        uv[fold] = 1.0 - uv[fold]
+        a, b, c = T[ti, 0], T[ti, 1], T[ti, 2]
+        pts = a + uv[:, :1] * (b - a) + uv[:, 1:] * (c - a)
+        out.append(("multipoint", [tuple(p) for p in pts]))
+    return GeometryArray.from_pylist(out)
+
+
 def triangulate_arrays(ga, delaunay: bool = True):
     """Per-row ``triangulate_polygon`` kernel: POLYGON/MULTIPOLYGON rows
     become a MULTIPOLYGON of triangles partitioning them; other rows

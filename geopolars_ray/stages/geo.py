@@ -77,6 +77,12 @@ def _triangulate_polygon(ga: GeometryArray, delaunay: bool = True) -> GeometryAr
     return triangulate_arrays(ga, delaunay=delaunay)
 
 
+def _generate_points(ga: GeometryArray, n: int = 1, seed: int = 0) -> GeometryArray:
+    from geopolars_ray.geom.triangulate import generate_points_arrays
+
+    return generate_points_arrays(ga, n, seed=seed)
+
+
 def _clip_by_convex(ga: GeometryArray, ring) -> GeometryArray:
     from geopolars_ray.geom.clip import clip_by_convex
 
@@ -211,6 +217,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "node": (_node, "geometry"),
     # ST_TriangulatePolygon: ear clip + Lawson flips (geom/triangulate.py)
     "triangulate_polygon": (_triangulate_polygon, "geometry"),
+    # ST_GeneratePoints: area-uniform seeded sampling (geom/triangulate.py)
+    "generate_points": (_generate_points, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (

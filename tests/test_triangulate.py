@@ -148,3 +148,53 @@ def test_triangulate_api(ray_session):
     assert abs(out["a"].to_pylist()[0] - 12.0) < 1e-9
     g = decode_wkb(out["geometry"]).to_pylist()[0]
     assert g[0] == "multipolygon" and len(g[1]) == 8
+
+
+# ----------------------------------------------------------- generate_points
+def test_generate_points_uniform_inside_and_deterministic():
+    from geopolars_ray.geom import GeometryArray
+    from geopolars_ray.geom.triangulate import generate_points_arrays
+
+    ann = ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                       [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]])
+    ga = GeometryArray.from_pylist([ann, None, ("linestring", [(0.0, 0.0), (1.0, 1.0)])])
+    out = generate_points_arrays(ga, 4000, seed=7).to_pylist()
+    assert out[1] is None and out[2] is None
+    t, pts = out[0]
+    assert t == "multipoint" and len(pts) == 4000
+    # all inside the shell, none in the hole
+    for x, y in pts:
+        assert 0 <= x <= 4 and 0 <= y <= 4
+        assert not (1 < x < 3 and 1 < y < 3)
+    # area-uniform: corner quadrant [0,1]x[0,1] holds ~ 1/12 of the area
+    frac = sum(1 for x, y in pts if x < 1 and y < 1) / 4000
+    assert abs(frac - 1.0 / 12.0) < 0.02
+    # deterministic
+    again = generate_points_arrays(ga, 4000, seed=7).to_pylist()[0]
+    assert again == out[0]
+    # different seed differs
+    assert generate_points_arrays(ga, 4000, seed=8).to_pylist()[0] != out[0]
+
+
+def test_generate_points_layout_independent(ray_session):
+    """Same geometry sampled identically regardless of row position,
+    batch boundaries, and parallelism."""
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+
+    sq = ("polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])
+    tri = ("polygon", [[(5.0, 5.0), (8.0, 5.0), (5.0, 9.0), (5.0, 5.0)]])
+    t1 = pa.table({"rid": pa.array([0, 1]),
+                   "geometry": encode_wkb(GeometryArray.from_pylist([sq, tri]))})
+    t2 = pa.table({"rid": pa.array([1, 0]),
+                   "geometry": encode_wkb(GeometryArray.from_pylist([tri, sq]))})
+    outs = []
+    for t, parts in ((t1, 1), (t2, 2)):
+        ds = GeoDataset(ray.data.from_arrow(t).repartition(parts))
+        tbl = pa.concat_tables(ray.get(
+            ds.generate_points(50, seed=3).dataset.to_arrow_refs()))
+        outs.append(dict(zip(tbl["rid"].to_pylist(),
+                             decode_wkb(tbl["geometry"]).to_pylist())))
+    assert outs[0] == outs[1]
