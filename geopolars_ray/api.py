@@ -655,6 +655,28 @@ class GeoDataset:
             lambda b: b.drop_columns(["__cx", "__cy"]),
             batch_format="pyarrow"))
 
+    def cluster_within(self, distance: float, id_col: str,
+                       num_partitions: int = 32) -> "GeoDataset":
+        """ST_ClusterWithin over ANY geometry rows: single-linkage
+        clusters of rows within ``distance`` of each other (0 =
+        ST_ClusterIntersecting). Appends ``cluster`` = min member id.
+        PBSM cell replication + reference-point dedup + exact distance
+        refine + connected components (`stages/cluster.py`)."""
+        from geopolars_ray.stages.cluster import cluster_within
+        from geopolars_ray.stages.hashjoin import hash_join
+
+        labels = cluster_within(self._ds, distance, id_col=id_col,
+                                geometry_col=self.geometry_col,
+                                num_partitions=num_partitions)
+        out = hash_join(self._ds, labels, on=(id_col,), right_on=("node",),
+                        how="left", num_partitions=num_partitions)
+        return self._wrap(out)
+
+    def cluster_intersecting(self, id_col: str,
+                             num_partitions: int = 32) -> "GeoDataset":
+        """ST_ClusterIntersecting = ``cluster_within(0)``."""
+        return self.cluster_within(0.0, id_col, num_partitions=num_partitions)
+
     def polygonize(self, by, num_partitions: int = 32) -> "GeoDataset":
         """Faces of each key group's line arrangement (shapely/GEOS
         ``polygonize``): line rows co-locate per key with one hash

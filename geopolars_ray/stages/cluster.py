@@ -33,7 +33,7 @@ import math
 import numpy as np
 import pyarrow as pa
 
-from geopolars_ray.stages.agg import hash_aggregate
+from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
 from geopolars_ray.stages.hashjoin import hash_join
 from geopolars_ray.stages.cc import connected_components
 from geopolars_ray.stages.knn import dwithin_join
@@ -137,6 +137,156 @@ def dbscan(
     # noise: never emitted — left-join the result back in the caller, or
     # use the id->cluster map as-is (absent id == noise/null)
     return core_labels.union(border)
+
+
+def cluster_within(
+    ds,
+    distance: float,
+    *,
+    id_col: str = "gid",
+    geometry_col: str = "geometry",
+    cell_size: float | None = None,
+    num_partitions: int = 32,
+    strip_cost: int = 4_000_000,
+):
+    """ST_ClusterWithin over GENERAL geometries: single-linkage clusters
+    of rows whose pairwise geometry distance is <= ``distance``
+    (``distance=0`` = ST_ClusterIntersecting — zero distance IS
+    intersection for closed geometries).
+
+    PBSM shape: every row replicates to the grid cells of its
+    distance/2-expanded bbox (two within-range rows always share a
+    cell), one hash exchange co-locates cells, and each cell generates
+    pairs with a strip-chunked bbox prefilter, dedupes across cells by
+    the REFERENCE-POINT rule (a pair counts only in the cell containing
+    the lexicographic max of the two expanded bbox minima — the classic
+    partition-based spatial-merge dedup, no second exchange), and
+    refines with the exact batched geometry `distance` kernel. Pairs
+    then resolve through `connected_components`; singletons label
+    themselves. Returns ``(id_col, cluster)`` for EVERY input row,
+    cluster = min member id (deterministic)."""
+    import pyarrow.compute as pc
+
+    from geopolars_ray.geom import decode_wkb
+    from geopolars_ray.geom import kernels as K
+
+    if distance < 0:
+        raise ValueError("distance must be >= 0")
+    if cell_size is None:
+        # one cheap pre-pass: cells ~4x the mean expanded-bbox extent so
+        # typical rows land in 1-4 cells. Any positive value is CORRECT
+        # (the reference-point dedup is cell-size-invariant) — this only
+        # tunes the replication factor.
+        def _stat(b: pa.Table) -> pa.Table:
+            x0, y0, x1, y1 = K.bounds(decode_wkb(b[geometry_col]))
+            ext = np.nan_to_num(np.maximum(x1 - x0, y1 - y0))
+            return pa.table({"s": [float(ext.sum())], "n": [float(len(ext))]})
+
+        st = ds.map_batches(_stat, batch_format="pyarrow").take_all()
+        tot_n = sum(r["n"] for r in st)
+        mean_ext = (sum(r["s"] for r in st) / tot_n) if tot_n else 1.0
+        cell_size = max(4.0 * (mean_ext + distance), 1e-9)
+    cell = float(cell_size)
+    half = distance / 2.0
+
+    def replicate(b: pa.Table) -> pa.Table:
+        ga = decode_wkb(b[geometry_col])
+        x0, y0, x1, y1 = K.bounds(ga)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        wkb = b[geometry_col]
+        out_cells, out_rows = [], []
+        cx0 = np.floor((x0 - half) / cell).astype(np.int64)
+        cx1 = np.floor((x1 + half) / cell).astype(np.int64)
+        cy0 = np.floor((y0 - half) / cell).astype(np.int64)
+        cy1 = np.floor((y1 + half) / cell).astype(np.int64)
+        valid = np.isfinite(x0)
+        for i in np.flatnonzero(valid):
+            for gx in range(cx0[i], cx1[i] + 1):
+                for gy in range(cy0[i], cy1[i] + 1):
+                    out_cells.append(gx * np.int64(0x9E3779B1) + gy)
+                    out_rows.append(i)
+        idx = np.array(out_rows, dtype=np.int64)
+        return pa.table({
+            "_cell": pa.array(np.array(out_cells, dtype=np.int64)),
+            "gid": pa.array(ids[idx] if len(idx) else np.array([], np.int64)),
+            "_ex0": pa.array((x0 - half)[idx]),
+            "_ey0": pa.array((y0 - half)[idx]),
+            "_ex1": pa.array((x1 + half)[idx]),
+            "_ey1": pa.array((y1 + half)[idx]),
+            "_wkb": wkb.take(pa.array(idx)) if len(idx) else wkb.slice(0, 0),
+        })
+
+    cand = ds.map_batches(replicate, batch_format="pyarrow")
+
+    def per_cell(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_cell", "ascending")]))
+        cells = tbl["_cell"].to_numpy(zero_copy_only=False)
+        ex0 = tbl["_ex0"].to_numpy(zero_copy_only=False)
+        ey0 = tbl["_ey0"].to_numpy(zero_copy_only=False)
+        ex1 = tbl["_ex1"].to_numpy(zero_copy_only=False)
+        ey1 = tbl["_ey1"].to_numpy(zero_copy_only=False)
+        gids = tbl["gid"].to_numpy(zero_copy_only=False)
+        ga = decode_wkb(tbl["_wkb"])
+        a_out, b_out = [], []
+        bounds_idx = np.flatnonzero(np.concatenate(
+            [[True], cells[1:] != cells[:-1], [True]]))
+        for s, e in zip(bounds_idx[:-1], bounds_idx[1:]):
+            m = e - s
+            if m < 2:
+                continue
+            this_cell = cells[s]
+            strip = max(1, strip_cost // max(m, 1))
+            for lo in range(s, e, strip):
+                hi = min(lo + strip, e)
+                # expanded-bbox overlap == centers within distance bound
+                ov = ((ex0[lo:hi, None] <= ex1[None, s:e])
+                      & (ex0[None, s:e] <= ex1[lo:hi, None])
+                      & (ey0[lo:hi, None] <= ey1[None, s:e])
+                      & (ey0[None, s:e] <= ey1[lo:hi, None])
+                      & (gids[lo:hi, None] < gids[None, s:e]))
+                ii, jj = np.nonzero(ov)
+                if not len(ii):
+                    continue
+                ii = ii + lo
+                jj = jj + s
+                # reference-point dedup: count the pair only in the cell
+                # holding the overlap region's min corner
+                rx = np.maximum(ex0[ii], ex0[jj])
+                ry = np.maximum(ey0[ii], ey0[jj])
+                rcell = (np.floor(rx / cell).astype(np.int64) * np.int64(0x9E3779B1)
+                         + np.floor(ry / cell).astype(np.int64))
+                keep = rcell == this_cell
+                ii, jj = ii[keep], jj[keep]
+                if not len(ii):
+                    continue
+                d = K.distance(ga.take(ii), ga.take(jj))
+                ok = d <= distance
+                a_out.append(gids[ii[ok]])
+                b_out.append(gids[jj[ok]])
+        if a_out:
+            return pa.table({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out)})
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+
+    pairs = hash_partitioned_map(cand, ["_cell"], per_cell,
+                                 num_partitions=num_partitions)
+    labels = connected_components(pairs, src="id_a", dst="id_b",
+                                  node_col="node", label_col="cluster",
+                                  num_partitions=num_partitions)
+    ids = ds.map_batches(
+        lambda b: pa.table({"node": b[id_col]}), batch_format="pyarrow")
+    lonely = hash_join(ids, labels, on=("node",),
+                       how="left_anti", num_partitions=num_partitions)
+    lonely = lonely.map_batches(
+        lambda b: pa.table({"node": b["node"], "cluster": b["node"]}),
+        batch_format="pyarrow")
+    return labels.union(lonely)
+
+
+def cluster_intersecting(ds, **kw):
+    """ST_ClusterIntersecting = ``cluster_within(0)``."""
+    return cluster_within(ds, 0.0, **kw)
 
 
 def _seed_sample(ds, x_col: str, y_col: str, sample_size: int):

@@ -154,3 +154,103 @@ def test_cluster_api_on_point_geometry(ray_session):
     klab = dict(zip(km["pid"].to_pylist(), km["cluster"].to_pylist()))
     assert len({klab[i] for i in range(20)}) == 1
     assert len({klab[i] for i in range(20, 40)}) == 1
+
+
+# ------------------------------------------------------------ cluster_within
+def _ref_cluster_within(geoms, d):
+    """Brute-force single-linkage: union-find over all pairs whose exact
+    distance (the engine's own kernel, pairwise-aligned) is <= d."""
+    from geopolars_ray.geom import GeometryArray
+    from geopolars_ray.geom import kernels as K
+
+    n = len(geoms)
+    ii, jj = np.triu_indices(n, 1)
+    lhs = GeometryArray.from_pylist([geoms[i] for i in ii])
+    rhs = GeometryArray.from_pylist([geoms[j] for j in jj])
+    dist = K.distance(lhs, rhs)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, j, dv in zip(ii.tolist(), jj.tolist(), dist):
+        if dv <= d:
+            parent[find(i)] = find(j)
+    comp_min: dict = {}
+    for i in range(n):
+        comp_min[find(i)] = min(comp_min.get(find(i), i), i)
+    return {i: comp_min[find(i)] for i in range(n)}
+
+
+@pytest.mark.parametrize("d", [0.0, 0.3, 1.0])
+def test_cluster_within_matches_bruteforce(ray_session, d):
+    import ray.data
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.stages.cluster import cluster_within
+
+    rng = np.random.default_rng(int(d * 10) + 1)
+    geoms = []
+    for _ in range(60):
+        kind = rng.integers(3)
+        cx, cy = rng.uniform(0, 12, 2)
+        if kind == 0:
+            geoms.append(("point", (float(cx), float(cy))))
+        elif kind == 1:
+            dx, dy = rng.uniform(-1, 1, 2)
+            geoms.append(("linestring", [(float(cx), float(cy)),
+                                         (float(cx + dx), float(cy + dy))]))
+        else:
+            s = float(rng.uniform(0.2, 0.8))
+            geoms.append(("polygon", [[(float(cx), float(cy)),
+                                       (float(cx + s), float(cy)),
+                                       (float(cx + s), float(cy + s)),
+                                       (float(cx), float(cy + s)),
+                                       (float(cx), float(cy))]]))
+    t = pa.table({"gid": pa.array(np.arange(60, dtype=np.int64)),
+                  "geometry": encode_wkb(GeometryArray.from_pylist(geoms))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = {r["node"]: r["cluster"]
+           for r in cluster_within(ds, d, id_col="gid",
+                                   num_partitions=8).take_all()}
+    assert got == _ref_cluster_within(geoms, d)
+
+
+def test_cluster_intersecting_chain(ray_session):
+    import ray.data
+
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.stages.cluster import cluster_intersecting
+
+    # chain of overlapping squares 0-1-2 plus an isolated one
+    sq = lambda x: ("polygon", [[(x, 0.0), (x + 1.5, 0.0), (x + 1.5, 1.0),
+                                 (x, 1.0), (x, 0.0)]])
+    geoms = [sq(0.0), sq(1.0), sq(2.0), sq(10.0)]
+    t = pa.table({"gid": pa.array(np.arange(4, dtype=np.int64)),
+                  "geometry": encode_wkb(GeometryArray.from_pylist(geoms))})
+    got = {r["node"]: r["cluster"]
+           for r in cluster_intersecting(ray.data.from_arrow(t),
+                                         id_col="gid").take_all()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_cluster_within_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+
+    geoms = [("point", (0.0, 0.0)), ("point", (0.5, 0.0)),
+             ("point", (5.0, 5.0))]
+    t = pa.table({"gid": pa.array([7, 8, 9], pa.int64()),
+                  "geometry": encode_wkb(GeometryArray.from_pylist(geoms))})
+    out = pa.concat_tables(
+        [x for x in ray.get(
+            GeoDataset(ray.data.from_arrow(t)).cluster_within(1.0, id_col="gid")
+            .dataset.to_arrow_refs()) if x.num_columns > 0])
+    lab = dict(zip(out["gid"].to_pylist(), out["cluster"].to_pylist()))
+    assert lab == {7: 7, 8: 7, 9: 9}
+    assert "geometry" in out.column_names
