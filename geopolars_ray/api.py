@@ -552,6 +552,19 @@ class GeoDataset:
             )
         )
 
+    def snap(self, other_col: str, tolerance: float) -> "GeoDataset":
+        """ST_Snap / shapely ``snap``: snap this geometry column's
+        vertices to the aligned ``other_col`` geometry within
+        ``tolerance``, inserting its vertices into segments they lie
+        near (GEOS LineStringSnapper semantics; idempotent)."""
+        from geopolars_ray.stages.geo import geo_snap
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_snap(self.geometry_col, other_col, tolerance), batch_format="pyarrow"
+            )
+        )
+
     def frechet_distance(self, other_col: str, out_col: str = "frechet") -> "GeoDataset":
         """Row-wise discrete Fréchet distance vs an aligned LINE column
         (shapely/GEOS semantics: coupling over the vertex sequences —

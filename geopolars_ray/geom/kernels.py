@@ -1014,6 +1014,106 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     return out
 
 
+def _snap_path(path, snap_pts: np.ndarray, tol: float, closed: bool):
+    """GEOS LineStringSnapper on one coordinate path: (1) each source
+    vertex moves to the nearest snap point within ``tol``; (2) snap
+    points within ``tol`` of a segment's interior are INSERTED into it,
+    ordered by position along the segment."""
+    pts = np.asarray(path, dtype=np.float64)
+    # phase 1: vertex snapping (chunked (n, m) distance block)
+    d = np.hypot(pts[:, 0, None] - snap_pts[None, :, 0],
+                 pts[:, 1, None] - snap_pts[None, :, 1])
+    nearest = d.argmin(axis=1)
+    move = d[np.arange(len(pts)), nearest] <= tol
+    snapped = pts.copy()
+    snapped[move] = snap_pts[nearest[move]]
+    # phase 2: per segment, insert snap points near its interior
+    out = []
+    n = len(snapped)
+    last = n if closed else n - 1
+    for i in range(last):
+        a = snapped[i]
+        b = snapped[(i + 1) % n]
+        out.append((float(a[0]), float(a[1])))
+        ab = b - a
+        L2 = float(ab @ ab)
+        if L2 == 0:
+            continue
+        t = ((snap_pts - a) @ ab) / L2
+        proj = a + t[:, None] * ab
+        dseg = np.hypot(snap_pts[:, 0] - proj[:, 0], snap_pts[:, 1] - proj[:, 1])
+        ins = (dseg <= tol) & (t > 0.0) & (t < 1.0)
+        # skip snap points equal to either endpoint (already present)
+        ins &= ~((snap_pts == a).all(axis=1) | (snap_pts == b).all(axis=1))
+        order = np.argsort(t[ins], kind="stable")
+        for p in snap_pts[ins][order]:
+            q = (float(p[0]), float(p[1]))
+            if out[-1] != q:
+                out.append(q)
+    if not closed:
+        out.append((float(snapped[-1][0]), float(snapped[-1][1])))
+    # collapse consecutive duplicates introduced by snapping
+    dedup = [out[0]]
+    for q in out[1:]:
+        if q != dedup[-1]:
+            dedup.append(q)
+    if closed and len(dedup) > 1 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    return dedup
+
+
+def snap_geoms(lhs: GeometryArray, rhs: GeometryArray, tolerance: float) -> GeometryArray:
+    """Row-wise ST_Snap / shapely ``snap``: snap each left geometry's
+    vertices to the aligned right geometry's vertices within
+    ``tolerance``, and insert right vertices lying within ``tolerance``
+    of a left segment's interior (GEOS LineStringSnapper semantics).
+    Rows with a missing side pass the left through unchanged."""
+    if len(lhs) != len(rhs):
+        raise ValueError("snap requires aligned columns of equal length")
+    if not tolerance >= 0:
+        raise ValueError("tolerance must be >= 0")
+    from geopolars_ray.geom.delaunay import coords_of_geom
+
+    out: list = []
+    src = lhs.to_pylist()
+    tgt = rhs.to_pylist()
+    for g, h in zip(src, tgt):
+        if g is None or h is None or tolerance == 0:
+            out.append(g)
+            continue
+        snap_pts = np.asarray(coords_of_geom(h), dtype=np.float64)
+        t, data = g
+
+        def path(p, closed):
+            if not closed:
+                return _snap_path(p, snap_pts, tolerance, False)
+            # preserve the input's explicit-closing-point convention
+            p = [tuple(q) for q in p]
+            had_dup = len(p) > 1 and p[0] == p[-1]
+            r = _snap_path(p[:-1] if had_dup else p, snap_pts, tolerance, True)
+            return r + [r[0]] if had_dup else r
+
+        if t == "point":
+            p = path([data], closed=False)[0]
+            out.append(("point", p))
+        elif t == "multipoint":
+            out.append(("multipoint", [path([q], False)[0] for q in data]))
+        elif t == "linestring":
+            out.append(("linestring", path(data, False)))
+        elif t == "linearring":
+            out.append(("linearring", path(data, True)))
+        elif t == "multilinestring":
+            out.append(("multilinestring", [path(p, False) for p in data]))
+        elif t == "polygon":
+            out.append(("polygon", [path(r, True) for r in data]))
+        elif t == "multipolygon":
+            out.append(("multipolygon",
+                        [[path(r, True) for r in poly] for poly in data]))
+        else:
+            out.append(g)
+    return GeometryArray.from_pylist(out)
+
+
 def frechet_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     """Row-wise discrete Fréchet distance between aligned LINE columns
     (shapely/GEOS semantics: the coupling is over the VERTEX sequences;

@@ -471,6 +471,22 @@ def geo_hausdorff(
     return fn
 
 
+def geo_snap(
+    left_col: str, right_col: str, tolerance: float,
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise ST_Snap: snap the left geometry column to the aligned
+    right one within tolerance (`geom/kernels.py snap_geoms`)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        idx = batch.column_names.index(left_col)
+        return batch.set_column(idx, left_col,
+                                encode_wkb(K.snap_geoms(lga, rga, tolerance)))
+
+    return fn
+
+
 def geo_frechet(
     left_col: str, right_col: str, out_col: str = "frechet"
 ) -> Callable[[pa.Table], pa.Table]:

@@ -1214,3 +1214,50 @@ def test_maximum_inscribed_center_radius_consistency():
         d = _min_point_to_segments(np.array([c[1]]), segs)
         assert abs(d - r) < 1e-9  # radius IS the boundary distance
         assert r > 0
+
+
+# ---------------------------------------------------------------------- snap
+def test_snap_semantics():
+    lhs = GeometryArray.from_pylist([
+        ("linestring", [(0.05, 0.05), (5.0, 0.0)]),   # vertex snap to (0,0)
+        ("linestring", [(0.0, 1.0), (10.0, 1.0)]),    # target inserted mid-segment
+        ("linestring", [(0.0, 5.0), (1.0, 5.0)]),     # beyond tolerance: unchanged
+        ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+        None,
+    ])
+    rhs = GeometryArray.from_pylist([
+        ("point", (0.0, 0.0)),
+        ("point", (5.0, 1.05)),
+        ("point", (0.0, 0.0)),
+        ("multipoint", [(4.05, 2.0)]),
+        ("point", (0.0, 0.0)),
+    ])
+    out = K.snap_geoms(lhs, rhs, 0.1).to_pylist()
+    assert out[0] == ("linestring", [(0.0, 0.0), (5.0, 0.0)])
+    assert out[1] == ("linestring", [(0.0, 1.0), (5.0, 1.05), (10.0, 1.0)])
+    assert out[2] == ("linestring", [(0.0, 5.0), (1.0, 5.0)])
+    # polygon edge insertion, explicit closing point preserved
+    ring = out[3][1][0]
+    assert (4.05, 2.0) in ring and ring[0] == ring[-1]
+    assert out[4] is None
+    # idempotence
+    again = K.snap_geoms(K.snap_geoms(lhs, rhs, 0.1), rhs, 0.1).to_pylist()
+    assert again == out
+
+
+def test_snap_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+
+    t = pa.table({
+        "geometry": encode_wkb(GeometryArray.from_pylist(
+            [("linestring", [(0.02, 0.0), (3.0, 0.0)])])),
+        "other": encode_wkb(GeometryArray.from_pylist(
+            [("point", (0.0, 0.0))])),
+    })
+    out = pa.concat_tables(ray.get(
+        GeoDataset(ray.data.from_arrow(t)).snap("other", 0.1)
+        .dataset.to_arrow_refs()))
+    g = decode_wkb(out["geometry"]).to_pylist()[0]
+    assert g == ("linestring", [(0.0, 0.0), (3.0, 0.0)])
