@@ -565,6 +565,21 @@ class GeoDataset:
             )
         )
 
+    def shared_paths(self, other_col: str, same_col: str = "shared_same",
+                     opp_col: str = "shared_opposite") -> "GeoDataset":
+        """ST_SharedPaths vs an aligned line column: the common linework
+        appended as two MultiLineString columns, split by traversal
+        direction (GEOS returns a GeometryCollection of the two; this
+        engine rejects collections, so they come back as columns)."""
+        from geopolars_ray.stages.geo import geo_shared_paths
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_shared_paths(self.geometry_col, other_col, same_col, opp_col),
+                batch_format="pyarrow"
+            )
+        )
+
     def frechet_distance(self, other_col: str, out_col: str = "frechet") -> "GeoDataset":
         """Row-wise discrete Fréchet distance vs an aligned LINE column
         (shapely/GEOS semantics: coupling over the vertex sequences —

@@ -52,6 +52,7 @@ import math
 from collections import defaultdict
 
 from geopolars_ray.geom.overlay import (
+    CLIPPING,
     SUBJECT,
     _ring_signed_area,
     node_segments,
@@ -346,6 +347,94 @@ def node_lines(geoms):
     ml = ("multilinestring", parts)
     merged = line_merge(GeometryArray.from_pylist([ml])).to_pylist()[0]
     return merged
+
+
+def _directed_segments(geoms) -> list:
+    """Raw (p, q) segments of line geometries, keeping input direction."""
+    return [(p, q) for p, q, _pol in _segments_of(geoms)]
+
+
+def shared_paths_pair(a, b):
+    """ST_SharedPaths / shapely ``shared_paths`` for ONE pair of line
+    geometries: the linework common to both, split into same-direction
+    and opposite-direction parts. Returns (same, opposite) as
+    multilinestring tuples (or None where empty).
+
+    Noding reuses ``node_segments`` with per-operand multiplicity
+    labels: a noded piece with BOTH multiplicities positive lies on
+    both inputs (the sweep already subdivides partial collinear
+    overlaps exactly). Direction is recovered per piece by locating the
+    original segment of each operand nearest the piece midpoint and
+    comparing traversal signs. Pieces merge through degree-2 nodes via
+    ``line_merge`` so output chains are maximal, like GEOS."""
+    import numpy as np
+
+    from geopolars_ray.geom.array import GeometryArray
+    from geopolars_ray.geom.kernels import line_merge
+
+    segs_a = [(p, q, SUBJECT) for p, q in _directed_segments([a])]
+    segs_b = [(p, q, CLIPPING) for p, q in _directed_segments([b])]
+    if not segs_a or not segs_b:
+        return None, None
+    groups = node_segments(segs_a + segs_b)
+    shared = [(p, q) for p, q, m_s, m_c in groups if m_s > 0 and m_c > 0]
+    if not shared:
+        return None, None
+
+    def dir_sign(piece, segs):
+        (px, py), (qx, qy) = piece
+        mx, my = (px + qx) / 2.0, (py + qy) / 2.0
+        best_d, best_sign = math.inf, 1.0
+        for (ax, ay), (bx, by) in ((s[:2][0], s[:2][1]) for s in
+                                   ((sp, sq) for sp, sq, _ in segs)):
+            dx, dy = bx - ax, by - ay
+            L2 = dx * dx + dy * dy
+            if L2 == 0:
+                continue
+            t = max(0.0, min(1.0, ((mx - ax) * dx + (my - ay) * dy) / L2))
+            d = math.hypot(mx - (ax + t * dx), my - (ay + t * dy))
+            if d < best_d:
+                best_d = d
+                best_sign = 1.0 if (qx - px) * dx + (qy - py) * dy >= 0 else -1.0
+        return best_sign
+
+    same, opp = [], []
+    for piece in shared:
+        sa = dir_sign(piece, segs_a)
+        sb = dir_sign(piece, segs_b)
+        (same if sa == sb else opp).append([piece[0], piece[1]])
+
+    def pack(parts):
+        if not parts:
+            return None
+        merged = line_merge(GeometryArray.from_pylist(
+            [("multilinestring", parts)])).to_pylist()[0]
+        if merged[0] == "linestring":
+            merged = ("multilinestring", [merged[1]])
+        return merged
+
+    return pack(same), pack(opp)
+
+
+def shared_paths_arrays(lhs, rhs):
+    """Row-wise ``shared_paths`` over aligned columns. Returns
+    (same_dir, opposite_dir) GeometryArrays of MULTILINESTRINGs —
+    GEOS wraps the two in a GeometryCollection, which this engine
+    deliberately rejects (reference parity), so they come back as two
+    separate columns instead."""
+    from geopolars_ray.geom.array import GeometryArray
+
+    same_out, opp_out = [], []
+    for g, h in zip(lhs.to_pylist(), rhs.to_pylist()):
+        if g is None or h is None:
+            same_out.append(None)
+            opp_out.append(None)
+            continue
+        s, o = shared_paths_pair(g, h)
+        same_out.append(s)
+        opp_out.append(o)
+    return (GeometryArray.from_pylist(same_out),
+            GeometryArray.from_pylist(opp_out))
 
 
 def node_arrays(ga):

@@ -487,6 +487,30 @@ def geo_snap(
     return fn
 
 
+def geo_shared_paths(
+    left_col: str, right_col: str,
+    same_col: str = "shared_same", opp_col: str = "shared_opposite",
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise ST_SharedPaths: linework common to two aligned line
+    columns, appended as TWO MultiLineString columns (same-direction and
+    opposite-direction) — GEOS wraps them in a GeometryCollection,
+    which this engine deliberately rejects
+    (`geom/polygonize.py shared_paths_arrays`)."""
+    from geopolars_ray.geom.polygonize import shared_paths_arrays
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        same, opp = shared_paths_arrays(lga, rga)
+        for col in (same_col, opp_col):
+            if col in batch.column_names:
+                batch = batch.drop_columns([col])
+        batch = batch.append_column(same_col, encode_wkb(same))
+        return batch.append_column(opp_col, encode_wkb(opp))
+
+    return fn
+
+
 def geo_frechet(
     left_col: str, right_col: str, out_col: str = "frechet"
 ) -> Callable[[pa.Table], pa.Table]:

@@ -222,3 +222,52 @@ def test_polygonize_by_matches_local(ray_session):
     for k, lines in ((0, geoms[0:2]), (1, geoms[2:4])):
         for fid, want in enumerate(polygonize_geoms(lines)):
             assert got[(k, fid)] == want
+
+
+# ---------------------------------------------------------- shared_paths
+def test_shared_paths_directions():
+    from geopolars_ray.geom.polygonize import shared_paths_pair
+
+    a = ("linestring", [(0, 0), (10, 0)])
+    same, opp = shared_paths_pair(a, ("linestring", [(3, 0), (7, 0), (7, 5)]))
+    assert same == ("multilinestring", [[(3.0, 0.0), (7.0, 0.0)]]) and opp is None
+    same, opp = shared_paths_pair(a, ("linestring", [(7, 0), (3, 0)]))
+    assert same is None and opp == ("multilinestring", [[(3.0, 0.0), (7.0, 0.0)]])
+    assert shared_paths_pair(a, ("linestring", [(5, -1), (5, 1)])) == (None, None)
+    same, opp = shared_paths_pair(
+        a, ("multilinestring", [[(1, 0), (2, 0)], [(9, 0), (8, 0)]]))
+    assert same == ("multilinestring", [[(1.0, 0.0), (2.0, 0.0)]])
+    assert opp == ("multilinestring", [[(8.0, 0.0), (9.0, 0.0)]])
+
+
+def test_shared_paths_merges_chains():
+    from geopolars_ray.geom.polygonize import shared_paths_pair
+
+    # B retraces A in two abutting pieces -> ONE merged chain
+    a = ("linestring", [(0, 0), (4, 0), (8, 0)])
+    b = ("multilinestring", [[(1, 0), (4, 0)], [(4, 0), (6, 0)]])
+    same, opp = shared_paths_pair(a, b)
+    assert opp is None
+    assert same == ("multilinestring", [[(1.0, 0.0), (4.0, 0.0), (6.0, 0.0)]])
+
+
+def test_shared_paths_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+
+    t = pa.table({
+        "geometry": encode_wkb(GeometryArray.from_pylist(
+            [("linestring", [(0.0, 0.0), (10.0, 0.0)])] * 2)),
+        "other": encode_wkb(GeometryArray.from_pylist(
+            [("linestring", [(2.0, 0.0), (5.0, 0.0)]),
+             ("linestring", [(5.0, 0.0), (2.0, 0.0)])])),
+    })
+    out = pa.concat_tables(ray.get(
+        GeoDataset(ray.data.from_arrow(t)).shared_paths("other")
+        .dataset.to_arrow_refs()))
+    same = decode_wkb(out["shared_same"]).to_pylist()
+    opp = decode_wkb(out["shared_opposite"]).to_pylist()
+    assert same[0] == ("multilinestring", [[(2.0, 0.0), (5.0, 0.0)]]) and opp[0] is None
+    assert same[1] is None and opp[1] == ("multilinestring", [[(2.0, 0.0), (5.0, 0.0)]])
