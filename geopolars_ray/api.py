@@ -565,6 +565,21 @@ class GeoDataset:
             )
         )
 
+    def split(self, blade_col: str) -> "GeoDataset":
+        """ST_Split / shapely ``split``: cut each row by the aligned
+        blade column — lines by points or lines, polygons by lines (the
+        arrangement engine does the cutting; pieces inside the polygon
+        are selected by a guaranteed-interior triangulation probe).
+        Parts come back as a MULTI geometry (this engine rejects
+        GeometryCollections, reference parity)."""
+        from geopolars_ray.stages.geo import geo_split
+
+        return self._wrap(
+            self._ds.map_batches(
+                geo_split(self.geometry_col, blade_col), batch_format="pyarrow"
+            )
+        )
+
     def shared_paths(self, other_col: str, same_col: str = "shared_same",
                      opp_col: str = "shared_opposite") -> "GeoDataset":
         """ST_SharedPaths vs an aligned line column: the common linework

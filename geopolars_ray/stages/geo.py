@@ -487,6 +487,23 @@ def geo_snap(
     return fn
 
 
+def geo_split(
+    left_col: str, right_col: str,
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise ST_Split: split the left geometry column by the aligned
+    blade column (`geom/split.py split_arrays`)."""
+    from geopolars_ray.geom.split import split_arrays
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        idx = batch.column_names.index(left_col)
+        return batch.set_column(idx, left_col,
+                                encode_wkb(split_arrays(lga, rga)))
+
+    return fn
+
+
 def geo_shared_paths(
     left_col: str, right_col: str,
     same_col: str = "shared_same", opp_col: str = "shared_opposite",
