@@ -521,6 +521,18 @@ class GeoDataset:
                                  tolerance: float | None = None) -> "GeoDataset":
         return self._apply("maximum_inscribed_radius", out_col, tolerance=tolerance)
 
+    def minimum_clearance(self, out_col: str = "minimum_clearance") -> "GeoDataset":
+        """GEOS ``minimum_clearance``: the smallest vertex move that
+        could change the geometry's structure (min vertex-vertex /
+        vertex-to-non-incident-segment distance); inf for degenerate
+        rows (`geom/kernels.py`)."""
+        return self._apply("minimum_clearance", out_col)
+
+    def minimum_clearance_line(self) -> "GeoDataset":
+        """ST_MinimumClearanceLine: the 2-point line realizing
+        ``minimum_clearance`` (missing where clearance is inf)."""
+        return self._apply("minimum_clearance_line")
+
     def reverse(self) -> "GeoDataset":
         return self._apply("reverse")
 

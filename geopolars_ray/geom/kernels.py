@@ -1014,6 +1014,100 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     return out
 
 
+def _clearance_one(ga: GeometryArray, i: int):
+    """(clearance, (p, q)) of geometry row i — the smallest of (a) any
+    vertex-vertex distance and (b) any vertex to non-incident-segment
+    distance (GEOS MinimumClearance). inf/None for <2 distinct
+    vertices."""
+    gidx = ga.geom_index_of_coords()
+    pts = ga.coords[gidx == i]
+    pts = np.unique(pts, axis=0)
+    n = len(pts)
+    best = np.inf
+    pair = None
+    if n < 2:
+        return best, pair
+    # vertex-vertex (chunked)
+    chunk = max(1, 4_000_000 // max(n, 1))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        d = np.hypot(pts[lo:hi, 0, None] - pts[None, :, 0],
+                     pts[lo:hi, 1, None] - pts[None, :, 1])
+        d[np.arange(lo, hi) - lo, np.arange(lo, hi)] = np.inf
+        k = int(d.argmin())
+        a, b = divmod(k, n)
+        if d[a, b] < best:
+            best = float(d[a, b])
+            pair = (tuple(pts[lo + a]), tuple(pts[b]))
+    # vertex-segment (non-incident): all boundary/path segments
+    segs = _areal_segments(ga, i)
+    if segs is None:
+        # line/multiline rows: build segments from their paths
+        parts = []
+        t = ga.types[i]
+        if t in (LINESTRING, LINEARRING, MULTILINESTRING):
+            for p in range(ga.geom_offsets[i], ga.geom_offsets[i + 1]):
+                for r in range(ga.part_offsets[p], ga.part_offsets[p + 1]):
+                    c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                    if len(c) >= 2:
+                        parts.append(np.stack([c[:-1], c[1:]], axis=1))
+        segs = np.concatenate(parts, axis=0) if parts else None
+    if segs is not None and len(segs):
+        a = segs[:, 0]
+        dv = segs[:, 1] - segs[:, 0]
+        L2 = (dv ** 2).sum(axis=1)
+        L2s = np.where(L2 == 0, 1.0, L2)
+        m = len(segs)
+        chunk = max(1, 4_000_000 // max(m, 1))
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            P = pts[lo:hi]
+            ap = P[:, None, :] - a[None, :, :]
+            t = np.clip((ap * dv[None, :, :]).sum(axis=2) / L2s[None, :], 0.0, 1.0)
+            proj = a[None, :, :] + t[:, :, None] * dv[None, :, :]
+            d = np.sqrt(((P[:, None, :] - proj) ** 2).sum(axis=2))
+            # incident pairs: vertex equals an endpoint -> exclude
+            inc = (((P[:, None, :] == segs[None, :, 0]).all(axis=2))
+                   | ((P[:, None, :] == segs[None, :, 1]).all(axis=2)))
+            d[inc] = np.inf
+            k = int(d.argmin())
+            vi, sj = divmod(k, m)
+            if d[vi, sj] < best:
+                best = float(d[vi, sj])
+                pair = (tuple(P[vi]), tuple(proj[vi, sj]))
+    return best, pair
+
+
+def minimum_clearance(ga: GeometryArray) -> np.ndarray:
+    """GEOS ``minimum_clearance`` per geometry: the smallest vertex move
+    that could change the geometry's structure — min over vertex-vertex
+    and vertex-to-non-incident-segment distances. inf for rows with
+    fewer than two distinct vertices, NaN for missing."""
+    out = np.full(len(ga), np.nan)
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            continue
+        out[i], _ = _clearance_one(ga, i)
+    return out
+
+
+def minimum_clearance_line(ga: GeometryArray) -> GeometryArray:
+    """The 2-point LINESTRING realizing ``minimum_clearance``
+    (ST_MinimumClearanceLine); missing where clearance is inf."""
+    out: list = []
+    for i in range(len(ga)):
+        if ga.types[i] == MISSING:
+            out.append(None)
+            continue
+        c, pair = _clearance_one(ga, i)
+        if pair is None or not np.isfinite(c):
+            out.append(None)
+        else:
+            out.append(("linestring", [(float(pair[0][0]), float(pair[0][1])),
+                                       (float(pair[1][0]), float(pair[1][1]))]))
+    return GeometryArray.from_pylist(out)
+
+
 def _snap_path(path, snap_pts: np.ndarray, tol: float, closed: bool):
     """GEOS LineStringSnapper on one coordinate path: (1) each source
     vertex moves to the nearest snap point within ``tol``; (2) snap

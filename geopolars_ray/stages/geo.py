@@ -187,6 +187,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "minimum_bounding_radius": (K.minimum_bounding_radius, "scalar"),
     "maximum_inscribed_circle": (K.maximum_inscribed_circle, "geometry"),
     "maximum_inscribed_radius": (K.maximum_inscribed_radius, "scalar"),
+    "minimum_clearance": (K.minimum_clearance, "scalar"),
+    "minimum_clearance_line": (K.minimum_clearance_line, "geometry"),
     "exterior": (K.exterior, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),

@@ -1261,3 +1261,27 @@ def test_snap_api(ray_session):
         .dataset.to_arrow_refs()))
     g = decode_wkb(out["geometry"]).to_pylist()[0]
     assert g == ("linestring", [(0.0, 0.0), (3.0, 0.0)])
+
+
+# -------------------------------------------------------- minimum clearance
+def test_minimum_clearance_and_line():
+    ga = GeometryArray.from_pylist([
+        ("polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]]),
+        ("polygon", [[(0.0, 0.0), (10.0, 0.0), (5.0, 1.0), (0.0, 0.0)]]),  # apex near base
+        ("multipoint", [(0.0, 0.0), (3.0, 0.0), (3.5, 0.0)]),
+        ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 1.0), (0.0, 1.0)]),
+        ("point", (2.0, 2.0)),
+        None,
+    ])
+    c = K.minimum_clearance(ga)
+    assert np.allclose(c[:4], [10.0, 1.0, 0.5, 1.0])
+    assert np.isinf(c[4]) and np.isnan(c[5])
+    lines = K.minimum_clearance_line(ga).to_pylist()
+    # the apex-to-base witness: (5,1) projected onto y=0
+    assert lines[1] == ("linestring", [(5.0, 1.0), (5.0, 0.0)])
+    assert lines[2] == ("linestring", [(3.0, 0.0), (3.5, 0.0)])
+    assert lines[4] is None and lines[5] is None
+    # witness length == clearance on every finite row
+    for i in range(4):
+        (x1, y1), (x2, y2) = lines[i][1]
+        assert abs(np.hypot(x2 - x1, y2 - y1) - c[i]) < 1e-12
