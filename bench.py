@@ -338,6 +338,27 @@ def kernel_benchmarks() -> dict:
         np.asarray(le.to_pylist(), dtype=np.float64)
 
     out["embed_decode_pylist_mrows_s"] = round(best_rate(pylist_decode, len(emb), reps=1) / 1e6, 2)
+
+    # r4 continuation: arrangement/triangulation family (bounded sizes —
+    # these are per-geometry algorithmic kernels, rates are pts or faces/s)
+    from geopolars_ray.geom.delaunay import delaunay_points
+    from geopolars_ray.geom.polygonize import polygonize_geoms
+    from geopolars_ray.geom.triangulate import triangulate_polygon_rings
+
+    dpts = [(float(a), float(b)) for a, b in rng.uniform(0, 1000, (4000, 2))]
+    out["delaunay_kpts_s"] = round(best_rate(lambda: delaunay_points(dpts), len(dpts)) / 1e3, 1)
+    g = 14
+    lat_lines = [("linestring", [(0.0, float(yy)), (float(g), float(yy))]) for yy in range(g + 1)]
+    lat_lines += [("linestring", [(float(xx), 0.0), (float(xx), float(g))]) for xx in range(g + 1)]
+    out["polygonize_faces_s"] = round(best_rate(lambda: polygonize_geoms(lat_lines), g * g), 1)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 60))
+    rr = rng.uniform(2, 6, 60)
+    star = [(float(ri * np.cos(a)), float(ri * np.sin(a))) for ri, a in zip(rr, ang)]
+    out["triangulate_ktris_s"] = round(
+        best_rate(lambda: triangulate_polygon_rings([star]), 58) / 1e3, 2)
+    sga = GeometryArray.from_pylist([("polygon", [star + [star[0]]])] * 50)
+    out["polylabel_polys_s"] = round(
+        best_rate(lambda: K.maximum_inscribed_radius(sga), 50), 1)
     return out
 
 
