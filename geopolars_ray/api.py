@@ -774,6 +774,13 @@ class GeoDataset:
         Replaces the geometry column with the Point result."""
         return self._apply("line_interpolate_point", distance=distance, normalized=normalized)
 
+    def line_substring(self, start, end, normalized: bool = True) -> "GeoDataset":
+        """shapely ``substring`` / ST_LineSubstring: the part of each
+        line between two distances along it (fractions when
+        ``normalized``); start > end yields the reversed part, a
+        degenerate window collapses to a POINT."""
+        return self._apply("line_substring", start=start, end=end, normalized=normalized)
+
     def project(self, point_col: str, out_col: str = "measure", normalized: bool = False) -> "GeoDataset":
         """Arc-length position of the nearest point on each line to the
         aligned Point column (shapely ``project``)."""

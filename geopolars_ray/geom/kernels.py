@@ -1329,6 +1329,65 @@ def line_interpolate_point(ga: GeometryArray, distance, normalized: bool = False
     return _points_or_missing(px, py, ok)
 
 
+def line_substring(ga: GeometryArray, start, end,
+                   normalized: bool = True) -> GeometryArray:
+    """shapely ``substring`` / ST_LineSubstring: the portion of each
+    LineString/LinearRing between two distances along it (fractions of
+    total length when ``normalized``, shapely's ST_LineSubstring
+    contract). ``start``/``end`` are scalars or per-row arrays; values
+    clamp to [0, length]; a reversed pair (start > end) yields the
+    reversed substring, shapely parity. Degenerate windows collapse to
+    a POINT; non-line rows come back missing."""
+    starts, ends, ok = _line_slices(ga)
+    c = ga.coords
+    n = len(ga)
+    s = np.broadcast_to(np.asarray(start, np.float64), (n,)).copy()
+    e = np.broadcast_to(np.asarray(end, np.float64), (n,)).copy()
+    out: list = []
+    for i in range(n):
+        if not ok[i]:
+            out.append(None)
+            continue
+        pts = c[starts[i]:ends[i]]
+        seg = np.hypot(*(np.diff(pts, axis=0).T))
+        G = np.concatenate([[0.0], np.cumsum(seg)])
+        tot = G[-1]
+        a, b = s[i], e[i]
+        if normalized:
+            a, b = a * tot, b * tot
+        rev = a > b
+        if rev:
+            a, b = b, a
+        a = min(max(a, 0.0), tot)
+        b = min(max(b, 0.0), tot)
+
+        def at(d):
+            j = int(np.clip(np.searchsorted(G, d, side="left") - 1,
+                            0, max(len(seg) - 1, 0)))
+            t = (d - G[j]) / seg[j] if seg[j] > 0 else 0.0
+            t = min(max(t, 0.0), 1.0)
+            return (float(pts[j, 0] * (1 - t) + pts[j + 1, 0] * t),
+                    float(pts[j, 1] * (1 - t) + pts[j + 1, 1] * t))
+
+        if b - a <= 0:
+            out.append(("point", at(a)))
+            continue
+        path = [at(a)]
+        inner = np.flatnonzero((G > a) & (G < b))
+        for j in inner:
+            p = (float(pts[j, 0]), float(pts[j, 1]))
+            if p != path[-1]:
+                path.append(p)
+        pb = at(b)
+        if pb != path[-1]:
+            path.append(pb)
+        if len(path) < 2:
+            out.append(("point", path[0]))
+            continue
+        out.append(("linestring", path[::-1] if rev else path))
+    return GeometryArray.from_pylist(out)
+
+
 def _points_or_missing(px: np.ndarray, py: np.ndarray, ok: np.ndarray) -> GeometryArray:
     """Build a Point-per-row GeometryArray with missing where ~ok."""
     n = len(ok)

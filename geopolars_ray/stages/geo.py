@@ -193,6 +193,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),
     "line_interpolate_point": (K.line_interpolate_point, "geometry"),
+    "line_substring": (K.line_substring, "geometry"),
     "reverse": (K.reverse, "geometry"),
     "snap_to_grid": (K.snap_to_grid, "geometry"),
     "remove_repeated_points": (K.remove_repeated_points, "geometry"),

@@ -1285,3 +1285,34 @@ def test_minimum_clearance_and_line():
     for i in range(4):
         (x1, y1), (x2, y2) = lines[i][1]
         assert abs(np.hypot(x2 - x1, y2 - y1) - c[i]) < 1e-12
+
+
+# --------------------------------------------------------- line_substring
+def test_line_substring():
+    ga = GeometryArray.from_pylist([
+        ("linestring", [(0.0, 0.0), (10.0, 0.0)]),
+        ("linestring", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (8.0, 4.0)]),  # len 12
+        ("point", (1.0, 1.0)),
+        None,
+    ])
+    out = K.line_substring(ga, 0.25, 0.75).to_pylist()
+    assert out[0] == ("linestring", [(2.5, 0.0), (7.5, 0.0)])
+    assert out[1] == ("linestring", [(3.0, 0.0), (4.0, 0.0), (4.0, 4.0), (5.0, 4.0)])
+    assert out[2] is None and out[3] is None
+    # absolute distances
+    assert K.line_substring(ga, 2.0, 10.0, normalized=False).to_pylist()[1] == \
+        ("linestring", [(2.0, 0.0), (4.0, 0.0), (4.0, 4.0), (6.0, 4.0)])
+    # reversed pair -> reversed substring (shapely parity)
+    assert K.line_substring(ga, 0.75, 0.25).to_pylist()[0] == \
+        ("linestring", [(7.5, 0.0), (2.5, 0.0)])
+    # degenerate window -> POINT; out-of-range clamps
+    assert K.line_substring(ga, 0.5, 0.5).to_pylist()[0] == ("point", (5.0, 0.0))
+    assert K.line_substring(ga, -1.0, 2.0).to_pylist()[0] == \
+        ("linestring", [(0.0, 0.0), (10.0, 0.0)])
+    # per-row arrays
+    import numpy as _np
+    out = K.line_substring(ga, _np.array([0.1, 0.5, 0.0, 0.0]),
+                           _np.array([0.2, 1.0, 1.0, 1.0])).to_pylist()
+    assert out[0] == ("linestring", [(1.0, 0.0), (2.0, 0.0)])
+    # fraction 0.5 of length 12 = distance 6 = (4, 2), up and across
+    assert out[1] == ("linestring", [(4.0, 2.0), (4.0, 4.0), (8.0, 4.0)])
