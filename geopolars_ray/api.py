@@ -642,11 +642,18 @@ class GeoDataset:
         ``overlay``); matches shapely on polygonal inputs."""
         return self.overlay(other_col, "intersection")
 
-    def union(self, other_col: str) -> "GeoDataset":
-        """Row-wise A ∪ B vs an aligned geometry column. POLYGONAL
-        rows only (polygon/multipolygon; shapely also accepts
-        points/lines — those raise TypeError here, same as
-        ``overlay``); matches shapely on polygonal inputs."""
+    def union(self, other_col) -> "GeoDataset":
+        """Row-wise A ∪ B vs an aligned geometry column (pass a column
+        NAME), or — preserving the Ray ``Dataset.union`` this class used
+        to delegate — dataset CONCATENATION when passed a Dataset /
+        GeoDataset. Overlay is POLYGONAL rows only (polygon/multipolygon;
+        shapely also accepts points/lines — those raise TypeError here,
+        same as ``overlay``); matches shapely on polygonal inputs."""
+        if not isinstance(other_col, str):
+            others = [o._ds if isinstance(o, GeoDataset) else o
+                      for o in (other_col if isinstance(other_col, (list, tuple))
+                                else [other_col])]
+            return self._wrap(self._ds.union(*others))
         return self.overlay(other_col, "union")
 
     def difference(self, other_col: str) -> "GeoDataset":

@@ -1014,13 +1014,13 @@ def hausdorff_distance(lhs: GeometryArray, rhs: GeometryArray) -> np.ndarray:
     return out
 
 
-def _clearance_one(ga: GeometryArray, i: int):
+def _clearance_one(ga: GeometryArray, i: int, co: np.ndarray):
     """(clearance, (p, q)) of geometry row i — the smallest of (a) any
     vertex-vertex distance and (b) any vertex to non-incident-segment
     distance (GEOS MinimumClearance). inf/None for <2 distinct
-    vertices."""
-    gidx = ga.geom_index_of_coords()
-    pts = ga.coords[gidx == i]
+    vertices. ``co`` is the caller-hoisted ``ga.coord_offsets()`` so the
+    per-row cost is O(coords of row i), not O(total coords)."""
+    pts = ga.coords[co[i]:co[i + 1]]
     pts = np.unique(pts, axis=0)
     n = len(pts)
     best = np.inf
@@ -1084,10 +1084,11 @@ def minimum_clearance(ga: GeometryArray) -> np.ndarray:
     and vertex-to-non-incident-segment distances. inf for rows with
     fewer than two distinct vertices, NaN for missing."""
     out = np.full(len(ga), np.nan)
+    co = ga.coord_offsets()
     for i in range(len(ga)):
         if ga.types[i] == MISSING:
             continue
-        out[i], _ = _clearance_one(ga, i)
+        out[i], _ = _clearance_one(ga, i, co)
     return out
 
 
@@ -1095,11 +1096,12 @@ def minimum_clearance_line(ga: GeometryArray) -> GeometryArray:
     """The 2-point LINESTRING realizing ``minimum_clearance``
     (ST_MinimumClearanceLine); missing where clearance is inf."""
     out: list = []
+    co = ga.coord_offsets()
     for i in range(len(ga)):
         if ga.types[i] == MISSING:
             out.append(None)
             continue
-        c, pair = _clearance_one(ga, i)
+        c, pair = _clearance_one(ga, i, co)
         if pair is None or not np.isfinite(c):
             out.append(None)
         else:
@@ -2052,7 +2054,9 @@ def _polylabel_one(segs: np.ndarray, tol: float):
     L2safe = np.where(L2 == 0, 1.0, L2)
     dy = np.where(y2 == y1, 1.0, y2 - y1)
 
-    def signed_dist(P: np.ndarray) -> np.ndarray:
+    m = len(segs)
+
+    def _signed_dist_block(P: np.ndarray) -> np.ndarray:
         px = P[:, 0, None]
         py = P[:, 1, None]
         straddle = (y1[None, :] > py) != (y2[None, :] > py)
@@ -2064,10 +2068,27 @@ def _polylabel_one(segs: np.ndarray, tol: float):
         d = np.sqrt(((P[:, None, :] - proj) ** 2).sum(axis=2)).min(axis=1)
         return np.where(inside, d, -d)
 
+    def signed_dist(P: np.ndarray) -> np.ndarray:
+        # bound the (cells x segments) temporaries to ~4M pairs per pass
+        # (same guard discipline as _clearance_one / hausdorff)
+        chunk = max(1, 4_000_000 // max(m, 1))
+        if len(P) <= chunk:
+            return _signed_dist_block(P)
+        out = np.empty(len(P))
+        for lo in range(0, len(P), chunk):
+            out[lo:lo + chunk] = _signed_dist_block(P[lo:lo + chunk])
+        return out
+
+    max_cells = 65536
     w, h = maxx - minx, maxy - miny
     size = min(w, h)
     if size <= 0:
         return (minx, miny), 0.0
+    # high-aspect bboxes (rivers, coastlines): a min-extent-sized grid is
+    # ceil(aspect) cells wide — unbounded. Grow the initial cell so the
+    # grid never exceeds the frontier cap; refinement recovers resolution.
+    if w * h > 0 and (w / size) * (h / size) > max_cells // 4:
+        size = float(np.sqrt(w * h / (max_cells // 4)))
     half = size / 2.0
     nx = max(1, int(np.ceil(w / size)))
     ny = max(1, int(np.ceil(h / size)))
@@ -2088,14 +2109,27 @@ def _polylabel_one(segs: np.ndarray, tol: float):
     # potential cells: the incumbent keeps improving and the answer
     # stays within the cap's effective resolution, it just stops
     # distinguishing equally-good centers (any of them is a valid pole).
-    max_cells = 65536
-    while half * sq2 > tol and len(centers):
+    #
+    # Keep refining PAST the tolerance while no interior point has been
+    # found (best_d <= 0): a coarse tol (or the default on a polygon much
+    # thinner than its bbox) would otherwise return a seed that lies in a
+    # void OUTSIDE the polygon. GEOS always returns an interior point.
+    # Terminates: once every surviving cell's potential falls below the
+    # incumbent the frontier empties, and zero-area regions never yield
+    # a positive d.
+    rounds = 0
+    while len(centers) and (half * sq2 > tol or best_d <= 0.0) and rounds < 1080:
+        rounds += 1
         d = signed_dist(centers)
         i = int(d.argmax())
         if d[i] > best_d:
             best_d = float(d[i])
             best_xy = (float(centers[i, 0]), float(centers[i, 1]))
-        keep = d + half * sq2 > best_d + tol
+        # while no interior point is known, prune only provably-exterior
+        # cells (potential <= 0) — the tol slack must not discard the one
+        # cell holding a shallower-than-tol interior.
+        floor = best_d + tol if best_d > 0.0 else 0.0
+        keep = d + half * sq2 > floor
         centers = centers[keep]
         dk = d[keep]
         if len(centers) > max_cells // 4:

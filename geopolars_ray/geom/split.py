@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from geopolars_ray.geom.overlay import CLIPPING, SUBJECT, node_segments
+from geopolars_ray.geom.overlay import CLIPPING, SUBJECT, _point_in_ring, node_segments
 from geopolars_ray.geom.polygonize import _segments_of, polygonize_geoms
 from geopolars_ray.geom.triangulate import triangulate_polygon_rings
 
@@ -123,15 +123,13 @@ def _face_probe(rings):
 
 
 def _point_in_rings(px, py, rings):
+    """Even-odd test over a MULTI-ring boundary: XOR of overlay's
+    single-ring crossing test (one implementation of the half-open
+    crossing rule; see overlay._point_in_ring)."""
     inside = False
     for r in rings:
-        n = len(r)
-        for i in range(n):
-            x1, y1 = r[i]
-            x2, y2 = r[(i + 1) % n]
-            if (y1 > py) != (y2 > py):
-                if px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
-                    inside = not inside
+        if _point_in_ring(px, py, r):
+            inside = not inside
     return inside
 
 

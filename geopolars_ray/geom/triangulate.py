@@ -27,16 +27,14 @@ from __future__ import annotations
 import math
 
 from geopolars_ray.geom.delaunay import incircle, orient2d
+from geopolars_ray.geom.overlay import _ring_signed_area
 
 
 def _ring_area2(r) -> float:
-    s = 0.0
-    n = len(r)
-    for i in range(n):
-        x1, y1 = r[i]
-        x2, y2 = r[(i + 1) % n]
-        s += x1 * y2 - x2 * y1
-    return s
+    """Twice the signed ring area (overlay's shoelace is the single
+    implementation — its summation order is load-bearing for the
+    snap-rounded overlay, so keep one copy)."""
+    return 2.0 * _ring_signed_area(r)
 
 
 def _dedup_ring(r):

@@ -77,28 +77,46 @@ def dbscan(
 
     # neighbor counts: each canonical pair counts for BOTH endpoints;
     # +1 for self happens in the threshold
-    both = pairs.map_batches(
-        lambda b: pa.table({"node": pa.concat_arrays(
-            [b["pid"].combine_chunks(), b["tid"].combine_chunks()])}),
-        batch_format="pyarrow")
-    counts = hash_aggregate(both, ["node"], [("node", "count", "n_nbrs")],
-                            num_partitions=num_partitions)
     need = int(min_points) - 1  # the point itself always counts
+    if need <= 0:
+        # min_points <= 1: EVERY point is core (PostGIS makes isolated
+        # points singleton clusters). Counts built from emitted pairs
+        # would never see zero-neighbor points, so take ids from the
+        # input instead.
+        core_ids = pts.map_batches(
+            lambda b: pa.table({"node": b["pid"]}), batch_format="pyarrow")
+    else:
+        both = pairs.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays(
+                [b["pid"].combine_chunks(), b["tid"].combine_chunks()])}),
+            batch_format="pyarrow")
+        counts = hash_aggregate(both, ["node"], [("node", "count", "n_nbrs")],
+                                num_partitions=num_partitions)
 
-    def _core_only(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        def _core_only(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        return b.filter(pc.greater_equal(b["n_nbrs"], need)).select(["node"])
+            return b.filter(pc.greater_equal(b["n_nbrs"], need)).select(["node"])
 
-    core_ids = counts.map_batches(_core_only, batch_format="pyarrow")
+        core_ids = counts.map_batches(_core_only, batch_format="pyarrow")
     core_ids = core_ids.materialize()  # small relative to pairs; reused 3x
+
+    # Explicit schemas on every join below: a noise-only input has ZERO
+    # eps-pairs, the materialized `pairs` has no blocks and
+    # Dataset.schema() returns None (ids are int64 — the cc stage pins
+    # that anyway).
+    pair_schema = pa.schema([("pid", pa.int64()), ("tid", pa.int64())])
+    node_schema = pa.schema([("node", pa.int64())])
+    label_schema = pa.schema([("node", pa.int64()), ("cluster", pa.int64())])
 
     # core-core edges -> connected components
     cc_edges = hash_join(
         hash_join(pairs, core_ids, on=("pid",), right_on=("node",),
-                  how="left_semi", num_partitions=num_partitions),
+                  how="left_semi", num_partitions=num_partitions,
+                  left_schema=pair_schema, right_schema=node_schema),
         core_ids, on=("tid",), right_on=("node",),
-        how="left_semi", num_partitions=num_partitions)
+        how="left_semi", num_partitions=num_partitions,
+        left_schema=pair_schema, right_schema=node_schema)
     labels = connected_components(
         cc_edges, src="pid", dst="tid",
         node_col="node", label_col="cluster",
@@ -106,7 +124,8 @@ def dbscan(
 
     # isolated core points (no core neighbor) are their own cluster
     lonely = hash_join(core_ids, labels, on=("node",),
-                       how="left_anti", num_partitions=num_partitions)
+                       how="left_anti", num_partitions=num_partitions,
+                       left_schema=node_schema, right_schema=label_schema)
     lonely = lonely.map_batches(
         lambda b: pa.table({"node": b["node"], "cluster": b["node"]}),
         batch_format="pyarrow")
@@ -121,12 +140,18 @@ def dbscan(
                          "b": pa.concat_arrays([t, p])})
 
     directed = pairs.map_batches(_directed, batch_format="pyarrow")
+    dir_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     # keep rows whose b-side is core, then swap in b's cluster label
     to_core = hash_join(directed, core_labels, on=("b",), right_on=("node",),
-                        how="inner", num_partitions=num_partitions)
+                        how="inner", num_partitions=num_partitions,
+                        left_schema=dir_schema, right_schema=label_schema)
     # drop rows whose a-side is itself core (those are already labeled)
-    border_edges = hash_join(to_core, core_ids, on=("a",), right_on=("node",),
-                             how="left_anti", num_partitions=num_partitions)
+    border_edges = hash_join(
+        to_core, core_ids, on=("a",), right_on=("node",),
+        how="left_anti", num_partitions=num_partitions,
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("cluster", pa.int64())]),
+        right_schema=node_schema)
     border = hash_aggregate(
         border_edges.map_batches(
             lambda b: pa.table({"node": b["a"], "cluster": b["cluster"]}),
@@ -346,7 +371,10 @@ def kmeans(
     across runs and parallelism levels."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    sample = _seed_sample(ds, x_col, y_col, sample_size)
+    # dedupe coordinates so the distinct-points check is honest — without
+    # it duplicate-heavy inputs pass the guard and k-means++ silently
+    # seeds identical centroids (permanently empty clusters)
+    sample = np.unique(_seed_sample(ds, x_col, y_col, sample_size), axis=0)
     if len(sample) < k:
         raise ValueError(f"k={k} exceeds the {len(sample)} distinct sampled points")
     cents = _kmeanspp(sample, k, seed)

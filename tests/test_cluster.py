@@ -254,3 +254,46 @@ def test_cluster_within_api(ray_session):
     lab = dict(zip(out["gid"].to_pylist(), out["cluster"].to_pylist()))
     assert lab == {7: 7, 8: 7, 9: 9}
     assert "geometry" in out.column_names
+
+def test_dbscan_min_points_one_isolated_singletons(ray_session):
+    """min_points=1 makes EVERY point core (PostGIS): isolated points
+    are singleton clusters, not noise (regression: neighbor counts are
+    built from emitted pairs, which never see zero-neighbor points)."""
+    import ray.data
+
+    from geopolars_ray.stages.cluster import dbscan
+
+    t = pa.table({"pid": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([0.0, 100.0, 100.5]),
+                  "y": pa.array([0.0, 100.0, 100.0])})
+    out = dbscan(ray.data.from_arrow(t), eps=1.0, min_points=1).take_all()
+    got = {r["node"]: r["cluster"] for r in out}
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
+def test_kmeans_duplicate_points_guard(ray_session):
+    """All-identical coordinates must trip the distinct-sample guard
+    instead of silently seeding duplicate centroids."""
+    import ray.data
+
+    from geopolars_ray.stages.cluster import kmeans
+
+    t = pa.table({"x": pa.array([5.0] * 100), "y": pa.array([7.0] * 100)})
+    with pytest.raises(ValueError, match="distinct"):
+        kmeans(ray.data.from_arrow(t), 3)
+
+
+def test_dbscan_noise_only_zero_pairs(ray_session):
+    """Zero eps-pairs (every point isolated): the materialized pair set
+    has no blocks and no schema — explicit join schemas must keep the
+    pipeline alive (regression). mp=2 -> all noise; mp=1 -> singletons."""
+    import ray.data
+
+    from geopolars_ray.stages.cluster import dbscan
+
+    t = pa.table({"pid": pa.array(np.arange(20, dtype=np.int64)),
+                  "x": pa.array(np.linspace(0, 1000, 20)),
+                  "y": pa.array(np.zeros(20))})
+    assert dbscan(ray.data.from_arrow(t), eps=1.0, min_points=2).take_all() == []
+    out = dbscan(ray.data.from_arrow(t), eps=1.0, min_points=1).take_all()
+    assert len(out) == 20 and all(r["cluster"] == r["node"] for r in out)

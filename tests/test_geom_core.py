@@ -1316,3 +1316,49 @@ def test_line_substring():
     assert out[0] == ("linestring", [(1.0, 0.0), (2.0, 0.0)])
     # fraction 0.5 of length 12 = distance 6 = (4, 2), up and across
     assert out[1] == ("linestring", [(4.0, 2.0), (4.0, 4.0), (8.0, 4.0)])
+
+
+def test_maximum_inscribed_coarse_tolerance_stays_inside():
+    """Regression: when the default tolerance exceeds the initial cell
+    half-diagonal the refinement loop used to be skipped entirely and
+    the seeds (bbox center / vertex centroid) came back even when both
+    lie in a void OUTSIDE the polygon. GEOS always returns an interior
+    point."""
+    u = ("polygon", [[(0.0, 0.0), (100000.0, 0.0), (100000.0, 60.0),
+                      (99990.0, 60.0), (99990.0, 10.0), (10.0, 10.0),
+                      (10.0, 60.0), (0.0, 60.0), (0.0, 0.0)]])
+    ga = GeometryArray.from_pylist([u])
+    r = K.maximum_inscribed_radius(ga)  # default tolerance = diag/1000
+    assert r[0] > 0.0
+    (px, py) = K.maximum_inscribed_circle(ga).to_pylist()[0][1]
+    # interior = inside one of the three bars of the U
+    inside = (py < 10.0) or (px < 10.0) or (px > 99990.0)
+    assert inside and 0.0 < px < 100000.0 and 0.0 < py < 60.0
+
+
+def test_polylabel_high_aspect_bounded():
+    """A river-like polygon with bbox aspect ~1e5 must not materialize
+    an aspect-sized initial grid (memory guard) and still localize the
+    pole correctly."""
+    # thin horizontal ribbon 1e5 long, height 1, with one 3x1-widened pocket
+    ring = [(0.0, 0.0), (100000.0, 0.0), (100000.0, 1.0), (50003.0, 1.0),
+            (50003.0, 3.0), (50000.0, 3.0), (50000.0, 1.0), (0.0, 1.0),
+            (0.0, 0.0)]
+    ga = GeometryArray.from_pylist([("polygon", [ring])])
+    r = K.maximum_inscribed_radius(ga, tolerance=0.05)
+    assert abs(r[0] - 1.5) < 0.1  # the 3x3 pocket fits a 1.5-circle
+
+
+def test_minimum_clearance_hoisted_offsets_match():
+    """clearance over a multi-row batch equals per-row singleton calls
+    (guards the hoisted coord_offsets indexing)."""
+    rows = [
+        ("polygon", [[(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0), (0.0, 0.0)]]),
+        ("linestring", [(0.0, 0.0), (10.0, 0.0), (10.0, 0.5)]),
+        ("multipoint", [(0.0, 0.0), (3.0, 4.0)]),
+    ]
+    ga = GeometryArray.from_pylist(rows)
+    batch = K.minimum_clearance(ga)
+    for i, g in enumerate(rows):
+        single = K.minimum_clearance(GeometryArray.from_pylist([g]))
+        assert batch[i] == single[0]

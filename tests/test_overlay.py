@@ -353,3 +353,28 @@ def test_overlay_stage_and_api(ray_session):
     from geopolars_ray.stages.geo import geo_overlay
     res = geo_overlay("geometry", "clip", "union", out_col="merged")(t)
     assert {"geometry", "clip", "merged", "rid"} <= set(res.column_names)
+
+def test_geodataset_union_dispatch(ray_session):
+    """GeoDataset.union must keep BOTH contracts: a str argument is the
+    row-wise polygon overlay; a Dataset/GeoDataset argument is the Ray
+    Dataset.union concatenation this class delegated before overlay
+    landed (regression: the overlay method silently shadowed it)."""
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
+
+    sq = ("polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])
+    sq2 = ("polygon", [[(1.0, 0.0), (3.0, 0.0), (3.0, 2.0), (1.0, 2.0), (1.0, 0.0)]])
+    t = pa.table({"geometry": encode_wkb(GeometryArray.from_pylist([sq])),
+                  "clip": encode_wkb(GeometryArray.from_pylist([sq2]))})
+    a = GeoDataset(ray.data.from_arrow(t))
+    b = GeoDataset(ray.data.from_arrow(t))
+    # Dataset arg -> concatenation
+    cat = a.union(b)
+    assert cat.dataset.count() == 2
+    # str arg -> polygon overlay union, area 2x3 merged rect = 6
+    merged = a.union("clip")
+    out = decode_wkb(pa.concat_tables(
+        ray.get(merged.dataset.to_arrow_refs()))["geometry"]).to_pylist()
+    assert geom_area(out[0]) == pytest.approx(6.0)
