@@ -287,6 +287,13 @@ class GeoDataset:
     def exterior(self) -> "GeoDataset":
         return self._apply("exterior")
 
+    def boundary(self) -> "GeoDataset":
+        """shapely ``boundary`` (ST_Boundary): polygons -> all rings as
+        (multi)linestrings, lines -> mod-2 endpoint MULTIPOINT, points ->
+        missing (GEOS's empty COLLECTION is unrepresentable — documented
+        delta)."""
+        return self._apply("boundary")
+
     def delaunay_triangles(self, only_edges: bool = False) -> "GeoDataset":
         """shapely ``delaunay_triangles``: Delaunay triangulation of each
         row's vertex set (MULTIPOLYGON of CCW triangles; ``only_edges``

@@ -722,6 +722,98 @@ def exterior(ga: GeometryArray) -> GeometryArray:
     return GeometryArray(types, geom_off, part_off, ring_off, coords)
 
 
+def boundary(ga: GeometryArray) -> GeometryArray:
+    """GEOS/shapely ``boundary`` (ST_Boundary) per row:
+
+    - polygon / multipolygon -> ALL rings (shell + holes, every part) as
+      closed lines: LINESTRING when there is exactly one ring, else
+      MULTILINESTRING (shapely's shape rule).
+    - linestring -> MULTIPOINT of its two endpoints; closed lines (and
+      linearrings) -> empty MULTIPOINT.
+    - multilinestring -> the mod-2 rule: coordinates that occur as an
+      endpoint of an odd number of open parts (coordinate-sorted for
+      determinism; shapely orders by part traversal).
+    - point / multipoint -> missing (GEOS returns GEOMETRYCOLLECTION
+      EMPTY; the engine has no collections — documented delta, matching
+      the reference's own collection rejection).
+
+    Per-row loop over numpy ring SLICES (no per-coordinate Python) —
+    boundary is structure surgery, the coords pass through."""
+    types: list[int] = []
+    geom_off = [0]
+    part_off = [0]
+    ring_off = [0]
+    chunks: list[np.ndarray] = []
+    n_coords = 0
+    n_parts = 0
+
+    def add_ring_slice(c: np.ndarray) -> None:
+        nonlocal n_coords, n_parts
+        chunks.append(c)
+        n_coords += len(c)
+        ring_off.append(n_coords)
+        part_off.append(len(ring_off) - 1)
+        n_parts += 1
+
+    for i in range(len(ga)):
+        t = int(ga.types[i])
+        if t in (MISSING, POINT, MULTIPOINT):
+            types.append(MISSING)
+            geom_off.append(n_parts)
+            continue
+        ps, pe = int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])
+        if t in (LINESTRING, LINEARRING, MULTILINESTRING):
+            ends: list[np.ndarray] = []
+            for p in range(ps, pe):
+                for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
+                    c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                    if t == LINEARRING or len(c) < 2 or (c[0] == c[-1]).all():
+                        continue
+                    ends.append(c[0])
+                    ends.append(c[-1])
+            if ends:
+                e = np.asarray(ends)
+                # mod-2: keep coordinates with an odd occurrence count
+                order = np.lexsort((e[:, 1], e[:, 0]))
+                s = e[order]
+                new = np.ones(len(s), dtype=bool)
+                new[1:] = (s[1:] != s[:-1]).any(axis=1)
+                grp = np.cumsum(new) - 1
+                odd = (np.bincount(grp) & 1).astype(bool)
+                pts = s[new][odd]
+            else:
+                pts = np.empty((0, 2))
+            types.append(MULTIPOINT)
+            for k in range(len(pts)):
+                add_ring_slice(pts[k:k + 1])
+            geom_off.append(n_parts)
+            continue
+        # polygonal: every ring becomes one closed line part
+        nrings = 0
+        for p in range(ps, pe):
+            for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
+                c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+                if len(c) == 0:
+                    continue
+                if len(c) >= 2 and not (c[0] == c[-1]).all():
+                    c = np.concatenate([c, c[:1]], axis=0)
+                add_ring_slice(c)
+                nrings += 1
+        types.append(LINESTRING if nrings == 1 else
+                     (MULTILINESTRING if nrings else MISSING))
+        geom_off.append(n_parts)
+
+    coords = (np.concatenate(chunks, axis=0) if chunks
+              else np.empty((0, 2)))
+    return GeometryArray(
+        types=np.array(types, dtype=np.int8),
+        geom_offsets=np.array(geom_off, dtype=np.int64),
+        part_offsets=np.array(part_off, dtype=np.int64),
+        ring_offsets=np.array(ring_off, dtype=np.int64),
+        coords=np.ascontiguousarray(coords, dtype=np.float64),
+    )
+
+
 def explode(ga: GeometryArray) -> tuple[GeometryArray, np.ndarray]:
     """Flatten multi-part geometries to one row per part (`geoseries.rs:49-50`).
 

@@ -190,6 +190,7 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "minimum_clearance": (K.minimum_clearance, "scalar"),
     "minimum_clearance_line": (K.minimum_clearance_line, "geometry"),
     "exterior": (K.exterior, "geometry"),
+    "boundary": (K.boundary, "geometry"),
     "simplify": (K.simplify, "geometry"),
     "segmentize": (K.segmentize, "geometry"),
     "line_interpolate_point": (K.line_interpolate_point, "geometry"),

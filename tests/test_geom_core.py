@@ -1362,3 +1362,73 @@ def test_minimum_clearance_hoisted_offsets_match():
     for i, g in enumerate(rows):
         single = K.minimum_clearance(GeometryArray.from_pylist([g]))
         assert batch[i] == single[0]
+
+
+# ------------------------------------------------------------------ boundary
+def test_boundary_semantics():
+    rows = [
+        # polygon, shell only -> closed LINESTRING
+        ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]),
+        # polygon with hole -> MULTILINESTRING of both rings
+        ("polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)],
+                     [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]]),
+        # open line -> endpoints
+        ("linestring", [(0.0, 0.0), (5.0, 0.0), (5.0, 5.0)]),
+        # closed line -> empty MULTIPOINT
+        ("linestring", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]),
+        # multilinestring sharing one endpoint: mod-2 keeps only odd ones
+        ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)],
+                             [(1.0, 0.0), (2.0, 0.0)]]),
+        ("point", (1.0, 2.0)),
+        ("multipoint", [(0.0, 0.0), (1.0, 1.0)]),
+        None,
+        # unclosed polygon ring gets closed in the boundary line
+        ("polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0)]]),
+        # multipolygon -> all rings
+        ("multipolygon", [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+                          [[(5.0, 5.0), (6.0, 5.0), (6.0, 6.0), (5.0, 5.0)]]]),
+    ]
+    out = K.boundary(GeometryArray.from_pylist(rows)).to_pylist()
+    assert out[0] == ("linestring", [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0),
+                                     (0.0, 4.0), (0.0, 0.0)])
+    assert out[1][0] == "multilinestring" and len(out[1][1]) == 2
+    assert out[1][1][1][0] == (1.0, 1.0)  # hole ring present, closed
+    assert out[1][1][1][-1] == (1.0, 1.0)
+    assert out[2] == ("multipoint", [(0.0, 0.0), (5.0, 5.0)])
+    assert out[3] == ("multipoint", [])  # closed -> empty boundary
+    # shared interior endpoint (1,0) occurs twice -> dropped by mod-2
+    assert out[4] == ("multipoint", [(0.0, 0.0), (2.0, 0.0)])
+    assert out[5] is None and out[6] is None and out[7] is None
+    assert out[8] == ("linestring", [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 0.0)])
+    assert out[9][0] == "multilinestring" and len(out[9][1]) == 2
+
+
+def test_boundary_matches_length_identity():
+    """boundary length of a polygon == exterior length + hole perimeters
+    (cross-kernel identity over random concave polygons)."""
+    rng = np.random.default_rng(11)
+    geoms = []
+    for _ in range(40):
+        k = 12
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rr = rng.uniform(1, 5, k)
+        pts = [(float(ri * np.cos(a)), float(ri * np.sin(a)))
+               for ri, a in zip(rr, ang)]
+        geoms.append(("polygon", [pts + [pts[0]]]))
+    ga = GeometryArray.from_pylist(geoms)
+    blen = K.euclidean_length(K.boundary(ga))
+    elen = K.euclidean_length(K.exterior(ga))
+    np.testing.assert_allclose(blen, elen, rtol=1e-12)
+
+
+def test_boundary_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import decode_wkb, encode_wkb
+
+    sq = ("polygon", [[(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]])
+    t = pa.table({"geometry": encode_wkb(GeometryArray.from_pylist([sq]))})
+    out = GeoDataset(ray.data.from_arrow(t)).boundary().dataset
+    got = decode_wkb(pa.concat_tables(ray.get(out.to_arrow_refs()))["geometry"]).to_pylist()
+    assert got[0][0] == "linestring" and got[0][1][0] == got[0][1][-1]
