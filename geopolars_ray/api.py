@@ -287,6 +287,19 @@ class GeoDataset:
     def exterior(self) -> "GeoDataset":
         return self._apply("exterior")
 
+    def is_valid(self, out_col: str = "is_valid") -> "GeoDataset":
+        """OGC validity flag per row (ST_IsValid): ring shape, ring
+        self-intersections, crossing/overlapping rings (via the overlay
+        arrangement), hole containment, nested shells. Deltas vs GEOS:
+        snap-tolerance noding, and disconnected-interior is not detected
+        (`geom/validity.py` docstring)."""
+        return self._apply("is_valid", out_col)
+
+    def is_valid_reason(self, out_col: str = "is_valid_reason") -> "GeoDataset":
+        """GEOS-style reason string per row: ``"Valid Geometry"`` or the
+        first violated rule with its location (ST_IsValidReason)."""
+        return self._apply("is_valid_reason", out_col)
+
     def boundary(self) -> "GeoDataset":
         """shapely ``boundary`` (ST_Boundary): polygons -> all rings as
         (multi)linestrings, lines -> mod-2 endpoint MULTIPOINT, points ->

@@ -638,8 +638,38 @@ def _connect_edges(segments: list[tuple]) -> list[list[tuple]]:
             a, b = segments[j]
             prev_pt, cur = cur, (b if a == cur else a)
         if closed and len(ring) >= 3:
-            rings.append(ring)
+            rings.extend(_split_pinches(ring))
     return rings
+
+
+def _split_pinches(ring: list[tuple]) -> list[list[tuple]]:
+    """Split a traced ring that visits a vertex more than once into its
+    minimal loops (GEOS minimal EdgeRings). The tightest-turn tracer can
+    legitimately weave one ring through a 4-valent pinch node — two
+    loops sharing a vertex (e.g. the two lobes of a repaired bowtie, or
+    a hole touching its shell) — which is an INVALID ring even though
+    the even-odd region is right. Splitting at the repeat preserves the
+    region exactly: the loops cover the same segments, and ``_assemble``
+    nests them by containment depth. Vertices are exact snap-rounded
+    tuples, so equality is exact."""
+    pos: dict[tuple, int] = {}
+    stack: list[tuple] = []
+    out: list[list[tuple]] = []
+    for v in ring:
+        if v in pos:
+            i = pos[v]
+            loop = stack[i:]
+            if len(loop) >= 3:
+                out.append(loop)
+            for u in loop:
+                if pos.get(u, -1) >= i:
+                    del pos[u]
+            del stack[i:]
+        pos[v] = len(stack)
+        stack.append(v)
+    if len(stack) >= 3:
+        out.append(stack)
+    return out
 
 
 def _ring_signed_area(ring) -> float:

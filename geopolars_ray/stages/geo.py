@@ -25,6 +25,7 @@ from geopolars_ray.geom import GeometryArray, decode_wkb, encode_wkb
 from geopolars_ray.geom import kernels as K
 from geopolars_ray.geom import crs as crs_mod
 from geopolars_ray.geom import tiles as tiles_mod
+from geopolars_ray.geom import validity as validity_mod
 
 GEOMETRY = "geometry"
 
@@ -212,6 +213,9 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     "buffer": (_buffer_geoms, "geometry"),
     # even-odd structural repair of invalid polygons (geom/overlay.py)
     "make_valid": (_make_valid, "geometry"),
+    # OGC validity via the overlay arrangement (geom/validity.py)
+    "is_valid": (validity_mod.is_valid, "scalar"),
+    "is_valid_reason": (validity_mod.is_valid_reason, "scalar"),
     # triangulation family (geom/delaunay.py): Bowyer-Watson with exact
     # rational fallback predicates; voronoi = bisector half-plane clips
     "delaunay_triangles": (_delaunay_triangles, "geometry"),
