@@ -287,6 +287,13 @@ class GeoDataset:
     def exterior(self) -> "GeoDataset":
         return self._apply("exterior")
 
+    def offset_curve(self, distance: float, quad_segs: int = 8) -> "GeoDataset":
+        """ST_OffsetCurve / shapely ``offset_curve``: the parallel curve
+        at signed ``distance`` (positive = left of travel, negative =
+        right; direction retained). LINESTRING, or MULTILINESTRING when
+        input self-proximity splits the curve (`geom/offset.py`)."""
+        return self._apply("offset_curve", distance=distance, quad_segs=quad_segs)
+
     def is_valid(self, out_col: str = "is_valid") -> "GeoDataset":
         """OGC validity flag per row (ST_IsValid): ring shape, ring
         self-intersections, crossing/overlapping rings (via the overlay

@@ -26,6 +26,7 @@ from geopolars_ray.geom import kernels as K
 from geopolars_ray.geom import crs as crs_mod
 from geopolars_ray.geom import tiles as tiles_mod
 from geopolars_ray.geom import validity as validity_mod
+from geopolars_ray.geom import offset as offset_mod
 
 GEOMETRY = "geometry"
 
@@ -216,6 +217,8 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     # OGC validity via the overlay arrangement (geom/validity.py)
     "is_valid": (validity_mod.is_valid, "scalar"),
     "is_valid_reason": (validity_mod.is_valid_reason, "scalar"),
+    # ST_OffsetCurve: raw offset + node + distance filter (geom/offset.py)
+    "offset_curve": (offset_mod.offset_curve, "geometry"),
     # triangulation family (geom/delaunay.py): Bowyer-Watson with exact
     # rational fallback predicates; voronoi = bisector half-plane clips
     "delaunay_triangles": (_delaunay_triangles, "geometry"),
