@@ -513,6 +513,79 @@ class GeoDataset:
             )
         )
 
+    def relate(self, other_col: str, pattern: str | None = None,
+               out_col: str = "relate") -> "GeoDataset":
+        """Row-wise DE-9IM matrix string vs an aligned geometry column
+        (ST_Relate / shapely ``relate``); with ``pattern`` given, a
+        boolean pattern-match column instead (`geom/relate.py`)."""
+        from geopolars_ray.stages.geo import geo_relate
+
+        return self._wrap(self._ds.map_batches(
+            geo_relate(self.geometry_col, other_col, out_col, pattern),
+            batch_format="pyarrow"))
+
+    def _predicate(self, name: str, other_col: str, out_col: str | None) -> "GeoDataset":
+        from geopolars_ray.stages.geo import geo_predicate
+
+        return self._wrap(self._ds.map_batches(
+            geo_predicate(name, self.geometry_col, other_col, out_col),
+            batch_format="pyarrow"))
+
+    def intersects(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        """Row-wise ST_Intersects vs an aligned geometry column — like
+        every predicate below, derived from the true DE-9IM matrix so
+        the family is mutually consistent (`geom/relate.py`)."""
+        return self._predicate("intersects", other_col, out_col)
+
+    def disjoint(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("disjoint", other_col, out_col)
+
+    def within(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("within", other_col, out_col)
+
+    def contains(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("contains", other_col, out_col)
+
+    def touches(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("touches", other_col, out_col)
+
+    def crosses(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("crosses", other_col, out_col)
+
+    def overlaps(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("overlaps", other_col, out_col)
+
+    def covers(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("covers", other_col, out_col)
+
+    def covered_by(self, other_col: str, out_col: str | None = None) -> "GeoDataset":
+        return self._predicate("covered_by", other_col, out_col)
+
+    def geom_equals(self, other_col: str, out_col: str = "equals") -> "GeoDataset":
+        """Topological equality (ST_Equals; vertex order/start free)."""
+        return self._predicate("equals", other_col, out_col)
+
+    def dwithin(self, other_col: str, distance: float,
+                out_col: str = "dwithin") -> "GeoDataset":
+        """ST_DWithin: geometry distance <= ``distance`` (the vectorized
+        distance kernel + a threshold, not the DE-9IM path)."""
+        import pyarrow.compute as pc
+
+        from geopolars_ray.stages.geo import geo_distance as _gd
+
+        tmp = "__dwithin_dist"
+        fn = _gd(self.geometry_col, other_col, tmp)
+
+        def pred(batch: pa.Table) -> pa.Table:
+            b = fn(batch)
+            res = pc.less_equal(b[tmp], pa.scalar(float(distance)))
+            b = b.drop_columns([tmp])
+            if out_col in b.column_names:
+                b = b.drop_columns([out_col])
+            return b.append_column(out_col, res)
+
+        return self._wrap(self._ds.map_batches(pred, batch_format="pyarrow"))
+
     def representative_point(self) -> "GeoDataset":
         """A point guaranteed ON/IN each geometry (GeoPandas parity)."""
         return self._apply("representative_point")

@@ -1,0 +1,468 @@
+"""DE-9IM topology: ``relate`` and the full binary-predicate family
+(ST_Relate / shapely ``relate`` + ``intersects`` / ``within`` /
+``contains`` / ``touches`` / ``crosses`` / ``overlaps`` / ``disjoint`` /
+``covers`` / ``covered_by`` / ``equals``).
+
+The reference exposes no binary predicates outside its spatial join; this
+module computes the real dimensionally-extended 9-intersection matrix per
+row pair, from which every predicate derives by the OGC/GEOS pattern
+rules — not per-predicate shortcuts, so the family is mutually consistent
+by construction.
+
+Machinery: the pair's linework is noded in ONE pass of the overlay
+engine's snap-rounded arrangement (`overlay.node_segments`, A = SUBJECT,
+B = CLIPPING). After noding, no piece crosses the other geometry, so
+
+- shared groups (both multiplicities) are exactly the dim-1 boundary
+  overlaps,
+- piece midpoints classify cleanly as interior/exterior of the other
+  operand (even-odd over its rings — any on-boundary contact would have
+  split or merged the piece),
+- crossing/touch points are the noded vertices incident to both sides,
+- line boundaries are the mod-2 endpoint sets (same rule as
+  ``kernels.boundary``),
+- polygon interior∩interior dimensions come from ONE `boolean_op`
+  intersection plus the area identities
+  ``area(A−B) = area(A) − area(A∩B)`` (so no extra sweeps).
+
+Supported operands: point/multipoint, line/multiline, polygon/
+multipolygon, in any combination (matrix transposed for the flipped
+order). Defined for VALID polygonal operands (GEOS's own contract);
+intersections detected at the overlay snap tolerance. Matrix entry
+order is the standard row-major ``[II, IB, IE, BI, BB, BE, EI, EB, EE]``
+over (Interior, Boundary, Exterior) of A × B; ``relate`` returns the
+9-char string with ``F`` for empty, else the dimension digit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geopolars_ray.geom.array import (
+    LINEARRING,
+    LINESTRING,
+    MISSING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    GeometryArray,
+)
+from geopolars_ray.geom.overlay import (
+    CLIPPING,
+    SUBJECT,
+    _point_in_ring,
+    _ring_signed_area,
+    boolean_op,
+    node_segments,
+)
+
+_POINTAL = (POINT, MULTIPOINT)
+_LINEAL = (LINESTRING, LINEARRING, MULTILINESTRING)
+_AREAL = (POLYGON, MULTIPOLYGON)
+
+
+# --------------------------------------------------------------- extraction
+
+def _family(t: int) -> int:
+    """0 = pointal, 1 = lineal, 2 = areal (the geometry's dimension)."""
+    if t in _POINTAL:
+        return 0
+    if t in _LINEAL:
+        return 1
+    return 2
+
+
+def _points_of(ga: GeometryArray, i: int) -> set:
+    out = set()
+    for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
+        for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
+            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+            for k in range(len(c)):
+                out.add((float(c[k, 0]), float(c[k, 1])))
+    return out
+
+
+def _paths_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
+    out = []
+    for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
+        for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
+            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+            path = [(float(x), float(y)) for x, y in c]
+            dedup = [path[0]] if path else []
+            for q in path[1:]:
+                if q != dedup[-1]:
+                    dedup.append(q)
+            if len(dedup) >= 2:
+                out.append(dedup)
+    return out
+
+
+def _rings_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
+    """Rings as OPEN vertex cycles."""
+    rings = []
+    for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
+        for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
+            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
+            ring = [(float(x), float(y)) for x, y in c]
+            if len(ring) >= 2 and ring[0] == ring[-1]:
+                ring = ring[:-1]
+            dedup = [ring[0]] if ring else []
+            for q in ring[1:]:
+                if q != dedup[-1]:
+                    dedup.append(q)
+            if len(dedup) >= 3:
+                rings.append(dedup)
+    return rings
+
+
+def _mod2_endpoints(paths: list[list[tuple]]) -> set:
+    """Line boundary: endpoints occurring an odd number of times (closed
+    parts contribute none) — the same rule as ``kernels.boundary``."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for p in paths:
+        if p[0] == p[-1]:
+            continue
+        cnt[p[0]] += 1
+        cnt[p[-1]] += 1
+    return {v for v, c in cnt.items() if c % 2}
+
+
+def _segments(paths_or_rings: list[list[tuple]], pol: int, closed: bool):
+    segs = []
+    for p in paths_or_rings:
+        n = len(p)
+        rng = range(n) if closed else range(n - 1)
+        for k in rng:
+            a, b = p[k], p[(k + 1) % n]
+            if a != b:
+                segs.append((a, b, pol))
+    return segs
+
+
+def _in_rings(px: float, py: float, rings: list[list[tuple]]) -> bool:
+    inside = False
+    for r in rings:
+        if _point_in_ring(px, py, r):
+            inside = not inside
+    return inside
+
+
+def _on_segs(px: float, py: float, paths: list[list[tuple]],
+             closed: bool) -> bool:
+    for p in paths:
+        n = len(p)
+        rng = range(n) if closed else range(n - 1)
+        for k in rng:
+            x1, y1 = p[k]
+            x2, y2 = p[(k + 1) % n]
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            if cross == 0.0 and min(x1, x2) <= px <= max(x1, x2) \
+                    and min(y1, y2) <= py <= max(y1, y2):
+                return True
+    return False
+
+
+def _area_of(rings: list[list[tuple]]) -> float:
+    """Even-odd area of a ring set (valid polygon: shells − holes)."""
+    return sum(abs(_ring_signed_area(r)) * (1 if _depth_sign(r, rings) else -1)
+               for r in rings)
+
+
+def _depth_sign(ring, rings) -> bool:
+    """True for even containment depth (shell), False for odd (hole)."""
+    px = 0.5 * (ring[0][0] + ring[1][0])
+    py = 0.5 * (ring[0][1] + ring[1][1])
+    depth = 0
+    for other in rings:
+        if other is ring:
+            continue
+        if _point_in_ring(px, py, other):
+            depth += 1
+    return depth % 2 == 0
+
+
+def _geom_area(g) -> float:
+    """Even-odd area of a boolean_op output tuple."""
+    if g is None:
+        return 0.0
+    _t, parts = g
+    a = 0.0
+    for poly in parts:
+        a += abs(_ring_signed_area(poly[0]))
+        for hole in poly[1:]:
+            a -= abs(_ring_signed_area(hole))
+    return a
+
+
+# ----------------------------------------------------------- matrix builders
+
+def _noded(a_items, b_items, a_closed: bool, b_closed: bool):
+    """Node A against B; returns (a_pieces, b_pieces, shared,
+    a_endpoints, b_endpoints) where pieces are (p, q) with only that
+    side's multiplicity."""
+    segs = _segments(a_items, SUBJECT, a_closed) + \
+        _segments(b_items, CLIPPING, b_closed)
+    groups = node_segments(segs)
+    a_only, b_only, shared = [], [], []
+    a_pts, b_pts = set(), set()
+    for p, q, m_s, m_c in groups:
+        if m_s and m_c:
+            shared.append((p, q))
+        elif m_s:
+            a_only.append((p, q))
+        else:
+            b_only.append((p, q))
+        if m_s:
+            a_pts.add(p)
+            a_pts.add(q)
+        if m_c:
+            b_pts.add(p)
+            b_pts.add(q)
+    return a_only, b_only, shared, a_pts, b_pts
+
+
+def _mid(pq):
+    (x1, y1), (x2, y2) = pq
+    return ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
+
+
+def _relate_AA(ra: list, rb: list) -> list[int]:
+    a_only, b_only, shared, a_pts, b_pts = _noded(ra, rb, True, True)
+    inter_area = _geom_area(boolean_op(_as_poly(ra), _as_poly(rb),
+                                       "intersection"))
+    area_a = _even_odd_area(ra)
+    area_b = _even_odd_area(rb)
+    ii = 2 if inter_area > 0.0 else -1
+    ie = 2 if area_a - inter_area > 0.0 else -1
+    ei = 2 if area_b - inter_area > 0.0 else -1
+    a_in = any(_in_rings(*_mid(pq), rings=rb) for pq in a_only)
+    a_out = any(not _in_rings(*_mid(pq), rings=rb) for pq in a_only)
+    b_in = any(_in_rings(*_mid(pq), rings=ra) for pq in b_only)
+    b_out = any(not _in_rings(*_mid(pq), rings=ra) for pq in b_only)
+    if shared:
+        bb = 1
+    elif a_pts & b_pts:
+        bb = 0
+    else:
+        bb = -1
+    return [ii, 1 if b_in else -1, ie,
+            1 if a_in else -1, bb, 1 if a_out else -1,
+            ei, 1 if b_out else -1, 2]
+
+
+def _even_odd_area(rings: list[list[tuple]]) -> float:
+    return _area_of(rings)
+
+
+def _as_poly(rings: list[list[tuple]]):
+    return ("polygon", [r + [r[0]] for r in rings])
+
+
+def _relate_LA(paths: list, rings: list) -> list[int]:
+    """A = lineal, B = areal."""
+    a_only, b_only, shared, a_pts, b_pts = _noded(paths, rings, False, True)
+    bnd = _mod2_endpoints(paths)
+    mid_in = [_in_rings(*_mid(pq), rings=rings) for pq in a_only]
+    ii = 1 if any(mid_in) else -1
+    ie = 1 if any(not m for m in mid_in) else -1
+    if shared:
+        ib = 1
+    else:
+        # noded vertices on B's boundary that are interior to the line
+        touch = {v for v in (a_pts & b_pts) if v not in bnd}
+        ib = 0 if touch else -1
+    bi = 0 if any(_in_rings(px, py, rings) and not _on_segs(px, py, rings, True)
+                  for px, py in bnd) else -1
+    bb = 0 if any(_on_segs(px, py, rings, True) for px, py in bnd) else -1
+    be = 0 if any(not _in_rings(px, py, rings) and
+                  not _on_segs(px, py, rings, True) for px, py in bnd) else -1
+    eb = 1 if b_only else -1
+    return [ii, ib, ie, bi, bb, be, 2, eb, 2]
+
+
+def _relate_LL(pa: list, pb: list) -> list[int]:
+    a_only, b_only, shared, a_pts, b_pts = _noded(pa, pb, False, False)
+    bnd_a = _mod2_endpoints(pa)
+    bnd_b = _mod2_endpoints(pb)
+    common = a_pts & b_pts
+    if shared:
+        ii = 1
+    elif any(v not in bnd_a and v not in bnd_b for v in common):
+        ii = 0
+    else:
+        ii = -1
+    ib = 0 if any(v in a_pts and v not in bnd_a for v in bnd_b) else -1
+    bi = 0 if any(v in b_pts and v not in bnd_b for v in bnd_a) else -1
+    bb = 0 if (bnd_a & bnd_b) else -1
+    ie = 1 if a_only else -1
+    ei = 1 if b_only else -1
+    be = 0 if any(v not in b_pts for v in bnd_a) else -1
+    eb = 0 if any(v not in a_pts for v in bnd_b) else -1
+    return [ii, ib, ie, bi, bb, be, ei, eb, 2]
+
+
+def _relate_PP(sa: set, sb: set) -> list[int]:
+    return [0 if sa & sb else -1, -1, 0 if sa - sb else -1,
+            -1, -1, -1,
+            0 if sb - sa else -1, -1, 2]
+
+
+def _relate_PL(pts: set, paths: list) -> list[int]:
+    bnd = _mod2_endpoints(paths)
+    on_int = on_bnd = off = False
+    for v in pts:
+        if v in bnd:
+            on_bnd = True
+        elif _on_segs(v[0], v[1], paths, False):
+            on_int = True
+        else:
+            off = True
+    eb = 0 if (bnd - pts) else -1
+    return [0 if on_int else -1, 0 if on_bnd else -1, 0 if off else -1,
+            -1, -1, -1,
+            1, eb, 2]
+
+
+def _relate_PA(pts: set, rings: list) -> list[int]:
+    inside = bnd = off = False
+    for px, py in pts:
+        if _on_segs(px, py, rings, True):
+            bnd = True
+        elif _in_rings(px, py, rings):
+            inside = True
+        else:
+            off = True
+    return [0 if inside else -1, 0 if bnd else -1, 0 if off else -1,
+            -1, -1, -1,
+            2, 1, 2]
+
+
+def _transpose(m: list[int]) -> list[int]:
+    return [m[0], m[3], m[6], m[1], m[4], m[7], m[2], m[5], m[8]]
+
+
+def relate_pair(ga: GeometryArray, i: int, gb: GeometryArray, j: int):
+    """DE-9IM matrix (list of 9 dims, -1 = empty) for row i of A vs row
+    j of B; None when either side is missing."""
+    ta, tb = int(ga.types[i]), int(gb.types[j])
+    if ta == MISSING or tb == MISSING:
+        return None
+    fa, fb = _family(ta), _family(tb)
+    if fa > fb:
+        m = relate_pair(gb, j, ga, i)
+        return None if m is None else _transpose(m)
+    if fa == 0 and fb == 0:
+        return _relate_PP(_points_of(ga, i), _points_of(gb, j))
+    if fa == 0 and fb == 1:
+        return _relate_PL(_points_of(ga, i), _paths_of(gb, j))
+    if fa == 0 and fb == 2:
+        return _relate_PA(_points_of(ga, i), _rings_of(gb, j))
+    if fa == 1 and fb == 1:
+        return _relate_LL(_paths_of(ga, i), _paths_of(gb, j))
+    if fa == 1 and fb == 2:
+        return _relate_LA(_paths_of(ga, i), _rings_of(gb, j))
+    return _relate_AA(_rings_of(ga, i), _rings_of(gb, j))
+
+
+def _to_string(m: list[int]) -> str:
+    return "".join("F" if d < 0 else str(d) for d in m)
+
+
+def relate(ga: GeometryArray, gb: GeometryArray) -> list:
+    """Row-aligned DE-9IM strings (None where either side missing)."""
+    if len(ga) != len(gb):
+        raise ValueError("relate requires aligned columns")
+    out = []
+    for i in range(len(ga)):
+        m = relate_pair(ga, i, gb, i)
+        out.append(None if m is None else _to_string(m))
+    return out
+
+
+def matches(m: list[int], pattern: str) -> bool:
+    """DE-9IM pattern match: T = non-empty, F = empty, 0/1/2 = exact
+    dimension, * = anything."""
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must have 9 characters")
+    for d, c in zip(m, pattern):
+        if c == "*":
+            continue
+        if c == "T":
+            if d < 0:
+                return False
+        elif c == "F":
+            if d >= 0:
+                return False
+        elif d != int(c):
+            return False
+    return True
+
+
+def relate_pattern(ga: GeometryArray, gb: GeometryArray,
+                   pattern: str) -> np.ndarray:
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        m = relate_pair(ga, i, gb, i)
+        out[i] = m is not None and matches(m, pattern)
+    return out
+
+
+# ------------------------------------------------------- predicate family
+
+def _pred_from_matrix(name: str, m: list[int], fa: int, fb: int) -> bool:
+    ii, ib, ie, bi, bb, be, ei, eb, _ee = m
+    if name == "disjoint":
+        return ii < 0 and ib < 0 and bi < 0 and bb < 0
+    if name == "intersects":
+        return not (ii < 0 and ib < 0 and bi < 0 and bb < 0)
+    if name == "within":
+        return ii >= 0 and ie < 0 and be < 0
+    if name == "contains":
+        return ii >= 0 and ei < 0 and eb < 0
+    if name == "covers":
+        return (ii >= 0 or ib >= 0 or bi >= 0 or bb >= 0) and ei < 0 and eb < 0
+    if name == "covered_by":
+        return (ii >= 0 or ib >= 0 or bi >= 0 or bb >= 0) and ie < 0 and be < 0
+    if name == "equals":
+        return ii >= 0 and ie < 0 and be < 0 and ei < 0 and eb < 0
+    if name == "touches":
+        return ii < 0 and (ib >= 0 or bi >= 0 or bb >= 0)
+    if name == "crosses":
+        if fa < fb:
+            return ii >= 0 and ie >= 0
+        if fa > fb:
+            return ii >= 0 and ei >= 0
+        if fa == 1:
+            return ii == 0
+        return False
+    if name == "overlaps":
+        if fa != fb:
+            return False
+        if fa == 1:
+            return ii == 1 and ie >= 0 and ei >= 0
+        return ii >= 0 and ie >= 0 and ei >= 0
+    raise ValueError(f"unknown predicate {name!r}")
+
+
+PREDICATES = ("intersects", "disjoint", "within", "contains", "covers",
+              "covered_by", "equals", "touches", "crosses", "overlaps")
+
+
+def predicate(ga: GeometryArray, gb: GeometryArray, name: str) -> np.ndarray:
+    """Row-aligned boolean predicate derived from the DE-9IM matrix
+    (False where either side is missing, matching shapely's None rule)."""
+    if name not in PREDICATES:
+        raise ValueError(f"unknown predicate {name!r} (one of {PREDICATES})")
+    out = np.zeros(len(ga), dtype=bool)
+    for i in range(len(ga)):
+        m = relate_pair(ga, i, gb, i)
+        if m is None:
+            continue
+        fa = _family(int(ga.types[i]))
+        fb = _family(int(gb.types[i]))
+        out[i] = _pred_from_matrix(name, m, fa, fb)
+    return out

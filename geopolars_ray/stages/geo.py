@@ -450,6 +450,54 @@ def geo_distance(
     return fn
 
 
+def geo_relate(
+    left_col: str, right_col: str, out_col: str = "relate",
+    pattern: str | None = None,
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise DE-9IM between two aligned geometry columns
+    (`geom/relate.py`): the 9-char matrix string, or a boolean
+    pattern-match column when ``pattern`` is given (ST_Relate both
+    forms)."""
+    from geopolars_ray.geom import relate as relate_mod
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        if pattern is not None:
+            res = pa.array(relate_mod.relate_pattern(lga, rga, pattern))
+        else:
+            res = pa.array(relate_mod.relate(lga, rga), pa.string())
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, res)
+
+    return fn
+
+
+def geo_predicate(
+    name: str, left_col: str, right_col: str, out_col: str | None = None,
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise binary predicate column (intersects / within / contains /
+    touches / crosses / overlaps / disjoint / covers / covered_by /
+    equals), derived from the DE-9IM matrix (`geom/relate.py`)."""
+    from geopolars_ray.geom import relate as relate_mod
+
+    if name not in relate_mod.PREDICATES:
+        raise ValueError(f"unknown predicate {name!r}")
+    out_name = out_col or name
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        res = pa.array(relate_mod.predicate(lga, rga, name))
+        if out_name in batch.column_names:
+            batch = batch.drop_columns([out_name])
+        return batch.append_column(out_name, res)
+
+    fn.__name__ = f"geo_{name}"
+    return fn
+
+
 def geo_shortest_line(
     left_col: str, right_col: str, out_col: str = "shortest_line"
 ) -> Callable[[pa.Table], pa.Table]:

@@ -1,0 +1,244 @@
+"""Tests: DE-9IM relate + binary predicate family (geom/relate.py).
+
+Ground-truth matrices hand-derived from the OGC definitions (matrix
+order [II, IB, IE, BI, BB, BE, EI, EB, EE]); cross-checked against the
+published shapely/PostGIS values for the classic configurations.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geopolars_ray.geom import GeometryArray
+from geopolars_ray.geom.relate import (
+    PREDICATES,
+    matches,
+    predicate,
+    relate,
+    relate_pair,
+    relate_pattern,
+)
+
+SQ = ("polygon", [[(0., 0.), (4., 0.), (4., 4.), (0., 4.), (0., 0.)]])
+SQ2 = ("polygon", [[(2., 2.), (6., 2.), (6., 6.), (2., 6.), (2., 2.)]])
+INNER = ("polygon", [[(1., 1.), (2., 1.), (2., 2.), (1., 2.), (1., 1.)]])
+ADJ = ("polygon", [[(4., 0.), (8., 0.), (8., 4.), (4., 4.), (4., 0.)]])
+CORNER = ("polygon", [[(4., 4.), (6., 4.), (6., 6.), (4., 6.), (4., 4.)]])
+FAR = ("polygon", [[(10., 10.), (11., 10.), (11., 11.), (10., 11.), (10., 10.)]])
+
+
+def R(a, b):
+    return relate(GeometryArray.from_pylist([a]), GeometryArray.from_pylist([b]))[0]
+
+
+def P(name, a, b):
+    return bool(predicate(GeometryArray.from_pylist([a]),
+                          GeometryArray.from_pylist([b]), name)[0])
+
+
+def test_relate_polygon_polygon():
+    assert R(SQ, SQ2) == "212101212"     # partial overlap
+    assert R(SQ, INNER) == "212FF1FF2"   # contains
+    assert R(INNER, SQ) == "2FF1FF212"   # within
+    assert R(SQ, ADJ) == "FF2F11212"     # shared edge
+    assert R(SQ, CORNER) == "FF2F01212"  # corner touch
+    assert R(SQ, FAR) == "FF2FF1212"     # disjoint
+    assert R(SQ, SQ) == "2FFF1FFF2"      # equal
+    # hole cases: donut vs its hole-filling square
+    donut = ("polygon", [[(0., 0.), (6., 0.), (6., 6.), (0., 6.), (0., 0.)],
+                         [(2., 2.), (2., 4.), (4., 4.), (4., 2.), (2., 2.)]])
+    plug = ("polygon", [[(2., 2.), (4., 2.), (4., 4.), (2., 4.), (2., 2.)]])
+    # interiors disjoint, the plug's WHOLE boundary is the donut's hole
+    # ring (so E(donut) meets none of B(plug)), plug interior lies in the
+    # donut's exterior (the hole IS exterior)
+    assert R(donut, plug) == "FF2F112F2"
+
+
+def test_relate_line_polygon():
+    cross = ("linestring", [(-1., 2.), (5., 2.)])
+    assert R(cross, SQ) == "101FF0212"
+    assert R(SQ, cross) == "1F20F1102"   # exact transpose
+    touch = ("linestring", [(-1., -1.), (0., 0.)])  # endpoint at corner
+    assert R(touch, SQ) == "FF1F00212"
+    inside = ("linestring", [(1., 1.), (3., 3.)])
+    assert R(inside, SQ) == "1FF0FF212"
+    edge = ("linestring", [(0., 0.), (4., 0.)])     # along the boundary
+    assert R(edge, SQ) == "F1FF0F212"
+    half_in = ("linestring", [(2., 2.), (7., 2.)])  # start inside, exits
+    assert R(half_in, SQ) == "1010F0212"
+
+
+def test_relate_line_line():
+    l1 = ("linestring", [(0., 0.), (4., 0.)])
+    assert R(l1, ("linestring", [(2., -2.), (2., 2.)])) == "0F1FF0102"  # cross
+    assert R(l1, ("linestring", [(1., 0.), (3., 0.)])) == "101FF0FF2"   # contains
+    assert R(l1, ("linestring", [(4., 0.), (8., 0.)])) == "FF1F00102"   # endpoint touch
+    assert R(l1, ("linestring", [(2., 0.), (6., 0.)])) == "1010F0102"   # collinear overlap
+    assert R(l1, l1) == "1FFF0FFF2"                                      # equal
+    # T-touch: l2's endpoint on l1's interior
+    assert R(l1, ("linestring", [(2., 0.), (2., 5.)])) == "F01FF0102"
+
+
+def test_relate_points():
+    pt = ("point", (1., 1.))
+    line = ("linestring", [(-1., 2.), (5., 2.)])
+    assert R(pt, SQ) == "0FFFFF212"
+    assert R(("point", (0., 0.)), SQ) == "F0FFFF212"   # on boundary
+    assert R(("point", (9., 9.)), SQ) == "FF0FFF212"   # outside
+    assert R(pt, line) == "FF0FFF102"
+    assert R(("point", (2., 2.)), line) == "0FFFFF102"  # on interior
+    assert R(("point", (-1., 2.)), line) == "F0FFFF102"  # on endpoint
+    assert R(pt, pt) == "0FFFFFFF2"
+    assert R(pt, ("point", (5., 5.))) == "FF0FFF0F2"
+    mp = ("multipoint", [(1., 1.), (9., 9.)])
+    assert R(mp, SQ) == "0F0FFF212"   # one in, one out
+    # flipped order = exact transpose
+    m = relate_pair(GeometryArray.from_pylist([SQ]), 0,
+                    GeometryArray.from_pylist([pt]), 0)
+    assert "".join("F" if d < 0 else str(d) for d in m) == "0F2FF1FF2"
+    assert R(SQ, pt) == "0F2FF1FF2"
+
+
+def test_predicate_family():
+    inside_line = ("linestring", [(1., 1.), (3., 3.)])
+    edge_line = ("linestring", [(0., 0.), (4., 0.)])
+    cross_line = ("linestring", [(-1., 2.), (5., 2.)])
+    l1 = ("linestring", [(0., 0.), (4., 0.)])
+    l5 = ("linestring", [(2., 0.), (6., 0.)])
+    assert P("overlaps", SQ, SQ2) and not P("overlaps", SQ, INNER)
+    assert P("contains", SQ, INNER) and P("within", INNER, SQ)
+    assert P("touches", SQ, ADJ) and P("touches", SQ, CORNER)
+    assert not P("touches", SQ, SQ2)
+    assert P("disjoint", SQ, FAR) and not P("intersects", SQ, FAR)
+    assert P("intersects", SQ, ADJ)  # boundary-only contact intersects
+    assert P("equals", SQ, SQ) and not P("equals", SQ, SQ2)
+    assert P("crosses", cross_line, SQ)
+    assert P("crosses", l1, ("linestring", [(2., -2.), (2., 2.)]))
+    assert not P("crosses", l1, l5) and P("overlaps", l1, l5)
+    assert P("covers", SQ, INNER) and P("covers", SQ, edge_line)
+    assert P("covered_by", edge_line, SQ)
+    assert not P("contains", SQ, edge_line)   # classic covers-not-contains
+    assert P("contains", SQ, inside_line)
+    # point predicates
+    assert P("within", ("point", (1., 1.)), SQ)
+    assert P("touches", ("point", (0., 0.)), SQ)
+    assert P("intersects", ("point", (2., 2.)), cross_line)
+    # missing rows are False for every predicate
+    ga = GeometryArray.from_pylist([None])
+    gb = GeometryArray.from_pylist([SQ])
+    for name in PREDICATES:
+        assert not predicate(ga, gb, name)[0]
+
+
+def test_relate_pattern_and_matcher():
+    assert relate_pattern(GeometryArray.from_pylist([SQ]),
+                          GeometryArray.from_pylist([INNER]), "T*****FF*")[0]
+    assert matches([2, -1, 2, -1, 1, -1, 2, 1, 2], "T*T***T**")
+    assert not matches([2, -1, 2, -1, 1, -1, 2, 1, 2], "T*F******")
+    assert matches([0, -1, 1, -1, -1, 0, 1, 0, 2], "0********")
+    with pytest.raises(ValueError):
+        matches([0] * 9, "T*")
+
+
+def test_predicates_consistent_with_join_semantics():
+    """Random rect pairs: intersects == bbox-overlap for axis-aligned
+    rects; contains matches the arithmetic truth; touches only on
+    measure-zero contact."""
+    rng = np.random.default_rng(31)
+    rows_a, rows_b, exp_int, exp_cont = [], [], [], []
+    for _ in range(60):
+        ax0, ay0 = rng.integers(0, 8, 2).astype(float)
+        aw, ah = rng.integers(1, 5, 2).astype(float)
+        bx0, by0 = rng.integers(0, 8, 2).astype(float)
+        bw, bh = rng.integers(1, 5, 2).astype(float)
+        A = ("polygon", [[(ax0, ay0), (ax0 + aw, ay0), (ax0 + aw, ay0 + ah),
+                          (ax0, ay0 + ah), (ax0, ay0)]])
+        B = ("polygon", [[(bx0, by0), (bx0 + bw, by0), (bx0 + bw, by0 + bh),
+                          (bx0, by0 + bh), (bx0, by0)]])
+        rows_a.append(A)
+        rows_b.append(B)
+        exp_int.append(ax0 <= bx0 + bw and bx0 <= ax0 + aw
+                       and ay0 <= by0 + bh and by0 <= ay0 + ah)
+        exp_cont.append(ax0 < bx0 and bx0 + bw < ax0 + aw
+                        and ay0 < by0 and by0 + bh < ay0 + ah)
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    got_int = predicate(ga, gb, "intersects")
+    got_cont = predicate(ga, gb, "contains")
+    assert list(got_int) == exp_int
+    # strict containment implies contains (boundary-touch containment is
+    # covers, checked separately above)
+    for g, e in zip(got_cont, exp_cont):
+        assert g or not e
+
+
+def test_relate_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import encode_wkb
+
+    t = pa.table({
+        "geometry": encode_wkb(GeometryArray.from_pylist([SQ, SQ, SQ])),
+        "other": encode_wkb(GeometryArray.from_pylist([INNER, ADJ, FAR])),
+    })
+    gd = GeoDataset(ray.data.from_arrow(t))
+    out = gd.relate("other").intersects("other").touches("other").dataset.take_all()
+    assert [r["relate"] for r in out] == ["212FF1FF2", "FF2F11212", "FF2FF1212"]
+    assert [r["intersects"] for r in out] == [True, True, False]
+    assert [r["touches"] for r in out] == [False, True, False]
+
+
+def test_relate_vs_distance_oracle_fuzz():
+    """Independent cross-kernel oracle: for closed geometries,
+    intersects(a, b) <=> distance(a, b) == 0 (the distance kernel shares
+    no code with the DE-9IM path). Plus family coherence laws."""
+    from geopolars_ray.geom import kernels as K
+
+    rng = np.random.default_rng(41)
+    rows_a, rows_b = [], []
+    for _ in range(80):
+        kind = rng.integers(0, 3)
+        x0, y0 = rng.integers(0, 10, 2).astype(float)
+        if kind == 0:
+            rows_a.append(("point", (x0, y0)))
+        elif kind == 1:
+            x1, y1 = rng.integers(0, 10, 2).astype(float)
+            if (x0, y0) == (x1, y1):
+                x1 += 1.0
+            rows_a.append(("linestring", [(x0, y0), (x1, y1)]))
+        else:
+            w, h = rng.integers(1, 4, 2).astype(float)
+            rows_a.append(("polygon", [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                                        (x0, y0 + h), (x0, y0)]]))
+        kind = rng.integers(0, 3)
+        x0, y0 = rng.integers(0, 10, 2).astype(float)
+        if kind == 0:
+            rows_b.append(("point", (x0, y0)))
+        elif kind == 1:
+            x1, y1 = rng.integers(0, 10, 2).astype(float)
+            if (x0, y0) == (x1, y1):
+                y1 += 1.0
+            rows_b.append(("linestring", [(x0, y0), (x1, y1)]))
+        else:
+            w, h = rng.integers(1, 4, 2).astype(float)
+            rows_b.append(("polygon", [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h),
+                                        (x0, y0 + h), (x0, y0)]]))
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    inter = predicate(ga, gb, "intersects")
+    dist = K.distance(ga, gb)
+    np.testing.assert_array_equal(inter, dist == 0.0)
+    # coherence: disjoint = !intersects; touches/within/contains imply
+    # intersects; touches excludes within & contains
+    disj = predicate(ga, gb, "disjoint")
+    np.testing.assert_array_equal(disj, ~inter)
+    tch = predicate(ga, gb, "touches")
+    win = predicate(ga, gb, "within")
+    con = predicate(ga, gb, "contains")
+    cov = predicate(ga, gb, "covers")
+    cvb = predicate(ga, gb, "covered_by")
+    assert not (tch & ~inter).any()
+    assert not (win & ~inter).any()
+    assert not (tch & win).any() and not (tch & con).any()
+    assert not (con & ~cov).any() and not (win & ~cvb).any()
