@@ -934,6 +934,37 @@ class GeoDataset:
 
         return self._wrap(euclidean_knn(self._ds, queries, k, x_col=x_col, y_col=y_col, id_col=id_col, **kw))
 
+    def sjoin_nearest(self, other, k: int = 1, max_distance: float | None = None,
+                      x_col: str = "lon", y_col: str = "lat", id_col: str = "id",
+                      other_id_col: str = "id", **kw) -> "GeoDataset":
+        """GeoPandas ``sjoin_nearest`` analogue over point datasets: each
+        left row's ``k`` nearest right rows, as (point id, target id,
+        distance, rank) — the distributed expanding-ring kNN join
+        (`stages/knn.py knn_join`; nothing collected on the driver).
+        ``max_distance`` filters matches beyond the threshold after the
+        exact join (GeoPandas semantics)."""
+        import pyarrow.compute as pc
+
+        from geopolars_ray.stages.knn import knn_join
+
+        other_ds = other.dataset if isinstance(other, GeoDataset) else other
+        pts = self._ds.map_batches(
+            lambda b, c=(id_col, x_col, y_col): pa.table(
+                {"pid": b[c[0]], "x": b[c[1]], "y": b[c[2]]}),
+            batch_format="pyarrow")
+        tgts = other_ds.map_batches(
+            lambda b, c=(other_id_col, x_col, y_col): pa.table(
+                {"tid": b[c[0]], "x": b[c[1]], "y": b[c[2]]}),
+            batch_format="pyarrow")
+        out = knn_join(pts, tgts, k, x_col="x", y_col="y",
+                       point_id="pid", target_id="tid", **kw)
+        if max_distance is not None:
+            out = out.map_batches(
+                lambda b, d=float(max_distance): b.filter(
+                    pc.less_equal(b["distance"], d)),
+                batch_format="pyarrow")
+        return self._wrap(out)
+
     def rasterize(self, tile_deg: float = 15.0, resolution: int = 32, stat: str = "count",
                   lon_col="lon", lat_col="lat", value_col=None, **kw) -> "GeoDataset":
         """Per-tile raster grids from this point dataset (raster<->vector op)."""

@@ -129,6 +129,22 @@ class GeometryArray:
         """For each geometry, its (start, stop) range in part space."""
         return self.geom_offsets
 
+    def coord_paths(self, i: int) -> list[np.ndarray]:
+        """Coordinate paths of row ``i`` as (n, 2) arrays, consecutive
+        duplicates removed, sub-2-point paths dropped — the shared
+        extraction for per-row lineal kernels (offset_curve, relate)."""
+        out = []
+        for p in range(int(self.geom_offsets[i]), int(self.geom_offsets[i + 1])):
+            for r in range(int(self.part_offsets[p]), int(self.part_offsets[p + 1])):
+                c = self.coords[self.ring_offsets[r]:self.ring_offsets[r + 1]]
+                if len(c) >= 2:
+                    keep = np.ones(len(c), dtype=bool)
+                    keep[1:] = (c[1:] != c[:-1]).any(axis=1)
+                    c = c[keep]
+                if len(c) >= 2:
+                    out.append(c)
+        return out
+
     # ------------------------------------------------------------ constructors
 
     @classmethod

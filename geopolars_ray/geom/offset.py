@@ -46,17 +46,7 @@ from geopolars_ray.geom.overlay import CLIPPING, SUBJECT, node_segments
 
 
 def _paths_of_row(ga: GeometryArray, i: int) -> list[np.ndarray]:
-    out = []
-    for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
-        for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
-            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
-            if len(c) >= 2:
-                keep = np.ones(len(c), dtype=bool)
-                keep[1:] = (c[1:] != c[:-1]).any(axis=1)
-                c = c[keep]
-            if len(c) >= 2:
-                out.append(c)
-    return out
+    return ga.coord_paths(i)
 
 
 def _raw_offset(c: np.ndarray, d: float, quad_segs: int) -> np.ndarray | None:
@@ -125,6 +115,19 @@ def _min_dist_per_point(pts: np.ndarray, segs_p: np.ndarray, segs_q: np.ndarray,
     return out
 
 
+def _nearest_seg_idx(probe: np.ndarray, segs_p: np.ndarray,
+                     segs_q: np.ndarray) -> int:
+    """Index of the segment nearest to one probe point (the arg variant
+    of the clip/project distance used throughout this module)."""
+    dseg = segs_q - segs_p
+    L2 = (dseg ** 2).sum(axis=1)
+    L2s = np.where(L2 == 0, 1.0, L2)
+    ap = probe[None, :] - segs_p
+    t = np.clip((ap * dseg).sum(axis=1) / L2s, 0.0, 1.0)
+    proj = segs_p + t[:, None] * dseg
+    return int(((probe[None, :] - proj) ** 2).sum(axis=1).argmin())
+
+
 def _min_vertex_to_pieces(verts: np.ndarray, pieces: np.ndarray,
                           pair_budget: int = 4_000_000) -> np.ndarray:
     """Per-PIECE min distance from any of ``verts`` to the piece segment
@@ -188,7 +191,9 @@ def _offset_one(paths: list[np.ndarray], d: float, quad_segs: int):
     if merged is None:
         return None
     chains = [merged[1]] if merged[0] == "linestring" else merged[1]
-    # orient each chain along the input travel direction
+    # orient each chain along the input travel direction: compare the
+    # chain's middle segment against its NEAREST input segment
+    dseg = in_q - in_p
     out_chains = []
     for ch in chains:
         cc = np.asarray(ch)
@@ -197,15 +202,7 @@ def _offset_one(paths: list[np.ndarray], d: float, quad_segs: int):
         b = cc[min(mid, len(cc) - 1)]
         if (a == b).all() and len(cc) >= 2:
             a, b = cc[0], cc[1]
-        # nearest input segment to the probe midpoint
-        probe = np.array([(a + b) / 2.0])
-        dseg = in_q - in_p
-        L2 = (dseg ** 2).sum(axis=1)
-        L2s = np.where(L2 == 0, 1.0, L2)
-        ap = probe[:, None, :] - in_p[None, :, :]
-        t = np.clip((ap * dseg[None, :, :]).sum(axis=2) / L2s[None, :], 0.0, 1.0)
-        proj = in_p[None, :, :] + t[:, :, None] * dseg[None, :, :]
-        j = int(((probe[:, None, :] - proj) ** 2).sum(axis=2).argmin())
+        j = _nearest_seg_idx((a + b) / 2.0, in_p, in_q)
         if float(np.dot(b - a, dseg[j])) < 0:
             cc = cc[::-1]
         out_chains.append([(float(x), float(y)) for x, y in cc])
@@ -219,6 +216,8 @@ def offset_curve(ga: GeometryArray, distance: float,
     """Offset curve per lineal row (see module docstring). ``distance``
     > 0 = left of travel, < 0 = right; 0 returns the row unchanged.
     Non-lineal / missing rows come back missing."""
+    if quad_segs < 1:
+        raise ValueError("quad_segs must be >= 1")
     out: list = []
     for i in range(len(ga)):
         t = int(ga.types[i])

@@ -682,6 +682,24 @@ def _ring_signed_area(ring) -> float:
     return 0.5 * s
 
 
+def _point_on_path(px: float, py: float, path, closed: bool) -> bool:
+    """True when (px, py) lies ON the polyline/ring (vertex or edge
+    interior) — exact collinear + bbox test per edge. The ONE
+    implementation shared by validity and relate (the half-open
+    crossing rule lives in ``_point_in_ring``; this is its boundary
+    complement)."""
+    n = len(path)
+    rng = range(n) if closed else range(n - 1)
+    for k in rng:
+        x1, y1 = path[k][0], path[k][1]
+        x2, y2 = path[(k + 1) % n][0], path[(k + 1) % n][1]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if cross == 0.0 and min(x1, x2) <= px <= max(x1, x2) \
+                and min(y1, y2) <= py <= max(y1, y2):
+            return True
+    return False
+
+
 def _point_in_ring(px: float, py: float, ring) -> bool:
     inside = False
     n = len(ring)

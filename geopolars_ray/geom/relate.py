@@ -50,11 +50,11 @@ from geopolars_ray.geom.array import (
     GeometryArray,
 )
 from geopolars_ray.geom.overlay import (
+    _SNAP_RTOL,
     CLIPPING,
     SUBJECT,
     _point_in_ring,
-    _ring_signed_area,
-    boolean_op,
+    _point_on_path,
     node_segments,
 )
 
@@ -85,18 +85,7 @@ def _points_of(ga: GeometryArray, i: int) -> set:
 
 
 def _paths_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
-    out = []
-    for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
-        for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
-            c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
-            path = [(float(x), float(y)) for x, y in c]
-            dedup = [path[0]] if path else []
-            for q in path[1:]:
-                if q != dedup[-1]:
-                    dedup.append(q)
-            if len(dedup) >= 2:
-                out.append(dedup)
-    return out
+    return [[(float(x), float(y)) for x, y in c] for c in ga.coord_paths(i)]
 
 
 def _rings_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
@@ -153,49 +142,8 @@ def _in_rings(px: float, py: float, rings: list[list[tuple]]) -> bool:
 
 def _on_segs(px: float, py: float, paths: list[list[tuple]],
              closed: bool) -> bool:
-    for p in paths:
-        n = len(p)
-        rng = range(n) if closed else range(n - 1)
-        for k in rng:
-            x1, y1 = p[k]
-            x2, y2 = p[(k + 1) % n]
-            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-            if cross == 0.0 and min(x1, x2) <= px <= max(x1, x2) \
-                    and min(y1, y2) <= py <= max(y1, y2):
-                return True
-    return False
-
-
-def _area_of(rings: list[list[tuple]]) -> float:
-    """Even-odd area of a ring set (valid polygon: shells − holes)."""
-    return sum(abs(_ring_signed_area(r)) * (1 if _depth_sign(r, rings) else -1)
-               for r in rings)
-
-
-def _depth_sign(ring, rings) -> bool:
-    """True for even containment depth (shell), False for odd (hole)."""
-    px = 0.5 * (ring[0][0] + ring[1][0])
-    py = 0.5 * (ring[0][1] + ring[1][1])
-    depth = 0
-    for other in rings:
-        if other is ring:
-            continue
-        if _point_in_ring(px, py, other):
-            depth += 1
-    return depth % 2 == 0
-
-
-def _geom_area(g) -> float:
-    """Even-odd area of a boolean_op output tuple."""
-    if g is None:
-        return 0.0
-    _t, parts = g
-    a = 0.0
-    for poly in parts:
-        a += abs(_ring_signed_area(poly[0]))
-        for hole in poly[1:]:
-            a -= abs(_ring_signed_area(hole))
-    return a
+    """On-boundary over a path set (shared exact test in overlay)."""
+    return any(_point_on_path(px, py, p, closed) for p in paths)
 
 
 # ----------------------------------------------------------- matrix builders
@@ -230,19 +178,94 @@ def _mid(pq):
     return ((x1 + x2) / 2.0, (y1 + y2) / 2.0)
 
 
+def _snap_tol(items: list[list[tuple]]) -> float:
+    scale = 1.0
+    for path in items:
+        for x, y in path:
+            m = abs(x) if abs(x) > abs(y) else abs(y)
+            if m > scale:
+                scale = m
+    return 4.0 * _SNAP_RTOL * scale
+
+
+def _canon_set(pts: set, vertices: set, tol: float) -> set:
+    """Map each point to its snap-rounded representative among the noded
+    ``vertices`` (the arrangement may have moved an endpoint by up to a
+    few tolerance steps) — set-membership tests against noded vertex
+    sets must use the SAME representatives or boundary contacts get
+    misattributed to interiors."""
+    out = set()
+    for v in pts:
+        if v in vertices:
+            out.add(v)
+            continue
+        hit = v
+        for w in vertices:
+            if abs(w[0] - v[0]) <= tol and abs(w[1] - v[1]) <= tol:
+                hit = w
+                break
+        out.add(hit)
+    return out
+
+
+def _interior_probe(rings: list[list[tuple]]):
+    """A strictly-interior point of the even-odd region: scanline at a
+    y midway between two ADJACENT distinct vertex ys (so it crosses no
+    vertex), midpoint of the first inside span. None for degenerate
+    ring sets."""
+    ys = sorted({y for r in rings for _x, y in r})
+    for i in range(len(ys) - 1):
+        y0 = (ys[i] + ys[i + 1]) / 2.0
+        xs = []
+        for r in rings:
+            n = len(r)
+            for k in range(n):
+                x1, y1 = r[k]
+                x2, y2 = r[(k + 1) % n]
+                if (y1 > y0) != (y2 > y0):
+                    xs.append(x1 + (y0 - y1) * (x2 - x1) / (y2 - y1))
+        if len(xs) >= 2:
+            xs.sort()
+            return ((xs[0] + xs[1]) / 2.0, y0)
+    return None
+
+
 def _relate_AA(ra: list, rb: list) -> list[int]:
+    """Polygon x polygon, fully COMBINATORIAL — no float area
+    comparisons, no second overlay pass. After noding, every one-sided
+    boundary piece classifies strictly in/out of the other polygon, and
+    the open-region entries follow:
+
+    - ``II = 2`` iff some boundary piece lies strictly inside the other
+      operand, or the boundaries are IDENTICAL (no one-sided pieces:
+      identical even-odd boundaries bound identical regions, so A == B).
+    - ``IE = 2`` iff ∂A has a piece outside B (a neighborhood of it
+      meets int(A)∖B) or ∂B has a piece inside A (B ⊊ A there); else
+      A's interior is covered by B. ``EI`` symmetric.
+    """
     a_only, b_only, shared, a_pts, b_pts = _noded(ra, rb, True, True)
-    inter_area = _geom_area(boolean_op(_as_poly(ra), _as_poly(rb),
-                                       "intersection"))
-    area_a = _even_odd_area(ra)
-    area_b = _even_odd_area(rb)
-    ii = 2 if inter_area > 0.0 else -1
-    ie = 2 if area_a - inter_area > 0.0 else -1
-    ei = 2 if area_b - inter_area > 0.0 else -1
     a_in = any(_in_rings(*_mid(pq), rings=rb) for pq in a_only)
     a_out = any(not _in_rings(*_mid(pq), rings=rb) for pq in a_only)
     b_in = any(_in_rings(*_mid(pq), rings=ra) for pq in b_only)
     b_out = any(not _in_rings(*_mid(pq), rings=ra) for pq in b_only)
+    identical = not a_only and not b_only
+    # One boundary ENTIRELY shared but not identical (donut vs its
+    # hole-plug): that operand's interior is a single arrangement face
+    # whose side the boundary pieces cannot determine — probe one
+    # interior point of it against the other operand.
+    pb_in_a = pa_in_b = None
+    if not identical and not b_only and not a_in:
+        p = _interior_probe(rb)
+        if p is not None:
+            pb_in_a = _in_rings(p[0], p[1], ra)
+    if not identical and not a_only and not b_in:
+        p = _interior_probe(ra)
+        if p is not None:
+            pa_in_b = _in_rings(p[0], p[1], rb)
+    ii = 2 if (a_in or b_in or identical
+               or pb_in_a is True or pa_in_b is True) else -1
+    ie = 2 if (a_out or b_in or pa_in_b is False) else -1
+    ei = 2 if (b_out or a_in or pb_in_a is False) else -1
     if shared:
         bb = 1
     elif a_pts & b_pts:
@@ -254,18 +277,10 @@ def _relate_AA(ra: list, rb: list) -> list[int]:
             ei, 1 if b_out else -1, 2]
 
 
-def _even_odd_area(rings: list[list[tuple]]) -> float:
-    return _area_of(rings)
-
-
-def _as_poly(rings: list[list[tuple]]):
-    return ("polygon", [r + [r[0]] for r in rings])
-
-
 def _relate_LA(paths: list, rings: list) -> list[int]:
     """A = lineal, B = areal."""
     a_only, b_only, shared, a_pts, b_pts = _noded(paths, rings, False, True)
-    bnd = _mod2_endpoints(paths)
+    bnd = _canon_set(_mod2_endpoints(paths), a_pts, _snap_tol(paths + rings))
     mid_in = [_in_rings(*_mid(pq), rings=rings) for pq in a_only]
     ii = 1 if any(mid_in) else -1
     ie = 1 if any(not m for m in mid_in) else -1
@@ -286,8 +301,9 @@ def _relate_LA(paths: list, rings: list) -> list[int]:
 
 def _relate_LL(pa: list, pb: list) -> list[int]:
     a_only, b_only, shared, a_pts, b_pts = _noded(pa, pb, False, False)
-    bnd_a = _mod2_endpoints(pa)
-    bnd_b = _mod2_endpoints(pb)
+    tol = _snap_tol(pa + pb)
+    bnd_a = _canon_set(_mod2_endpoints(pa), a_pts, tol)
+    bnd_b = _canon_set(_mod2_endpoints(pb), b_pts, tol)
     common = a_pts & b_pts
     if shared:
         ii = 1
@@ -404,6 +420,8 @@ def matches(m: list[int], pattern: str) -> bool:
 
 def relate_pattern(ga: GeometryArray, gb: GeometryArray,
                    pattern: str) -> np.ndarray:
+    if len(ga) != len(gb):
+        raise ValueError("relate_pattern requires aligned columns")
     out = np.zeros(len(ga), dtype=bool)
     for i in range(len(ga)):
         m = relate_pair(ga, i, gb, i)
@@ -457,6 +475,8 @@ def predicate(ga: GeometryArray, gb: GeometryArray, name: str) -> np.ndarray:
     (False where either side is missing, matching shapely's None rule)."""
     if name not in PREDICATES:
         raise ValueError(f"unknown predicate {name!r} (one of {PREDICATES})")
+    if len(ga) != len(gb):
+        raise ValueError("predicate requires aligned columns")
     out = np.zeros(len(ga), dtype=bool)
     for i in range(len(ga)):
         m = relate_pair(ga, i, gb, i)

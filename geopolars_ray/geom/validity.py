@@ -43,7 +43,12 @@ from geopolars_ray.geom.array import (
     POLYGON,
     GeometryArray,
 )
-from geopolars_ray.geom.overlay import SUBJECT, _point_in_ring, node_segments
+from geopolars_ray.geom.overlay import (
+    SUBJECT,
+    _point_in_ring,
+    _point_on_path,
+    node_segments,
+)
 
 VALID = "Valid Geometry"
 
@@ -74,40 +79,72 @@ def _rings_of_row(ga: GeometryArray, i: int) -> list[list[np.ndarray]]:
 
 def _on_ring(px: float, py: float, ring: np.ndarray) -> bool:
     """True when (px, py) lies ON the closed ring's boundary (vertex or
-    edge interior) — exact collinear + bbox test per edge."""
-    n = len(ring)
-    for k in range(n):
-        x1, y1 = float(ring[k, 0]), float(ring[k, 1])
-        x2, y2 = float(ring[(k + 1) % n, 0]), float(ring[(k + 1) % n, 1])
-        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        if cross == 0.0 and min(x1, x2) <= px <= max(x1, x2) \
-                and min(y1, y2) <= py <= max(y1, y2):
-            return True
-    return False
+    edge interior) — delegates to the shared exact test."""
+    return _point_on_path(px, py, ring, closed=True)
 
 
-def _probe_off(ring: np.ndarray, other: np.ndarray) -> tuple[float, float]:
-    """A point of ``ring`` that does NOT lie on ``other``'s boundary:
-    first such vertex, else the first edge midpoint off the boundary
-    (valid single-point touches — at a vertex of ``other`` or interior
-    to one of its edges — must not decide containment). Falls back to
-    the first vertex when everything touches (collinear overlap, which
-    the arrangement check already rejected)."""
+def _probe_off(ring: np.ndarray, others: list) -> tuple[float, float] | None:
+    """A point of ``ring`` that does NOT lie on the boundary of ANY ring
+    in ``others``: first such vertex, else the first edge midpoint off
+    all of them (valid single-point touches — at a vertex or interior to
+    an edge — must not decide containment). None when every sample
+    touches (boundary fully shared; the arrangement check already
+    rejected any OVERLAP, so such configurations are not containment
+    violations)."""
     for k in range(len(ring)):
         px, py = float(ring[k, 0]), float(ring[k, 1])
-        if not _on_ring(px, py, other):
+        if not any(_on_ring(px, py, o) for o in others):
             return (px, py)
     n = len(ring)
     for k in range(n):
         px = (float(ring[k, 0]) + float(ring[(k + 1) % n, 0])) / 2.0
         py = (float(ring[k, 1]) + float(ring[(k + 1) % n, 1])) / 2.0
-        if not _on_ring(px, py, other):
+        if not any(_on_ring(px, py, o) for o in others):
             return (px, py)
-    return (float(ring[0, 0]), float(ring[0, 1]))
+    return None
+
+
+def _in_rings(px: float, py: float, rings: list) -> bool:
+    """Even-odd membership over a ring set (a polygon's region: shell
+    minus holes)."""
+    inside = False
+    for r in rings:
+        if _point_in_ring(px, py, r):
+            inside = not inside
+    return inside
+
+
+def _ring_vertex_on_edge(r: np.ndarray):
+    """A vertex of the closed cycle ``r`` lying on the INTERIOR of a
+    non-incident edge of the same ring (T-junction self-touch — the
+    arrangement check cannot see it: splitting an edge at an EXISTING
+    same-ring vertex creates no new vertex and no multiplicity).
+    Exact collinear + bbox test, vertex-chunked; None if clean."""
+    n = len(r)
+    a = r
+    b = np.roll(r, -1, axis=0)
+    chunk = max(1, 4_000_000 // max(n, 1))
+    for lo in range(0, n, chunk):
+        V = r[lo:lo + chunk]
+        cross = ((b[None, :, 0] - a[None, :, 0]) * (V[:, None, 1] - a[None, :, 1])
+                 - (b[None, :, 1] - a[None, :, 1]) * (V[:, None, 0] - a[None, :, 0]))
+        inbox = ((V[:, None, 0] >= np.minimum(a[None, :, 0], b[None, :, 0]))
+                 & (V[:, None, 0] <= np.maximum(a[None, :, 0], b[None, :, 0]))
+                 & (V[:, None, 1] >= np.minimum(a[None, :, 1], b[None, :, 1]))
+                 & (V[:, None, 1] <= np.maximum(a[None, :, 1], b[None, :, 1])))
+        hit = (cross == 0.0) & inbox
+        rows = np.arange(len(V))
+        vi = np.arange(lo, lo + len(V))
+        hit[rows, vi % n] = False          # edge starting at the vertex
+        hit[rows, (vi - 1) % n] = False    # edge ending at the vertex
+        if hit.any():
+            i, _k = np.argwhere(hit)[0]
+            return (float(V[i, 0]), float(V[i, 1]))
+    return None
 
 
 def _check_polygonal(parts: list[list[np.ndarray]]) -> str:
-    # 1. ring shape + intra-ring repeated vertices
+    # 1. ring shape + intra-ring repeated vertices + T-junction self-touch
     cleaned: list[list[np.ndarray]] = []
     for part in parts:
         cp = []
@@ -121,6 +158,9 @@ def _check_polygonal(parts: list[list[np.ndarray]]) -> str:
             if (cnt > 1).any():
                 d = uniq[cnt > 1][0]
                 return f"Ring Self-intersection[{d[0]:g} {d[1]:g}]"
+            tj = _ring_vertex_on_edge(r)
+            if tj is not None:
+                return f"Ring Self-intersection[{tj[0]:g} {tj[1]:g}]"
             cp.append(r)
         cleaned.append(cp)
 
@@ -143,33 +183,35 @@ def _check_polygonal(parts: list[list[np.ndarray]]) -> str:
                 return f"Self-intersection[{v[0]:g} {v[1]:g}]"
 
     # 3. containment rules (single-point touches already proven by the
-    # arrangement to be the only contacts)
+    # arrangement to be the only contacts). Probes are chosen off EVERY
+    # ring they are tested against — a probe sitting exactly on a tested
+    # ring has ambiguous even-odd parity (found as a real false-positive:
+    # a shell inside a hole, touching that hole at one vertex).
     for part in cleaned:
         shell = part[0]
         for hi in range(1, len(part)):
             hole = part[hi]
-            probe = _probe_off(hole, shell)
-            if not _point_in_ring(probe[0], probe[1], shell):
+            probe = _probe_off(hole, [shell])
+            if probe is not None and not _point_in_ring(probe[0], probe[1], shell):
                 return f"Hole lies outside shell[{probe[0]:g} {probe[1]:g}]"
             for hj in range(1, len(part)):
                 if hj == hi:
                     continue
                 other = part[hj]
-                probe2 = _probe_off(hole, other)
-                if _point_in_ring(probe2[0], probe2[1], other):
+                probe2 = _probe_off(hole, [other])
+                if probe2 is not None and _point_in_ring(probe2[0], probe2[1], other):
                     return f"Holes are nested[{probe2[0]:g} {probe2[1]:g}]"
     for pi in range(len(cleaned)):
         for pj in range(len(cleaned)):
             if pi == pj:
                 continue
             shell_i = cleaned[pi][0]
-            probe = _probe_off(shell_i, cleaned[pj][0])
-            if _point_in_ring(probe[0], probe[1], cleaned[pj][0]):
-                # inside the other ELEMENT unless one of its holes covers it
-                in_hole = any(_point_in_ring(probe[0], probe[1], h)
-                              for h in cleaned[pj][1:])
-                if not in_hole:
-                    return f"Nested shells[{probe[0]:g} {probe[1]:g}]"
+            # off the WHOLE element pj, then even-odd over ALL its rings:
+            # "inside the element's region" directly (a shell sitting in
+            # pj's hole is fine; inside its filled region is not)
+            probe = _probe_off(shell_i, cleaned[pj])
+            if probe is not None and _in_rings(probe[0], probe[1], cleaned[pj]):
+                return f"Nested shells[{probe[0]:g} {probe[1]:g}]"
     return VALID
 
 

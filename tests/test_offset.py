@@ -98,3 +98,9 @@ def test_offset_api(ray_session):
     got = decode_wkb(pa.concat_tables(
         ray.get(out.to_arrow_refs()))["geometry"]).to_pylist()
     assert got[0] == ("linestring", [(0., 2.), (10., 2.)])
+
+
+def test_offset_quad_segs_validation():
+    ga = GeometryArray.from_pylist([("linestring", [(0., 0.), (1., 0.)])])
+    with pytest.raises(ValueError, match="quad_segs"):
+        offset_curve(ga, 1.0, quad_segs=0)

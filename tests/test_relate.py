@@ -242,3 +242,76 @@ def test_relate_vs_distance_oracle_fuzz():
     assert not (win & ~inter).any()
     assert not (tch & win).any() and not (tch & con).any()
     assert not (con & ~cov).any() and not (win & ~cvb).any()
+
+
+def test_relate_float_containment_no_epsilon_failures():
+    """Regression: the AA matrix is combinatorial (no float area
+    comparisons), so float-coordinate contained polygons are always
+    'within' — the old area-identity path failed ~8% of these."""
+    rng = np.random.default_rng(7)
+    outer = ("polygon", [[(-1., -1.), (11., -1.), (11., 11.), (-1., 11.), (-1., -1.)]])
+    for _ in range(50):
+        k = 8
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rr = rng.uniform(1, 4, k)
+        cx, cy = rng.uniform(4, 6, 2)
+        pts = [(float(cx + ri * np.cos(a)), float(cy + ri * np.sin(a)))
+               for ri, a in zip(rr, ang)]
+        inner = ("polygon", [pts + [pts[0]]])
+        assert P("within", inner, outer)
+        assert P("contains", outer, inner)
+
+
+def test_relate_snapped_endpoint_consistency():
+    """Regression: boundary endpoints must be canonicalized through the
+    snap-rounding — a 1e-13 endpoint gap is a BB touch, never a
+    boundary-in-interior claim."""
+    a = ("linestring", [(0., 0.), (4., 0.)])
+    b = ("linestring", [(4. + 1e-13, 0.), (8., 0.)])
+    assert R(a, b) == "FF1F00102"
+
+
+def test_relate_misaligned_inputs_raise():
+    ga2 = GeometryArray.from_pylist([("point", (0., 0.)), ("point", (1., 1.))])
+    gb1 = GeometryArray.from_pylist([("point", (0., 0.))])
+    with pytest.raises(ValueError, match="aligned"):
+        predicate(ga2, gb1, "intersects")
+    with pytest.raises(ValueError, match="aligned"):
+        relate_pattern(ga2, gb1, "T********")
+
+
+def test_relate_fully_shared_boundary_family():
+    """Regression: when one operand's boundary is ENTIRELY shared (disk
+    over donut, plug in donut's hole) the interior side is resolved by
+    an interior probe, not boundary pieces."""
+    donut = ("polygon", [[(0., 0.), (6., 0.), (6., 6.), (0., 6.), (0., 0.)],
+                         [(2., 2.), (2., 4.), (4., 4.), (4., 2.), (2., 2.)]])
+    disk = ("polygon", [[(0., 0.), (6., 0.), (6., 6.), (0., 6.), (0., 0.)]])
+    plug = ("polygon", [[(2., 2.), (4., 2.), (4., 4.), (2., 4.), (2., 2.)]])
+    assert R(donut, disk) == "2FF11F2F2"   # annulus within disk
+    assert R(disk, donut) == "212F1FFF2"   # exact transpose
+    assert R(plug, donut) == "FF2F1F212"
+    assert P("within", donut, disk) and P("contains", disk, donut)
+    assert P("touches", donut, plug)
+    assert P("within", plug, disk)
+
+
+def test_sjoin_nearest_api(ray_session):
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+
+    left = pa.table({"id": pa.array([1, 2], pa.int64()),
+                     "lon": pa.array([0.0, 10.0]),
+                     "lat": pa.array([0.0, 0.0])})
+    right = pa.table({"id": pa.array([10, 20, 30], pa.int64()),
+                      "lon": pa.array([0.5, 9.0, 50.0]),
+                      "lat": pa.array([0.0, 0.0, 0.0])})
+    gd = GeoDataset(ray.data.from_arrow(left))
+    out = gd.sjoin_nearest(ray.data.from_arrow(right), k=1).dataset.take_all()
+    got = {r["pid"]: (r["tid"], r["distance"]) for r in out}
+    assert got[1] == (10, 0.5) and got[2] == (20, 1.0)
+    # max_distance filters the far match
+    out2 = gd.sjoin_nearest(ray.data.from_arrow(right), k=1,
+                            max_distance=0.6).dataset.take_all()
+    assert [r["pid"] for r in out2] == [1]

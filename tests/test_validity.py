@@ -131,3 +131,30 @@ def test_overlay_outputs_always_valid():
             if ga.types[0] == MISSING:
                 continue
             assert is_valid(ga)[0], (op, is_valid_reason(ga)[0])
+
+
+def test_ring_t_junction_self_touch_invalid():
+    """Regression: a ring vertex lying on the interior of a non-incident
+    edge of the SAME ring (T-junction pinch) is a Ring Self-intersection
+    — the arrangement check alone cannot see it (no new vertex, no
+    multiplicity)."""
+    tj = ("polygon", [[(0., 0.), (4., 0.), (4., 2.), (2., 0.), (0., 2.), (0., 0.)]])
+    r = is_valid_reason(GeometryArray.from_pylist([tj]))[0]
+    assert r.startswith("Ring Self-intersection")
+
+
+def test_shell_inside_hole_touching_hole_is_valid():
+    """Regression: a second element inside the first element's HOLE,
+    touching the hole ring at one vertex, is VALID — the nested-shell
+    probe must avoid the whole other element's boundary and classify by
+    even-odd over ALL its rings."""
+    mp = ("multipolygon", [
+        [[(0., 0.), (10., 0.), (10., 10.), (0., 10.), (0., 0.)],
+         [(2., 2.), (2., 8.), (8., 8.), (8., 2.), (2., 2.)]],
+        [[(5., 8.), (4., 6.), (6., 6.), (5., 8.)]],
+    ])
+    assert is_valid_reason(GeometryArray.from_pylist([mp]))[0] == VALID
+    # and a truly nested shell still flags
+    bad = ("multipolygon", [[[(0., 0.), (10., 0.), (10., 10.), (0., 10.), (0., 0.)]],
+                            [[(1., 1.), (2., 1.), (2., 2.), (1., 2.), (1., 1.)]]])
+    assert is_valid_reason(GeometryArray.from_pylist([bad]))[0].startswith("Nested shells")
