@@ -1255,12 +1255,30 @@ def q_geo_type_flags(sf_dir: str):
             area = K.area(overlay_arrays(g1, g2, op))
             area = np.where(np.isnan(area), 0.0, area)  # empty result = 0
             batch = batch.append_column(name, pa.array(np.rint(area).astype(np.int64)))
+        # DE-9IM leg (r4): a FOURTH rect in k%4 interaction classes
+        # (partial overlap / strict containment / edge touch / disjoint)
+        # through the real arrangement-based relate engine
+        # (`geom/relate.py`); each class has a CONSTANT matrix, so the
+        # oracle is a CASE over k%4
+        m4 = k % 4
+        r3x1 = np.select([m4 == 0, m4 == 1, m4 == 2], [x0 + 2, x0 + 1, x0 + w], x0 + w + 3)
+        r3y1 = np.select([m4 == 0, m4 == 1, m4 == 2], [y0 + 2, y0 + 1, y0], y0)
+        r3x2 = np.select([m4 == 0, m4 == 1, m4 == 2], [x0 + 2 + w, x0 + w - 1, x0 + w + 2], x0 + w + 5)
+        r3y2 = np.select([m4 == 0, m4 == 1, m4 == 2], [y0 + 2 + h, y0 + h - 1, y0 + 2], y0 + 2)
+        g3 = rects(r3x1, r3y1, r3x2, r3y2)
+        from geopolars_ray.geom import relate as relate_mod
+
+        batch = batch.append_column("de9im", pa.array(relate_mod.relate(g1, g3), pa.string()))
+        for pred in ("intersects", "touches", "contains", "overlaps"):
+            batch = batch.append_column(
+                "rel_" + pred, pa.array(relate_mod.predicate(g1, g3, pred)))
         return batch
 
     ds = customer_points(sf_dir).map_batches(flags, batch_format="pyarrow")
     return ds.select_columns(["c_custkey", "type_id", "empty", "ring",
                               "inter_area", "union_area", "diff_area",
-                              "symdiff_area"])
+                              "symdiff_area", "de9im", "rel_intersects",
+                              "rel_touches", "rel_contains", "rel_overlaps"])
 
 
 def q_geo_sjoin_part(sf_dir: str):
@@ -2014,10 +2032,17 @@ ORACLE_SQL = {
         "(r2x2 - r2x1) * (r2y2 - r2y1) AS a2, "
         "GREATEST(0, LEAST(r1x2, r2x2) - GREATEST(r1x1, r2x1)) * "
         "GREATEST(0, LEAST(r1y2, r2y2) - GREATEST(r1y1, r2y1)) AS ia FROM t1) "
-        "SELECT c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring, "
+        "SELECT t2.c_custkey, CAST(0 AS INTEGER) AS type_id, FALSE AS empty, FALSE AS ring, "
         "CAST(ia AS BIGINT) AS inter_area, CAST(a1 + a2 - ia AS BIGINT) AS union_area, "
         "CAST(a1 - ia AS BIGINT) AS diff_area, "
-        "CAST(a1 + a2 - 2 * ia AS BIGINT) AS symdiff_area FROM t2"
+        "CAST(a1 + a2 - 2 * ia AS BIGINT) AS symdiff_area, "
+        # DE-9IM leg: each k%4 interaction class has a constant matrix
+        "CASE t2.c_custkey % 4 WHEN 0 THEN '212101212' WHEN 1 THEN '212FF1FF2' "
+        "WHEN 2 THEN 'FF2F11212' ELSE 'FF2FF1212' END AS de9im, "
+        "t2.c_custkey % 4 IN (0, 1, 2) AS rel_intersects, "
+        "t2.c_custkey % 4 = 2 AS rel_touches, "
+        "t2.c_custkey % 4 = 1 AS rel_contains, "
+        "t2.c_custkey % 4 = 0 AS rel_overlaps FROM t2"
     ),
     "geo_sjoin_part": (
         f"SELECT c.c_custkey, r.n_nationkey FROM ({_CPTS}) c JOIN ({_RECT}) r ON {_PIP_COND}"
