@@ -513,6 +513,29 @@ class GeoDataset:
             )
         )
 
+    def azimuth(self, other_col: str, out_col: str = "azimuth",
+                geodesic: bool = False) -> "GeoDataset":
+        """ST_Azimuth: bearing to an aligned point column, radians
+        clockwise from north in [0, 2π); ``geodesic=True`` = WGS84
+        Vincenty forward azimuth over lon/lat degrees."""
+        from geopolars_ray.stages.geo import geo_azimuth
+
+        return self._wrap(self._ds.map_batches(
+            geo_azimuth(self.geometry_col, other_col, out_col, geodesic),
+            batch_format="pyarrow"))
+
+    def geodesic_project(self, distance_m, azimuth_rad) -> "GeoDataset":
+        """ST_Project: geodesic destination point at ``distance_m``
+        along ``azimuth_rad`` (WGS84 Vincenty direct)."""
+        return self._apply("geodesic_project", distance_m=distance_m,
+                           azimuth_rad=azimuth_rad)
+
+    def orient(self, sign: float = 1.0) -> "GeoDataset":
+        """shapely.ops ``orient`` / ST_ForcePolygonCCW(-CW): exteriors
+        wound ``sign`` (positive = CCW), holes opposite; non-polygonal
+        rows untouched."""
+        return self._apply("orient", sign=sign)
+
     def relate(self, other_col: str, pattern: str | None = None,
                out_col: str = "relate") -> "GeoDataset":
         """Row-wise DE-9IM matrix string vs an aligned geometry column

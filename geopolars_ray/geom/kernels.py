@@ -722,6 +722,75 @@ def exterior(ga: GeometryArray) -> GeometryArray:
     return GeometryArray(types, geom_off, part_off, ring_off, coords)
 
 
+def azimuth(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+    """PostGIS ``ST_Azimuth``: planar bearing from each A point to the
+    aligned B point, radians CLOCKWISE FROM NORTH in [0, 2pi). NaN for
+    identical points (PostGIS NULL) or non-point rows."""
+    if len(ga) != len(gb):
+        raise ValueError("azimuth requires aligned columns")
+    ax, ay = get_x(ga), get_y(ga)
+    bx, by = get_x(gb), get_y(gb)
+    az = np.arctan2(bx - ax, by - ay) % (2.0 * np.pi)
+    az[(ax == bx) & (ay == by)] = np.nan
+    return az
+
+
+def geodesic_azimuth(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
+    """Forward geodesic azimuth (WGS84 Vincenty) from each A point
+    (lon/lat degrees) to the aligned B point, radians clockwise from
+    north in [0, 2pi); NaN for coincident points / non-points."""
+    from geopolars_ray.geom.geodesic import vincenty_inverse
+
+    if len(ga) != len(gb):
+        raise ValueError("geodesic_azimuth requires aligned columns")
+    _s, az_deg = vincenty_inverse(get_x(ga), get_y(ga), get_x(gb), get_y(gb))
+    return np.deg2rad(az_deg) % (2.0 * np.pi)
+
+
+def geodesic_project(ga: GeometryArray, distance_m, azimuth_rad) -> GeometryArray:
+    """PostGIS ``ST_Project``: destination point at geodesic
+    ``distance_m`` along ``azimuth_rad`` (clockwise from north) from
+    each lon/lat point — WGS84 Vincenty direct problem."""
+    from geopolars_ray.geom.geodesic import vincenty_direct
+
+    lon, lat = get_x(ga), get_y(ga)
+    az_deg = np.rad2deg(np.broadcast_to(np.asarray(azimuth_rad, dtype=np.float64), lon.shape))
+    s = np.broadcast_to(np.asarray(distance_m, dtype=np.float64), lon.shape)
+    lon2, lat2 = vincenty_direct(lon, lat, az_deg, s)
+    out = GeometryArray.from_points(lon2, lat2)
+    out.types[np.isnan(lon) | np.isnan(lon2)] = MISSING
+    return out
+
+
+def orient(ga: GeometryArray, sign: float = 1.0) -> GeometryArray:
+    """shapely.ops ``orient`` / ST_ForcePolygonCCW(-CW): normalize ring
+    winding — exteriors get orientation ``sign`` (positive = CCW), holes
+    the opposite. Non-polygonal rows pass through untouched. Vectorized
+    ring classification (`_segment_cross` signed areas); only rings on
+    the wrong side get their coordinate slice reversed."""
+    ring_a2 = _segment_cross(ga)
+    n_parts = len(ga.part_offsets) - 1
+    part_of_ring = np.repeat(np.arange(n_parts, dtype=np.int64),
+                             ga.part_offsets[1:] - ga.part_offsets[:-1])
+    n_geoms = len(ga)
+    geom_of_part = np.repeat(np.arange(n_geoms, dtype=np.int64),
+                             ga.geom_offsets[1:] - ga.geom_offsets[:-1])
+    ring_idx = np.arange(len(ring_a2), dtype=np.int64)
+    is_shell = ring_idx == ga.part_offsets[part_of_ring]
+    polyish = np.isin(ga.types, (POLYGON, MULTIPOLYGON))
+    owned = polyish[geom_of_part[part_of_ring]]
+    want_ccw = is_shell if sign > 0 else ~is_shell
+    flip = owned & (ring_a2 != 0.0) & ((ring_a2 > 0.0) != want_ccw)
+    if not flip.any():
+        return ga
+    coords = ga.coords.copy()
+    for r in np.flatnonzero(flip):
+        s, e = ga.ring_offsets[r], ga.ring_offsets[r + 1]
+        coords[s:e] = coords[s:e][::-1]
+    return GeometryArray(ga.types, ga.geom_offsets, ga.part_offsets,
+                         ga.ring_offsets, coords)
+
+
 def boundary(ga: GeometryArray) -> GeometryArray:
     """GEOS/shapely ``boundary`` (ST_Boundary) per row:
 

@@ -231,6 +231,10 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
     # ST_GeneratePoints: area-uniform seeded sampling (geom/triangulate.py)
     "generate_points": (_generate_points, "geometry"),
     "geodesic_buffer": (K.geodesic_buffer_points, "geometry"),
+    # shapely.ops.orient / ST_ForcePolygonCCW: ring-winding normalization
+    "orient": (K.orient, "geometry"),
+    # ST_Project: geodesic destination point (Vincenty direct)
+    "geodesic_project": (K.geodesic_project, "geometry"),
     # point-geometry tiling key: base32 geohash string (prefix-nesting)
     "geohash": (
         lambda ga, precision=9: tiles_mod.geohash_encode(K.get_x(ga), K.get_y(ga), precision),
@@ -446,6 +450,25 @@ def geo_distance(
         lga, _ = decode_geometry(batch, left_col)
         rga, _ = decode_geometry(batch, right_col)
         return batch.append_column(out_col, pa.array(K.distance(lga, rga)))
+
+    return fn
+
+
+def geo_azimuth(
+    left_col: str, right_col: str, out_col: str = "azimuth",
+    geodesic: bool = False,
+) -> Callable[[pa.Table], pa.Table]:
+    """Row-wise bearing between two aligned POINT columns (ST_Azimuth:
+    radians clockwise from north, NaN for coincident points); geodesic=
+    True uses the WGS84 Vincenty forward azimuth over lon/lat degrees."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lga, _ = decode_geometry(batch, left_col)
+        rga, _ = decode_geometry(batch, right_col)
+        kern = K.geodesic_azimuth if geodesic else K.azimuth
+        if out_col in batch.column_names:
+            batch = batch.drop_columns([out_col])
+        return batch.append_column(out_col, pa.array(kern(lga, rga)))
 
     return fn
 

@@ -1432,3 +1432,59 @@ def test_boundary_api(ray_session):
     out = GeoDataset(ray.data.from_arrow(t)).boundary().dataset
     got = decode_wkb(pa.concat_tables(ray.get(out.to_arrow_refs()))["geometry"]).to_pylist()
     assert got[0][0] == "linestring" and got[0][1][0] == got[0][1][-1]
+
+
+# ------------------------------------------------- azimuth / project / orient
+def test_azimuth_anchors():
+    a = GeometryArray.from_pylist([("point", (0., 0.))] * 5)
+    b = GeometryArray.from_pylist([("point", (0., 1.)), ("point", (1., 0.)),
+                                   ("point", (0., -1.)), ("point", (-1., 0.)),
+                                   ("point", (0., 0.))])
+    az = K.azimuth(a, b)
+    np.testing.assert_allclose(az[:4], [0.0, np.pi / 2, np.pi, 3 * np.pi / 2])
+    assert np.isnan(az[4])  # coincident -> NaN (PostGIS NULL)
+
+
+def test_geodesic_azimuth_and_project_roundtrip():
+    from geopolars_ray.geom.geodesic import vincenty_inverse
+
+    a = GeometryArray.from_pylist([("point", (0., 0.)), ("point", (10., 45.))])
+    # due-east from the equator is azimuth pi/2; due north is 0
+    b = GeometryArray.from_pylist([("point", (1., 0.)), ("point", (10., 46.))])
+    az = K.geodesic_azimuth(a, b)
+    np.testing.assert_allclose(az, [np.pi / 2, 0.0], atol=1e-12)
+    # project then invert: distance and azimuth round-trip
+    dest = K.geodesic_project(a, 50_000.0, np.pi / 4)
+    out = dest.to_pylist()
+    lon1 = np.array([0., 10.]); lat1 = np.array([0., 45.])
+    lon2 = np.array([p[1][0] for p in out]); lat2 = np.array([p[1][1] for p in out])
+    s, az_deg = vincenty_inverse(lon1, lat1, lon2, lat2)
+    np.testing.assert_allclose(s, 50_000.0, rtol=1e-9)
+    np.testing.assert_allclose(az_deg, 45.0, rtol=1e-9)
+
+
+def test_orient_winding():
+    cw_shell_ccw_hole = ("polygon", [
+        [(0., 0.), (0., 4.), (4., 4.), (4., 0.), (0., 0.)],      # CW shell
+        [(1., 1.), (3., 1.), (3., 3.), (1., 3.), (1., 1.)],      # CCW hole
+    ])
+    line = ("linestring", [(0., 0.), (1., 1.)])
+    ga = GeometryArray.from_pylist([cw_shell_ccw_hole, line, None])
+    out = K.orient(ga)
+    got = out.to_pylist()
+    shell, hole = got[0][1]
+    # shoelace signs: shell CCW (+), hole CW (-)
+    def signed(r):
+        s = 0.0
+        for (x1, y1), (x2, y2) in zip(r, r[1:]):
+            s += x1 * y2 - x2 * y1
+        return s
+    assert signed(shell) > 0 and signed(hole) < 0
+    assert got[1] == line and got[2] is None
+    assert K.area(out)[0] == K.area(ga)[0] == 12.0
+    # sign=-1 flips both conventions
+    out2 = K.orient(ga, sign=-1.0)
+    shell2, hole2 = out2.to_pylist()[0][1]
+    assert signed(shell2) < 0 and signed(hole2) > 0
+    # already-correct input passes through zero-copy (same object)
+    assert K.orient(out) is out
