@@ -969,6 +969,7 @@ class GeoDataset:
         import pyarrow.compute as pc
 
         from geopolars_ray.stages.knn import knn_join
+        from geopolars_ray.stages.knn import sjoin_nearest as _sjoin_nearest
 
         other_ds = other.dataset if isinstance(other, GeoDataset) else other
         pts = self._ds.map_batches(
@@ -979,6 +980,12 @@ class GeoDataset:
             lambda b, c=(other_id_col, x_col, y_col): pa.table(
                 {"tid": b[c[0]], "x": b[c[1]], "y": b[c[2]]}),
             batch_format="pyarrow")
+        if k == 1:
+            # the stage owns the k=1 semantics (max_distance filter,
+            # tie-break) — one implementation
+            return self._wrap(_sjoin_nearest(
+                pts, tgts, max_distance=max_distance,
+                x_col="x", y_col="y", point_id="pid", target_id="tid", **kw))
         out = knn_join(pts, tgts, k, x_col="x", y_col="y",
                        point_id="pid", target_id="tid", **kw)
         if max_distance is not None:

@@ -743,8 +743,14 @@ def geodesic_azimuth(ga: GeometryArray, gb: GeometryArray) -> np.ndarray:
 
     if len(ga) != len(gb):
         raise ValueError("geodesic_azimuth requires aligned columns")
-    _s, az_deg = vincenty_inverse(get_x(ga), get_y(ga), get_x(gb), get_y(gb))
-    return np.deg2rad(az_deg) % (2.0 * np.pi)
+    ax, ay = get_x(ga), get_y(ga)
+    bx, by = get_x(gb), get_y(gb)
+    _s, az_deg = vincenty_inverse(ax, ay, bx, by)
+    az = np.deg2rad(az_deg) % (2.0 * np.pi)
+    # vincenty maps sinSigma == 0 to azimuth 0; coincident points have no
+    # bearing (PostGIS NULL), matching the planar kernel
+    az[(ax == bx) & (ay == by)] = np.nan
+    return az
 
 
 def geodesic_project(ga: GeometryArray, distance_m, azimuth_rad) -> GeometryArray:

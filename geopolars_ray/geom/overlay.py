@@ -700,6 +700,17 @@ def _point_on_path(px: float, py: float, path, closed: bool) -> bool:
     return False
 
 
+def _point_in_even_odd(px: float, py: float, rings) -> bool:
+    """Even-odd membership over a ring SET (a polygon's region: shell
+    minus holes) — XOR of the single-ring crossing test below; the one
+    shared implementation (validity, relate)."""
+    inside = False
+    for r in rings:
+        if _point_in_ring(px, py, r):
+            inside = not inside
+    return inside
+
+
 def _point_in_ring(px: float, py: float, ring) -> bool:
     inside = False
     n = len(ring)

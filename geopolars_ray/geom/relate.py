@@ -53,7 +53,7 @@ from geopolars_ray.geom.overlay import (
     _SNAP_RTOL,
     CLIPPING,
     SUBJECT,
-    _point_in_ring,
+    _point_in_even_odd,
     _point_on_path,
     node_segments,
 )
@@ -88,10 +88,12 @@ def _paths_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
     return [[(float(x), float(y)) for x, y in c] for c in ga.coord_paths(i)]
 
 
-def _rings_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
-    """Rings as OPEN vertex cycles."""
-    rings = []
+def _parts_of(ga: GeometryArray, i: int) -> list[list[list[tuple]]]:
+    """Ring lists PER PART ([[shell, hole...], ...]), rings as OPEN
+    vertex cycles."""
+    parts = []
     for p in range(int(ga.geom_offsets[i]), int(ga.geom_offsets[i + 1])):
+        rings = []
         for r in range(int(ga.part_offsets[p]), int(ga.part_offsets[p + 1])):
             c = ga.coords[ga.ring_offsets[r]:ga.ring_offsets[r + 1]]
             ring = [(float(x), float(y)) for x, y in c]
@@ -103,7 +105,14 @@ def _rings_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
                     dedup.append(q)
             if len(dedup) >= 3:
                 rings.append(dedup)
-    return rings
+        if rings:
+            parts.append(rings)
+    return parts
+
+
+def _rings_of(ga: GeometryArray, i: int) -> list[list[tuple]]:
+    """Rings as OPEN vertex cycles (flat across parts)."""
+    return [r for part in _parts_of(ga, i) for r in part]
 
 
 def _mod2_endpoints(paths: list[list[tuple]]) -> set:
@@ -133,11 +142,7 @@ def _segments(paths_or_rings: list[list[tuple]], pol: int, closed: bool):
 
 
 def _in_rings(px: float, py: float, rings: list[list[tuple]]) -> bool:
-    inside = False
-    for r in rings:
-        if _point_in_ring(px, py, r):
-            inside = not inside
-    return inside
+    return _point_in_even_odd(px, py, rings)
 
 
 def _on_segs(px: float, py: float, paths: list[list[tuple]],
@@ -185,7 +190,10 @@ def _snap_tol(items: list[list[tuple]]) -> float:
             m = abs(x) if abs(x) > abs(y) else abs(y)
             if m > scale:
                 scale = m
-    return 4.0 * _SNAP_RTOL * scale
+    # node_segments runs up to 8 snap/split rounds, each of which can move
+    # a representative by one tolerance step — bound the cumulative drift
+    # with slack (16x) rather than one round's worth
+    return 16.0 * _SNAP_RTOL * scale
 
 
 def _canon_set(pts: set, vertices: set, tol: float) -> set:
@@ -230,42 +238,55 @@ def _interior_probe(rings: list[list[tuple]]):
     return None
 
 
-def _relate_AA(ra: list, rb: list) -> list[int]:
+def _relate_AA(pa_parts: list, pb_parts: list) -> list[int]:
     """Polygon x polygon, fully COMBINATORIAL — no float area
-    comparisons, no second overlay pass. After noding, every one-sided
-    boundary piece classifies strictly in/out of the other polygon, and
-    the open-region entries follow:
+    comparisons, no second overlay pass. Inputs are PER-PART ring lists
+    ([[shell, hole...], ...]). After noding, every one-sided boundary
+    piece classifies strictly in/out of the other polygon; parts whose
+    rings are entirely shared are sided by one interior probe each
+    (valid parts have CONNECTED interiors, so when no boundary piece of
+    the other operand crosses a part, a single probe decides the whole
+    part):
 
-    - ``II = 2`` iff some boundary piece lies strictly inside the other
-      operand, or the boundaries are IDENTICAL (no one-sided pieces:
-      identical even-odd boundaries bound identical regions, so A == B).
-    - ``IE = 2`` iff ∂A has a piece outside B (a neighborhood of it
-      meets int(A)∖B) or ∂B has a piece inside A (B ⊊ A there); else
-      A's interior is covered by B. ``EI`` symmetric.
+    - ``II = 2`` iff some boundary piece or part probe lies strictly
+      inside the other operand.
+    - ``IE = 2`` iff ∂A has a piece outside B, ∂B has a piece inside A
+      (B ⊊ A there), or a whole part of A probes outside B. ``EI``
+      symmetric.
     """
+    ra = [r for part in pa_parts for r in part]
+    rb = [r for part in pb_parts for r in part]
     a_only, b_only, shared, a_pts, b_pts = _noded(ra, rb, True, True)
     a_in = any(_in_rings(*_mid(pq), rings=rb) for pq in a_only)
     a_out = any(not _in_rings(*_mid(pq), rings=rb) for pq in a_only)
     b_in = any(_in_rings(*_mid(pq), rings=ra) for pq in b_only)
     b_out = any(not _in_rings(*_mid(pq), rings=ra) for pq in b_only)
-    identical = not a_only and not b_only
-    # One boundary ENTIRELY shared but not identical (donut vs its
-    # hole-plug): that operand's interior is a single arrangement face
-    # whose side the boundary pieces cannot determine — probe one
-    # interior point of it against the other operand.
-    pb_in_a = pa_in_b = None
-    if not identical and not b_only and not a_in:
-        p = _interior_probe(rb)
-        if p is not None:
-            pb_in_a = _in_rings(p[0], p[1], ra)
-    if not identical and not a_only and not b_in:
-        p = _interior_probe(ra)
-        if p is not None:
-            pa_in_b = _in_rings(p[0], p[1], rb)
-    ii = 2 if (a_in or b_in or identical
-               or pb_in_a is True or pa_in_b is True) else -1
-    ie = 2 if (a_out or b_in or pa_in_b is False) else -1
-    ei = 2 if (b_out or a_in or pb_in_a is False) else -1
+    # Boundary pieces alone cannot side a PART whose rings are entirely
+    # shared with the other operand (donut vs hole-plug; a fully-shared
+    # component inside a larger multipolygon) — probe EVERY part's
+    # interior. A probe landing ON the other boundary is skipped: that
+    # means the other boundary crosses this part's interior, which the
+    # a_in/b_in piece signals already capture.
+    pa_in = pa_out = pb_in = pb_out = False
+    for part in pa_parts:
+        v = _interior_probe(part)
+        if v is None or any(_point_on_path(v[0], v[1], r, True) for r in rb):
+            continue
+        if _in_rings(v[0], v[1], rb):
+            pa_in = True
+        else:
+            pa_out = True
+    for part in pb_parts:
+        v = _interior_probe(part)
+        if v is None or any(_point_on_path(v[0], v[1], r, True) for r in ra):
+            continue
+        if _in_rings(v[0], v[1], ra):
+            pb_in = True
+        else:
+            pb_out = True
+    ii = 2 if (a_in or b_in or pa_in or pb_in) else -1
+    ie = 2 if (a_out or b_in or pa_out) else -1
+    ei = 2 if (b_out or a_in or pb_out) else -1
     if shared:
         bb = 1
     elif a_pts & b_pts:
@@ -381,7 +402,7 @@ def relate_pair(ga: GeometryArray, i: int, gb: GeometryArray, j: int):
         return _relate_LL(_paths_of(ga, i), _paths_of(gb, j))
     if fa == 1 and fb == 2:
         return _relate_LA(_paths_of(ga, i), _rings_of(gb, j))
-    return _relate_AA(_rings_of(ga, i), _rings_of(gb, j))
+    return _relate_AA(_parts_of(ga, i), _parts_of(gb, j))
 
 
 def _to_string(m: list[int]) -> str:

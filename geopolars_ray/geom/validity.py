@@ -45,6 +45,7 @@ from geopolars_ray.geom.array import (
 )
 from geopolars_ray.geom.overlay import (
     SUBJECT,
+    _point_in_even_odd,
     _point_in_ring,
     _point_on_path,
     node_segments,
@@ -105,13 +106,8 @@ def _probe_off(ring: np.ndarray, others: list) -> tuple[float, float] | None:
 
 
 def _in_rings(px: float, py: float, rings: list) -> bool:
-    """Even-odd membership over a ring set (a polygon's region: shell
-    minus holes)."""
-    inside = False
-    for r in rings:
-        if _point_in_ring(px, py, r):
-            inside = not inside
-    return inside
+    """Even-odd membership over a ring set (shared impl in overlay)."""
+    return _point_in_even_odd(px, py, rings)
 
 
 def _ring_vertex_on_edge(r: np.ndarray):

@@ -1268,10 +1268,14 @@ def q_geo_type_flags(sf_dir: str):
         g3 = rects(r3x1, r3y1, r3x2, r3y2)
         from geopolars_ray.geom import relate as relate_mod
 
-        batch = batch.append_column("de9im", pa.array(relate_mod.relate(g1, g3), pa.string()))
+        # ONE arrangement pass per pair: matrices once, the string and
+        # all four predicates derived from them (fa = fb = areal)
+        mats = [relate_mod.relate_pair(g1, i, g3, i) for i in range(len(g1))]
+        batch = batch.append_column(
+            "de9im", pa.array([relate_mod._to_string(mm) for mm in mats], pa.string()))
         for pred in ("intersects", "touches", "contains", "overlaps"):
-            batch = batch.append_column(
-                "rel_" + pred, pa.array(relate_mod.predicate(g1, g3, pred)))
+            batch = batch.append_column("rel_" + pred, pa.array(
+                [relate_mod._pred_from_matrix(pred, mm, 2, 2) for mm in mats]))
         return batch
 
     ds = customer_points(sf_dir).map_batches(flags, batch_format="pyarrow")

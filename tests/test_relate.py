@@ -315,3 +315,22 @@ def test_sjoin_nearest_api(ray_session):
     out2 = gd.sjoin_nearest(ray.data.from_arrow(right), k=1,
                             max_distance=0.6).dataset.take_all()
     assert [r["pid"] for r in out2] == [1]
+
+
+def test_relate_shared_component_in_multipolygon():
+    """Regression: the fully-shared-boundary probe must run PER PART —
+    a multipolygon combining a hole-plug (boundary entirely shared with
+    A's hole ring) and a separate strictly-interior square used to skip
+    the probe and report contains=True although the plug's interior is
+    in A's exterior."""
+    A = ("polygon", [[(0., 0.), (10., 0.), (10., 10.), (0., 10.), (0., 0.)],
+                     [(2., 2.), (2., 5.), (5., 5.), (5., 2.), (2., 2.)]])
+    B = ("multipolygon", [
+        [[(2., 2.), (5., 2.), (5., 5.), (2., 5.), (2., 2.)]],   # plug = hole
+        [[(6., 6.), (8., 6.), (8., 8.), (6., 8.), (6., 6.)]],   # inside A
+    ])
+    m = R(A, B)
+    assert m[6] == "2", m       # EI: plug interior is in A's exterior
+    assert m[0] == "2", m       # II: the inner square IS inside A
+    assert not P("contains", A, B)
+    assert not P("within", B, A)
