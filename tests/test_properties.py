@@ -394,3 +394,95 @@ def test_geohash_roundtrip_fuzz(pts_ll, precision):
     if precision > 1:
         g_short = geohash_encode(lon, lat, precision - 1)
         assert all(a.startswith(b) for a, b in zip(g, g_short))
+
+
+# ------------------------------------------------- DE-9IM relate invariants
+_icoord = st.integers(min_value=0, max_value=12).map(float)
+_ipt = st.tuples(_icoord, _icoord)
+
+
+def _rect_strategy():
+    return st.tuples(
+        st.integers(0, 10), st.integers(0, 10),
+        st.integers(1, 5), st.integers(1, 5),
+    ).map(lambda t: ("polygon", [[
+        (float(t[0]), float(t[1])), (float(t[0] + t[2]), float(t[1])),
+        (float(t[0] + t[2]), float(t[1] + t[3])), (float(t[0]), float(t[1] + t[3])),
+        (float(t[0]), float(t[1])),
+    ]]))
+
+
+_mixed = st.one_of(
+    st.tuples(st.just("point"), _ipt),
+    st.tuples(st.just("linestring"),
+              st.lists(_ipt, min_size=2, max_size=4, unique=True)),
+    _rect_strategy(),
+)
+
+
+@given(st.tuples(_mixed, _mixed))
+@settings(max_examples=120, deadline=None)
+def test_relate_transpose_property(pair):
+    """relate(a, b) is the exact matrix transpose of relate(b, a) —
+    computed through DIFFERENT code paths for mixed type families (the
+    lower-dim operand always drives), so the invariant is non-trivial."""
+    from geopolars_ray.geom.relate import _to_string, _transpose, relate_pair
+
+    a, b = pair
+    ga = GeometryArray.from_pylist([a])
+    gb = GeometryArray.from_pylist([b])
+    m_ab = relate_pair(ga, 0, gb, 0)
+    m_ba = relate_pair(gb, 0, ga, 0)
+    assert _to_string(m_ab) == _to_string(_transpose(m_ba))
+
+
+@given(st.tuples(_mixed, _mixed))
+@settings(max_examples=120, deadline=None)
+def test_predicate_coherence_laws(pair):
+    """OGC coherence over random mixed pairs: disjoint = !intersects;
+    equals -> within & contains; within -> covered_by -> intersects;
+    touches excludes within/contains/overlaps; crosses and overlaps are
+    mutually exclusive."""
+    from geopolars_ray.geom.relate import predicate
+
+    a, b = pair
+    ga = GeometryArray.from_pylist([a])
+    gb = GeometryArray.from_pylist([b])
+    p = {n: bool(predicate(ga, gb, n)[0])
+         for n in ("intersects", "disjoint", "within", "contains", "covers",
+                   "covered_by", "equals", "touches", "crosses", "overlaps")}
+    assert p["disjoint"] != p["intersects"]
+    if p["equals"]:
+        assert p["within"] and p["contains"]
+    if p["within"]:
+        assert p["covered_by"] and p["intersects"]
+    if p["contains"]:
+        assert p["covers"] and p["intersects"]
+    if p["touches"]:
+        assert p["intersects"] and not p["within"] and not p["contains"]
+        assert not p["overlaps"] and not p["crosses"]
+    assert not (p["crosses"] and p["overlaps"])
+
+
+@given(st.lists(_rect_strategy(), min_size=2, max_size=2))
+@settings(max_examples=80, deadline=None)
+def test_rect_relate_matches_interval_arithmetic(rects):
+    """For axis-aligned integer rects, intersects/contains/touches are
+    exactly decidable by interval arithmetic — an independent oracle for
+    the arrangement path."""
+    from geopolars_ray.geom.relate import predicate
+
+    (_, [ra]), (_, [rb]) = rects
+    ax0, ay0 = ra[0]; ax1, ay1 = ra[2]
+    bx0, by0 = rb[0]; bx1, by1 = rb[2]
+    ga = GeometryArray.from_pylist([rects[0]])
+    gb = GeometryArray.from_pylist([rects[1]])
+    exp_int = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+    ov_w = min(ax1, bx1) - max(ax0, bx0)
+    ov_h = min(ay1, by1) - max(ay0, by0)
+    exp_touch = exp_int and (ov_w == 0 or ov_h == 0)
+    assert bool(predicate(ga, gb, "intersects")[0]) == exp_int
+    assert bool(predicate(ga, gb, "touches")[0]) == exp_touch
+    # covers is the boundary-inclusive containment for rects
+    exp_covers = ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1
+    assert bool(predicate(ga, gb, "covers")[0]) == exp_covers
