@@ -409,15 +409,169 @@ def _to_string(m: list[int]) -> str:
     return "".join("F" if d < 0 else str(d) for d in m)
 
 
+# --------------------------------------------- vectorized fast paths
+#
+# The general path is a per-row arrangement sweep — correct for anything,
+# but ~ms/row. The two shapes that dominate real predicate workloads are
+# closed-form: axis-aligned rectangles (bbox/tile tables) via interval
+# arithmetic, and single points vs rectangles via position classes. Rows
+# are detected vectorized and only the remainder pays the sweep; the
+# hypothesis suite pins fast == slow on random rect/point pairs.
+
+def _rect_boxes(ga: GeometryArray):
+    """(mask, (n, 4) [x0, y0, x1, y1]) for rows that are single-part
+    single-ring 5-coord closed axis-aligned non-degenerate rectangles."""
+    n = len(ga)
+    mask = np.zeros(n, dtype=bool)
+    boxes = np.full((n, 4), np.nan)
+    co = ga.coord_offsets()
+    npts = co[1:] - co[:-1]
+    one_part = (ga.geom_offsets[1:] - ga.geom_offsets[:-1]) == 1
+    cand = (ga.types == POLYGON) & one_part & (npts == 5)
+    idx = np.flatnonzero(cand)
+    if not len(idx):
+        return mask, boxes
+    P = ga.coords[(co[idx][:, None] + np.arange(5)[None, :]).ravel()].reshape(-1, 5, 2)
+    closed = (P[:, 0] == P[:, 4]).all(axis=1)
+    dx = np.diff(P[:, :, 0], axis=1)
+    dy = np.diff(P[:, :, 1], axis=1)
+    axis_aligned = ((dx == 0.0) ^ (dy == 0.0)).all(axis=1)
+    xs, ys = P[:, :4, 0], P[:, :4, 1]
+    x0, x1 = xs.min(axis=1), xs.max(axis=1)
+    y0, y1 = ys.min(axis=1), ys.max(axis=1)
+    corners = (((xs == x0[:, None]) | (xs == x1[:, None])).all(axis=1)
+               & ((ys == y0[:, None]) | (ys == y1[:, None])).all(axis=1))
+    ok = closed & axis_aligned & corners & (x1 > x0) & (y1 > y0)
+    mask[idx[ok]] = True
+    boxes[idx[ok]] = np.column_stack([x0, y0, x1, y1])[ok]
+    return mask, boxes
+
+
+def _rect_matrices(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(n, 9) DE-9IM dims for aligned axis-aligned rect pairs — pure
+    interval arithmetic, every contact class (disjoint / corner / edge
+    touch / partial overlap / containment / shared edges / equality)."""
+    ax0, ay0, ax1, ay1 = A.T
+    bx0, by0, bx1, by1 = B.T
+    ov_w = np.minimum(ax1, bx1) - np.maximum(ax0, bx0)
+    ov_h = np.minimum(ay1, by1) - np.maximum(ay0, by0)
+    inter = (ov_w >= 0) & (ov_h >= 0)
+    open_overlap = (ov_w > 0) & (ov_h > 0)
+    a_in_b = (bx0 <= ax0) & (ax1 <= bx1) & (by0 <= ay0) & (ay1 <= by1)
+    b_in_a = (ax0 <= bx0) & (bx1 <= ax1) & (ay0 <= by0) & (by1 <= ay1)
+
+    def edges_in_open_box(ex_lo, ex_hi, ey_lo, ey_hi, ox0, oy0, ox1, oy1):
+        # does the rect (e*) have an EDGE segment intersecting the open
+        # box (o*)? check its two vertical and two horizontal edges
+        y_meet = (np.minimum(ey_hi, oy1) > np.maximum(ey_lo, oy0))
+        x_meet = (np.minimum(ex_hi, ox1) > np.maximum(ex_lo, ox0))
+        v = ((ox0 < ex_lo) & (ex_lo < ox1) | (ox0 < ex_hi) & (ex_hi < ox1)) & y_meet
+        h = ((oy0 < ey_lo) & (ey_lo < oy1) | (oy0 < ey_hi) & (ey_hi < oy1)) & x_meet
+        return v | h
+
+    ib_hit = edges_in_open_box(bx0, bx1, by0, by1, ax0, ay0, ax1, ay1)
+    bi_hit = edges_in_open_box(ax0, ax1, ay0, ay1, bx0, by0, bx1, by1)
+    # shared collinear boundary (dim-1 BB): matching vertical lines with
+    # y-overlap, or matching horizontal lines with x-overlap
+    vshare = (((ax0 == bx0) | (ax0 == bx1) | (ax1 == bx0) | (ax1 == bx1))
+              & (ov_h > 0))
+    hshare = (((ay0 == by0) | (ay0 == by1) | (ay1 == by0) | (ay1 == by1))
+              & (ov_w > 0))
+    a_strict_in_b = (bx0 < ax0) & (ax1 < bx1) & (by0 < ay0) & (ay1 < by1)
+    b_strict_in_a = (ax0 < bx0) & (bx1 < ax1) & (ay0 < by0) & (by1 < ay1)
+    bnd_touch = inter & ~a_strict_in_b & ~b_strict_in_a
+
+    F = np.full(len(A), -1, dtype=np.int64)
+    m = np.empty((len(A), 9), dtype=np.int64)
+    m[:, 0] = np.where(open_overlap, 2, F)                       # II
+    m[:, 1] = np.where(ib_hit, 1, F)                             # IB
+    m[:, 2] = np.where(~a_in_b, 2, F)                            # IE
+    m[:, 3] = np.where(bi_hit, 1, F)                             # BI
+    m[:, 4] = np.select([vshare | hshare, bnd_touch], [1, 0], -1)  # BB
+    m[:, 5] = np.where(~a_in_b, 1, F)                            # BE
+    m[:, 6] = np.where(~b_in_a, 2, F)                            # EI
+    m[:, 7] = np.where(~b_in_a, 1, F)                            # EB
+    m[:, 8] = 2                                                  # EE
+    return m
+
+
+def _point_rect_matrices(px, py, B: np.ndarray, flip: bool) -> np.ndarray:
+    """(n, 9) dims for single points vs rects (transposed when ``flip``:
+    the rect is operand A)."""
+    bx0, by0, bx1, by1 = B.T
+    inside = (bx0 < px) & (px < bx1) & (by0 < py) & (py < by1)
+    on = ((bx0 <= px) & (px <= bx1) & (by0 <= py) & (py <= by1)) & ~inside
+    m = np.full((len(B), 9), -1, dtype=np.int64)
+    m[:, 0] = np.where(inside, 0, -1)   # II
+    m[:, 1] = np.where(on, 0, -1)       # IB
+    m[:, 2] = np.where(~inside & ~on, 0, -1)  # IE
+    m[:, 6] = 2                         # EI: rect interior vs point exterior
+    m[:, 7] = 1                         # EB
+    m[:, 8] = 2
+    if flip:
+        m = m[:, [0, 3, 6, 1, 4, 7, 2, 5, 8]]
+    return m
+
+
+def _single_points(ga: GeometryArray):
+    """(mask, x, y) for single-POINT rows."""
+    mask = ga.types == POINT
+    co = ga.coord_offsets()
+    x = np.full(len(ga), np.nan)
+    y = np.full(len(ga), np.nan)
+    idx = np.flatnonzero(mask & (co[1:] - co[:-1] == 1))
+    x[idx] = ga.coords[co[idx], 0]
+    y[idx] = ga.coords[co[idx], 1]
+    mask = mask & ~np.isnan(x)
+    return mask, x, y
+
+
+def _all_matrices(ga: GeometryArray, gb: GeometryArray) -> list:
+    """Per-row DE-9IM matrices (None for missing rows): vectorized rect
+    and point fast paths, arrangement sweep for the rest."""
+    n = len(ga)
+    out: list = [None] * n
+    done = np.zeros(n, dtype=bool)
+    ra_mask, ra_box = _rect_boxes(ga)
+    rb_mask, rb_box = _rect_boxes(gb)
+    both = ra_mask & rb_mask
+    if both.any():
+        M = _rect_matrices(ra_box[both], rb_box[both])
+        for j, i in enumerate(np.flatnonzero(both)):
+            out[i] = M[j].tolist()
+        done |= both
+    pa_mask, pax, pay = _single_points(ga)
+    pb_mask, pbx, pby = _single_points(gb)
+    pr = pa_mask & rb_mask & ~done
+    if pr.any():
+        M = _point_rect_matrices(pax[pr], pay[pr], rb_box[pr], flip=False)
+        for j, i in enumerate(np.flatnonzero(pr)):
+            out[i] = M[j].tolist()
+        done |= pr
+    rp = ra_mask & pb_mask & ~done
+    if rp.any():
+        M = _point_rect_matrices(pbx[rp], pby[rp], ra_box[rp], flip=True)
+        for j, i in enumerate(np.flatnonzero(rp)):
+            out[i] = M[j].tolist()
+        done |= rp
+    pp = pa_mask & pb_mask & ~done
+    if pp.any():
+        eq = (pax[pp] == pbx[pp]) & (pay[pp] == pby[pp])
+        for j, i in enumerate(np.flatnonzero(pp)):
+            out[i] = ([0, -1, -1, -1, -1, -1, -1, -1, 2] if eq[j]
+                      else [-1, -1, 0, -1, -1, -1, 0, -1, 2])
+        done |= pp
+    for i in np.flatnonzero(~done):
+        out[i] = relate_pair(ga, i, gb, i)
+    return out
+
+
 def relate(ga: GeometryArray, gb: GeometryArray) -> list:
     """Row-aligned DE-9IM strings (None where either side missing)."""
     if len(ga) != len(gb):
         raise ValueError("relate requires aligned columns")
-    out = []
-    for i in range(len(ga)):
-        m = relate_pair(ga, i, gb, i)
-        out.append(None if m is None else _to_string(m))
-    return out
+    return [None if m is None else _to_string(m)
+            for m in _all_matrices(ga, gb)]
 
 
 def matches(m: list[int], pattern: str) -> bool:
@@ -443,11 +597,9 @@ def relate_pattern(ga: GeometryArray, gb: GeometryArray,
                    pattern: str) -> np.ndarray:
     if len(ga) != len(gb):
         raise ValueError("relate_pattern requires aligned columns")
-    out = np.zeros(len(ga), dtype=bool)
-    for i in range(len(ga)):
-        m = relate_pair(ga, i, gb, i)
-        out[i] = m is not None and matches(m, pattern)
-    return out
+    mats = _all_matrices(ga, gb)
+    return np.array([m is not None and matches(m, pattern) for m in mats],
+                    dtype=bool)
 
 
 # ------------------------------------------------------- predicate family
@@ -498,9 +650,9 @@ def predicate(ga: GeometryArray, gb: GeometryArray, name: str) -> np.ndarray:
         raise ValueError(f"unknown predicate {name!r} (one of {PREDICATES})")
     if len(ga) != len(gb):
         raise ValueError("predicate requires aligned columns")
+    mats = _all_matrices(ga, gb)
     out = np.zeros(len(ga), dtype=bool)
-    for i in range(len(ga)):
-        m = relate_pair(ga, i, gb, i)
+    for i, m in enumerate(mats):
         if m is None:
             continue
         fa = _family(int(ga.types[i]))

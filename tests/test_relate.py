@@ -334,3 +334,47 @@ def test_relate_shared_component_in_multipolygon():
     assert m[0] == "2", m       # II: the inner square IS inside A
     assert not P("contains", A, B)
     assert not P("within", B, A)
+
+
+def test_fast_paths_match_sweep_exactly():
+    """The vectorized rect/point fast paths must produce the EXACT
+    matrices the arrangement sweep produces, across all contact classes
+    and both ring windings (routing equivalence, 400+ random pairs)."""
+    from geopolars_ray.geom.relate import _all_matrices, relate_pair
+
+    rng = np.random.default_rng(55)
+
+    def rect(x0, y0, w, h, rev=False):
+        ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h), (x0, y0)]
+        if rev:
+            ring = ring[::-1]
+        return ("polygon", [[(float(a), float(b)) for a, b in ring]])
+
+    rows_a, rows_b = [], []
+    for _ in range(150):
+        rows_a.append(rect(rng.integers(0, 6), rng.integers(0, 6),
+                           rng.integers(1, 5), rng.integers(1, 5),
+                           rev=bool(rng.integers(2))))
+        rows_b.append(rect(rng.integers(0, 6), rng.integers(0, 6),
+                           rng.integers(1, 5), rng.integers(1, 5),
+                           rev=bool(rng.integers(2))))
+    for _ in range(60):
+        rows_a.append(("point", (float(rng.integers(0, 8)), float(rng.integers(0, 8)))))
+        rows_b.append(rect(rng.integers(0, 6), rng.integers(0, 6),
+                           rng.integers(1, 4), rng.integers(1, 4)))
+        rows_a.append(rect(rng.integers(0, 6), rng.integers(0, 6),
+                           rng.integers(1, 4), rng.integers(1, 4)))
+        rows_b.append(("point", (float(rng.integers(0, 8)), float(rng.integers(0, 8)))))
+    for _ in range(30):
+        rows_a.append(("point", (float(rng.integers(0, 3)), float(rng.integers(0, 3)))))
+        rows_b.append(("point", (float(rng.integers(0, 3)), float(rng.integers(0, 3)))))
+    # non-rect rows exercise the fallback routing in the same batch
+    rows_a.append(("polygon", [[(0., 0.), (4., 0.), (2., 3.), (0., 0.)]]))
+    rows_b.append(rect(1, 1, 2, 2))
+    rows_a.append(None)
+    rows_b.append(rect(0, 0, 1, 1))
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    fast = _all_matrices(ga, gb)
+    for i in range(len(ga)):
+        assert fast[i] == relate_pair(ga, i, gb, i), (i, rows_a[i], rows_b[i])
