@@ -359,6 +359,26 @@ def kernel_benchmarks() -> dict:
     sga = GeometryArray.from_pylist([("polygon", [star + [star[0]]])] * 50)
     out["polylabel_polys_s"] = round(
         best_rate(lambda: K.maximum_inscribed_radius(sga), 50), 1)
+
+    # late-r4: DE-9IM predicate fast path (rect pairs = the dominant
+    # predicate workload; interval arithmetic, no arrangement sweep)
+    from geopolars_ray.geom.relate import predicate
+
+    nrel = 100_000
+    rx0 = rng.integers(0, 1000, nrel).astype(float)
+    ry0 = rng.integers(0, 1000, nrel).astype(float)
+    rw = rng.integers(1, 9, nrel).astype(float)
+    rh = rng.integers(1, 9, nrel).astype(float)
+
+    def rect_arr(x0, y0, w, h):
+        return GeometryArray.from_pylist(
+            [("polygon", [[(a, b), (a + c, b), (a + c, b + d), (a, b + d), (a, b)]])
+             for a, b, c, d in zip(x0, y0, w, h)])
+
+    rga = rect_arr(rx0, ry0, rw, rh)
+    rgb = rect_arr(np.roll(rx0, 1), np.roll(ry0, 1), rw, rh)
+    out["relate_rect_pairs_mrows_s"] = round(
+        best_rate(lambda: predicate(rga, rgb, "intersects"), nrel) / 1e6, 2)
     return out
 
 
