@@ -420,7 +420,8 @@ def _to_string(m: list[int]) -> str:
 
 def _rect_boxes(ga: GeometryArray):
     """(mask, (n, 4) [x0, y0, x1, y1]) for rows that are single-part
-    single-ring 5-coord closed axis-aligned non-degenerate rectangles."""
+    single-ring 5-coord closed axis-aligned non-degenerate rectangles
+    with four pairwise-distinct corners."""
     n = len(ga)
     mask = np.zeros(n, dtype=bool)
     boxes = np.full((n, 4), np.nan)
@@ -441,10 +442,26 @@ def _rect_boxes(ga: GeometryArray):
     y0, y1 = ys.min(axis=1), ys.max(axis=1)
     corners = (((xs == x0[:, None]) | (xs == x1[:, None])).all(axis=1)
                & ((ys == y0[:, None]) | (ys == y1[:, None])).all(axis=1))
-    ok = closed & axis_aligned & corners & (x1 > x0) & (y1 > y0)
+    # distinct vertices: a zero-area spike ring like
+    # (0,0),(1,0),(0,0),(0,1) hits every bbox corner yet is no
+    # rectangle. ADJACENT repeats already fail the axis-aligned XOR
+    # (dx == dy == 0), so checking the two OPPOSITE pairs suffices.
+    distinct = ((P[:, 0] != P[:, 2]).any(axis=1)
+                & (P[:, 1] != P[:, 3]).any(axis=1))
+    ok = closed & axis_aligned & corners & distinct & (x1 > x0) & (y1 > y0)
     mask[idx[ok]] = True
     boxes[idx[ok]] = np.column_stack([x0, y0, x1, y1])[ok]
     return mask, boxes
+
+
+def _borderline(crit: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    """True where any critical coordinate difference is nonzero but
+    within the arrangement's snap band — such rows must take the SWEEP,
+    whose snap-rounding merges sub-tolerance gaps (the fast path is
+    exact arithmetic and would disagree)."""
+    tol = (16.0 * _SNAP_RTOL) * np.maximum(scale, 1.0)
+    a = np.abs(crit)
+    return ((a > 0.0) & (a <= tol[:, None])).any(axis=1)
 
 
 def _rect_matrices(A: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -495,6 +512,9 @@ def _rect_matrices(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return m
 
 
+_TRANSPOSE_IDX = np.array(_transpose(list(range(9))), dtype=np.int64)
+
+
 def _point_rect_matrices(px, py, B: np.ndarray, flip: bool) -> np.ndarray:
     """(n, 9) dims for single points vs rects (transposed when ``flip``:
     the rect is operand A)."""
@@ -509,7 +529,7 @@ def _point_rect_matrices(px, py, B: np.ndarray, flip: bool) -> np.ndarray:
     m[:, 7] = 1                         # EB
     m[:, 8] = 2
     if flip:
-        m = m[:, [0, 3, 6, 1, 4, 7, 2, 5, 8]]
+        m = m[:, _TRANSPOSE_IDX]
     return m
 
 
@@ -526,52 +546,87 @@ def _single_points(ga: GeometryArray):
     return mask, x, y
 
 
-def _all_matrices(ga: GeometryArray, gb: GeometryArray) -> list:
-    """Per-row DE-9IM matrices (None for missing rows): vectorized rect
-    and point fast paths, arrangement sweep for the rest."""
+def _matrix_table(ga: GeometryArray, gb: GeometryArray):
+    """(M, valid): (n, 9) int64 DE-9IM dims per row + validity mask
+    (False = a side missing). Vectorized rect and point fast paths;
+    rows whose contact classification sits inside the arrangement's
+    snap band fall back to the sweep so fast == sweep everywhere."""
     n = len(ga)
-    out: list = [None] * n
+    M = np.full((n, 9), -1, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
     done = np.zeros(n, dtype=bool)
     ra_mask, ra_box = _rect_boxes(ga)
     rb_mask, rb_box = _rect_boxes(gb)
+
+    def scatter(mask: np.ndarray, mats: np.ndarray) -> None:
+        nonlocal done
+        M[mask] = mats
+        done |= mask
+
     both = ra_mask & rb_mask
     if both.any():
-        M = _rect_matrices(ra_box[both], rb_box[both])
-        for j, i in enumerate(np.flatnonzero(both)):
-            out[i] = M[j].tolist()
-        done |= both
+        A, B = ra_box[both], rb_box[both]
+        scale = np.maximum(np.abs(A).max(axis=1), np.abs(B).max(axis=1))
+        # every coordinate difference that decides a contact class
+        crit = np.stack([A[:, 2] - B[:, 0], B[:, 2] - A[:, 0],
+                         A[:, 3] - B[:, 1], B[:, 3] - A[:, 1],
+                         A[:, 0] - B[:, 0], A[:, 2] - B[:, 2],
+                         A[:, 1] - B[:, 1], A[:, 3] - B[:, 3]], axis=1)
+        safe = ~_borderline(crit, scale)
+        sub = np.flatnonzero(both)[safe]
+        if len(sub):
+            mask = np.zeros(n, dtype=bool)
+            mask[sub] = True
+            scatter(mask, _rect_matrices(A[safe], B[safe]))
     pa_mask, pax, pay = _single_points(ga)
     pb_mask, pbx, pby = _single_points(gb)
-    pr = pa_mask & rb_mask & ~done
-    if pr.any():
-        M = _point_rect_matrices(pax[pr], pay[pr], rb_box[pr], flip=False)
-        for j, i in enumerate(np.flatnonzero(pr)):
-            out[i] = M[j].tolist()
-        done |= pr
-    rp = ra_mask & pb_mask & ~done
-    if rp.any():
-        M = _point_rect_matrices(pbx[rp], pby[rp], ra_box[rp], flip=True)
-        for j, i in enumerate(np.flatnonzero(rp)):
-            out[i] = M[j].tolist()
-        done |= rp
+    for pmask, px_, py_, rmask, rbox, flip in (
+            (pa_mask, pax, pay, rb_mask, rb_box, False),
+            (pb_mask, pbx, pby, ra_mask, ra_box, True)):
+        pr = pmask & rmask & ~done
+        if not pr.any():
+            continue
+        P = np.column_stack([px_[pr], py_[pr]])
+        B = rbox[pr]
+        scale = np.maximum(np.abs(P).max(axis=1), np.abs(B).max(axis=1))
+        crit = np.stack([P[:, 0] - B[:, 0], P[:, 0] - B[:, 2],
+                         P[:, 1] - B[:, 1], P[:, 1] - B[:, 3]], axis=1)
+        safe = ~_borderline(crit, scale)
+        sub = np.flatnonzero(pr)[safe]
+        if len(sub):
+            mask = np.zeros(n, dtype=bool)
+            mask[sub] = True
+            scatter(mask, _point_rect_matrices(
+                P[safe, 0], P[safe, 1], B[safe], flip=flip))
     pp = pa_mask & pb_mask & ~done
     if pp.any():
         eq = (pax[pp] == pbx[pp]) & (pay[pp] == pby[pp])
-        for j, i in enumerate(np.flatnonzero(pp)):
-            out[i] = ([0, -1, -1, -1, -1, -1, -1, -1, 2] if eq[j]
-                      else [-1, -1, 0, -1, -1, -1, 0, -1, 2])
-        done |= pp
+        mats = np.where(eq[:, None],
+                        np.array([0, -1, -1, -1, -1, -1, -1, -1, 2]),
+                        np.array([-1, -1, 0, -1, -1, -1, 0, -1, 2]))
+        scatter(pp, mats)
     for i in np.flatnonzero(~done):
-        out[i] = relate_pair(ga, i, gb, i)
-    return out
+        m = relate_pair(ga, i, gb, i)
+        if m is None:
+            valid[i] = False
+        else:
+            M[i] = m
+    return M, valid
+
+
+def _all_matrices(ga: GeometryArray, gb: GeometryArray) -> list:
+    """Per-row DE-9IM matrices as lists (None for missing rows) — the
+    list view of :func:`_matrix_table` for per-row consumers/tests."""
+    M, valid = _matrix_table(ga, gb)
+    return [M[i].tolist() if valid[i] else None for i in range(len(ga))]
 
 
 def relate(ga: GeometryArray, gb: GeometryArray) -> list:
     """Row-aligned DE-9IM strings (None where either side missing)."""
     if len(ga) != len(gb):
         raise ValueError("relate requires aligned columns")
-    return [None if m is None else _to_string(m)
-            for m in _all_matrices(ga, gb)]
+    M, valid = _matrix_table(ga, gb)
+    return [_to_string(M[i]) if valid[i] else None for i in range(len(ga))]
 
 
 def matches(m: list[int], pattern: str) -> bool:
@@ -597,9 +652,20 @@ def relate_pattern(ga: GeometryArray, gb: GeometryArray,
                    pattern: str) -> np.ndarray:
     if len(ga) != len(gb):
         raise ValueError("relate_pattern requires aligned columns")
-    mats = _all_matrices(ga, gb)
-    return np.array([m is not None and matches(m, pattern) for m in mats],
-                    dtype=bool)
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must have 9 characters")
+    M, valid = _matrix_table(ga, gb)
+    out = valid.copy()
+    for k, c in enumerate(pattern):
+        if c == "*":
+            continue
+        if c == "T":
+            out &= M[:, k] >= 0
+        elif c == "F":
+            out &= M[:, k] < 0
+        else:
+            out &= M[:, k] == int(c)
+    return out
 
 
 # ------------------------------------------------------- predicate family
@@ -650,12 +716,36 @@ def predicate(ga: GeometryArray, gb: GeometryArray, name: str) -> np.ndarray:
         raise ValueError(f"unknown predicate {name!r} (one of {PREDICATES})")
     if len(ga) != len(gb):
         raise ValueError("predicate requires aligned columns")
-    mats = _all_matrices(ga, gb)
-    out = np.zeros(len(ga), dtype=bool)
-    for i, m in enumerate(mats):
-        if m is None:
-            continue
-        fa = _family(int(ga.types[i]))
-        fb = _family(int(gb.types[i]))
-        out[i] = _pred_from_matrix(name, m, fa, fb)
-    return out
+    M, valid = _matrix_table(ga, gb)
+    ii, ib, ie = M[:, 0], M[:, 1], M[:, 2]
+    bi, bb, be = M[:, 3], M[:, 4], M[:, 5]
+    ei, eb = M[:, 6], M[:, 7]
+    boundary_hits = (ii >= 0) | (ib >= 0) | (bi >= 0) | (bb >= 0)
+    if name == "disjoint":
+        out = ~boundary_hits
+    elif name == "intersects":
+        out = boundary_hits
+    elif name == "within":
+        out = (ii >= 0) & (ie < 0) & (be < 0)
+    elif name == "contains":
+        out = (ii >= 0) & (ei < 0) & (eb < 0)
+    elif name == "covers":
+        out = boundary_hits & (ei < 0) & (eb < 0)
+    elif name == "covered_by":
+        out = boundary_hits & (ie < 0) & (be < 0)
+    elif name == "equals":
+        out = (ii >= 0) & (ie < 0) & (be < 0) & (ei < 0) & (eb < 0)
+    elif name == "touches":
+        out = (ii < 0) & ((ib >= 0) | (bi >= 0) | (bb >= 0))
+    else:
+        fam = np.vectorize(_family, otypes=[np.int64])
+        fa = fam(ga.types)
+        fb = fam(gb.types)
+        if name == "crosses":
+            out = (((fa < fb) & (ii >= 0) & (ie >= 0))
+                   | ((fa > fb) & (ii >= 0) & (ei >= 0))
+                   | ((fa == fb) & (fa == 1) & (ii == 0)))
+        else:  # overlaps
+            out = (fa == fb) & (ie >= 0) & (ei >= 0) & np.where(
+                fa == 1, ii == 1, ii >= 0)
+    return out & valid

@@ -469,20 +469,23 @@ def test_predicate_coherence_laws(pair):
 def test_rect_relate_matches_interval_arithmetic(rects):
     """For axis-aligned integer rects, intersects/contains/touches are
     exactly decidable by interval arithmetic — an independent oracle for
-    the arrangement path."""
-    from geopolars_ray.geom.relate import predicate
+    the ARRANGEMENT path (relate_pair called directly; predicate() would
+    route these through the interval fast path and test it against
+    itself)."""
+    from geopolars_ray.geom.relate import _pred_from_matrix, relate_pair
 
     (_, [ra]), (_, [rb]) = rects
     ax0, ay0 = ra[0]; ax1, ay1 = ra[2]
     bx0, by0 = rb[0]; bx1, by1 = rb[2]
     ga = GeometryArray.from_pylist([rects[0]])
     gb = GeometryArray.from_pylist([rects[1]])
+    m = relate_pair(ga, 0, gb, 0)
     exp_int = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
     ov_w = min(ax1, bx1) - max(ax0, bx0)
     ov_h = min(ay1, by1) - max(ay0, by0)
     exp_touch = exp_int and (ov_w == 0 or ov_h == 0)
-    assert bool(predicate(ga, gb, "intersects")[0]) == exp_int
-    assert bool(predicate(ga, gb, "touches")[0]) == exp_touch
+    assert _pred_from_matrix("intersects", m, 2, 2) == exp_int
+    assert _pred_from_matrix("touches", m, 2, 2) == exp_touch
     # covers is the boundary-inclusive containment for rects
     exp_covers = ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1
-    assert bool(predicate(ga, gb, "covers")[0]) == exp_covers
+    assert _pred_from_matrix("covers", m, 2, 2) == exp_covers

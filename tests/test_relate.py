@@ -378,3 +378,27 @@ def test_fast_paths_match_sweep_exactly():
     fast = _all_matrices(ga, gb)
     for i in range(len(ga)):
         assert fast[i] == relate_pair(ga, i, gb, i), (i, rows_a[i], rows_b[i])
+
+
+def test_fast_path_snap_band_falls_back_to_sweep():
+    """Regression: contacts inside the arrangement's snap tolerance must
+    give the SWEEP's tolerant answer, whatever the encoding — a 1e-13
+    gap between rects is a touch, not disjoint; and the same geometry as
+    a 6-coord ring (sweep path) must agree."""
+    a5 = ("polygon", [[(0., 0.), (1., 0.), (1., 1.), (0., 1.), (0., 0.)]])
+    b5 = ("polygon", [[(1. + 1e-13, 0.), (2., 0.), (2., 1.),
+                       (1. + 1e-13, 1.), (1. + 1e-13, 0.)]])
+    # 6-coord encoding of the same rect a5 (midpoint on the bottom edge)
+    a6 = ("polygon", [[(0., 0.), (0.5, 0.), (1., 0.), (1., 1.), (0., 1.), (0., 0.)]])
+    ga = GeometryArray.from_pylist([a5, a6])
+    gb = GeometryArray.from_pylist([b5, b5])
+    m = relate(ga, gb)
+    assert m[0] == m[1]  # encoding-independent
+    assert P("touches", a5, b5) and P("intersects", a5, b5)
+    # degenerate 5-coord spike ring is NOT detected as a rectangle
+    spike = ("polygon", [[(0., 0.), (1., 0.), (0., 0.), (0., 1.), (0., 0.)]])
+    rect = ("polygon", [[(0., 0.), (1., 0.), (1., 1.), (0., 1.), (0., 0.)]])
+    from geopolars_ray.geom.relate import _all_matrices, relate_pair
+    gs = GeometryArray.from_pylist([spike])
+    gr = GeometryArray.from_pylist([rect])
+    assert _all_matrices(gs, gr)[0] == relate_pair(gs, 0, gr, 0)
