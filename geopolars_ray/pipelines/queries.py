@@ -1268,9 +1268,10 @@ def q_geo_type_flags(sf_dir: str):
         g3 = rects(r3x1, r3y1, r3x2, r3y2)
         from geopolars_ray.geom import relate as relate_mod
 
-        # ONE arrangement pass per pair: matrices once, the string and
-        # all four predicates derived from them (fa = fb = areal)
-        mats = [relate_mod.relate_pair(g1, i, g3, i) for i in range(len(g1))]
+        # matrices once via the vectorized rect fast path (integer rects
+        # never hit the snap band; fast == sweep is pinned by test), the
+        # string and all four predicates derived from them
+        mats = relate_mod._all_matrices(g1, g3)
         batch = batch.append_column(
             "de9im", pa.array([relate_mod._to_string(mm) for mm in mats], pa.string()))
         for pred in ("intersects", "touches", "contains", "overlaps"):
