@@ -16,6 +16,7 @@ scan).
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -344,6 +345,51 @@ def read_file(
     paths_list = [path] if isinstance(path, str) else list(path)
     first = paths_list[0]
     suffix = first.rsplit(".", 1)[-1].lower() if "." in first else ""
+    if suffix == "zip":
+        # zipped vector delivery (the standard shapefile shipping format;
+        # GDAL's /vsizip/): extract the archive's vector member (+ its
+        # sidecars — .dbf/.shx/.prj for .shp) and recurse. ``member=``
+        # picks among multiple candidates; sidecar-only archives and
+        # multi-member archives without member= fail loudly with the list.
+        if len(paths_list) > 1:
+            raise ValueError("zip read_file takes a single archive path")
+        import tempfile
+        import zipfile
+
+        member = kw.pop("member", None)
+        vector_exts = ("shp", "gpkg", "geojson", "geojsonl", "json", "ndjson",
+                       "kml", "gml", "fgb", "csv", "parquet", "pq")
+        with zipfile.ZipFile(first) as zf:
+            names = [n for n in zf.namelist() if not n.endswith("/")]
+            cands = [n for n in names
+                     if n.rsplit(".", 1)[-1].lower() in vector_exts]
+            if member is not None:
+                if member not in names:
+                    raise ValueError(f"member {member!r} not in archive "
+                                     f"(members: {sorted(names)})")
+                pick = member
+            elif len(cands) == 1:
+                pick = cands[0]
+            else:
+                raise ValueError(
+                    f"{first!r} holds {len(cands)} vector members — pass "
+                    f"member=<name> to choose (candidates: {sorted(cands)})")
+            stem = pick.rsplit(".", 1)[0]
+            # keep the member + same-stem sidecars; flatten paths so the
+            # sibling lookup (Path.with_suffix) still lands next door
+            wanted = [n for n in names if n.rsplit(".", 1)[0] == stem]
+            tmp = tempfile.mkdtemp(prefix="geopolars_zip_")
+            local = None
+            for n in wanted:
+                dest = os.path.join(tmp, os.path.basename(n))
+                with open(dest, "wb") as f:
+                    f.write(zf.read(n))
+                if n == pick:
+                    local = dest
+        return read_file(local, columns=columns, bbox=bbox,
+                         geometry_col=geometry_col, where=where, fids=fids,
+                         skip_features=skip_features,
+                         max_features=max_features, mask=mask, **kw)
     has_window = skip_features or max_features is not None
     if fids is not None and (where is not None or bbox is not None or has_window):
         raise ValueError("fids cannot be combined with where/bbox/skip_features/max_features")

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from geopolars_ray.geom import GeometryArray, encode_wkb
 from geopolars_ray.sources.io import (
@@ -820,3 +821,49 @@ def test_mask_review_fixes(ray_session, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="mask cannot be combined with fids"):
         read_file(p, mask=diamond, fids=[1])
+
+
+def test_read_file_zip(ray_session, tmp_path):
+    """Zipped vector delivery: a .zip holding .shp + sidecars reads like
+    the bare shapefile; multi-member archives need member=; sidecar
+    stems stay associated."""
+    import zipfile
+
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    pts = GeometryArray.from_pylist(
+        [("point", (float(i), float(i * 2))) for i in range(10)])
+    t = pa.table({"geometry": encode_wkb(pts),
+                  "name": pa.array([f"p{i}" for i in range(10)])})
+    shp = tmp_path / "pts.shp"
+    write_shapefile(t, str(shp))
+    z = tmp_path / "pts.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for sib in tmp_path.iterdir():
+            if sib.suffix in (".shp", ".dbf", ".shx"):
+                zf.write(sib, arcname=f"data/{sib.name}")
+    out = read_file(str(z)).take_all()
+    assert len(out) == 10
+    assert sorted(r["name"] for r in out) == sorted(f"p{i}" for i in range(10))
+    # bbox pushdown flows through the recursion
+    out2 = read_file(str(z), bbox=(0.0, 0.0, 4.0, 8.0)).take_all()
+    assert len(out2) == 5
+    # two vector members -> loud error naming them, member= resolves
+    z2 = tmp_path / "two.zip"
+    gj = tmp_path / "extra.geojson"
+    gj.write_text('{"type":"FeatureCollection","features":[{"type":"Feature",'
+                  '"geometry":{"type":"Point","coordinates":[1.0,2.0]},'
+                  '"properties":{"name":"g"}}]}')
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.write(tmp_path / "pts.shp", arcname="pts.shp")
+        zf.write(tmp_path / "pts.dbf", arcname="pts.dbf")
+        zf.write(gj, arcname="extra.geojson")
+    with pytest.raises(ValueError, match="member"):
+        read_file(str(z2))
+    out3 = read_file(str(z2), member="extra.geojson").take_all()
+    assert len(out3) == 1 and out3[0]["name"] == "g"
