@@ -99,6 +99,10 @@ class GeoDataset:
             from geopolars_ray.sources.gpkg import read_gpkg_crs
 
             crs = read_gpkg_crs(first, layer=kw.get("layer"))
+        elif suffix == "shp":
+            from geopolars_ray.sources.shapefile import read_prj_crs
+
+            crs = read_prj_crs(first)
         return cls(
             _read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw),
             geometry_col,

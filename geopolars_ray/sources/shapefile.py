@@ -153,6 +153,54 @@ def _read_dbf(path: str) -> pa.Table:
     return pa.table({k: pa.array(v) for k, v in cols.items()})
 
 
+# WKT1 strings for the CRS the engine's own `to_crs` family covers most
+# (GDAL/ESRI-compatible; written to the .prj sidecar)
+_PRJ_WKT = {
+    "EPSG:4326": (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+        '298.257223563]],PRIMEM["Greenwich",0],UNIT["degree",'
+        '0.0174532925199433],AUTHORITY["EPSG","4326"]]'),
+    "EPSG:3857": (
+        'PROJCS["WGS 84 / Pseudo-Mercator",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_1SP"],'
+        'PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],'
+        'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+        'UNIT["metre",1],AUTHORITY["EPSG","3857"]]'),
+}
+
+
+def read_prj_crs(shp_path: str) -> str | None:
+    """CRS sniff from the .prj sidecar: the WKT's OUTERMOST
+    ``AUTHORITY["EPSG", n]`` (last in WKT1 order) -> "EPSG:n"; ESRI-style
+    .prj without authority falls back to the WGS84 name heuristic
+    (by far the most common authority-less case)."""
+    import re
+
+    prj = Path(shp_path).with_suffix(".prj")
+    if not prj.exists():
+        return None
+    try:
+        wkt = prj.read_text(errors="replace")
+    except OSError:
+        return None
+    codes = re.findall(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
+    if codes:
+        return f"EPSG:{codes[-1]}"
+    head = wkt.lstrip()[:7].upper()
+    if head.startswith("GEOGCS") and ("WGS_1984" in wkt or "WGS 84" in wkt):
+        return "EPSG:4326"
+    return None
+
+
+def write_prj(shp_path: str, crs: str | None) -> None:
+    """Write the .prj sidecar when the CRS has a known WKT (EPSG:4326 /
+    EPSG:3857); other codes are skipped silently — a wrong or stub WKT
+    is worse for downstream GDAL readers than none."""
+    if crs in _PRJ_WKT:
+        Path(shp_path).with_suffix(".prj").write_text(_PRJ_WKT[crs])
+
+
 def read_shapefile(
     path: str,
     columns: list[str] | None = None,
@@ -259,10 +307,13 @@ def _shp_record(el) -> bytes:
     raise ValueError(f"cannot write kind {kind!r}")
 
 
-def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") -> None:
+def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry",
+                    crs: str | None = None) -> None:
     """Write a .shp + .shx + .dbf triple (attributes: int64/float64/string
     columns); the .shx offset index is what external tools expect alongside
-    the .shp stream."""
+    the .shp stream. ``crs`` additionally writes the .prj sidecar for the
+    CRS with known WKT (see :func:`write_prj`)."""
+    write_prj(path, crs)
     ga = decode_wkb(table[geometry_col])
     els = ga.to_pylist()
     recs = []
@@ -298,6 +349,12 @@ def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry") 
 
     # .dbf
     attrs = table.drop_columns([geometry_col])
+    if not attrs.column_names:
+        # geometry-only table: write no .dbf at all (a zero-column arrow
+        # table reports num_rows == 0, which would emit a 0-record dbf
+        # that the reader rejects against the .shp count; absence is the
+        # valid dBASE-less shapefile form and the reader handles it)
+        return
     fields = []
     encoded: list[list[bytes]] = []
     def _num(v, fmt: str, flen: int) -> bytes:

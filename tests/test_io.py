@@ -867,3 +867,40 @@ def test_read_file_zip(ray_session, tmp_path):
         read_file(str(z2))
     out3 = read_file(str(z2), member="extra.geojson").take_all()
     assert len(out3) == 1 and out3[0]["name"] == "g"
+
+
+def test_shapefile_prj_crs_roundtrip(ray_session, tmp_path):
+    """CRS carriage via the .prj sidecar: write with crs=EPSG:4326 ->
+    read_file sniffs it back; ESRI-style authority-less WKT falls back
+    to the WGS84 heuristic; unknown codes write no sidecar."""
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.shapefile import (
+        read_prj_crs,
+        write_shapefile,
+    )
+
+    pts = GeometryArray.from_pylist([("point", (1.0, 2.0))])
+    t = pa.table({"geometry": encode_wkb(pts)})
+    shp = tmp_path / "a.shp"
+    write_shapefile(t, str(shp), crs="EPSG:4326")
+    assert (tmp_path / "a.prj").exists()
+    assert read_prj_crs(str(shp)) == "EPSG:4326"
+    gd = GeoDataset.read_file(str(shp))
+    assert gd.crs == "EPSG:4326"
+    # ESRI-style .prj without AUTHORITY
+    (tmp_path / "a.prj").write_text(
+        'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",'
+        '6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],'
+        'UNIT["Degree",0.0174532925199433]]')
+    assert read_prj_crs(str(shp)) == "EPSG:4326"
+    # arbitrary authority code extraction (outermost = last)
+    (tmp_path / "a.prj").write_text(
+        'PROJCS["X",GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],'
+        'AUTHORITY["EPSG","32633"]]')
+    assert read_prj_crs(str(shp)) == "EPSG:32633"
+    # unknown crs: no sidecar written
+    shp2 = tmp_path / "b.shp"
+    write_shapefile(t, str(shp2), crs="EPSG:27700")
+    assert not (tmp_path / "b.prj").exists()
+    assert read_prj_crs(str(shp2)) is None
