@@ -103,6 +103,29 @@ class GeoDataset:
             from geopolars_ray.sources.shapefile import read_prj_crs
 
             crs = read_prj_crs(first)
+        elif suffix == "zip":
+            # zipped shapefile: sniff the .prj straight from the archive
+            # (zip is THE standard shapefile delivery — the two features
+            # must compose)
+            import zipfile
+
+            from geopolars_ray.sources.io import _zip_pick, _zip_vector_names
+            from geopolars_ray.sources.shapefile import crs_from_prj_wkt
+
+            try:
+                with zipfile.ZipFile(first) as zf:
+                    names = _zip_vector_names(zf)
+                    pick = _zip_pick(first, names, kw.get("member"))
+                    if pick.lower().endswith(".shp"):
+                        stem = pick.rsplit(".", 1)[0]
+                        prj = next((n for n in names
+                                    if n.rsplit(".", 1)[0] == stem
+                                    and n.lower().endswith(".prj")), None)
+                        if prj is not None:
+                            crs = crs_from_prj_wkt(
+                                zf.read(prj).decode(errors="replace"))
+            except (ValueError, OSError):
+                pass  # ambiguous/bad archive: the read below reports it
         return cls(
             _read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw),
             geometry_col,

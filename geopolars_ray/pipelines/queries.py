@@ -1240,9 +1240,13 @@ def q_geo_type_flags(sf_dir: str):
         r2y2 = np.select([m == 0, m == 1], [y0 + 2 + h, y0 + h - 1], y0 + 2)
 
         def rects(ax1, ay1, ax2, ay2):
+            # CLOSED 5-coord rings: the relate fast path's rectangle
+            # detection requires them (open rings silently fell back to
+            # the per-pair sweep)
             return GeometryArray.from_pylist([
                 ("polygon", [[(float(a), float(b)), (float(c), float(b)),
-                              (float(c), float(d)), (float(a), float(d))]])
+                              (float(c), float(d)), (float(a), float(d)),
+                              (float(a), float(b))]])
                 for a, b, c, d in zip(ax1, ay1, ax2, ay2)
             ])
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 
 import numpy as np
 import pyarrow as pa
@@ -291,6 +292,55 @@ def attribute_filter(where):
     return fn
 
 
+# the ONE list of dispatchable vector extensions (used by the dispatch
+# chain below AND by zip-member candidate detection — keep in sync by
+# keeping it single)
+_VECTOR_EXTS = ("shp", "gpkg", "geojson", "geojsonl", "json", "ndjson",
+                "kml", "gml", "fgb", "csv", "parquet", "pq")
+
+
+def _zip_vector_names(zf) -> list[str]:
+    """Archive members that are real files, excluding macOS resource-fork
+    junk (``__MACOSX/``, ``._*`` AppleDouble files) that Finder-made zips
+    always carry."""
+    out = []
+    for n in zf.namelist():
+        if n.endswith("/") or n.startswith("__MACOSX/"):
+            continue
+        if os.path.basename(n).startswith("._"):
+            continue
+        out.append(n)
+    return out
+
+
+def _zip_pick(archive: str, names: list[str], member: str | None) -> str:
+    """Resolve the vector member to read: explicit ``member``, else the
+    single candidate, else a loud error listing the candidates."""
+    cands = [n for n in names if n.rsplit(".", 1)[-1].lower() in _VECTOR_EXTS]
+    if member is not None:
+        if member not in names:
+            raise ValueError(f"member {member!r} not in archive "
+                             f"(members: {sorted(names)})")
+        return member
+    if len(cands) == 1:
+        return cands[0]
+    raise ValueError(
+        f"{archive!r} holds {len(cands)} vector members — pass "
+        f"member=<name> to choose (candidates: {sorted(cands)})")
+
+
+def _hash_tag(archive: str, member: str) -> str:
+    """Stable extraction-cache key: archive path + mtime + member."""
+    import hashlib
+
+    try:
+        mt = os.path.getmtime(archive)
+    except OSError:
+        mt = 0.0
+    h = hashlib.sha256(f"{os.path.abspath(archive)}|{mt}|{member}".encode())
+    return h.hexdigest()[:16]
+
+
 def read_file(
     path,
     columns: list[str] | None = None,
@@ -351,41 +401,35 @@ def read_file(
         # sidecars — .dbf/.shx/.prj for .shp) and recurse. ``member=``
         # picks among multiple candidates; sidecar-only archives and
         # multi-member archives without member= fail loudly with the list.
+        #
+        # Extraction is DRIVER-LOCAL, cached per (archive, mtime, member)
+        # so repeated reads reuse one copy. Eager readers (.shp/.kml/...)
+        # parse on the driver and are cluster-safe; LAZY members
+        # (parquet / GeoJSONSeq) are read by Ray tasks and on a
+        # multi-node cluster those tasks cannot see the driver's /tmp —
+        # unzip to shared storage yourself in that case.
         if len(paths_list) > 1:
             raise ValueError("zip read_file takes a single archive path")
-        import tempfile
         import zipfile
 
         member = kw.pop("member", None)
-        vector_exts = ("shp", "gpkg", "geojson", "geojsonl", "json", "ndjson",
-                       "kml", "gml", "fgb", "csv", "parquet", "pq")
         with zipfile.ZipFile(first) as zf:
-            names = [n for n in zf.namelist() if not n.endswith("/")]
-            cands = [n for n in names
-                     if n.rsplit(".", 1)[-1].lower() in vector_exts]
-            if member is not None:
-                if member not in names:
-                    raise ValueError(f"member {member!r} not in archive "
-                                     f"(members: {sorted(names)})")
-                pick = member
-            elif len(cands) == 1:
-                pick = cands[0]
-            else:
-                raise ValueError(
-                    f"{first!r} holds {len(cands)} vector members — pass "
-                    f"member=<name> to choose (candidates: {sorted(cands)})")
+            names = _zip_vector_names(zf)
+            pick = _zip_pick(first, names, member)
             stem = pick.rsplit(".", 1)[0]
             # keep the member + same-stem sidecars; flatten paths so the
             # sibling lookup (Path.with_suffix) still lands next door
             wanted = [n for n in names if n.rsplit(".", 1)[0] == stem]
-            tmp = tempfile.mkdtemp(prefix="geopolars_zip_")
-            local = None
+            tag = _hash_tag(first, pick)
+            tmp = os.path.join(tempfile.gettempdir(), f"geopolars_zip_{tag}")
+            os.makedirs(tmp, exist_ok=True)
+            local = os.path.join(tmp, os.path.basename(pick))
             for n in wanted:
                 dest = os.path.join(tmp, os.path.basename(n))
-                with open(dest, "wb") as f:
-                    f.write(zf.read(n))
-                if n == pick:
-                    local = dest
+                if not os.path.exists(dest):
+                    with open(dest + ".part", "wb") as f:
+                        f.write(zf.read(n))
+                    os.replace(dest + ".part", dest)
         return read_file(local, columns=columns, bbox=bbox,
                          geometry_col=geometry_col, where=where, fids=fids,
                          skip_features=skip_features,

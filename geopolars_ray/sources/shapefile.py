@@ -170,35 +170,47 @@ _PRJ_WKT = {
 }
 
 
-def read_prj_crs(shp_path: str) -> str | None:
-    """CRS sniff from the .prj sidecar: the WKT's OUTERMOST
-    ``AUTHORITY["EPSG", n]`` (last in WKT1 order) -> "EPSG:n"; ESRI-style
-    .prj without authority falls back to the WGS84 name heuristic
-    (by far the most common authority-less case)."""
+def crs_from_prj_wkt(wkt: str) -> str | None:
+    """CRS from .prj WKT text: the TOP-LEVEL ``AUTHORITY["EPSG", n]``
+    (the last authority, accepted only when nothing but closing brackets
+    follows it — a nested datum or unit-of-measure authority must not be
+    promoted to the dataset CRS); ESRI-style WKT without authority falls
+    back to the WGS84 name heuristic (the most common authority-less
+    case)."""
     import re
 
-    prj = Path(shp_path).with_suffix(".prj")
-    if not prj.exists():
-        return None
-    try:
-        wkt = prj.read_text(errors="replace")
-    except OSError:
-        return None
-    codes = re.findall(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt)
-    if codes:
-        return f"EPSG:{codes[-1]}"
+    last = None
+    for m in re.finditer(r'AUTHORITY\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', wkt):
+        last = m
+    if last is not None and re.fullmatch(r"[\s\]\)]*", wkt[last.end():]):
+        return f"EPSG:{last.group(1)}"
     head = wkt.lstrip()[:7].upper()
     if head.startswith("GEOGCS") and ("WGS_1984" in wkt or "WGS 84" in wkt):
         return "EPSG:4326"
     return None
 
 
+def read_prj_crs(shp_path: str) -> str | None:
+    """CRS sniff from the .prj sidecar (see :func:`crs_from_prj_wkt`)."""
+    prj = Path(shp_path).with_suffix(".prj")
+    if not prj.exists():
+        return None
+    try:
+        return crs_from_prj_wkt(prj.read_text(errors="replace"))
+    except OSError:
+        return None
+
+
 def write_prj(shp_path: str, crs: str | None) -> None:
     """Write the .prj sidecar when the CRS has a known WKT (EPSG:4326 /
-    EPSG:3857); other codes are skipped silently — a wrong or stub WKT
-    is worse for downstream GDAL readers than none."""
+    EPSG:3857). Other codes REMOVE any existing sidecar rather than
+    leaving a stale one — a wrong .prj is worse for downstream readers
+    than none."""
+    prj = Path(shp_path).with_suffix(".prj")
     if crs in _PRJ_WKT:
-        Path(shp_path).with_suffix(".prj").write_text(_PRJ_WKT[crs])
+        prj.write_text(_PRJ_WKT[crs])
+    elif prj.exists():
+        prj.unlink()
 
 
 def read_shapefile(
@@ -353,7 +365,12 @@ def write_shapefile(table: pa.Table, path: str, geometry_col: str = "geometry",
         # geometry-only table: write no .dbf at all (a zero-column arrow
         # table reports num_rows == 0, which would emit a 0-record dbf
         # that the reader rejects against the .shp count; absence is the
-        # valid dBASE-less shapefile form and the reader handles it)
+        # valid dBASE-less shapefile form and the reader handles it).
+        # Remove a stale sibling from a previous attribute-ful write —
+        # it would silently attach the OLD attributes to the new rows.
+        dbf = Path(path).with_suffix(".dbf")
+        if dbf.exists():
+            dbf.unlink()
         return
     fields = []
     encoded: list[list[bytes]] = []

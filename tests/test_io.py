@@ -904,3 +904,73 @@ def test_shapefile_prj_crs_roundtrip(ray_session, tmp_path):
     write_shapefile(t, str(shp2), crs="EPSG:27700")
     assert not (tmp_path / "b.prj").exists()
     assert read_prj_crs(str(shp2)) is None
+
+
+def test_shapefile_overwrite_clears_stale_sidecars(ray_session, tmp_path):
+    """Overwriting a shapefile must not leave stale .dbf attributes or a
+    stale .prj CRS from the previous write (silent wrong data)."""
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.shapefile import (
+        read_prj_crs,
+        read_shapefile,
+        write_shapefile,
+    )
+
+    pts = GeometryArray.from_pylist([("point", (1.0, 2.0))])
+    with_attrs = pa.table({"geometry": encode_wkb(pts),
+                           "name": pa.array(["old"])})
+    shp = tmp_path / "o.shp"
+    write_shapefile(with_attrs, str(shp), crs="EPSG:4326")
+    assert (tmp_path / "o.dbf").exists() and (tmp_path / "o.prj").exists()
+    # geometry-only overwrite with unknown crs: BOTH sidecars must go
+    geom_only = pa.table({"geometry": encode_wkb(pts)})
+    write_shapefile(geom_only, str(shp), crs="EPSG:27700")
+    assert not (tmp_path / "o.dbf").exists()
+    assert not (tmp_path / "o.prj").exists()
+    out = read_shapefile(str(shp)).take_all()
+    assert len(out) == 1 and "name" not in out[0]
+    assert read_prj_crs(str(shp)) is None
+
+
+def test_prj_nested_authority_not_promoted(tmp_path):
+    """A .prj whose only authorities are NESTED (datum / unit-of-measure)
+    must not report a UoM code as the dataset CRS."""
+    from geopolars_ray.sources.shapefile import crs_from_prj_wkt
+
+    wkt = ('PROJCS["Custom_Lambert",GEOGCS["NAD83",DATUM["D_NAD83",'
+           'SPHEROID["GRS_1980",6378137,298.257222101]],'
+           'AUTHORITY["EPSG","4269"]],PROJECTION["Lambert_Conformal_Conic"],'
+           'UNIT["metre",1,AUTHORITY["EPSG","9001"]],'
+           'PARAMETER["false_easting",0]]')
+    assert crs_from_prj_wkt(wkt) is None
+    # but a true top-level authority is accepted
+    wkt2 = ('PROJCS["X",GEOGCS["WGS 84",AUTHORITY["EPSG","4326"]],'
+            'AUTHORITY["EPSG","32633"]]')
+    assert crs_from_prj_wkt(wkt2) == "EPSG:32633"
+
+
+def test_zip_macos_junk_and_crs_composition(ray_session, tmp_path):
+    """Finder-made zips carry __MACOSX/._* junk whose extension matches —
+    they must not force member=; and a zipped shapefile's .prj must flow
+    into GeoDataset.read_file's crs."""
+    import zipfile
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.io import read_file
+    from geopolars_ray.sources.shapefile import write_shapefile
+
+    pts = GeometryArray.from_pylist([("point", (3.0, 4.0))])
+    t = pa.table({"geometry": encode_wkb(pts), "v": pa.array([7])})
+    shp = tmp_path / "m.shp"
+    write_shapefile(t, str(shp), crs="EPSG:4326")
+    z = tmp_path / "m.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        for ext in (".shp", ".dbf", ".shx", ".prj"):
+            zf.write(tmp_path / f"m{ext}", arcname=f"m{ext}")
+        zf.writestr("__MACOSX/._m.shp", b"\x00\x05\x16\x07junk")
+        zf.writestr("__MACOSX/._m.dbf", b"\x00\x05\x16\x07junk")
+    out = read_file(str(z)).take_all()   # no member= needed
+    assert len(out) == 1 and out[0]["v"] == 7
+    gd = GeoDataset.read_file(str(z))
+    assert gd.crs == "EPSG:4326"
