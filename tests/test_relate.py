@@ -402,3 +402,22 @@ def test_fast_path_snap_band_falls_back_to_sweep():
     gs = GeometryArray.from_pylist([spike])
     gr = GeometryArray.from_pylist([rect])
     assert _all_matrices(gs, gr)[0] == relate_pair(gs, 0, gr, 0)
+
+
+def test_gate_query_rects_engage_fast_path():
+    """The geo_type_flags gate rects must actually route through the
+    rectangle fast path (regression: open 4-coord rings silently fell
+    back to the per-pair sweep — equivalence tests alone cannot catch a
+    routing no-op, engagement must be asserted)."""
+    from geopolars_ray.geom.relate import _rect_boxes
+
+    k = np.arange(64)
+    x0 = (k % 11).astype(float)
+    y0 = (k % 13).astype(float)
+    w = (4 + k % 3).astype(float)
+    h = (5 + k % 4).astype(float)
+    ga = GeometryArray.from_pylist([
+        ("polygon", [[(a, b), (a + c, b), (a + c, b + d), (a, b + d), (a, b)]])
+        for a, b, c, d in zip(x0, y0, w, h)])
+    mask, _boxes = _rect_boxes(ga)
+    assert mask.all()
