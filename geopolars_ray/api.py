@@ -481,6 +481,20 @@ class GeoDataset:
         out.crs = to_crs
         return out
 
+    def to_file(self, path: str, crs: str | None = None, **kw) -> str:
+        """GeoPandas ``to_file`` analogue: collect and write ONE vector
+        file dispatched by extension (.shp/.zip/.geojson/.geojsonl/
+        .gpkg/.kml/.gml/.fgb/.parquet), carrying this dataset's CRS into
+        the formats that record one (.prj sidecar, gpkg srs, GeoParquet
+        metadata). Driver-sized output by design — the distributed,
+        partitioned sink is :meth:`write_geoparquet`."""
+        from geopolars_ray.sources.io import write_file as _write_file
+
+        tbl = pa.concat_tables(ray.get(self._ds.to_arrow_refs()))
+        _write_file(tbl, path, geometry_col=self.geometry_col,
+                    crs=crs if crs is not None else self.crs, **kw)
+        return path
+
     def write_geoparquet(self, out_dir: str, crs: str | None = None, partition_col: str | None = None) -> str:
         """Distributed write; every file carries GeoParquet ``geo`` metadata
         with the tracked (or given) CRS. Raises rather than fabricating a

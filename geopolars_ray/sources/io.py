@@ -163,6 +163,67 @@ def covering_filter_expression(bbox, bbox_col: str = "bbox"):
             & (pc.field(bbox_col, "ymin") <= ymax) & (pc.field(bbox_col, "ymax") >= ymin))
 
 
+def write_file(table: pa.Table, path: str, geometry_col: str = "geometry",
+               crs: str | None = None, **kw) -> None:
+    """Format-dispatching single-file vector WRITE (GeoPandas ``to_file``
+    analogue), symmetric to :func:`read_file`: .shp (+.prj when ``crs``
+    is known), .geojson/.geojsonl, .gpkg, .kml, .gml, .fgb, and .zip
+    (zipped shapefile — the delivery format, written atomically via a
+    temp dir). Driver-side single-file output; the distributed sink is
+    ``write_geoparquet_dataset``."""
+    suffix = path.rsplit(".", 1)[-1].lower() if "." in path else ""
+    if suffix == "zip":
+        import zipfile
+
+        with tempfile.TemporaryDirectory(prefix="geopolars_zipw_") as d:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            shp = os.path.join(d, stem + ".shp")
+            from geopolars_ray.sources.shapefile import write_shapefile
+
+            write_shapefile(table, shp, geometry_col=geometry_col, crs=crs)
+            with zipfile.ZipFile(path + ".part", "w",
+                                 zipfile.ZIP_DEFLATED) as zf:
+                for n in sorted(os.listdir(d)):
+                    zf.write(os.path.join(d, n), arcname=n)
+        os.replace(path + ".part", path)
+    elif suffix == "shp":
+        from geopolars_ray.sources.shapefile import write_shapefile
+
+        write_shapefile(table, path, geometry_col=geometry_col, crs=crs)
+    elif suffix == "geojson":
+        from geopolars_ray.sources.geojson import write_geojson
+
+        write_geojson(table, path, geometry_col=geometry_col)
+    elif suffix in ("geojsonl", "ndjson"):
+        from geopolars_ray.sources.geojson import write_geojsonl
+
+        write_geojsonl(table, path, geometry_col=geometry_col)
+    elif suffix == "gpkg":
+        from geopolars_ray.sources.gpkg import write_gpkg
+
+        if crs is not None:
+            kw.setdefault("crs", crs)
+        write_gpkg(table, path, geometry_col=geometry_col, **kw)
+    elif suffix == "kml":
+        from geopolars_ray.sources.kml import write_kml
+
+        write_kml(table, path, geometry_col=geometry_col)
+    elif suffix == "gml":
+        from geopolars_ray.sources.gml import write_gml
+
+        write_gml(table, path, geometry_col=geometry_col, **kw)
+    elif suffix == "fgb":
+        from geopolars_ray.sources.flatgeobuf import write_flatgeobuf
+
+        write_flatgeobuf(table, path, geometry_col=geometry_col, **kw)
+    elif suffix in ("parquet", "pq"):
+        if crs is not None:
+            kw.setdefault("crs", crs)
+        write_geoparquet(table, path, geometry_col=geometry_col, **kw)
+    else:
+        raise ValueError(f"unsupported vector write format {suffix!r}")
+
+
 def write_geoparquet(
     table: pa.Table, path: str, geometry_col: str = "geometry", crs: str = "EPSG:4326",
     covering: bool = False, row_group_size: int | None = None,

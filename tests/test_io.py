@@ -974,3 +974,30 @@ def test_zip_macos_junk_and_crs_composition(ray_session, tmp_path):
     assert len(out) == 1 and out[0]["v"] == 7
     gd = GeoDataset.read_file(str(z))
     assert gd.crs == "EPSG:4326"
+
+
+def test_to_file_dispatcher_roundtrips(ray_session, tmp_path):
+    """GeoDataset.to_file writes every single-file format and each round
+    trips through read_file with geometry + attributes + CRS intact
+    where the format records one."""
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+
+    pts = GeometryArray.from_pylist(
+        [("point", (float(i), float(-i))) for i in range(8)])
+    t = pa.table({"geometry": encode_wkb(pts),
+                  "tag": pa.array([f"t{i}" for i in range(8)])})
+    gd = GeoDataset(ray.data.from_arrow(t), crs="EPSG:4326")
+    for ext in ("shp", "zip", "geojson", "geojsonl", "gpkg", "kml", "gml",
+                "fgb", "parquet"):
+        p = tmp_path / f"out.{ext}"
+        gd.to_file(str(p))
+        back = GeoDataset.read_file(str(p))
+        rows = back.dataset.take_all()
+        assert len(rows) == 8, ext
+        assert sorted(str(r["tag"]) for r in rows) == sorted(
+            f"t{i}" for i in range(8)), ext
+        if ext in ("shp", "zip", "gpkg", "parquet"):
+            assert back.crs == "EPSG:4326", (ext, back.crs)
