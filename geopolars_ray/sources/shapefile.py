@@ -201,14 +201,49 @@ def read_prj_crs(shp_path: str) -> str | None:
         return None
 
 
+_GEOGCS_WGS84 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                 '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.0174532925199433]]')
+
+
+def _wkt_for_crs(crs: str | None) -> str | None:
+    """WKT1 for the writable CRS family: the fixed table plus templated
+    WGS84 UTM zones (EPSG:326xx north / 327xx south, zones 1-60) — the
+    codes the engine's own ``to_crs`` emits."""
+    if crs in _PRJ_WKT:
+        return _PRJ_WKT[crs]
+    if isinstance(crs, str) and crs.upper().startswith("EPSG:"):
+        try:
+            code = int(crs.split(":", 1)[1])
+        except ValueError:
+            return None
+        base = code // 100
+        zone = code % 100
+        if base in (326, 327) and 1 <= zone <= 60:
+            south = base == 327
+            cm = -183 + 6 * zone
+            return (
+                f'PROJCS["WGS 84 / UTM zone {zone}{"S" if south else "N"}",'
+                f"{_GEOGCS_WGS84},"
+                'PROJECTION["Transverse_Mercator"],'
+                'PARAMETER["latitude_of_origin",0],'
+                f'PARAMETER["central_meridian",{cm}],'
+                'PARAMETER["scale_factor",0.9996],'
+                'PARAMETER["false_easting",500000],'
+                f'PARAMETER["false_northing",{10000000 if south else 0}],'
+                f'UNIT["metre",1],AUTHORITY["EPSG","{code}"]]')
+    return None
+
+
 def write_prj(shp_path: str, crs: str | None) -> None:
     """Write the .prj sidecar when the CRS has a known WKT (EPSG:4326 /
-    EPSG:3857). Other codes REMOVE any existing sidecar rather than
-    leaving a stale one — a wrong .prj is worse for downstream readers
-    than none."""
+    3857 / WGS84 UTM zones). Other codes REMOVE any existing sidecar
+    rather than leaving a stale one — a wrong .prj is worse for
+    downstream readers than none."""
     prj = Path(shp_path).with_suffix(".prj")
-    if crs in _PRJ_WKT:
-        prj.write_text(_PRJ_WKT[crs])
+    wkt = _wkt_for_crs(crs)
+    if wkt is not None:
+        prj.write_text(wkt)
     elif prj.exists():
         prj.unlink()
 

@@ -1001,3 +1001,28 @@ def test_to_file_dispatcher_roundtrips(ray_session, tmp_path):
             f"t{i}" for i in range(8)), ext
         if ext in ("shp", "zip", "gpkg", "parquet"):
             assert back.crs == "EPSG:4326", (ext, back.crs)
+
+
+def test_prj_utm_template_roundtrip(ray_session, tmp_path):
+    """UTM .prj carriage: templated WKT for EPSG:326xx/327xx round-trips
+    through read_prj_crs, with correct central meridian / false
+    northing embedded."""
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.shapefile import (
+        _wkt_for_crs,
+        read_prj_crs,
+        write_shapefile,
+    )
+
+    pts = GeometryArray.from_pylist([("point", (500000.0, 4649776.0))])
+    t = pa.table({"geometry": encode_wkb(pts)})
+    shp = tmp_path / "u.shp"
+    for crs in ("EPSG:32633", "EPSG:32701", "EPSG:32760"):
+        write_shapefile(t, str(shp), crs=crs)
+        assert read_prj_crs(str(shp)) == crs
+    wkt = _wkt_for_crs("EPSG:32633")
+    assert 'central_meridian",15' in wkt and 'false_northing",0' in wkt
+    wkt_s = _wkt_for_crs("EPSG:32701")
+    assert 'central_meridian",-177' in wkt_s and 'false_northing",10000000' in wkt_s
+    assert _wkt_for_crs("EPSG:32661") is None  # polar stereo: not UTM
+    assert _wkt_for_crs("EPSG:32600") is None  # zone 0 invalid
