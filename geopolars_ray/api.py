@@ -103,6 +103,10 @@ class GeoDataset:
             from geopolars_ray.sources.shapefile import read_prj_crs
 
             crs = read_prj_crs(first)
+        elif suffix == "fgb":
+            from geopolars_ray.sources.flatgeobuf import read_fgb_crs
+
+            crs = read_fgb_crs(first)
         elif suffix == "zip":
             # zipped shapefile: sniff the .prj straight from the archive
             # (zip is THE standard shapefile delivery — the two features
@@ -124,7 +128,7 @@ class GeoDataset:
                         if prj is not None:
                             crs = crs_from_prj_wkt(
                                 zf.read(prj).decode(errors="replace"))
-            except (ValueError, OSError):
+            except (ValueError, OSError, zipfile.BadZipFile):
                 pass  # ambiguous/bad archive: the read below reports it
         return cls(
             _read_file(path, columns=columns, bbox=bbox, geometry_col=geometry_col, **kw),
@@ -1006,7 +1010,14 @@ class GeoDataset:
         distance, rank) — the distributed expanding-ring kNN join
         (`stages/knn.py knn_join`; nothing collected on the driver).
         ``max_distance`` filters matches beyond the threshold after the
-        exact join (GeoPandas semantics)."""
+        exact join (GeoPandas semantics).
+
+        The result carries the CALLER's id column names (``id_col`` /
+        ``other_id_col``; suffixed ``_left`` / ``_right`` when they
+        collide) plus ``distance`` and, for k>1, ``rank``. It is a plain
+        attribute table — no geometry column survives the join — so the
+        returned GeoDataset has ``geometry_col=None`` / ``crs=None``;
+        re-join against either input to recover geometry."""
         import pyarrow.compute as pc
 
         from geopolars_ray.stages.knn import knn_join
@@ -1024,17 +1035,26 @@ class GeoDataset:
         if k == 1:
             # the stage owns the k=1 semantics (max_distance filter,
             # tie-break) — one implementation
-            return self._wrap(_sjoin_nearest(
+            out = _sjoin_nearest(
                 pts, tgts, max_distance=max_distance,
-                x_col="x", y_col="y", point_id="pid", target_id="tid", **kw))
-        out = knn_join(pts, tgts, k, x_col="x", y_col="y",
-                       point_id="pid", target_id="tid", **kw)
-        if max_distance is not None:
-            out = out.map_batches(
-                lambda b, d=float(max_distance): b.filter(
-                    pc.less_equal(b["distance"], d)),
-                batch_format="pyarrow")
-        return self._wrap(out)
+                x_col="x", y_col="y", point_id="pid", target_id="tid", **kw)
+        else:
+            out = knn_join(pts, tgts, k, x_col="x", y_col="y",
+                           point_id="pid", target_id="tid", **kw)
+            if max_distance is not None:
+                out = out.map_batches(
+                    lambda b, d=float(max_distance): b.filter(
+                        pc.less_equal(b["distance"], d)),
+                    batch_format="pyarrow")
+        left = id_col if id_col != other_id_col else f"{id_col}_left"
+        right = (other_id_col if id_col != other_id_col
+                 else f"{other_id_col}_right")
+
+        def _restore_names(b, ren={"pid": left, "tid": right}):
+            return b.rename_columns([ren.get(c, c) for c in b.column_names])
+
+        out = out.map_batches(_restore_names, batch_format="pyarrow")
+        return GeoDataset(out, geometry_col=None, crs=None)
 
     def rasterize(self, tile_deg: float = 15.0, resolution: int = 32, stat: str = "count",
                   lon_col="lon", lat_col="lat", value_col=None, **kw) -> "GeoDataset":

@@ -564,6 +564,20 @@ def write_flatgeobuf(table: pa.Table, path: str, geometry_col: str = "geometry",
 
 
 # -------------------------------------------------------------------- reader
+def read_fgb_crs(path: str) -> str | None:
+    """The ``EPSG:nnnn`` CRS recorded in a FlatGeobuf header, or None when
+    the file records no crs (the writer intentionally omits the record for
+    unknown/non-EPSG CRS rather than stamping a default)."""
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:3] != b"fgb":
+            return None
+        hlen = struct.unpack_from("<I", head, 8)[0]
+        buf = head + f.read(hlen)
+    code = _parse_header(buf)["crs_code"]
+    return None if not code else f"EPSG:{code}"
+
+
 def _parse_header(buf: bytes):
     if buf[:3] != b"fgb" or buf[3] != 3:
         raise ValueError("not a FlatGeobuf file (bad magic / unsupported version)")

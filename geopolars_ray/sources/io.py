@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 
 import numpy as np
@@ -215,6 +216,17 @@ def write_file(table: pa.Table, path: str, geometry_col: str = "geometry",
     elif suffix == "fgb":
         from geopolars_ray.sources.flatgeobuf import write_flatgeobuf
 
+        if "crs_code" not in kw:
+            # carry the dataset CRS into the FGB header; an unknown or
+            # non-EPSG CRS writes NO crs record rather than letting the
+            # writer's 4326 default stamp wrong metadata (same principle
+            # as the shapefile .prj path: a wrong CRS is worse than none)
+            code = None
+            if crs is not None:
+                m = re.fullmatch(r"(?i)epsg:(\d+)", str(crs).strip())
+                if m:
+                    code = int(m.group(1))
+            kw["crs_code"] = code
         write_flatgeobuf(table, path, geometry_col=geometry_col, **kw)
     elif suffix in ("parquet", "pq"):
         if crs is not None:
@@ -390,15 +402,21 @@ def _zip_pick(archive: str, names: list[str], member: str | None) -> str:
         f"member=<name> to choose (candidates: {sorted(cands)})")
 
 
-def _hash_tag(archive: str, member: str) -> str:
-    """Stable extraction-cache key: archive path + mtime + member."""
+def _hash_tag(archive: str, member: str, size: int = -1, crc: int = -1) -> str:
+    """Stable extraction-cache key: archive path + mtime + size + member
+    (+ the member's CRC when available — mtime alone aliases ``cp -p`` /
+    object-store syncs that replace content under an identical timestamp)."""
     import hashlib
 
     try:
-        mt = os.path.getmtime(archive)
+        st = os.stat(archive)
+        mt, sz = st.st_mtime, st.st_size
     except OSError:
-        mt = 0.0
-    h = hashlib.sha256(f"{os.path.abspath(archive)}|{mt}|{member}".encode())
+        mt, sz = 0.0, -1
+    if size < 0:
+        size = sz
+    h = hashlib.sha256(
+        f"{os.path.abspath(archive)}|{mt}|{size}|{crc}|{member}".encode())
     return h.hexdigest()[:16]
 
 
@@ -481,16 +499,33 @@ def read_file(
             # keep the member + same-stem sidecars; flatten paths so the
             # sibling lookup (Path.with_suffix) still lands next door
             wanted = [n for n in names if n.rsplit(".", 1)[0] == stem]
-            tag = _hash_tag(first, pick)
-            tmp = os.path.join(tempfile.gettempdir(), f"geopolars_zip_{tag}")
-            os.makedirs(tmp, exist_ok=True)
+            tag = _hash_tag(first, pick, crc=zf.getinfo(pick).CRC)
+            tmp = os.path.join(tempfile.gettempdir(),
+                               f"geopolars_zip_{os.getuid()}_{tag}")
+            # per-user cache dir (0o700) so a pre-planted world-writable
+            # path is never trusted; refuse dirs we don't own
+            os.makedirs(tmp, mode=0o700, exist_ok=True)
+            st = os.stat(tmp)
+            if st.st_uid != os.getuid():
+                raise OSError(f"zip cache dir {tmp} owned by uid {st.st_uid}")
             local = os.path.join(tmp, os.path.basename(pick))
             for n in wanted:
                 dest = os.path.join(tmp, os.path.basename(n))
                 if not os.path.exists(dest):
-                    with open(dest + ".part", "wb") as f:
-                        f.write(zf.read(n))
-                    os.replace(dest + ".part", dest)
+                    # unique temp name + atomic rename: concurrent
+                    # extractors each write their own file and the loser's
+                    # os.replace is a no-op content-wise (same bytes)
+                    fd, part = tempfile.mkstemp(dir=tmp, suffix=".part")
+                    try:
+                        with os.fdopen(fd, "wb") as f:
+                            f.write(zf.read(n))
+                        os.replace(part, dest)
+                    except BaseException:
+                        try:
+                            os.unlink(part)
+                        except OSError:
+                            pass
+                        raise
         return read_file(local, columns=columns, bbox=bbox,
                          geometry_col=geometry_col, where=where, fids=fids,
                          skip_features=skip_features,

@@ -235,6 +235,10 @@ class FrameSample:
         frames = []
         frame_no = []
         id_col = batch.column_names[0]
+        # one bulk gather of the id column — per-row scalar .as_py() inside
+        # the frame loop costs ~15x (stages/extract.py:54); parsing the
+        # length-prefixed framing itself is inherently per-blob
+        id_vals = batch[id_col].to_pylist()
         for row, blob in enumerate(batch[self.data_col].to_pylist()):
             if blob is None:
                 continue
@@ -243,7 +247,7 @@ class FrameSample:
                 (ln,) = struct.unpack_from("<I", blob, pos)
                 frame = blob[pos + 4 : pos + 4 + ln]
                 if n % self.every == 0:
-                    ids.append(batch[id_col][row].as_py())
+                    ids.append(id_vals[row])
                     frames.append(frame)
                     frame_no.append(n)
                 pos += 4 + ln

@@ -999,8 +999,32 @@ def test_to_file_dispatcher_roundtrips(ray_session, tmp_path):
         assert len(rows) == 8, ext
         assert sorted(str(r["tag"]) for r in rows) == sorted(
             f"t{i}" for i in range(8)), ext
-        if ext in ("shp", "zip", "gpkg", "parquet"):
+        if ext in ("shp", "zip", "gpkg", "parquet", "fgb"):
             assert back.crs == "EPSG:4326", (ext, back.crs)
+
+
+def test_to_file_fgb_crs_carriage(ray_session, tmp_path):
+    """ADVICE r4: .fgb to_file must forward the dataset CRS — EPSG:3857
+    data must not get a header claiming 4326, and an unknown CRS must
+    write NO crs record rather than the writer's default."""
+    import ray
+
+    from geopolars_ray.api import GeoDataset
+    from geopolars_ray.geom import GeometryArray, encode_wkb
+    from geopolars_ray.sources.flatgeobuf import read_fgb_crs
+
+    pts = GeometryArray.from_pylist([("point", (1.0, 2.0))])
+    t = pa.table({"geometry": encode_wkb(pts)})
+    p = tmp_path / "m.fgb"
+    GeoDataset(ray.data.from_arrow(t), crs="EPSG:3857").to_file(str(p))
+    assert read_fgb_crs(str(p)) == "EPSG:3857"
+    assert GeoDataset.read_file(str(p)).crs == "EPSG:3857"
+    p2 = tmp_path / "none.fgb"
+    GeoDataset(ray.data.from_arrow(t), crs=None).to_file(str(p2))
+    assert read_fgb_crs(str(p2)) is None
+    p3 = tmp_path / "odd.fgb"
+    GeoDataset(ray.data.from_arrow(t), crs="ESRI:102008").to_file(str(p3))
+    assert read_fgb_crs(str(p3)) is None
 
 
 def test_prj_utm_template_roundtrip(ray_session, tmp_path):

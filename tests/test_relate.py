@@ -308,13 +308,23 @@ def test_sjoin_nearest_api(ray_session):
                       "lon": pa.array([0.5, 9.0, 50.0]),
                       "lat": pa.array([0.0, 0.0, 0.0])})
     gd = GeoDataset(ray.data.from_arrow(left))
-    out = gd.sjoin_nearest(ray.data.from_arrow(right), k=1).dataset.take_all()
-    got = {r["pid"]: (r["tid"], r["distance"]) for r in out}
+    joined = gd.sjoin_nearest(ray.data.from_arrow(right), k=1)
+    # output carries the CALLER's id names (suffixed on collision), and is
+    # a plain attribute table — no phantom geometry_col (ADVICE r4)
+    assert joined.geometry_col is None and joined.crs is None
+    out = joined.dataset.take_all()
+    got = {r["id_left"]: (r["id_right"], r["distance"]) for r in out}
     assert got[1] == (10, 0.5) and got[2] == (20, 1.0)
     # max_distance filters the far match
     out2 = gd.sjoin_nearest(ray.data.from_arrow(right), k=1,
                             max_distance=0.6).dataset.take_all()
-    assert [r["pid"] for r in out2] == [1]
+    assert [r["id_left"] for r in out2] == [1]
+    # distinct id column names pass through un-suffixed (k>1 path too)
+    right2 = right.rename_columns(["rid", "lon", "lat"])
+    out3 = gd.sjoin_nearest(ray.data.from_arrow(right2), k=2,
+                            other_id_col="rid").dataset.take_all()
+    assert {"id", "rid", "distance"} <= set(out3[0].keys())
+    assert sum(r["id"] == 1 for r in out3) == 2
 
 
 def test_relate_shared_component_in_multipolygon():
