@@ -518,7 +518,8 @@ def main() -> None:
         probe_before = hardware_probe()
         results = {}
         attempts = int(os.environ.get("GRAFT_SCALING_ATTEMPTS", "1"))
-        for ncpu in (2, 8, 4, 16):
+
+        def run_level(ncpu: int) -> dict:
             best = None
             for _ in range(attempts):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -532,10 +533,34 @@ def main() -> None:
                 r = json.loads(proc.stdout.strip().splitlines()[-1])
                 if best is None or r["value"] < best["value"]:
                     best = r
-            results[ncpu] = best
+            return best
+
+        for ncpu in (2, 8, 4, 16):
+            results[ncpu] = run_level(ncpu)
         probe_after = hardware_probe()
         eff_2_8 = (results[2]["value"] / results[8]["value"]) / (8 / 2)
         eff_4_16 = (results[4]["value"] / results[16]["value"]) / (16 / 4)
+        # window defense (VERDICT r4 #1): a contended bracket invalidates the
+        # efficiency claim — re-run the PRIMARY pair once in a fresh window
+        # and keep the reading whose own bracket is cleaner. Pairs are never
+        # mixed across windows (cross-window ratios can fabricate >1.0
+        # efficiencies; BASELINE.md hardware note).
+        retry_pair = None
+        if max(probe_before["slowdown_8_to_16"],
+               probe_after["slowdown_8_to_16"]) > 1.25:
+            r2, r8 = run_level(2), run_level(8)
+            probe_retry = hardware_probe()
+            eff_retry = (r2["value"] / r8["value"]) / (8 / 2)
+            retry_pair = {
+                "sec_2": r2["value"], "sec_8": r8["value"],
+                "efficiency_2_8": round(eff_retry, 3),
+                "probe_after": probe_retry,
+            }
+            if (probe_retry["slowdown_8_to_16"]
+                    < max(probe_before["slowdown_8_to_16"],
+                          probe_after["slowdown_8_to_16"])):
+                eff_2_8 = eff_retry
+                results[2], results[8] = r2, r8
         # parallelism-independence: every level must produce the identical
         # rollup (order-insensitive compare by key; BASELINE.md protocol)
         import duckdb
@@ -572,6 +597,7 @@ def main() -> None:
                     "scaling_efficiency": round(eff_2_8, 3),
                     "probe_before": probe_before,
                     "probe_after": probe_after,
+                    "contended_retry_pair": retry_pair,
                     "outputs_identical": same,
                     "sf": sf_label(),
                     "pages_rows": results[2]["pages_rows"],
@@ -580,11 +606,34 @@ def main() -> None:
         )
         return
 
+    # Self-defending headline (VERDICT r4 #1): probe the VM BEFORE and AFTER
+    # the timed run. If either probe shows a contended window (busy-loop
+    # 8->16 slowdown beyond CONTENTION_BAR), the official artifact would be
+    # measuring neighbor load, not the engine — re-run the headline ONCE in
+    # a fresh Ray session and report BOTH readings plus every probe, so the
+    # artifact certifies (or honestly flags) its own measurement window.
+    CONTENTION_BAR = 1.25
+    headline_only = "--headline-only" in sys.argv
+    # --headline-only subprocesses (the --scaling children) skip the
+    # per-run defense: the scaling driver brackets the WHOLE level sweep
+    # with its own probes, and per-child retries would skew level symmetry
+    probe_before = {} if headline_only else hardware_probe()
     headline = run_headline(NUM_CPUS)
+    probe_after = {} if headline_only else hardware_probe()
+    headline_runs = [round(headline["sec"], 3)]
+    probes = [probe_before, probe_after]
+    contended = (not headline_only) and max(
+        probe_before["slowdown_8_to_16"],
+        probe_after["slowdown_8_to_16"]) > CONTENTION_BAR
+    if contended:
+        retry = run_headline(NUM_CPUS)
+        probes.append(hardware_probe())
+        headline_runs.append(round(retry["sec"], 3))
+        if retry["sec"] < headline["sec"]:
+            headline = retry
     qtimes = {} if "--headline-only" in sys.argv else run_queries()
     sjoin_ll = {} if "--headline-only" in sys.argv else sjoin_large_large(max(8, NUM_CPUS))
     kernels = {} if "--headline-only" in sys.argv else kernel_benchmarks()
-    probe = {} if "--headline-only" in sys.argv else hardware_probe()
     import ray
 
     if ray.is_initialized():
@@ -602,7 +651,11 @@ def main() -> None:
                 "rows_per_s": round(headline["rows_per_s"], 1),
                 "sjoin_1m_x_10k": sjoin_ll,
                 "kernels": kernels,
-                "probe": probe,
+                "probe_before": probe_before,
+                "probe_after": probe_after,
+                "probe": probes[-1],
+                "headline_runs": headline_runs,
+                "contended_retry": contended,
             }
         )
     )
