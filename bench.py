@@ -379,6 +379,28 @@ def kernel_benchmarks() -> dict:
     rgb = rect_arr(np.roll(rx0, 1), np.roll(ry0, 1), rw, rh)
     out["relate_rect_pairs_mrows_s"] = round(
         best_rate(lambda: predicate(rga, rgb, "intersects"), nrel) / 1e6, 2)
+
+    # r5: GENERAL simple-polygon relate fast path (flattened seg-pair
+    # classifier) — mixed crossing/containment/disjoint octagon pairs,
+    # the VERDICT r4 "within ~5x of the rect path" criterion
+    npoly = 50_000
+    ang = np.linspace(0.0, 2 * np.pi, 9)[:-1]
+
+    def octagons(cx, cy, rad):
+        xs = cx[:, None] + rad[:, None] * np.cos(ang)[None, :]
+        ys = cy[:, None] + rad[:, None] * np.sin(ang)[None, :]
+        return GeometryArray.from_pylist([
+            ("polygon", [list(zip(map(float, x), map(float, y)))
+                         + [(float(x[0]), float(y[0]))]])
+            for x, y in zip(xs, ys)])
+
+    pcx = rng.uniform(0, 100, npoly)
+    pcy = rng.uniform(0, 100, npoly)
+    pga = octagons(pcx, pcy, rng.uniform(2, 5, npoly))
+    pgb = octagons(pcx + rng.uniform(0, 8, npoly), pcy + rng.uniform(0, 8, npoly),
+                   rng.uniform(0.5, 4, npoly))
+    out["relate_poly_pairs_mrows_s"] = round(
+        best_rate(lambda: predicate(pga, pgb, "intersects"), npoly) / 1e6, 3)
     return out
 
 

@@ -89,15 +89,23 @@ def incircle(ax, ay, bx, by, cx, cy, dx, dy) -> int:
     return (det > 0) - (det < 0)
 
 
-def delaunay_points(pts):
+def delaunay_points(pts, vertex_budget=None):
     """Delaunay triangulation of unique points.
 
     Returns (unique_sorted_points, triangles) with triangles as CCW
     index triples into the point list, deterministically ordered.
     Fewer than 3 unique points, or all-collinear input, yields no
     triangles.
+
+    Per-geometry algorithmic kernel: guarded by the documented vertex
+    budget (:mod:`geopolars_ray.geom.budget`); everything in the
+    Delaunay family (voronoi, concave hull, triangles) funnels through
+    here, so the guard covers them all.
     """
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     up = sorted(set((float(p[0]), float(p[1])) for p in pts))
+    check_vertex_budget(len(up), "delaunay_points", vertex_budget)
     n = len(up)
     if n < 3:
         return up, []

@@ -1245,29 +1245,41 @@ def _clearance_one(ga: GeometryArray, i: int, co: np.ndarray):
     return best, pair
 
 
-def minimum_clearance(ga: GeometryArray) -> np.ndarray:
+def minimum_clearance(ga: GeometryArray, vertex_budget=None) -> np.ndarray:
     """GEOS ``minimum_clearance`` per geometry: the smallest vertex move
     that could change the geometry's structure — min over vertex-vertex
     and vertex-to-non-incident-segment distances. inf for rows with
-    fewer than two distinct vertices, NaN for missing."""
+    fewer than two distinct vertices, NaN for missing.
+
+    Per-geometry algorithmic kernel (pairwise scan): rows over the
+    documented vertex budget raise (:mod:`geopolars_ray.geom.budget`)."""
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     out = np.full(len(ga), np.nan)
     co = ga.coord_offsets()
     for i in range(len(ga)):
         if ga.types[i] == MISSING:
             continue
+        check_vertex_budget(int(co[i + 1] - co[i]), "minimum_clearance",
+                            vertex_budget)
         out[i], _ = _clearance_one(ga, i, co)
     return out
 
 
-def minimum_clearance_line(ga: GeometryArray) -> GeometryArray:
+def minimum_clearance_line(ga: GeometryArray, vertex_budget=None) -> GeometryArray:
     """The 2-point LINESTRING realizing ``minimum_clearance``
-    (ST_MinimumClearanceLine); missing where clearance is inf."""
+    (ST_MinimumClearanceLine); missing where clearance is inf. Budget-
+    guarded like :func:`minimum_clearance`."""
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     out: list = []
     co = ga.coord_offsets()
     for i in range(len(ga)):
         if ga.types[i] == MISSING:
             out.append(None)
             continue
+        check_vertex_budget(int(co[i + 1] - co[i]), "minimum_clearance_line",
+                            vertex_budget)
         c, pair = _clearance_one(ga, i, co)
         if pair is None or not np.isfinite(c):
             out.append(None)
@@ -2328,18 +2340,24 @@ def _areal_segments(ga: GeometryArray, i: int) -> np.ndarray | None:
     return np.concatenate(segs, axis=0)
 
 
-def maximum_inscribed_circle(ga: GeometryArray, tolerance: float | None = None) -> GeometryArray:
+def maximum_inscribed_circle(ga: GeometryArray, tolerance: float | None = None,
+                             vertex_budget=None) -> GeometryArray:
     """Center of the maximum inscribed circle (pole of inaccessibility)
     per areal row, as a POINT (GEOS ``MaximumInscribedCircle`` /
     PostGIS ST_MaximumInscribedCircle center; mapbox polylabel).
     ``tolerance`` defaults to bbox diagonal / 1000, GEOS's rule.
-    Non-areal rows come back missing."""
+    Non-areal rows come back missing. Per-geometry algorithmic kernel
+    (quadtree search over all segments): budget-guarded
+    (:mod:`geopolars_ray.geom.budget`)."""
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     out: list = []
     for i in range(len(ga)):
         segs = _areal_segments(ga, i)
         if segs is None:
             out.append(None)
             continue
+        check_vertex_budget(len(segs), "maximum_inscribed_circle", vertex_budget)
         tol = tolerance
         if tol is None:
             w = float(segs[..., 0].max() - segs[..., 0].min())
@@ -2350,14 +2368,19 @@ def maximum_inscribed_circle(ga: GeometryArray, tolerance: float | None = None) 
     return GeometryArray.from_pylist(out)
 
 
-def maximum_inscribed_radius(ga: GeometryArray, tolerance: float | None = None) -> np.ndarray:
+def maximum_inscribed_radius(ga: GeometryArray, tolerance: float | None = None,
+                             vertex_budget=None) -> np.ndarray:
     """Radius of the maximum inscribed circle per areal row (scalar
-    sibling of ``maximum_inscribed_circle``, same search)."""
+    sibling of ``maximum_inscribed_circle``, same search). Budget-
+    guarded like it too."""
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     out = np.full(len(ga), np.nan)
     for i in range(len(ga)):
         segs = _areal_segments(ga, i)
         if segs is None:
             continue
+        check_vertex_budget(len(segs), "maximum_inscribed_radius", vertex_budget)
         tol = tolerance
         if tol is None:
             w = float(segs[..., 0].max() - segs[..., 0].min())

@@ -546,11 +546,281 @@ def _single_points(ga: GeometryArray):
     return mask, x, y
 
 
-def _matrix_table(ga: GeometryArray, gb: GeometryArray):
+# family (= topological dimension) per type id, indexed by type + 1
+# (MISSING = -1 -> slot 0). 3 = not classifiable by the fast paths
+# (missing / geometrycollection) -> per-row sweep decides.
+_FAMILY_LUT = np.array([3, 0, 1, 1, 2, 0, 1, 2, 3], dtype=np.int64)
+
+
+def _row_bboxes(ga: GeometryArray):
+    """((n, 4) [x0, y0, x1, y1] per row (NaN where no coords), coord
+    counts). One reduceat pass over the contiguous per-row coord
+    slices — no per-row Python."""
+    co = ga.coord_offsets()
+    n = len(ga)
+    out = np.full((n, 4), np.nan)
+    npts = co[1:] - co[:-1]
+    nz = np.flatnonzero(npts > 0)
+    if len(nz):
+        starts = co[:-1][nz]
+        x, y = ga.coords[:, 0], ga.coords[:, 1]
+        # empty rows between two non-empty ones contribute no coords, so
+        # each reduceat segment is exactly one row's slice
+        out[nz, 0] = np.minimum.reduceat(x, starts)
+        out[nz, 1] = np.minimum.reduceat(y, starts)
+        out[nz, 2] = np.maximum.reduceat(x, starts)
+        out[nz, 3] = np.maximum.reduceat(y, starts)
+    return out, npts
+
+
+def _boundary_empty(ga: GeometryArray, rows: np.ndarray) -> np.ndarray:
+    """Aligned with ``rows``: is the OGC boundary empty? Pointal: always;
+    areal: never (non-empty operands); lineal: the mod-2 endpoint rule
+    (cost is O(paths) per lineal row — endpoints only, no vertex scan)."""
+    fam = _FAMILY_LUT[np.asarray(ga.types, np.int64)[rows] + 1]
+    out = fam == 0
+    go, po, ro = ga.geom_offsets, ga.part_offsets, ga.ring_offsets
+    for k in np.flatnonzero(fam == 1):
+        i = rows[k]
+        cnt: dict = {}
+        for r in range(int(po[go[i]]), int(po[go[i + 1]])):
+            s, e = int(ro[r]), int(ro[r + 1]) - 1
+            a = (float(ga.coords[s, 0]), float(ga.coords[s, 1]))
+            b = (float(ga.coords[e, 0]), float(ga.coords[e, 1]))
+            if a == b:
+                continue
+            cnt[a] = cnt.get(a, 0) + 1
+            cnt[b] = cnt.get(b, 0) + 1
+        out[k] = all(c % 2 == 0 for c in cnt.values())
+    return out
+
+
+def _disjoint_matrices(fam_a, fam_b, bea, beb) -> np.ndarray:
+    """DE-9IM for bbox-separated pairs: everything is F except the
+    exterior row/column, which is determined by each operand's dimension
+    and boundary-emptiness alone."""
+    n = len(fam_a)
+    m = np.full((n, 9), -1, dtype=np.int64)
+    m[:, 2] = fam_a                                   # IE
+    m[:, 5] = np.where(bea, -1, fam_a - 1)            # BE
+    m[:, 6] = fam_b                                   # EI
+    m[:, 7] = np.where(beb, -1, fam_b - 1)            # EB
+    m[:, 8] = 2
+    return m
+
+
+# flatten-path budget: a candidate polygon pair contributes na*nb segment
+# pairs; pairs beyond this take the sweep (which is loud-guarded for huge
+# inputs by kernels' vertex budgets). 4M pairs ~ a few hundred MB of
+# float64 temporaries when processed in one chunk.
+_PAIR_BUDGET = 4_000_000
+_CHUNK_PAIRS = 1_000_000
+
+
+def _simple_rings(ga: GeometryArray):
+    """Mask of rows that are single-part single-ring CLOSED polygons
+    with every segment of positive length (so the flattened seg-pair
+    classifier sees clean linework)."""
+    t = np.asarray(ga.types)
+    go = ga.geom_offsets
+    rings_per_geom = ga.part_offsets[go[1:]] - ga.part_offsets[go[:-1]]
+    one = ((go[1:] - go[:-1]) == 1) & (rings_per_geom == 1)
+    co = ga.coord_offsets()
+    npts = co[1:] - co[:-1]
+    cand = (t == POLYGON) & one & (npts >= 4)
+    idx = np.flatnonzero(cand)
+    if not len(idx):
+        return cand
+    first = ga.coords[co[idx]]
+    last = ga.coords[co[idx + 1] - 1]
+    closed = (first == last).all(axis=1)
+    d = np.diff(ga.coords, axis=0)
+    z = np.concatenate([[0], np.cumsum((d == 0.0).all(axis=1).astype(np.int64))])
+    # duplicate-adjacent vertices anywhere in the row's segment range
+    no_dup = (z[co[idx + 1] - 1] - z[co[idx]]) == 0
+    cand[idx] = closed & no_dup
+    return cand
+
+
+def _pip_parity(px, py, coords, starts, counts) -> np.ndarray:
+    """Even-odd parity of one probe point per row against that row's
+    closed ring (``counts`` = segment counts), flattened-vectorized."""
+    rep = np.repeat(np.arange(len(starts)), counts)
+    base = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    seg = np.arange(len(rep)) - base[rep] + starts[rep]
+    x1, y1 = coords[seg, 0], coords[seg, 1]
+    x2, y2 = coords[seg + 1, 0], coords[seg + 1, 1]
+    PX, PY = px[rep], py[rep]
+    crosses = (y1 > PY) != (y2 > PY)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (PY - y1) * (x2 - x1) / (y2 - y1)
+    hit = crosses & (PX < xint)
+    return np.add.reduceat(hit.astype(np.int64), np.concatenate([[0], np.cumsum(counts)])[:-1]) % 2 == 1
+
+
+_AA_OVERLAP = np.array([2, 1, 2, 1, 0, 1, 2, 1, 2], dtype=np.int64)
+_AA_A_IN_B = np.array([2, -1, -1, 1, -1, -1, 2, 1, 2], dtype=np.int64)
+_AA_B_IN_A = np.array([2, 1, 2, -1, -1, 1, -1, -1, 2], dtype=np.int64)
+_AA_DISJOINT = np.array([-1, -1, 2, -1, -1, 1, 2, 1, 2], dtype=np.int64)
+
+
+def _kept_segments(co, coords, rows, nseg, W, pad):
+    """Per-row segment prefilter: global coord indices (row-major) of the
+    segments whose bbox overlaps the row's padded interaction window W,
+    plus the per-row kept counts. Any two segments within the snap band
+    of each other meet inside W (both lie within tol of a common point
+    that is inside both row bboxes padded by tol), so dropped segments
+    provably cannot contribute a contact."""
+    rep = np.repeat(np.arange(len(rows)), nseg)
+    base = np.concatenate([[0], np.cumsum(nseg)])
+    k = np.arange(base[-1]) - base[:-1][rep]
+    si = co[rows][rep] + k
+    x1, y1 = coords[si, 0], coords[si, 1]
+    x2, y2 = coords[si + 1, 0], coords[si + 1, 1]
+    P = pad[rep]
+    ok = ((np.minimum(x1, x2) <= W[rep, 2] + P)
+          & (np.maximum(x1, x2) >= W[rep, 0] - P)
+          & (np.minimum(y1, y2) <= W[rep, 3] + P)
+          & (np.maximum(y1, y2) >= W[rep, 1] - P))
+    cnt = np.add.reduceat(ok.astype(np.int64), base[:-1])
+    return si[ok], cnt
+
+
+def _poly_pair_classify(ga: GeometryArray, gb: GeometryArray,
+                        rows: np.ndarray, tol: np.ndarray,
+                        boxes_a: np.ndarray, boxes_b: np.ndarray):
+    """Vectorized DE-9IM for simple-ring polygon pairs (``rows`` indexes
+    both sides; ``tol`` is the per-row snap band). A bbox-window
+    prefilter keeps only the segments that can interact (containment and
+    near-miss rows keep none and skip straight to the probes); surviving
+    segment pairs are tested in flat NumPy: pairs whose boundaries
+    properly cross beyond the band are the transversal-overlap class
+    ``212101212``; pairs with NO contact beyond the band classify by two
+    interior probes (strict containment either way, else disjoint). Rows
+    with any borderline contact — a distance or an orientation inside
+    the band, where the arrangement's snap-rounding could merge — are
+    left undecided for the sweep, so fast == sweep everywhere (same
+    contract as the rect path).
+
+    Returns (decided_rows, matrices).
+    """
+    coa, cob = ga.coord_offsets(), gb.coord_offsets()
+    na = (coa[rows + 1] - coa[rows]) - 1
+    nb = (cob[rows + 1] - cob[rows]) - 1
+    # interaction window = intersection of the two row bboxes
+    W = np.column_stack([
+        np.maximum(boxes_a[rows, 0], boxes_b[rows, 0]),
+        np.maximum(boxes_a[rows, 1], boxes_b[rows, 1]),
+        np.minimum(boxes_a[rows, 2], boxes_b[rows, 2]),
+        np.minimum(boxes_a[rows, 3], boxes_b[rows, 3])])
+    pad = 4.0 * tol
+    seg_a, cnt_a = _kept_segments(coa, ga.coords, rows, na, W, pad)
+    seg_b, cnt_b = _kept_segments(cob, gb.coords, rows, nb, W, pad)
+    pairs = cnt_a * cnt_b
+    keep = pairs <= _PAIR_BUDGET
+    if not keep.all():
+        # rebuild the kept-seg arrays without the over-budget rows
+        abase = np.concatenate([[0], np.cumsum(cnt_a)])
+        bbase = np.concatenate([[0], np.cumsum(cnt_b)])
+        seg_a = np.concatenate([seg_a[abase[i]:abase[i + 1]]
+                                for i in np.flatnonzero(keep)]) if keep.any() else seg_a[:0]
+        seg_b = np.concatenate([seg_b[bbase[i]:bbase[i + 1]]
+                                for i in np.flatnonzero(keep)]) if keep.any() else seg_b[:0]
+        rows, tol, cnt_a, cnt_b = rows[keep], tol[keep], cnt_a[keep], cnt_b[keep]
+        pairs = pairs[keep]
+    if not len(rows):
+        return rows, np.empty((0, 9), dtype=np.int64)
+    any_cross = np.zeros(len(rows), dtype=bool)
+    ambiguous = np.zeros(len(rows), dtype=bool)
+    abase = np.concatenate([[0], np.cumsum(cnt_a)])[:-1]
+    bbase = np.concatenate([[0], np.cumsum(cnt_b)])[:-1]
+    live = np.flatnonzero(pairs > 0)
+    bounds = np.concatenate([[0], np.cumsum(pairs[live])])
+    # chunk rows so one flatten stays memory-bounded
+    start = 0
+    while start < len(live):
+        stop = int(np.searchsorted(bounds, bounds[start] + _CHUNK_PAIRS, "right")) - 1
+        stop = max(stop, start + 1)
+        lr = live[start:stop]
+        cnt = pairs[lr]
+        rep0 = np.repeat(np.arange(len(lr)), cnt)
+        base = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        k = np.arange(len(rep0)) - base[rep0]
+        CB = cnt_b[lr][rep0]
+        sa = seg_a[abase[lr][rep0] + k // CB]
+        sb = seg_b[bbase[lr][rep0] + k % CB]
+        p1 = ga.coords[sa]
+        p2 = ga.coords[sa + 1]
+        q1 = gb.coords[sb]
+        q2 = gb.coords[sb + 1]
+        d1 = p2 - p1
+        d2 = q2 - q1
+        len1 = np.hypot(d1[:, 0], d1[:, 1])
+        len2 = np.hypot(d2[:, 0], d2[:, 1])
+
+        def _cross(u, v):
+            return u[:, 0] * v[:, 1] - u[:, 1] * v[:, 0]
+
+        o1 = _cross(d1, q1 - p1)
+        o2 = _cross(d1, q2 - p1)
+        o3 = _cross(d2, p1 - q1)
+        o4 = _cross(d2, p2 - q1)
+        TT = tol[lr][rep0]
+        raw = (o1 * o2 < 0) & (o3 * o4 < 0)
+        robust = ((np.abs(o1) > TT * len1) & (np.abs(o2) > TT * len1)
+                  & (np.abs(o3) > TT * len2) & (np.abs(o4) > TT * len2))
+        proper = raw & robust
+
+        def _pt_seg_d2(P, S1, D, L):
+            t_ = ((P[:, 0] - S1[:, 0]) * D[:, 0] + (P[:, 1] - S1[:, 1]) * D[:, 1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_ = np.clip(t_ / np.where(L > 0, L * L, 1.0), 0.0, 1.0)
+            cx = S1[:, 0] + t_ * D[:, 0] - P[:, 0]
+            cy = S1[:, 1] + t_ * D[:, 1] - P[:, 1]
+            return cx * cx + cy * cy
+
+        # non-crossing segments attain their min distance at an endpoint,
+        # so four point-segment distances cover the near-contact test
+        d2min = np.minimum(
+            np.minimum(_pt_seg_d2(q1, p1, d1, len1), _pt_seg_d2(q2, p1, d1, len1)),
+            np.minimum(_pt_seg_d2(p1, q1, d2, len2), _pt_seg_d2(p2, q1, d2, len2)))
+        near = d2min <= TT * TT
+        amb = (near | raw) & ~proper
+        any_cross[lr] = np.logical_or.reduceat(proper, base)
+        ambiguous[lr] = np.logical_or.reduceat(amb, base)
+        start = stop
+    decided = ~ambiguous
+    rows_d = rows[decided]
+    if not len(rows_d):
+        return rows_d, np.empty((0, 9), dtype=np.int64)
+    crossed = any_cross[decided]
+    M = np.empty((len(rows_d), 9), dtype=np.int64)
+    M[crossed] = _AA_OVERLAP
+    nc = np.flatnonzero(~crossed)
+    if len(nc):
+        r = rows_d[nc]
+        # no boundary contact: one vertex probe per side decides the part
+        a_in = _pip_parity(ga.coords[coa[r], 0], ga.coords[coa[r], 1],
+                           gb.coords, cob[r], (cob[r + 1] - cob[r]) - 1)
+        b_in = _pip_parity(gb.coords[cob[r], 0], gb.coords[cob[r], 1],
+                           ga.coords, coa[r], (coa[r + 1] - coa[r]) - 1)
+        sub = np.where(a_in[:, None], _AA_A_IN_B,
+                       np.where(b_in[:, None], _AA_B_IN_A, _AA_DISJOINT))
+        M[nc] = sub
+    return rows_d, M
+
+
+_PA_INSIDE = np.array([0, -1, -1, -1, -1, -1, 2, 1, 2], dtype=np.int64)
+_PA_OUTSIDE = np.array([-1, -1, 0, -1, -1, -1, 2, 1, 2], dtype=np.int64)
+
+
+def _matrix_table(ga: GeometryArray, gb: GeometryArray, vertex_budget=None):
     """(M, valid): (n, 9) int64 DE-9IM dims per row + validity mask
-    (False = a side missing). Vectorized rect and point fast paths;
-    rows whose contact classification sits inside the arrangement's
-    snap band fall back to the sweep so fast == sweep everywhere."""
+    (False = a side missing). Vectorized fast paths — rect x rect,
+    point x rect, point x point, bbox-disjoint for EVERY family, and the
+    general simple-polygon pair classifier — rows whose contact
+    classification sits inside the arrangement's snap band fall back to
+    the sweep so fast == sweep everywhere."""
     n = len(ga)
     M = np.full((n, 9), -1, dtype=np.int64)
     valid = np.ones(n, dtype=bool)
@@ -605,7 +875,95 @@ def _matrix_table(ga: GeometryArray, gb: GeometryArray):
                         np.array([0, -1, -1, -1, -1, -1, -1, -1, 2]),
                         np.array([-1, -1, 0, -1, -1, -1, 0, -1, 2]))
         scatter(pp, mats)
+    # ---- bbox-disjoint, ANY family: when the bboxes are separated by
+    # more than the snap band the matrix depends only on each operand's
+    # dimension + boundary-emptiness. This is the dominant class of a
+    # column-aligned predicate workload.
+    fam_a = _FAMILY_LUT[np.asarray(ga.types, np.int64) + 1]
+    fam_b = _FAMILY_LUT[np.asarray(gb.types, np.int64) + 1]
+    boxes_a, npts_a = _row_bboxes(ga)
+    boxes_b, npts_b = _row_bboxes(gb)
+    known = (fam_a < 3) & (fam_b < 3) & (npts_a > 0) & (npts_b > 0)
+    rem = known & ~done
+    if rem.any():
+        A, B = boxes_a, boxes_b
+        with np.errstate(invalid="ignore"):
+            scale = np.maximum(np.abs(A).max(axis=1), np.abs(B).max(axis=1))
+            tol = (16.0 * _SNAP_RTOL) * np.maximum(scale, 1.0)
+            gap = np.maximum(
+                np.maximum(B[:, 0] - A[:, 2], A[:, 0] - B[:, 2]),
+                np.maximum(B[:, 1] - A[:, 3], A[:, 1] - B[:, 3]))
+            dis = rem & (gap > tol)
+        if dis.any():
+            idx = np.flatnonzero(dis)
+            scatter(dis, _disjoint_matrices(
+                fam_a[idx], fam_b[idx],
+                _boundary_empty(ga, idx), _boundary_empty(gb, idx)))
+        rem = known & ~done
+    # ---- general simple-polygon pairs (arbitrary simple rings, not just
+    # rects): flattened segment-pair classification
+    if rem.any():
+        sa = _simple_rings(ga)
+        sb = _simple_rings(gb)
+        poly = rem & sa & sb
+        if poly.any():
+            idx = np.flatnonzero(poly)
+            scale = np.maximum(np.abs(boxes_a[idx]).max(axis=1),
+                               np.abs(boxes_b[idx]).max(axis=1))
+            tol = (16.0 * _SNAP_RTOL) * np.maximum(scale, 1.0)
+            rows_d, mats = _poly_pair_classify(ga, gb, idx, tol, boxes_a, boxes_b)
+            if len(rows_d):
+                mask = np.zeros(n, dtype=bool)
+                mask[rows_d] = True
+                scatter(mask, mats)
+        # point x simple-polygon (either order): probe distance to the
+        # ring, then even-odd — borderline rows fall to the sweep
+        for pmask, px_, py_, smask, gpoly, flip in (
+                (pa_mask, pax, pay, sb, gb, False),
+                (pb_mask, pbx, pby, sa, ga, True)):
+            pr = pmask & smask & known & ~done
+            if not pr.any():
+                continue
+            idx = np.flatnonzero(pr)
+            co = gpoly.coord_offsets()
+            counts = (co[idx + 1] - co[idx]) - 1
+            rep = np.repeat(np.arange(len(idx)), counts)
+            base = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            seg = np.arange(len(rep)) - base[rep] + co[idx][rep]
+            s1 = gpoly.coords[seg]
+            d = gpoly.coords[seg + 1] - s1
+            L2 = d[:, 0] ** 2 + d[:, 1] ** 2
+            PX, PY = px_[idx][rep], py_[idx][rep]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t_ = np.clip(((PX - s1[:, 0]) * d[:, 0] + (PY - s1[:, 1]) * d[:, 1])
+                             / np.where(L2 > 0, L2, 1.0), 0.0, 1.0)
+            dx = s1[:, 0] + t_ * d[:, 0] - PX
+            dy = s1[:, 1] + t_ * d[:, 1] - PY
+            d2 = np.minimum.reduceat(dx * dx + dy * dy, base)
+            pb_box = (boxes_b if not flip else boxes_a)[idx]
+            scale = np.maximum(np.maximum(np.abs(px_[idx]), np.abs(py_[idx])),
+                               np.abs(pb_box).max(axis=1))
+            tol = (16.0 * _SNAP_RTOL) * np.maximum(scale, 1.0)
+            safe = d2 > tol * tol
+            if not safe.any():
+                continue
+            sidx = idx[safe]
+            inside = _pip_parity(px_[sidx], py_[sidx], gpoly.coords,
+                                 co[sidx], (co[sidx + 1] - co[sidx]) - 1)
+            mats = np.where(inside[:, None], _PA_INSIDE, _PA_OUTSIDE)
+            if flip:
+                mats = mats[:, _TRANSPOSE_IDX]
+            mask = np.zeros(n, dtype=bool)
+            mask[sidx] = True
+            scatter(mask, mats)
+    from geopolars_ray.geom.budget import check_vertex_budget
+
     for i in np.flatnonzero(~done):
+        if int(ga.types[i]) != MISSING and int(gb.types[i]) != MISSING:
+            # the arrangement sweep is per-pair algorithmic — loud
+            # budget instead of a silent crawl (geom/budget.py)
+            check_vertex_budget(int(npts_a[i] + npts_b[i]),
+                                "relate (arrangement sweep)", vertex_budget)
         m = relate_pair(ga, i, gb, i)
         if m is None:
             valid[i] = False
@@ -614,18 +972,19 @@ def _matrix_table(ga: GeometryArray, gb: GeometryArray):
     return M, valid
 
 
-def _all_matrices(ga: GeometryArray, gb: GeometryArray) -> list:
+def _all_matrices(ga: GeometryArray, gb: GeometryArray,
+                  vertex_budget=None) -> list:
     """Per-row DE-9IM matrices as lists (None for missing rows) — the
     list view of :func:`_matrix_table` for per-row consumers/tests."""
-    M, valid = _matrix_table(ga, gb)
+    M, valid = _matrix_table(ga, gb, vertex_budget)
     return [M[i].tolist() if valid[i] else None for i in range(len(ga))]
 
 
-def relate(ga: GeometryArray, gb: GeometryArray) -> list:
+def relate(ga: GeometryArray, gb: GeometryArray, vertex_budget=None) -> list:
     """Row-aligned DE-9IM strings (None where either side missing)."""
     if len(ga) != len(gb):
         raise ValueError("relate requires aligned columns")
-    M, valid = _matrix_table(ga, gb)
+    M, valid = _matrix_table(ga, gb, vertex_budget)
     return [_to_string(M[i]) if valid[i] else None for i in range(len(ga))]
 
 
@@ -649,12 +1008,12 @@ def matches(m: list[int], pattern: str) -> bool:
 
 
 def relate_pattern(ga: GeometryArray, gb: GeometryArray,
-                   pattern: str) -> np.ndarray:
+                   pattern: str, vertex_budget=None) -> np.ndarray:
     if len(ga) != len(gb):
         raise ValueError("relate_pattern requires aligned columns")
     if len(pattern) != 9:
         raise ValueError("DE-9IM pattern must have 9 characters")
-    M, valid = _matrix_table(ga, gb)
+    M, valid = _matrix_table(ga, gb, vertex_budget)
     out = valid.copy()
     for k, c in enumerate(pattern):
         if c == "*":
@@ -709,14 +1068,15 @@ PREDICATES = ("intersects", "disjoint", "within", "contains", "covers",
               "covered_by", "equals", "touches", "crosses", "overlaps")
 
 
-def predicate(ga: GeometryArray, gb: GeometryArray, name: str) -> np.ndarray:
+def predicate(ga: GeometryArray, gb: GeometryArray, name: str,
+              vertex_budget=None) -> np.ndarray:
     """Row-aligned boolean predicate derived from the DE-9IM matrix
     (False where either side is missing, matching shapely's None rule)."""
     if name not in PREDICATES:
         raise ValueError(f"unknown predicate {name!r} (one of {PREDICATES})")
     if len(ga) != len(gb):
         raise ValueError("predicate requires aligned columns")
-    M, valid = _matrix_table(ga, gb)
+    M, valid = _matrix_table(ga, gb, vertex_budget)
     ii, ib, ie = M[:, 0], M[:, 1], M[:, 2]
     bi, bb, be = M[:, 3], M[:, 4], M[:, 5]
     ei, eb = M[:, 6], M[:, 7]

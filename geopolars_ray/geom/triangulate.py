@@ -200,9 +200,16 @@ def _lawson_flips(tris, constraints):
     return [tuple(t) for t in tris]
 
 
-def triangulate_polygon_rings(rings, delaunay: bool = True):
+def triangulate_polygon_rings(rings, delaunay: bool = True, vertex_budget=None):
     """Triangulate one polygon given as [shell, *holes] (open or closed
-    rings, any orientation). Returns coordinate triangles (CCW)."""
+    rings, any orientation). Returns coordinate triangles (CCW).
+
+    Per-geometry algorithmic kernel (ear clipping is O(n^2)): guarded
+    by the documented vertex budget (:mod:`geopolars_ray.geom.budget`)."""
+    from geopolars_ray.geom.budget import check_vertex_budget
+
+    check_vertex_budget(sum(len(r) for r in rings),
+                        "triangulate_polygon_rings", vertex_budget)
     shell = _dedup_ring(rings[0])
     if len(shell) < 3:
         return []

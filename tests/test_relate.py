@@ -431,3 +431,173 @@ def test_gate_query_rects_engage_fast_path():
         for a, b, c, d in zip(x0, y0, w, h)])
     mask, _boxes = _rect_boxes(ga)
     assert mask.all()
+
+
+def _star(cx, cy, radii, rng):
+    """Simple (star-shaped) polygon: radially sorted vertices around a
+    center — never self-intersecting."""
+    k = len(radii)
+    ang = np.sort(rng.uniform(0.0, 2 * np.pi, k))
+    ring = [(float(cx + r * np.cos(a)), float(cy + r * np.sin(a)))
+            for r, a in zip(radii, ang)]
+    return ("polygon", [ring + [ring[0]]])
+
+
+def test_general_poly_fast_path_matches_sweep():
+    """r5: the general simple-polygon classifier (crossing / containment /
+    disjoint via flattened seg-pair numpy) must equal the sweep exactly —
+    random stars at offsets covering every contact class, including
+    borderline rows that must silently fall back."""
+    from geopolars_ray.geom.relate import _all_matrices, relate_pair
+
+    rng = np.random.default_rng(77)
+    rows_a, rows_b = [], []
+    for _ in range(120):
+        rows_a.append(_star(0.0, 0.0, rng.uniform(2, 5, rng.integers(4, 9)), rng))
+        # offset sweeps: overlap (0-3), touch-ish (5-7), contained (tiny
+        # star inside), far disjoint, bbox-overlap disjoint (diagonal)
+        mode = rng.integers(5)
+        if mode == 0:
+            rows_b.append(_star(float(rng.uniform(0, 3)), float(rng.uniform(0, 3)),
+                                rng.uniform(2, 5, rng.integers(4, 9)), rng))
+        elif mode == 1:
+            rows_b.append(_star(0.0, 0.0, rng.uniform(0.2, 0.8, rng.integers(4, 8)), rng))
+        elif mode == 2:
+            rows_b.append(_star(30.0, 30.0, rng.uniform(1, 4, rng.integers(4, 8)), rng))
+        elif mode == 3:
+            # big far corner star whose bbox overlaps A's bbox but body is clear
+            rows_b.append(("polygon", [[(4.9, 4.9), (9., 5.5), (9., 9.), (5.5, 9.), (4.9, 4.9)]]))
+        else:
+            rows_b.append(_star(float(rng.uniform(4, 6)), float(rng.uniform(4, 6)),
+                                rng.uniform(1, 3, rng.integers(4, 8)), rng))
+    # exact shared-edge touch and equal polygons: must route to the sweep
+    tri = ("polygon", [[(0., 0.), (4., 0.), (2., 3.), (0., 0.)]])
+    tri2 = ("polygon", [[(4., 0.), (0., 0.), (2., -3.), (4., 0.)]])
+    rows_a += [tri, tri]
+    rows_b += [tri2, tri]
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    fast = _all_matrices(ga, gb)
+    for i in range(len(ga)):
+        assert fast[i] == relate_pair(ga, i, gb, i), (i, rows_a[i], rows_b[i])
+
+
+def test_bbox_disjoint_fast_path_all_families():
+    """r5: bbox-separated pairs of EVERY family (incl. holes, multiparts,
+    open/closed lines) classify without the sweep and equal it."""
+    import geopolars_ray.geom.relate as REL
+
+    shapes = [
+        ("point", (0.0, 0.0)),
+        ("multipoint", [(0.0, 0.0), (1.0, 1.0)]),
+        ("linestring", [(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]),
+        ("linestring", [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]),  # closed
+        ("multilinestring", [[(0.0, 0.0), (1.0, 0.0)], [(1.0, 0.0), (1.0, 1.0)]]),
+        ("polygon", [[(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0), (0.0, 0.0)],
+                     [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0), (1.0, 1.0)]]),
+        ("multipolygon", [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 0.0)]],
+                          [[(2.0, 2.0), (3.0, 2.0), (3.0, 3.0), (2.0, 2.0)]]]),
+    ]
+
+    def shift(s, dx, dy):
+        t, c = s
+        if t == "point":
+            return (t, (c[0] + dx, c[1] + dy))
+        if t in ("multipoint", "linestring"):
+            return (t, [(x + dx, y + dy) for x, y in c])
+        if t == "multilinestring":
+            return (t, [[(x + dx, y + dy) for x, y in p] for p in c])
+        if t == "polygon":
+            return (t, [[(x + dx, y + dy) for x, y in r] for r in c])
+        return (t, [[[(x + dx, y + dy) for x, y in r] for r in part] for part in c])
+
+    rows_a, rows_b = [], []
+    for sa in shapes:
+        for sb in shapes:
+            rows_a.append(sa)
+            rows_b.append(shift(sb, 100.0, -50.0))
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    expected = [relate_pair(ga, i, gb, i) for i in range(len(ga))]
+    # engagement: the sweep must never be consulted for separated pairs
+    orig = REL.relate_pair
+    REL.relate_pair = lambda *a: (_ for _ in ()).throw(AssertionError("sweep hit"))
+    try:
+        fast = REL._all_matrices(ga, gb)
+    finally:
+        REL.relate_pair = orig
+    assert fast == expected
+
+
+def test_general_poly_fast_path_engagement():
+    """r5: crossing / containment / bbox-overlap-disjoint / point-in-poly
+    simple-ring cases classify WITHOUT the sweep (monkeypatched to raise)."""
+    import geopolars_ray.geom.relate as REL
+
+    tri_a = ("polygon", [[(0., 0.), (10., 0.), (5., 8.), (0., 0.)]])
+    rows_a = [
+        tri_a,                                                       # crossing
+        tri_a,                                                       # contains
+        tri_a,                                                       # bbox-overlap disjoint
+        ("point", (5.0, 3.0)),                                       # point in tri
+        tri_a,                                                       # tri vs point (flip)
+    ]
+    rows_b = [
+        ("polygon", [[(6., -3.), (14., 4.), (6., 11.), (6., -3.)]]),
+        ("polygon", [[(4., 1.), (6., 1.), (5., 2.), (4., 1.)]]),
+        ("polygon", [[(9., 6.), (12., 6.), (12., 9.), (9., 9.), (9., 6.)]]),
+        ("polygon", [[(0., 0.), (10., 0.), (5., 8.), (0., 0.)]]),
+        ("point", (20.0, 3.0)),
+    ]
+    ga = GeometryArray.from_pylist(rows_a)
+    gb = GeometryArray.from_pylist(rows_b)
+    expected = [relate_pair(ga, i, gb, i) for i in range(len(ga))]
+    orig = REL.relate_pair
+    REL.relate_pair = lambda *a: (_ for _ in ()).throw(AssertionError("sweep hit"))
+    try:
+        fast = REL._all_matrices(ga, gb)
+    finally:
+        REL.relate_pair = orig
+    assert fast == expected
+    assert fast[0] == [2, 1, 2, 1, 0, 1, 2, 1, 2]
+    assert fast[1] == [2, 1, 2, -1, -1, 1, -1, -1, 2]
+    assert fast[2] == [-1, -1, 2, -1, -1, 1, 2, 1, 2]
+
+
+def test_vertex_budget_guards():
+    """r5: per-geometry algorithmic kernels fail FAST and LOUD over the
+    documented vertex budget; vertex_budget=0 disables, explicit budget
+    overrides (geom/budget.py)."""
+    import pytest
+
+    from geopolars_ray.geom import kernels as K
+    from geopolars_ray.geom.budget import DEFAULT_VERTEX_BUDGET, VertexBudgetError
+    from geopolars_ray.geom.delaunay import delaunay_points
+    from geopolars_ray.geom.relate import relate
+
+    assert DEFAULT_VERTEX_BUDGET == 50_000
+    pts = [(float(i), float((i * 7919) % 101)) for i in range(300)]
+    with pytest.raises(VertexBudgetError, match="delaunay_points.*vertex_budget"):
+        delaunay_points(pts, vertex_budget=100)
+    assert len(delaunay_points(pts, vertex_budget=0)[1]) > 0   # disabled
+    assert len(delaunay_points(pts)[1]) > 0                    # under default
+
+    ring = [(float(np.cos(t)), float(np.sin(t)))
+            for t in np.linspace(0, 2 * np.pi, 200)[:-1]]
+    ga = GeometryArray.from_pylist([("polygon", [ring + [ring[0]]])])
+    with pytest.raises(VertexBudgetError, match="minimum_clearance"):
+        K.minimum_clearance(ga, vertex_budget=50)
+    assert np.isfinite(K.minimum_clearance(ga)[0])
+    with pytest.raises(VertexBudgetError, match="maximum_inscribed_circle"):
+        K.maximum_inscribed_circle(ga, vertex_budget=50)
+
+    # relate: only SWEEP-routed rows pay the guard — fast-path rows never do
+    tri = ("polygon", [[(0., 0.), (4., 0.), (2., 3.), (0., 0.)]])
+    tri_touch = ("polygon", [[(4., 0.), (0., 0.), (2., -3.), (4., 0.)]])
+    far = ("polygon", [[(100., 100.), (104., 100.), (102., 103.), (100., 100.)]])
+    assert relate(GeometryArray.from_pylist([tri]),
+                  GeometryArray.from_pylist([far]),
+                  vertex_budget=7)[0] == "FF2FF1212"  # fast path: no guard
+    with pytest.raises(VertexBudgetError, match="arrangement sweep"):
+        relate(GeometryArray.from_pylist([tri]),
+               GeometryArray.from_pylist([tri_touch]), vertex_budget=7)
