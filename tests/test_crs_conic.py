@@ -270,8 +270,8 @@ def test_parse_crs_new_codes_and_pivot():
     # 1SP default: lat_2 falls back to lat_1
     s = C.parse_crs("+proj=lcc +lat_1=40 +lat_0=40 +lon_0=0 +k_0=0.9999")
     assert s["lat_2"] == 40.0 and s["k_0"] == 0.9999
-    with pytest.raises(ValueError, match=r"POLAR \+proj=stere"):
-        C.parse_crs("+proj=stere +lat_0=52 +lon_0=4")  # oblique aspect needs +proj=sterea
+    # r5: the oblique single-projection aspect is now accepted (stere_ob)
+    assert C.parse_crs("+proj=stere +lat_0=52 +lon_0=4")["proj"] == "stere_ob"
     s = C.parse_crs("+proj=sterea +lat_0=52.15 +lon_0=5.38 +k_0=0.9999079 "
                     "+x_0=155000 +y_0=463000")
     assert s["proj"] == "sterea" and s["k_0"] == 0.9999079 and s["y_0"] == 463_000.0
@@ -426,3 +426,135 @@ def test_eqc_and_cea():
     lo2, la2 = C.transform_points(X2, Y2, "EPSG:6933", "EPSG:4326")
     # authalic->geodetic series truncation: ~1.5e-8 deg (~1.6 mm)
     assert np.abs(lo2 - lon).max() < 1e-9 and np.abs(la2 - lat).max() < 5e-8
+
+
+# ---------------------------------------------------------------- r5: datums
+
+
+def test_osgb36_tmerc_airy_worked_example():
+    """OS 'A guide to coordinate systems in Great Britain' worked
+    example (projection step on Airy 1830, no datum shift): OSGB36
+    geodetic 52°39'27.2531\"N 1°43'4.5177\"E -> E 651409.903 N 313177.270.
+    Pins the ellipsoid-parametrized Krüger series to the published
+    milli-metre table."""
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    grid = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy")
+    e, n = C.transform_points([lon], [lat], "+proj=longlat +ellps=airy", grid)
+    assert abs(e[0] - 651409.903) < 2e-3
+    assert abs(n[0] - 313177.270) < 2e-3
+    lon2, lat2 = C.transform_points(e, n, grid, "+proj=longlat +ellps=airy")
+    assert abs(lon2[0] - lon) < 1e-9 and abs(lat2[0] - lat) < 1e-9
+
+
+def test_epsg27700_helmert_datum_step():
+    """EPSG:27700 carries the published OSGB36 Helmert set. Anchors:
+    (a) the WGS84 prime meridian at Greenwich sits ~5.3\" EAST of the
+    OSGB36 zero meridian (the documented ~102 m Greenwich offset) — our
+    single-set Helmert must land within ~1\" of it; (b) mm round-trips;
+    (c) the datum step moves grid coords 50-180 m vs the naive
+    projection-only result (GN7-2's documented shift magnitude)."""
+    # (a) transit-circle longitude anchor
+    lon, lat = C.transform_points([-5.3101 / 3600], [51.4769],
+                                  "EPSG:4326", "+proj=longlat +datum=OSGB36")
+    assert abs(lon[0]) * 3600 < 1.0, lon[0] * 3600
+    # (b) round-trip
+    e, n = C.transform_points([-1.5, -4.0], [52.5, 56.0], "EPSG:4326", "EPSG:27700")
+    lon2, lat2 = C.transform_points(e, n, "EPSG:27700", "EPSG:4326")
+    assert np.allclose(lon2, [-1.5, -4.0], atol=1e-8)
+    assert np.allclose(lat2, [52.5, 56.0], atol=1e-8)
+    # (c) shift magnitude vs projection-only (same WGS84 lon/lat fed in)
+    grid = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy")
+    e0, n0 = C.transform_points([-1.5], [52.5], "+proj=longlat +ellps=airy", grid)
+    d = float(np.hypot(e[0] - e0[0], n[0] - n0[0]))
+    assert 50.0 < d < 180.0, d
+
+
+def test_swiss_lv03_lv95_swisstopo_anchor():
+    """swisstopo's published example (approximate-formula doc):
+    LV03 (700000, 100000) <-> WGS84 46°02'38.87\"N 8°43'49.79\"E; the
+    rigorous somerc + granit87 translations must land within ~0.5 m.
+    EPSG:2056 (LV95) is the same frame shifted by (+2,000,000 /
+    +1,000,000)."""
+    lon, lat = C.transform_points([700000.0], [100000.0], "EPSG:21781", "EPSG:4326")
+    assert abs(lon[0] - (8 + 43 / 60 + 49.79 / 3600)) * 3600 < 0.03
+    assert abs(lat[0] - (46 + 2 / 60 + 38.87 / 3600)) * 3600 < 0.03
+    e, n = C.transform_points(lon, lat, "EPSG:4326", "EPSG:21781")
+    assert abs(e[0] - 700000.0) < 0.5 and abs(n[0] - 100000.0) < 0.5
+    e95, n95 = C.transform_points(lon, lat, "EPSG:4326", "EPSG:2056")
+    assert abs(e95[0] - 2_700_000.0) < 0.5 and abs(n95[0] - 1_100_000.0) < 0.5
+
+
+def test_rd_new_28992_origin_and_roundtrip():
+    """EPSG:28992 (Amersfoort / RD New): the projection origin (the OLV
+    tower) maps to the false origin (155000, 463000) BY DEFINITION when
+    fed Amersfoort-datum geodetic coords; WGS84 round-trips are mm."""
+    lat0 = 52 + 9 / 60 + 22.178 / 3600
+    lon0 = 5 + 23 / 60 + 15.5 / 3600
+    e, n = C.transform_points([lon0], [lat0],
+                              "+proj=longlat +datum=amersfoort", "EPSG:28992")
+    assert abs(e[0] - 155000.0) < 1e-6 and abs(n[0] - 463000.0) < 1e-6
+    lon, lat = C.transform_points([5.0], [52.2], "EPSG:4326", "EPSG:28992")
+    back = C.transform_points(lon, lat, "EPSG:28992", "EPSG:4326")
+    assert abs(back[0][0] - 5.0) < 1e-8 and abs(back[1][0] - 52.2) < 1e-8
+
+
+def test_helmert_towgs84_projstring_and_guards():
+    """+towgs84/+ellps proj-string surface: 3-param pads to 7; the
+    EPSG:27700 alias equals the spelled-out proj-string; non-WGS84
+    ellipsoids refuse projections whose formulas are not ellipsoid-
+    parametrized; unknown datum names fail loudly."""
+    full = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k_0=0.9996012717 +x_0=400000 "
+            "+y_0=-100000 +ellps=airy "
+            "+towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894")
+    assert C.parse_crs(full) == C.parse_crs("EPSG:27700")
+    # 3-param pad
+    spec = C.parse_crs("+proj=longlat +ellps=bessel +towgs84=674.374,15.056,405.346")
+    assert spec["datum"]["towgs84"] == (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="ellipsoid-parametrized"):
+        C.parse_crs("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 +ellps=airy "
+                    "+towgs84=1,2,3")
+    with pytest.raises(ValueError, match="unknown .datum"):
+        C.parse_crs("+proj=longlat +datum=NAD27X")
+    # geocentric pivot round-trips to mm through a rotation+scale datum
+    lon, lat = np.array([-1.2, 3.4]), np.array([51.2, 47.9])
+    d = C.DATUMS["OSGB36"]
+    l2, p2 = C.wgs84_to_datum(*C.datum_to_wgs84(lon, lat, d), d)
+    assert np.allclose(l2, lon, atol=1e-11) and np.allclose(p2, lat, atol=1e-11)
+
+
+def test_oblique_stere_snyder_anchor_and_invariants():
+    """r5: single-projection oblique stereographic (+proj=stere,
+    |lat_0|<90). Snyder's ellipsoid worked example (Clarke 1866,
+    k0=0.9999, phi1=40N, lam0=100W; point 30N 90W -> x=971630.8,
+    y=-1063049.3), exact round-trip, scale k0 at the origin, and
+    sub-meter agreement with the EPSG-9809 double projection near the
+    origin (both conformal with scale k0 there)."""
+    a, e = 6378206.4, float(np.sqrt(0.00676866))
+    x, y = C.stere_ob_forward(np.array([-90.0]), np.array([30.0]),
+                              -100.0, 40.0, 0.9999, 0.0, 0.0, a, e)
+    assert abs(x[0] - 971630.8) < 0.5 and abs(y[0] + 1063049.3) < 0.5
+    lon, lat = C.stere_ob_inverse(x, y, -100.0, 40.0, 0.9999, 0.0, 0.0, a, e)
+    assert abs(lon[0] + 90.0) < 1e-9 and abs(lat[0] - 30.0) < 1e-9
+    # parse surface: oblique aspect now accepted
+    grid = "+proj=stere +lat_0=46 +lon_0=8 +k_0=0.99"
+    assert C.parse_crs(grid)["proj"] == "stere_ob"
+    x2, y2 = C.transform_points([7.0], [47.0], "EPSG:4326", grid)
+    back = C.transform_points(x2, y2, grid, "EPSG:4326")
+    assert abs(back[0][0] - 7.0) < 1e-9 and abs(back[1][0] - 47.0) < 1e-9
+    # scale at origin == k0 (finite difference along the meridian)
+    eps = 1e-6
+    y0 = C.transform_points([8.0], [46.0], "EPSG:4326", grid)[1]
+    y1 = C.transform_points([8.0], [46.0 + eps], "EPSG:4326", grid)[1]
+    e2 = C.WGS84_F * (2 - C.WGS84_F)
+    import math
+    M = C.WGS84_A * (1 - e2) / (1 - e2 * math.sin(math.radians(46.0)) ** 2) ** 1.5
+    assert abs((y1[0] - y0[0]) / (math.radians(eps) * M) - 0.99) < 1e-4
+    # mutual anchor vs sterea ~25 km from origin
+    xa, ya = C.transform_points([8.3], [46.2], "EPSG:4326",
+                                "+proj=sterea +lat_0=46 +lon_0=8")
+    xb, yb = C.transform_points([8.3], [46.2], "EPSG:4326",
+                                "+proj=stere +lat_0=46 +lon_0=8")
+    assert np.hypot(xa[0] - xb[0], ya[0] - yb[0]) < 1.0
