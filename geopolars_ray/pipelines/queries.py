@@ -937,6 +937,61 @@ def q_dd_paragraph(sf_dir: str):
     return paragraph_dedup(ds, sep=" a ", num_partitions=8)
 
 
+def q_dd_cc_clusters(sf_dir: str):
+    """Connected-components near-dup clustering (r5: gates stages/cc.py,
+    previously pytest-only). Edge = two docs sharing any >= 6-char
+    ' a '-split segment; per-segment groups emit STAR edges (doc ->
+    min doc of the group), which have the same components as the full
+    pairwise graph at O(k) instead of O(k^2) per group. Components are
+    resolved by the distributed min-label propagation + pointer-jumping
+    loop and attached back to every doc (singletons = own id), then each
+    doc gets its cluster size. The DuckDB oracle replays the graph with a
+    recursive-CTE transitive closure — labelings must match exactly."""
+    from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
+    from geopolars_ray.stages.cc import attach_components
+    from geopolars_ray.stages.hashjoin import hash_join
+
+    ds = _read_exchange(sf_dir, "documents", columns=["doc_id", "text"])
+    SEP, MINLEN = " a ", 6
+
+    def explode(batch: pa.Table) -> pa.Table:
+        segs = pc.split_pattern(pc.cast(batch["text"], pa.string()), SEP)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+        t = pa.table({"seg": pc.list_flatten(segs),
+                      "doc_id": pa.array(np.repeat(ids, counts))})
+        return t.filter(pc.greater_equal(pc.utf8_length(t["seg"]), MINLEN))
+
+    def star_edges(part: pa.Table) -> pa.Table:
+        part = part.combine_chunks()
+        idx = pc.sort_indices(part, sort_keys=[("seg", "ascending"),
+                                               ("doc_id", "ascending")])
+        part = part.take(idx).combine_chunks()
+        seg = part["seg"].chunk(0) if part["seg"].num_chunks else part["seg"]
+        doc = part["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new = np.ones(len(part), dtype=bool)
+        if len(part) > 1:
+            new[1:] = pc.not_equal(
+                seg.slice(1), seg.slice(0, len(part) - 1)
+            ).to_numpy(zero_copy_only=False)
+        gid = np.cumsum(new) - 1
+        vmin = doc[new][gid]
+        m = doc != vmin
+        return pa.table({"id_a": pa.array(doc[m]), "id_b": pa.array(vmin[m])})
+
+    pairs = hash_partitioned_map(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["seg"], star_edges, num_partitions=8)
+    docs = ds.drop_columns(["text"])
+    attached = attach_components(docs, pairs, "doc_id",
+                                 src="id_a", dst="id_b", num_partitions=8)
+    sizes = hash_aggregate(attached, ["component"],
+                           [("doc_id", "count", "cluster_size")],
+                           num_partitions=8)
+    out = hash_join(attached, sizes, on=["component"], num_partitions=8)
+    return out.select_columns(["doc_id", "component", "cluster_size"])
+
+
 def q_pipe_curation(sf_dir: str):
     """COMPOSED curation pipeline gate (r4): quality floor → per-language
     deterministic downsample → paragraph dedup, end to end through
@@ -1886,7 +1941,10 @@ WHERE CAST(i.i AS DOUBLE) / CAST(ca.n + cb.n - i.i AS DOUBLE) >= 0.5
 
 QUERIES = {
     "geo_affine": q_geo_affine,
-    "geo_rotate": q_geo_rotate,
+    # geo_rotate was swapped out in r5 for the connected-components gate:
+    # rotate/scale/skew kernels stay covered by geo_affine's gate + the
+    # kernel pytest suite, and the 50-entry driver cap is full
+    "dd_cc_clusters": q_dd_cc_clusters,
     "geo_rect_stats": q_geo_rect_stats,
     "geo_length_path": q_geo_length_path,
     "geo_distance": q_geo_distance,
@@ -1947,10 +2005,22 @@ ORACLE_SQL = {
         f"SELECT c_custkey, ({_CX}) + 1.25 AS xt, ({_CY}) - 2.5 AS yt, "
         f"2.0*(({_CX}) + 1.25) + 10.25 AS xa, 0.5*(({_CY}) - 2.5) - 3.5 AS ya FROM customer"
     ),
-    "geo_rotate": (
-        f"SELECT c_custkey, -({_CY}) AS xr, ({_CX}) AS yr, "
-        f"-({_CY}) + ({_CX}) AS xk, ({_CX}) AS yk, "
-        f"2.0*(-({_CY}) + ({_CX})) AS xs, -0.5*({_CX}) AS ys FROM customer"
+    "dd_cc_clusters": (
+        "WITH segs AS (SELECT doc_id, seg FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' a ')) AS seg FROM documents) "
+        "WHERE length(seg) >= 6), "
+        "edges AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v "
+        "FROM segs a JOIN segs b USING (seg) WHERE a.doc_id <> b.doc_id), "
+        "reach AS (WITH RECURSIVE r(u, v) AS ("
+        "SELECT u, v FROM edges UNION "
+        "SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u WHERE r.u <> e.v) "
+        "SELECT u, v FROM r), "
+        "lbl AS (SELECT u AS node, LEAST(u, MIN(v)) AS component "
+        "FROM reach GROUP BY u), "
+        "lab AS (SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component "
+        "FROM documents d LEFT JOIN lbl l ON d.doc_id = l.node) "
+        "SELECT doc_id, component, "
+        "COUNT(*) OVER (PARTITION BY component) AS cluster_size FROM lab"
     ),
     "geo_rect_stats": (
         f"SELECT n_nationkey, w*h AS area, 2.0*(w+h) AS perimeter, "

@@ -169,3 +169,34 @@ def test_attach_components_empty_pair_graph(ray_session):
     assert {r["doc_id"]: r["component"] for r in out} == {7: 7, 8: 8}
     kept = dedup_keep_representatives(docs, _pairs_ds([]), num_partitions=2).take_all()
     assert sorted(r["doc_id"] for r in kept) == [7, 8]
+
+
+def test_dd_cc_clusters_gate_vs_duckdb(ray_session):
+    """r5: the connected-components GATE query (dd_cc_clusters) against
+    its recursive-CTE DuckDB oracle at sf0.001 — the same compare the
+    grading driver runs at sf0.01 (star edges per segment group must
+    yield the same components as the full pairwise closure)."""
+    import duckdb
+    import pandas as pd
+
+    from geopolars_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = QUERIES["dd_cc_clusters"](sf)
+    df = got if isinstance(got, pd.DataFrame) else got.to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    odf = con.execute(ORACLE_SQL["dd_cc_clusters"]).df()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        for c in d.columns:
+            d[c] = d[c].astype("int64")
+        return d.sort_values(by=list(d.columns), kind="mergesort").reset_index(drop=True)
+
+    a, b = canon(df), canon(odf)
+    assert len(a) == len(b) > 0
+    assert a.equals(b)
+    # the gate must actually exercise multi-doc clusters
+    assert (a["cluster_size"] > 1).any()
