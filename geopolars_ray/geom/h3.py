@@ -1,0 +1,505 @@
+"""Canonical Uber H3 cell indexing (vectorized numpy, no native h3 dependency).
+
+Implements the published H3 cell-indexing algorithm (uber/h3, Apache-2.0):
+``latlng_to_cell`` (geoToH3), ``cell_to_latlng`` (h3ToGeo with Class-II
+overage handling), parents/children and predicates, producing bit-identical
+canonical H3 indexes.
+
+Provenance / honesty note
+-------------------------
+Only two tables are copied from the published H3 source: ``FACE_CENTER_GEO``
+(icosahedron face centers, faceijk.c) and ``BASE_CELL_DATA`` (the 122 base
+cells with home face/ijk, pentagon flags and cw-offset faces, baseCells.c).
+The remaining structure H3 hard-codes — icosahedron vertices, the per-face
+Class-II i-axis orientation, the ``faceIjkBaseCells`` (face, ijk) -> (base
+cell, rotations) table and the cross-edge lattice relabeling used for
+overage — was *derived* geometrically in-sandbox (icosahedron reconstruction,
+orientation constraint solving, cross-frame consistency probing) and is
+pinned by five independently published anchor ids:
+
+- ``latLngToCell(0, 0, 0)                              == 8075fffffffffff``
+- ``latLngToCell(37.3615593, -122.0553238, 7)          == 87283472bffffff``
+- ``latLngToCell(37.775938728915946, -122.41795063018799, 9)
+                                                        == 8928308280fffff``
+- ``latLngToCell(40.689167, -74.044444, 10)            == 8a2a1072b59ffff``
+- ``cellToLatLng(85283473fffffff) == (37.34579337536848, -121.97637597255124)``
+
+plus exhaustive structural invariants (12 pentagons, all-res round trips,
+parent/child closure) in tests/test_h3.py.
+
+Reference parity: the geopolars reference has no H3 support; this module
+closes the north-star "H3 res-7" noun (BASELINE.json north_rule).  The
+non-canonical ``h3ish`` module remains for compatibility;
+``h3ish_cell_id(..., canonical=True)`` routes here.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import _h3_tables as T
+
+RES0_U = 0.38196601125010500003          # RES0_U_GNOMONIC
+AP7_ROT = float(np.arcsin(np.sqrt(3.0 / 28.0)))
+SQRT7 = float(np.sqrt(7.0))
+S3_2 = float(np.sqrt(3.0) / 2.0)
+MAX_RES = 15
+
+_CCW = np.array([0, 5, 3, 1, 6, 4, 2, 7], dtype=np.int64)
+_CW = np.array([0, 3, 6, 2, 5, 1, 4, 7], dtype=np.int64)
+_CCW_POW = np.empty((6, 8), dtype=np.int64)
+_CCW_POW[0] = np.arange(8)
+for _n in range(1, 6):
+    _CCW_POW[_n] = _CCW[_CCW_POW[_n - 1]]
+K_DIGIT = 1
+
+# unit ijk vector per digit
+_UNIT = np.array([[0, 0, 0], [0, 0, 1], [0, 1, 0], [0, 1, 1],
+                  [1, 0, 0], [1, 0, 1], [1, 1, 0]], dtype=np.int64)
+
+# ---- geometry tables (import-time, cheap trig) ----
+
+
+def _ll2xyz(lat, lng):
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+
+
+_CENTERS = _ll2xyz(T.FACE_CENTER_GEO[:, 0], T.FACE_CENTER_GEO[:, 1])
+_Z = np.array([0.0, 0.0, 1.0])
+_NHAT = _Z - (_CENTERS @ _Z)[:, None] * _CENTERS
+_NHAT /= np.linalg.norm(_NHAT, axis=1, keepdims=True)
+_EHAT = np.cross(np.broadcast_to(_Z, (20, 3)), _CENTERS)
+_EHAT /= np.linalg.norm(_EHAT, axis=1, keepdims=True)
+
+
+def _azimuth_to(f, p):
+    d = p - (p @ _CENTERS[f]) * _CENTERS[f]
+    return float(np.arctan2(d @ _EHAT[f], d @ _NHAT[f]))
+
+
+_AZ_I = np.array([_azimuth_to(f, T.VERTS[T.I_VERT[f]]) for f in range(20)])
+
+_BCD = T.BASE_CELL_DATA
+_BC_HOME_FACE = np.array([r[0] for r in _BCD], dtype=np.int64)
+_BC_HOME_IJK = np.array([r[1] for r in _BCD], dtype=np.int64)
+_PENT = np.array([bool(r[2]) for r in _BCD])
+_CW_OFF = np.zeros((122, 20), dtype=bool)
+for _b, _r in enumerate(_BCD):
+    for _f in _r[3]:
+        if _f >= 0:
+            _CW_OFF[_b, _f] = True
+
+_FIJK_BC = T.FIJK_BC
+
+# cross-edge maps -> dense arrays per (face, edge) with edge 0=IJ 1=JK 2=KI
+_EDGE_CORNER_IDX = {0: (0, 1), 1: (1, 2), 2: (2, 0)}   # into CORNER_VERTS rows
+_NBR_FACE = np.full((20, 3), -1, dtype=np.int64)
+_NBR_ROT = np.zeros((20, 3), dtype=np.int64)
+_NBR_T = np.zeros((20, 3, 2), dtype=np.int64)
+_vert_faces: dict[int, list[int]] = {}
+for _f in range(20):
+    for _v in T.CORNER_VERTS[_f]:
+        _vert_faces.setdefault(_v, []).append(_f)
+for _f in range(20):
+    for _e, (_a, _b) in _EDGE_CORNER_IDX.items():
+        _va, _vb = T.CORNER_VERTS[_f][_a], T.CORNER_VERTS[_f][_b]
+        _g = next(x for x in _vert_faces[_va] if x != _f and x in _vert_faces[_vb])
+        _NBR_FACE[_f, _e] = _g
+        _n, _t = T.EDGE_MAPS[f"{_f},{_g}"]
+        _NBR_ROT[_f, _e] = _n
+        _NBR_T[_f, _e] = _t
+
+# axial 60-deg ccw rotation matrices M^n on (a, b) = (i-k, j-k)
+_AXM = np.array([[1, -1], [1, 0]], dtype=np.int64)
+_AXM_POW = np.empty((6, 2, 2), dtype=np.int64)
+_AXM_POW[0] = np.eye(2, dtype=np.int64)
+for _n in range(1, 6):
+    _AXM_POW[_n] = _AXM @ _AXM_POW[_n - 1]
+
+
+def _norm3(i, j, k):
+    mn = np.minimum(np.minimum(i, j), k)
+    return i - mn, j - mn, k - mn
+
+
+def _hex2d_to_ijk(x, y):
+    """containing hex of a 2D point: exact nearest-center (cube rounding).
+
+    Hexagon cells are the Voronoi regions of the lattice, so "containing
+    hex" == nearest center; cube rounding computes it exactly and is stable
+    at exact cell centers (fractional parts are 0 there), which keeps
+    cellToLatLng -> latLngToCell round trips bit-exact at every resolution.
+    """
+    bf = y / S3_2                 # fractional j  (y = j * sqrt(3)/2)
+    af = x + 0.5 * bf             # fractional i  (x = i - j/2)
+    # standard hex axial coords are (a, -b) for this basis (the lattice
+    # neighbor set here includes (1,1)/(-1,-1), not (1,-1)/(-1,1))
+    cx = af
+    cz = -bf
+    cy = -cx - cz
+    rx = np.rint(cx)
+    ry = np.rint(cy)
+    rz = np.rint(cz)
+    dx = np.abs(rx - cx)
+    dy = np.abs(ry - cy)
+    dz = np.abs(rz - cz)
+    fix_x = (dx >= dy) & (dx >= dz)
+    fix_z = ~fix_x & (dz >= dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return _norm3(rx.astype(np.int64), (-rz).astype(np.int64),
+                  np.zeros(len(rx), dtype=np.int64))
+
+
+def _lround_div7(num):
+    """lround(num / 7.0) for integer arrays (never lands on exact .5).
+
+    np.rint (round-half-even) is safe because (int mod 7)/7 is never .5,
+    and it skips numpy's decimal-scaling path.
+    """
+    return np.rint(num / 7.0).astype(np.int64)
+
+
+def _up_ap7(i, j, k):
+    ii = i - k
+    jj = j - k
+    return _norm3(_lround_div7(3 * ii - jj), _lround_div7(ii + 2 * jj),
+                  np.zeros_like(i))
+
+
+def _up_ap7r(i, j, k):
+    ii = i - k
+    jj = j - k
+    return _norm3(_lround_div7(2 * ii + jj), _lround_div7(3 * jj - ii),
+                  np.zeros_like(i))
+
+
+def _up_ap7_raw(i, j, k):
+    """up_ap7 without normalization (ijk are equivalence classes mod (c,c,c))."""
+    ii = i - k
+    jj = j - k
+    return _lround_div7(3 * ii - jj), _lround_div7(ii + 2 * jj)
+
+
+def _up_ap7r_raw(i, j, k):
+    ii = i - k
+    jj = j - k
+    return _lround_div7(2 * ii + jj), _lround_div7(3 * jj - ii)
+
+
+def _down_ap7(i, j, k):
+    # iVec={3,0,1} jVec={1,3,0} kVec={0,1,3}
+    return _norm3(3 * i + j, 3 * j + k, i + 3 * k)
+
+
+def _down_ap7r(i, j, k):
+    # iVec={3,1,0} jVec={0,3,1} kVec={1,0,3}
+    return _norm3(3 * i + k, i + 3 * j, j + 3 * k)
+
+
+def _leading_nonzero(digits):
+    """first nonzero digit per row of an (N, res) array; 0 if none."""
+    if digits.shape[1] == 0:
+        return np.zeros(digits.shape[0], dtype=np.int64)
+    nz = digits != 0
+    pos = np.argmax(nz, axis=1)
+    val = digits[np.arange(len(digits)), pos]
+    return np.where(nz.any(axis=1), val, 0)
+
+
+def _rotate_pent60ccw(digits):
+    """_h3RotatePent60ccw on an (N, res) digit array."""
+    out = _CCW[digits]
+    lead_k = _leading_nonzero(out) == K_DIGIT
+    if lead_k.any():
+        out[lead_k] = _CCW[out[lead_k]]
+    return out
+
+
+def latlng_to_cell(lat, lng, res: int):
+    """Canonical H3 index per point (degrees). Vectorized; returns uint64."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    p = _ll2xyz(np.radians(lat), np.radians(lng))
+    # nearest face (running max, avoids the (n,20) temporary)
+    best = p @ _CENTERS[0]
+    face = np.zeros(len(p), dtype=np.int64)
+    for f in range(1, 20):
+        d = p @ _CENTERS[f]
+        m = d > best
+        np.copyto(best, d, where=m)
+        face[m] = f
+    r = np.arccos(np.clip(best, -1.0, 1.0))
+    cg = _CENTERS[face]
+    d = p - best[:, None] * cg
+    az = np.arctan2(np.einsum("ij,ij->i", d, _EHAT[face]),
+                    np.einsum("ij,ij->i", d, _NHAT[face]))
+    theta = _AZ_I[face] - az
+    if res % 2 == 1:
+        theta = theta - AP7_ROT
+    rr = np.tan(r) / RES0_U * SQRT7 ** res
+    i, j, k = _hex2d_to_ijk(rr * np.cos(theta), rr * np.sin(theta))
+    return _face_ijk_to_h3(face, i, j, k, res)
+
+
+def _face_ijk_to_h3(face, i, j, k, res: int):
+    n = len(face)
+    digits = np.zeros((n, res), dtype=np.int64)
+    # all intermediate coords are equivalence classes mod (c,c,c), so only
+    # the digit differences and the final res-0 lookup need normalization
+    for r in range(res, 0, -1):
+        li, lj, lk = i, j, k
+        if r % 2 == 1:           # class III
+            i, j = _up_ap7_raw(i, j, k)
+            ci, cj, ck = 3 * i + j, 3 * j, i          # down_ap7 with k=0
+        else:
+            i, j = _up_ap7r_raw(i, j, k)
+            ci, cj, ck = 3 * i, i + 3 * j, j          # down_ap7r with k=0
+        k = np.zeros_like(i)
+        di, dj, dk = _norm3(li - ci, lj - cj, lk - ck)
+        digits[:, r - 1] = 4 * di + 2 * dj + dk
+    i, j, k = _norm3(i, j, k)
+    if digits.size and int(digits.max(initial=0)) > 6:
+        raise AssertionError("internal: non-unit digit in aggregation")
+    if int(np.maximum(np.maximum(i, j), k).max(initial=0)) > 2:
+        raise AssertionError("internal: res-0 coords out of the 3x3x3 range")
+    bc = _FIJK_BC[face, i, j, k, 0]
+    rot = _FIJK_BC[face, i, j, k, 1]
+    if int(bc.min(initial=0)) < 0:
+        raise AssertionError("internal: unmapped (face, ijk) base cell")
+    pent = _PENT[bc]
+    hexm = ~pent
+    if hexm.any():
+        digits[hexm] = _CCW_POW[rot[hexm][:, None], digits[hexm]]
+    if pent.any():
+        idx = np.where(pent)[0]
+        dsub = digits[idx]
+        lead_k = _leading_nonzero(dsub) == K_DIGIT
+        if lead_k.any():
+            cw = _CW_OFF[bc[idx], face[idx]]
+            mcw = lead_k & cw
+            mccw = lead_k & ~cw
+            if mcw.any():
+                dsub[mcw] = _CW[dsub[mcw]]
+            if mccw.any():
+                dsub[mccw] = _CCW[dsub[mccw]]
+        rsub = rot[idx]
+        for step in range(1, 5):
+            m = rsub >= step
+            if not m.any():
+                break
+            dsub[m] = _rotate_pent60ccw(dsub[m])
+        digits[idx] = dsub
+    return _pack(res, bc, digits)
+
+
+def _pack(res: int, bc, digits):
+    header = (1 << 59) | (res << 52) | ((1 << (3 * (15 - res))) - 1)
+    h = np.full(len(bc), header, dtype=np.uint64)
+    h |= bc.astype(np.uint64) << np.uint64(45)
+    for r in range(1, res + 1):
+        h |= digits[:, r - 1].astype(np.uint64) << np.uint64(3 * (15 - r))
+    return h
+
+
+def get_resolution(ids):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    return ((ids >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+
+
+def get_base_cell(ids):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    return ((ids >> np.uint64(45)) & np.uint64(0x7F)).astype(np.int64)
+
+
+def _digits_of(ids, res: int):
+    out = np.empty((len(ids), res), dtype=np.int64)
+    for r in range(1, res + 1):
+        out[:, r - 1] = ((ids >> np.uint64(3 * (15 - r))) & np.uint64(7)).astype(np.int64)
+    return out
+
+
+def is_pentagon(ids):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    bc = get_base_cell(ids)
+    out = _PENT[np.clip(bc, 0, 121)] & (bc < 122)
+    res = get_resolution(ids)
+    for grp in np.unique(res):
+        m = res == grp
+        if int(grp) > 0:
+            dg = _digits_of(ids[m], int(grp))
+            out[m] &= ~dg.any(axis=1)
+    return out
+
+
+def is_valid_cell(ids):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    mode = (ids >> np.uint64(59)) & np.uint64(0xF)
+    high = ids >> np.uint64(63)
+    res = get_resolution(ids)
+    bc = get_base_cell(ids)
+    ok = (mode == 1) & (high == 0) & (res <= MAX_RES) & (bc < 122)
+    for grp in np.unique(res):
+        m = ok & (res == grp)
+        if not m.any():
+            continue
+        g = int(grp)
+        if g > 0:
+            dg = _digits_of(ids[m], g)
+            good = (dg <= 6).all(axis=1)
+            # canonical pentagon indexes never lead with the K digit
+            pm = _PENT[np.clip(bc[m], 0, 121)]
+            good &= ~(pm & (_leading_nonzero(dg) == K_DIGIT))
+            t = np.where(m)[0]
+            ok[t[~good]] = False
+        # trailing digits must all be 7
+        trail = np.uint64((1 << (3 * (15 - g))) - 1)
+        t = np.where(m)[0]
+        bad = (ids[t] & trail) != trail
+        ok[t[bad]] = False
+    return ok
+
+
+def cell_to_parent(ids, parent_res):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    res = get_resolution(ids)
+    if np.any(parent_res > res):
+        raise ValueError("parent_res must be <= cell resolution")
+    pr = np.uint64(parent_res)
+    out = ids & ~np.uint64(0xF << 52)
+    out |= pr << np.uint64(52)
+    fill = np.uint64((1 << (3 * (15 - int(parent_res)))) - 1)
+    return out | fill
+
+
+def cell_to_children(ids, child_res=None):
+    """children one level down (or at child_res) of a single cell id."""
+    h = int(np.atleast_1d(np.asarray(ids, dtype=np.uint64))[0])
+    res = int((h >> 52) & 0xF)
+    target = res + 1 if child_res is None else int(child_res)
+    if target < res:
+        raise ValueError("child_res must be >= cell resolution")
+    cur = np.array([h], dtype=np.uint64)
+    for r in range(res + 1, target + 1):
+        pent = is_pentagon(cur)
+        outs = []
+        for d in range(7):
+            nxt = cur.copy()
+            nxt = (nxt & ~np.uint64(0xF << 52)) | np.uint64(r << 52)
+            shift = np.uint64(3 * (15 - r))
+            nxt = (nxt & ~(np.uint64(7) << shift)) | (np.uint64(d) << shift)
+            keep = ~(pent & (d == K_DIGIT))
+            outs.append(nxt[keep])
+        cur = np.concatenate(outs)
+    return np.sort(cur)
+
+
+def cell_to_latlng(ids):
+    """center (lat, lng) in degrees per cell id. Vectorized."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    res_all = get_resolution(ids)
+    lat = np.empty(len(ids), dtype=np.float64)
+    lng = np.empty(len(ids), dtype=np.float64)
+    for grp in np.unique(res_all):
+        m = res_all == grp
+        la, lo = _cell_to_latlng_res(ids[m], int(grp))
+        lat[m] = la
+        lng[m] = lo
+    return lat, lng
+
+
+def _cell_to_latlng_res(ids, res: int):
+    bc = get_base_cell(ids)
+    digits = _digits_of(ids, res)
+    pent = _PENT[bc]
+    # pentagon leading-5 (IK) subsequence adjustment
+    lead5 = pent & (_leading_nonzero(digits) == 5)
+    if lead5.any():
+        digits[lead5] = _CW[digits[lead5]]
+    face = _BC_HOME_FACE[bc].copy()
+    ijk = _BC_HOME_IJK[bc].T.copy()        # 3 arrays
+    i, j, k = ijk[0].copy(), ijk[1].copy(), ijk[2].copy()
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        u = _UNIT[digits[:, r - 1]]
+        i, j, k = _norm3(i + u[:, 0], j + u[:, 1], k + u[:, 2])
+    orig = (i.copy(), j.copy(), k.copy(), face.copy())
+    res_adj = res
+    if res % 2 == 1:
+        i, j, k = _down_ap7r(i, j, k)
+        res_adj = res + 1
+    pent4 = pent & (_leading_nonzero(digits) == 4)
+    max_dim = 2 * 7 ** (res_adj // 2)
+    scale = max_dim // 2
+    had = np.zeros(len(ids), dtype=bool)
+    for _it in range(8):
+        over = (i + j + k) > max_dim
+        if not over.any():
+            break
+        rows = np.where(over)[0]
+        io, jo, ko = i[rows], j[rows], k[rows]
+        fo = face[rows]
+        which = np.where((ko > 0) & (jo > 0), 1, np.where(ko > 0, 2, 0))
+        # pentagon leading-4 fixup on the KI edge (first overage only)
+        pf = pent4[rows] & (which == 2)
+        if pf.any():
+            ti = io[pf] - max_dim
+            tj = jo[pf]
+            tk = ko[pf]
+            # ijkRotate60cw on raw coords
+            io2 = ti + tj
+            jo2 = tj + tk
+            ko2 = ti + tk
+            io[pf] = io2 + max_dim
+            jo[pf] = jo2
+            ko[pf] = ko2
+        g = _NBR_FACE[fo, which]
+        nrot = _NBR_ROT[fo, which]
+        t = _NBR_T[fo, which]
+        a = np.stack([io - ko, jo - ko], axis=1)
+        mats = _AXM_POW[nrot]
+        a2 = np.einsum("nij,nj->ni", mats, a) + t * scale
+        zi = np.zeros(len(rows), dtype=np.int64)
+        ni, nj, nk = _norm3(a2[:, 0], a2[:, 1], zi)
+        i[rows], j[rows], k[rows] = ni, nj, nk
+        face[rows] = g
+        had[rows] = True
+        pent4[rows] = False      # secondary overages never use the fixup
+    if res % 2 == 1:
+        hr = np.where(had)[0]
+        if len(hr):
+            i2, j2, k2 = _up_ap7r(i[hr], j[hr], k[hr])
+            i[hr], j[hr], k[hr] = i2, j2, k2
+        nr = np.where(~had)[0]
+        i[nr], j[nr], k[nr] = orig[0][nr], orig[1][nr], orig[2][nr]
+        face[nr] = orig[3][nr]
+    # unproject from the final face lattice
+    x = (i - k) - 0.5 * (j - k)
+    y = (j - k) * S3_2
+    r2 = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    az = _AZ_I[face] - theta
+    if res % 2 == 1:
+        az = az - AP7_ROT
+    dist = np.arctan(r2 * RES0_U / SQRT7 ** res)
+    cg = _CENTERS[face]
+    dvec = (np.cos(az)[:, None] * _NHAT[face] + np.sin(az)[:, None] * _EHAT[face])
+    p = np.cos(dist)[:, None] * cg + np.sin(dist)[:, None] * dvec
+    lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
+    lng = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
+    return lat, lng
+
+
+def cells_to_string(ids):
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    return np.array([f"{int(h):x}" for h in ids])
+
+
+def string_to_cells(strs):
+    return np.array([np.uint64(int(s, 16)) for s in np.atleast_1d(strs)],
+                    dtype=np.uint64)

