@@ -193,6 +193,14 @@ def kernel_benchmarks() -> dict:
     from geopolars_ray.geom import h3ish
 
     out["h3ish_r7_mrows_s"] = round(best_rate(lambda: h3ish.h3ish_cell_id(x, y, 7), n) / 1e6, 2)
+    from geopolars_ray.geom import h3 as h3c
+
+    # canonical H3 (r5): bit-exact Uber ids, ~5x the arithmetic of h3ish
+    out["h3_canonical_r7_mrows_s"] = round(
+        best_rate(lambda: h3c.latlng_to_cell(y, x, 7), n) / 1e6, 2)
+    hcells = h3c.latlng_to_cell(y, x, 7)
+    out["h3_cell_to_latlng_mrows_s"] = round(
+        best_rate(lambda: h3c.cell_to_latlng(hcells), n) / 1e6, 2)
     from geopolars_ray.geom import crs as crs_mod
 
     xc, yc = np.clip(x, 3.0, 9.0), np.clip(y, -80, 84)
