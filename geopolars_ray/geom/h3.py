@@ -410,33 +410,17 @@ def cell_to_latlng(ids):
     return lat, lng
 
 
-def _cell_to_latlng_res(ids, res: int):
-    bc = get_base_cell(ids)
-    digits = _digits_of(ids, res)
-    pent = _PENT[bc]
-    # pentagon leading-5 (IK) subsequence adjustment
-    lead5 = pent & (_leading_nonzero(digits) == 5)
-    if lead5.any():
-        digits[lead5] = _CW[digits[lead5]]
-    face = _BC_HOME_FACE[bc].copy()
-    ijk = _BC_HOME_IJK[bc].T.copy()        # 3 arrays
-    i, j, k = ijk[0].copy(), ijk[1].copy(), ijk[2].copy()
-    for r in range(1, res + 1):
-        if r % 2 == 1:
-            i, j, k = _down_ap7(i, j, k)
-        else:
-            i, j, k = _down_ap7r(i, j, k)
-        u = _UNIT[digits[:, r - 1]]
-        i, j, k = _norm3(i + u[:, 0], j + u[:, 1], k + u[:, 2])
-    orig = (i.copy(), j.copy(), k.copy(), face.copy())
+def _apply_overage(face, i, j, k, res: int, pent4):
+    """class-II overage loop: relabel out-of-face coords onto the neighbor
+    face lattice.  For class III (odd) res the coords are dropped one level
+    to the class II grid first and lifted back after (exact on lattice
+    points).  Mutates and returns (face, i, j, k)."""
     res_adj = res
     if res % 2 == 1:
         i, j, k = _down_ap7r(i, j, k)
         res_adj = res + 1
-    pent4 = pent & (_leading_nonzero(digits) == 4)
     max_dim = 2 * 7 ** (res_adj // 2)
     scale = max_dim // 2
-    had = np.zeros(len(ids), dtype=bool)
     for _it in range(8):
         over = (i + j + k) > max_dim
         if not over.any():
@@ -468,17 +452,36 @@ def _cell_to_latlng_res(ids, res: int):
         ni, nj, nk = _norm3(a2[:, 0], a2[:, 1], zi)
         i[rows], j[rows], k[rows] = ni, nj, nk
         face[rows] = g
-        had[rows] = True
         pent4[rows] = False      # secondary overages never use the fixup
     if res % 2 == 1:
-        hr = np.where(had)[0]
-        if len(hr):
-            i2, j2, k2 = _up_ap7r(i[hr], j[hr], k[hr])
-            i[hr], j[hr], k[hr] = i2, j2, k2
-        nr = np.where(~had)[0]
-        i[nr], j[nr], k[nr] = orig[0][nr], orig[1][nr], orig[2][nr]
-        face[nr] = orig[3][nr]
-    # unproject from the final face lattice
+        i, j, k = _up_ap7r(i, j, k)
+    return face, i, j, k
+
+
+def _resolve_face_ijk(ids, res: int):
+    """decode ids -> (face, i, j, k) at res with overage applied."""
+    bc = get_base_cell(ids)
+    digits = _digits_of(ids, res)
+    pent = _PENT[bc]
+    # pentagon leading-5 (IK) subsequence adjustment
+    lead5 = pent & (_leading_nonzero(digits) == 5)
+    if lead5.any():
+        digits[lead5] = _CW[digits[lead5]]
+    face = _BC_HOME_FACE[bc].copy()
+    ijk = _BC_HOME_IJK[bc].T.copy()        # 3 arrays
+    i, j, k = ijk[0].copy(), ijk[1].copy(), ijk[2].copy()
+    for r in range(1, res + 1):
+        if r % 2 == 1:
+            i, j, k = _down_ap7(i, j, k)
+        else:
+            i, j, k = _down_ap7r(i, j, k)
+        u = _UNIT[digits[:, r - 1]]
+        i, j, k = _norm3(i + u[:, 0], j + u[:, 1], k + u[:, 2])
+    pent4 = pent & (_leading_nonzero(digits) == 4)
+    return _apply_overage(face, i, j, k, res, pent4)
+
+
+def _unproject(face, i, j, k, res: int):
     x = (i - k) - 0.5 * (j - k)
     y = (j - k) * S3_2
     r2 = np.hypot(x, y)
@@ -493,6 +496,56 @@ def _cell_to_latlng_res(ids, res: int):
     lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
     lng = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
     return lat, lng
+
+
+def _cell_to_latlng_res(ids, res: int):
+    face, i, j, k = _resolve_face_ijk(ids, res)
+    return _unproject(face, i, j, k, res)
+
+
+def cell_to_neighbors(ids):
+    """edge-adjacent cells per id, as an (N, 6) uint64 array.
+
+    Computed canonically: lattice step in each of the 6 unit directions in
+    the cell's resolved face frame, overage-relabeled onto the correct face,
+    unprojected to the neighbor's exact center and re-encoded (center
+    round-trips are bit-exact).  Pentagons have 5 distinct neighbors: the
+    deleted-subsequence direction lands on an already-listed neighbor, so
+    dedupe per row (grid_disk does).  Entries equal to the input id never
+    occur for hexagons; callers should treat duplicates as absent edges.
+    """
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    res_all = get_resolution(ids)
+    out = np.empty((len(ids), 6), dtype=np.uint64)
+    for grp in np.unique(res_all):
+        m = np.where(res_all == grp)[0]
+        res = int(grp)
+        face, i, j, k = _resolve_face_ijk(ids[m], res)
+        pent4 = np.zeros(len(m), dtype=bool)
+        for d in range(1, 7):
+            u = _UNIT[d]
+            f2, i2, j2, k2 = _apply_overage(
+                face.copy(), *_norm3(i + u[0], j + u[1], k + u[2]),
+                res, pent4.copy())
+            la, lo = _unproject(f2, i2, j2, k2, res)
+            out[m, d - 1] = latlng_to_cell(la, lo, res)
+    return out
+
+
+def grid_disk(ids, k: int = 1):
+    """all cells within k grid steps of a single cell (the cell included),
+    sorted.  BFS over cell_to_neighbors with dedupe (pentagon-safe)."""
+    h = np.atleast_1d(np.asarray(ids, dtype=np.uint64))[:1]
+    seen = {int(h[0])}
+    frontier = h
+    for _ in range(k):
+        nb = cell_to_neighbors(frontier).ravel()
+        fresh = np.array(sorted({int(x) for x in nb} - seen), dtype=np.uint64)
+        if not len(fresh):
+            break
+        seen.update(int(x) for x in fresh)
+        frontier = fresh
+    return np.array(sorted(seen), dtype=np.uint64)
 
 
 def cells_to_string(ids):

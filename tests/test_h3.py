@@ -148,3 +148,37 @@ def test_pentagon_distortion_area():
     assert int(pent.sum()) == 12
     ratio = counts[pent].mean() / counts[~pent].mean()
     assert 0.35 < ratio < 0.85, ratio
+
+
+def test_neighbors_structure():
+    rng = np.random.default_rng(5)
+    for res in (0, 2, 7):
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 800)))
+        lng = rng.uniform(-180, 180, 800)
+        ids = np.unique(H.latlng_to_cell(lat, lng, res))
+        nb = H.cell_to_neighbors(ids)
+        assert H.is_valid_cell(nb.ravel()).all()
+        assert (H.get_resolution(nb.ravel()) == res).all()
+        pent = H.is_pentagon(ids)
+        ndist = np.array([len(set(r.tolist()) - {int(h)})
+                          for r, h in zip(nb, ids)])
+        assert (ndist[~pent] == 6).all()
+        assert (ndist[pent] == 5).all()
+        # mutual adjacency (holds across icosa faces and around pentagons)
+        flat = nb.ravel()
+        back = H.cell_to_neighbors(flat)
+        src = np.repeat(ids, 6)
+        assert ((back == src[:, None]).any(axis=1) | (flat == src)).all()
+
+
+def test_grid_disk():
+    h = H.latlng_to_cell(37.7759, -122.4179, 7)
+    for k in (1, 2, 3):
+        d = H.grid_disk(h, k)
+        assert len(d) == 1 + 3 * k * (k + 1)
+        assert int(h[0]) in set(d.tolist())
+    # pentagon disk: pentagon + its 5 neighbors
+    pent3 = H.cell_to_children(
+        np.array([(1 << 59) | (4 << 45) | ((1 << 45) - 1)], dtype=np.uint64), 3)
+    pc = pent3[H.is_pentagon(pent3)]
+    assert len(H.grid_disk(pc[:1], 1)) == 6
