@@ -556,3 +556,67 @@ def cells_to_string(ids):
 def string_to_cells(strs):
     return np.array([np.uint64(int(s, 16)) for s in np.atleast_1d(strs)],
                     dtype=np.uint64)
+
+
+def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000):
+    """cells whose center lies inside a (lon, lat) polygon — canonical H3
+    ``polygonToCells`` center-containment semantics.
+
+    ``rings``: list of (N, 2) float arrays of (lon, lat) ring coordinates,
+    exterior first, holes after; planar lon/lat containment (split
+    transmeridian polygons before calling).  Enumerates only boundary +
+    interior cells (edge tracing at sub-pitch steps, then an inward flood
+    fill over the neighbor graph), so cost is O(output), not O(bbox).
+    ``max_cells`` is a loud budget guard for runaway res/polygon combos.
+    """
+    from .strtree import points_in_polygon_single
+
+    rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
+    if not rings:
+        return np.empty(0, dtype=np.uint64)
+    pitch_deg = np.degrees(np.arctan(RES0_U / SQRT7 ** res))
+
+    def inside(cells):
+        la, lo = cell_to_latlng(cells)
+        return points_in_polygon_single(lo, la, rings)
+
+    # 1. trace every ring edge at ~0.3-pitch steps -> boundary cell set
+    pts_lon = []
+    pts_lat = []
+    for ring in rings:
+        a = ring
+        b = np.roll(ring, -1, axis=0)
+        seg = np.hypot((b[:, 0] - a[:, 0]) * np.cos(np.radians((a[:, 1] + b[:, 1]) / 2)),
+                       b[:, 1] - a[:, 1])
+        nstep = np.maximum(1, np.ceil(seg / (0.3 * pitch_deg)).astype(np.int64))
+        for s in range(len(a)):
+            t = np.linspace(0.0, 1.0, int(nstep[s]) + 1)
+            pts_lon.append(a[s, 0] + t * (b[s, 0] - a[s, 0]))
+            pts_lat.append(a[s, 1] + t * (b[s, 1] - a[s, 1]))
+    lon = np.concatenate(pts_lon)
+    lat = np.concatenate(pts_lat)
+    if len(lon) > 50 * max_cells:
+        raise ValueError(f"polygon_to_cells: boundary tracing needs {len(lon)} "
+                         f"samples (> 50*max_cells); raise max_cells or lower res")
+    boundary = np.unique(latlng_to_cell(lat, lon, res))
+
+    # 2. flood fill inward: BFS over inside cells seeded from the boundary
+    #    ring and its immediate neighbors
+    seed = np.unique(np.concatenate([boundary,
+                                     cell_to_neighbors(boundary).ravel()]))
+    keep: set[int] = {int(c) for c, ok in zip(seed, inside(seed)) if ok}
+    frontier = np.array(sorted(keep), dtype=np.uint64)
+    while len(frontier):
+        nb = np.unique(cell_to_neighbors(frontier).ravel())
+        fresh = np.array([c for c in nb.tolist() if c not in keep],
+                         dtype=np.uint64)
+        if not len(fresh):
+            break
+        ok = inside(fresh)
+        new = fresh[ok]
+        keep.update(int(c) for c in new.tolist())
+        if len(keep) > max_cells:
+            raise ValueError(f"polygon_to_cells exceeded max_cells={max_cells} "
+                             f"at res {res}; raise the budget explicitly")
+        frontier = new
+    return np.array(sorted(keep), dtype=np.uint64)

@@ -182,3 +182,28 @@ def test_grid_disk():
         np.array([(1 << 59) | (4 << 45) | ((1 << 45) - 1)], dtype=np.uint64), 3)
     pc = pent3[H.is_pentagon(pent3)]
     assert len(H.grid_disk(pc[:1], 1)) == 6
+
+
+def test_polygon_to_cells():
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+    sq = np.array([[-122.6, 37.6], [-122.2, 37.6], [-122.2, 37.9],
+                   [-122.6, 37.9], [-122.6, 37.6]])
+    cells = H.polygon_to_cells([sq], 7)
+    assert len(cells) > 100
+    la, lo = H.cell_to_latlng(cells)
+    assert points_in_polygon_single(lo, la, [sq]).all()
+    # completeness: every excluded neighbor center is outside
+    nb = np.unique(H.cell_to_neighbors(cells).ravel())
+    ring = np.array(sorted(set(nb.tolist()) - set(cells.tolist())),
+                    dtype=np.uint64)
+    la2, lo2 = H.cell_to_latlng(ring)
+    assert not points_in_polygon_single(lo2, la2, [sq]).any()
+    # holes shrink the cover; aperture-7 scaling holds
+    hole = np.array([[-122.45, 37.7], [-122.35, 37.7], [-122.35, 37.8],
+                     [-122.45, 37.8], [-122.45, 37.7]])
+    assert len(H.polygon_to_cells([sq, hole], 7)) < len(cells)
+    ratio = len(H.polygon_to_cells([sq], 8)) / len(cells)
+    assert 6.0 < ratio < 8.0
+    # budget guard fires loudly
+    with pytest.raises(ValueError, match="max_cells"):
+        H.polygon_to_cells([sq], 10, max_cells=100)
