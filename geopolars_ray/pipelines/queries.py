@@ -665,24 +665,29 @@ def q_geo_s2_tiles(sf_dir: str):
 
 
 def q_geo_h3_tiles(sf_dir: str):
-    """Aperture-7 icosahedral hex (H3-style) res-7 cells per customer point;
-    distinct cells per nation. Oracle-checked (r3; was rows-only): the full
-    id — face argmax, gnomonic projection, aperture-7 rotation, cube
-    rounding, bit packing — replays in SQL with inlined icosahedron
-    constants (see _h3ish_oracle_sql; 1500/1500 ids verified bit-exact)."""
-    from geopolars_ray.geom import h3ish
+    """CANONICAL Uber H3 res-7 cells per customer point (the north-star
+    "H3 res-7" tile assignment, `geom/h3.py latlng_to_cell`); distinct
+    cells per nation. Oracle-checked: the full canonical id — face argmax,
+    azimuthal gnomonic projection, cube rounding, the 7-level class-II/III
+    digit extraction, base-cell lookup and hex/pentagon rotation chains,
+    bit packing — replays in SQL (see _h3_canonical_cells_sql; 1500/1500
+    ids verified bit-identical, 82 exercising the pentagon path). The
+    r1-r4 non-canonical kernel stays gated in spirit via the same face/
+    projection math and in tests (tests/test_h3ish.py)."""
+    from geopolars_ray.geom import h3 as h3mod
 
     def h3c(batch: pa.Table) -> pa.Table:
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
-        ids = h3ish.h3ish_cell_id(x, y, res=7)
-        return batch.append_column("h3ish_r7", pa.array(ids))
+        # int64 view: lossless (bit 59 is the top used bit) and groupby-safe
+        ids = h3mod.latlng_to_cell(y, x, 7).view(np.int64)
+        return batch.append_column("h3_r7", pa.array(ids))
 
     ds = customer_points(sf_dir, with_geometry=False).map_batches(h3c, batch_format="pyarrow")
     from geopolars_ray.stages.agg import hash_aggregate
 
-    per_cell = hash_aggregate(ds, ["c_nationkey", "h3ish_r7"], [("h3ish_r7", "count", "n")], 8)
-    return hash_aggregate(per_cell, ["c_nationkey"], [("h3ish_r7", "count", "n_cells")], 4)
+    per_cell = hash_aggregate(ds, ["c_nationkey", "h3_r7"], [("h3_r7", "count", "n")], 8)
+    return hash_aggregate(per_cell, ["c_nationkey"], [("h3_r7", "count", "n_cells")], 4)
 
 
 def q_geo_simplify(sf_dir: str):
@@ -1623,61 +1628,166 @@ FROM lvl l JOIN customer c ON c.c_custkey = l.c_custkey GROUP BY c.c_nationkey
 """
 
 
-def _h3ish_oracle_sql() -> str:
-    """geo_h3_tiles oracle: the FULL aperture-7 icosahedral cell id in SQL.
+def _h3_canonical_cells_sql(pts_sql: str, res: int = 7) -> str:
+    """SQL producing (c_custkey, c_nationkey, h3_r7 BIGINT): CANONICAL Uber
+    H3 ids bit-identical to `geom/h3.py latlng_to_cell` (verified 1500/1500
+    on the sf0.01 customer grid, 82 points through the pentagon path).
 
-    Replays `geom/h3ish.py h3ish_cell_id` at res 7 bit-exactly over every
-    sf0.01 customer point (verified: 1500/1500 ids identical): lon/lat ->
-    xyz, face = argmax dot against the 20 inlined icosahedron face centers
-    (ties -> lowest face, = np.argmax), gnomonic projection onto the face
-    tangent basis (e1/e2 inlined), aperture-7 rotation/scale (cos/sin/scale
-    inlined as the exact Python-computed float64 literals), pointy-top
-    axial coords, cube rounding via round_even (DuckDB's banker's rounding
-    = np.round), and the [res|face|q|r] bit-packed id.
-    """
-    from geopolars_ray.geom import h3ish as H
+    Float stage mirrors the r3 h3ish oracle's proven approach (inlined
+    float64 literals, round_even = np.rint, argmax ties -> lowest face);
+    everything after cube rounding — the 7-level class-II/III digit
+    extraction, the 540-row (face, ijk) -> base-cell lookup, the hex
+    CCW^rot and pentagon leading-K / rotate-pent-60ccw chains, and the
+    [mode|res|bc|digits] packing — is exact BIGINT arithmetic, so the only
+    float risk is the shared libm trig already retired in r3."""
+    from geopolars_ray.geom import h3 as H
+    from geopolars_ray.geom import _h3_tables as T
 
-    RES = 7
-    C, E1, E2 = H._CENTERS, H._E1, H._E2
-    s, theta = H._res_scale_rot(RES)
-    ct, st = float(np.cos(theta)), float(np.sin(theta))
-    S3_3 = float(np.sqrt(3.0) / 3.0)
-    rows = ",".join(
-        f"({i}, {C[i,0]!r}, {C[i,1]!r}, {C[i,2]!r}, {E1[i,0]!r}, {E1[i,1]!r}, {E1[i,2]!r}, "
-        f"{E2[i,0]!r}, {E2[i,1]!r}, {E2[i,2]!r})"
-        for i in range(20)
-    )
+    if res != 7:
+        raise ValueError("oracle generator is unrolled for res 7")
     RAD = "0.017453292519943295"
+    K = float(H.SQRT7 ** res)
+    frows = ",".join(
+        f"({f}, {H._CENTERS[f,0]!r}, {H._CENTERS[f,1]!r}, {H._CENTERS[f,2]!r}, "
+        f"{H._NHAT[f,0]!r}, {H._NHAT[f,1]!r}, {H._NHAT[f,2]!r}, "
+        f"{H._EHAT[f,0]!r}, {H._EHAT[f,1]!r}, {H._EHAT[f,2]!r}, {H._AZ_I[f]!r})"
+        for f in range(20)
+    )
+    brows = ",".join(
+        f"({f},{i},{j},{k},{int(T.FIJK_BC[f,i,j,k,0])},{int(T.FIJK_BC[f,i,j,k,1])},"
+        f"{int(H._PENT[T.FIJK_BC[f,i,j,k,0]])},{int(H._CW_OFF[T.FIJK_BC[f,i,j,k,0],f])})"
+        for f in range(20) for i in range(3) for j in range(3) for k in range(3)
+    )
+
+    def ccw_pow(d: str, n: str) -> str:
+        # CCW^n: 0 and 7 are fixed points; {1..6} is the 6-cycle 1-5-4-6-2-3
+        idx = (f"(CASE {d} WHEN 1 THEN 0 WHEN 5 THEN 1 WHEN 4 THEN 2 "
+               f"WHEN 6 THEN 3 WHEN 2 THEN 4 ELSE 5 END)")
+        return (f"(CASE WHEN {d} IN (0, 7) THEN {d} ELSE "
+                f"CASE ({idx} + {n}) % 6 WHEN 0 THEN 1 WHEN 1 THEN 5 "
+                f"WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 2 ELSE 3 END END)")
+
+    def cw1(d: str) -> str:
+        # _CW = [0,3,6,2,5,1,4,7]
+        return (f"(CASE {d} WHEN 0 THEN 0 WHEN 1 THEN 3 WHEN 2 THEN 6 "
+                f"WHEN 3 THEN 2 WHEN 4 THEN 5 WHEN 5 THEN 1 WHEN 6 THEN 4 "
+                f"ELSE 7 END)")
+
+    def lead(cols) -> str:
+        return "COALESCE(" + ", ".join(f"NULLIF({c}, 0)" for c in cols) + ", 0)"
+
+    # digit extraction, unrolled res..1 (odd r = class III ap7, even = ap7r)
+    layers = []
+    prev = "ijk0"
+    for r in range(res, 0, -1):
+        kk = "k" if r == res else "0"
+        ii, jj = f"(i - {kk})", f"(j - {kk})"
+        if r % 2 == 1:
+            ni = f"CAST(round_even((3*{ii} - {jj}) / 7.0, 0) AS BIGINT)"
+            nj = f"CAST(round_even(({ii} + 2*{jj}) / 7.0, 0) AS BIGINT)"
+            ci, cj, ck = "3*ni + nj", "3*nj", "ni"
+        else:
+            ni = f"CAST(round_even((2*{ii} + {jj}) / 7.0, 0) AS BIGINT)"
+            nj = f"CAST(round_even((3*{jj} - {ii}) / 7.0, 0) AS BIGINT)"
+            ci, cj, ck = "3*ni", "ni + 3*nj", "nj"
+        carry = ", ".join(f"d{s}" for s in range(r + 1, res + 1))
+        carry = (carry + ", ") if carry else ""
+        layers.append(f"""
+L{r}a AS (SELECT c_custkey, c_nationkey, fid, {carry}i, j, {kk} AS k,
+  {ni} AS ni, {nj} AS nj FROM {prev}),
+L{r} AS (SELECT c_custkey, c_nationkey, fid, {carry}ni AS i, nj AS j,
+  4*((i - ({ci})) - least(i - ({ci}), j - ({cj}), k - ({ck})))
+  + 2*((j - ({cj})) - least(i - ({ci}), j - ({cj}), k - ({ck})))
+  + ((k - ({ck})) - least(i - ({ci}), j - ({cj}), k - ({ck}))) AS d{r}
+  FROM L{r}a)""")
+        prev = f"L{r}"
+    digit_chain = ",".join(layers)
+
+    D = [f"d{s}" for s in range(1, res + 1)]
+    hex_cols = ", ".join(
+        f"CASE WHEN pent = 1 THEN {d} ELSE {ccw_pow(d, 'rot')} END AS {d}"
+        for d in D)
+    pk_cols = ", ".join(
+        f"CASE WHEN pent = 1 AND {lead(D)} = 1 THEN "
+        f"(CASE WHEN cwo = 1 THEN {cw1(d)} ELSE {ccw_pow(d, '1')} END) "
+        f"ELSE {d} END AS {d}" for d in D)
+    pent_steps = []
+    prevp = "PK"
+    for s in range(1, 5):
+        ca = ", ".join(
+            f"CASE WHEN pent = 1 AND rot >= {s} THEN {ccw_pow(d, '1')} "
+            f"ELSE {d} END AS {d}" for d in D)
+        cb = ", ".join(
+            f"CASE WHEN pent = 1 AND rot >= {s} AND {lead(D)} = 1 "
+            f"THEN {ccw_pow(d, '1')} ELSE {d} END AS {d}" for d in D)
+        pent_steps.append(f"""
+P{s}a AS (SELECT c_custkey, c_nationkey, bc, pent, rot, {ca} FROM {prevp}),
+P{s} AS (SELECT c_custkey, c_nationkey, bc, pent, rot, {cb} FROM P{s}a)""")
+        prevp = f"P{s}"
+    pent_chain = ",".join(pent_steps)
+
+    header = (1 << 59) | (res << 52) | ((1 << (3 * (15 - res))) - 1)
+    pack = " | ".join(
+        [f"{header}::BIGINT", "(bc::BIGINT << 45)"]
+        + [f"(d{r}::BIGINT << {3 * (15 - r)})" for r in range(1, res + 1)])
+
     return f"""
-WITH pts AS (SELECT c_custkey, c_nationkey, x AS lon, y AS lat FROM ({_CPTS})),
+WITH pts AS (SELECT c_custkey, c_nationkey, x AS lon, y AS lat FROM ({pts_sql})),
 xyz AS (SELECT c_custkey, c_nationkey,
-  cos(lat*{RAD})*cos(lon*{RAD}) AS X, cos(lat*{RAD})*sin(lon*{RAD}) AS Y, sin(lat*{RAD}) AS Z FROM pts),
-faces(fid, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z) AS (VALUES {rows}),
-dots AS (SELECT c_custkey, c_nationkey, X, Y, Z, fid, cx, cy, cz, e1x, e1y, e1z, e2x, e2y, e2z,
-  X*cx + Y*cy + Z*cz AS dot FROM xyz CROSS JOIN faces),
-best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY dot DESC, fid ASC) AS rn FROM dots) WHERE rn = 1),
-proj AS (SELECT c_custkey, c_nationkey, fid,
-  (X*(1.0/dot) - cx)*e1x + (Y*(1.0/dot) - cy)*e1y + (Z*(1.0/dot) - cz)*e1z AS u,
-  (X*(1.0/dot) - cx)*e2x + (Y*(1.0/dot) - cy)*e2y + (Z*(1.0/dot) - cz)*e2z AS w
+  cos(lat*{RAD})*cos(lon*{RAD}) AS X, cos(lat*{RAD})*sin(lon*{RAD}) AS Y,
+  sin(lat*{RAD}) AS Z FROM pts),
+faces(fid, cx, cy, cz, nhx, nhy, nhz, ehx, ehy, ehz, azi) AS (VALUES {frows}),
+dots AS (SELECT c_custkey, c_nationkey, X, Y, Z, fid, cx, cy, cz,
+  nhx, nhy, nhz, ehx, ehy, ehz, azi, X*cx + Y*cy + Z*cz AS dot
+  FROM xyz CROSS JOIN faces),
+best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+  (PARTITION BY c_custkey ORDER BY dot DESC, fid ASC) AS rn FROM dots)
+  WHERE rn = 1),
+geo AS (SELECT c_custkey, c_nationkey, fid,
+  tan(acos(greatest(-1.0, least(1.0, dot)))) / {H.RES0_U!r} * {K!r} AS rr,
+  (azi - atan2((X - dot*cx)*ehx + (Y - dot*cy)*ehy + (Z - dot*cz)*ehz,
+               (X - dot*cx)*nhx + (Y - dot*cy)*nhy + (Z - dot*cz)*nhz))
+    - {H.AP7_ROT!r} AS theta
   FROM best),
-rot AS (SELECT c_custkey, c_nationkey, fid,
-  ({ct!r}*u + {st!r}*w) / {s!r} AS ur,
-  (-{st!r}*u + {ct!r}*w) / {s!r} AS wr FROM proj),
-ax AS (SELECT c_custkey, c_nationkey, fid,
-  {S3_3!r}*ur - wr/3.0 AS q, 2.0/3.0*wr AS r FROM rot),
-cube AS (SELECT c_custkey, c_nationkey, fid, q, r, -q - r AS yy,
-  round_even(q, 0) AS rx0, round_even(-q - r, 0) AS ry0, round_even(r, 0) AS rz0 FROM ax),
-deltas AS (SELECT *, abs(rx0 - q) AS dx, abs(ry0 - yy) AS dy, abs(rz0 - r) AS dz FROM cube),
+hex2d AS (SELECT c_custkey, c_nationkey, fid,
+  rr * cos(theta) AS hx, rr * sin(theta) AS hy FROM geo),
+frac AS (SELECT c_custkey, c_nationkey, fid,
+  hx + 0.5*(hy / {H.S3_2!r}) AS cxf, -(hy / {H.S3_2!r}) AS czf FROM hex2d),
+rnd AS (SELECT c_custkey, c_nationkey, fid, cxf, czf, -cxf - czf AS cyf,
+  round_even(cxf, 0) AS rx, round_even(-cxf - czf, 0) AS ry,
+  round_even(czf, 0) AS rz FROM frac),
 fixed AS (SELECT c_custkey, c_nationkey, fid,
-  CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS qi,
-  CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy THEN -rx0 - ry0 ELSE rz0 END AS ri
-  FROM deltas),
-ids AS (SELECT c_custkey, c_nationkey,
-  ({RES}::BIGINT << 54) | (fid::BIGINT << 49) | ((CAST(qi AS BIGINT) + {H._QR_OFF}) << {H._QR_BITS}) | (CAST(ri AS BIGINT) + {H._QR_OFF}) AS h3ish_r7
-  FROM fixed)
-SELECT c_nationkey, CAST(count(DISTINCT h3ish_r7) AS BIGINT) AS n_cells
-FROM ids GROUP BY c_nationkey
+  CAST(CASE WHEN abs(rx - cxf) >= abs(ry - cyf) AND abs(rx - cxf) >= abs(rz - czf)
+       THEN -ry - rz ELSE rx END AS BIGINT) AS fi,
+  CAST(CASE WHEN NOT (abs(rx - cxf) >= abs(ry - cyf) AND abs(rx - cxf) >= abs(rz - czf))
+       AND abs(rz - czf) >= abs(ry - cyf) THEN -rx - ry ELSE rz END AS BIGINT) AS fz
+  FROM rnd),
+ijk0 AS (SELECT c_custkey, c_nationkey, fid,
+  fi - least(fi, -fz, 0) AS i, -fz - least(fi, -fz, 0) AS j,
+  0 - least(fi, -fz, 0) AS k FROM fixed),
+{digit_chain},
+res0 AS (SELECT c_custkey, c_nationkey, fid,
+  i - least(i, j, 0) AS i, j - least(i, j, 0) AS j, 0 - least(i, j, 0) AS k,
+  {", ".join(D)} FROM L1),
+bcl(bfid, bi, bj, bk, bc, rot, pent, cwo) AS (VALUES {brows}),
+based AS (SELECT c_custkey, c_nationkey, bc, rot, pent, cwo, {", ".join(D)}
+  FROM res0 JOIN bcl ON fid = bfid AND i = bi AND j = bj AND k = bk),
+HX AS (SELECT c_custkey, c_nationkey, bc, rot, pent, cwo, {hex_cols} FROM based),
+PK AS (SELECT c_custkey, c_nationkey, bc, pent, rot, cwo, {pk_cols} FROM HX),
+{pent_chain}
+SELECT c_custkey, c_nationkey, {pack} AS h3_r7 FROM P4
 """
+
+
+def _h3_oracle_sql() -> str:
+    """geo_h3_tiles oracle: canonical H3 res-7 ids -> distinct cells per
+    nation (the query's two-level hash_aggregate collapses to one GROUP BY
+    over the exact ids)."""
+    cells = _h3_canonical_cells_sql(_CPTS)
+    return (
+        f"SELECT c_nationkey, CAST(count(DISTINCT h3_r7) AS BIGINT) AS n_cells "
+        f"FROM ({cells}) GROUP BY c_nationkey"
+    )
 
 
 def _simplify_oracle_sql(tol: float = 20.0) -> str:
@@ -2436,7 +2546,7 @@ ORACLE_SQL = {
     "geo_s2_tiles": _s2_oracle_sql(),
     "geo_geodesic": _geodesic_oracle_sql(),
     "geo_simplify": _simplify_oracle_sql(),
-    "geo_h3_tiles": _h3ish_oracle_sql(),
+    "geo_h3_tiles": _h3_oracle_sql(),
     # mm_decode / mm_resize_frames (r3): payloads are multiplicative-hash
     # byte streams (stages/multimodal.py encode_lcg_image), so the oracle
     # regenerates every pixel — byte j of seed s is ((s*A + j*B) % 2^32)

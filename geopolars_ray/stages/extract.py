@@ -69,11 +69,14 @@ def assign_tiles(
     grid_cell_deg: float = 1.0,
     hex_size_deg: float | None = None,
     h3_res: int | None = None,
+    h3_canonical: bool = True,
 ) -> Callable[[pa.Table], pa.Table]:
     """Stateless tile-assignment kernel: adds s2_l{level} and grid_tile
-    columns (plus hex_tile / h3ish_r{res} aperture-7 icosahedral ids when
-    requested — the north star's H3-res-7 tile assignment, `geom/h3ish.py`).
-    Rows with null/NaN coordinates get null tiles."""
+    columns, plus an H3 column when ``h3_res`` is given — CANONICAL Uber H3
+    ids (`geom/h3.py latlng_to_cell`, column ``h3_r{res}``; the north star's
+    H3-res-7 tile assignment) by default, or the legacy aperture-7
+    icosahedral ids (``h3ish_r{res}``, `geom/h3ish.py`) with
+    ``h3_canonical=False``. Rows with null/NaN coordinates get null tiles."""
 
     def fn(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -98,12 +101,21 @@ def assign_tiles(
             hx[ok] = tiles_mod.hex_tile_id(lon[ok], lat[ok], size_deg=hex_size_deg)
             batch = batch.append_column("hex_tile", pa.Array.from_pandas(hx, mask=~ok, type=pa.int64()))
         if h3_res is not None:
-            from geopolars_ray.geom import h3ish
-
             h3 = np.zeros(len(lon), dtype=np.int64)
-            h3[ok] = h3ish.h3ish_cell_id(lon[ok], lat[ok], res=h3_res)
+            if h3_canonical:
+                from geopolars_ray.geom import h3 as h3_mod
+
+                # int64 view is lossless (bit 59 is the top used bit) and
+                # keeps Ray Data groupby off the uint64 pickle path
+                h3[ok] = h3_mod.latlng_to_cell(lat[ok], lon[ok], h3_res).view(np.int64)
+                col = f"h3_r{h3_res}"
+            else:
+                from geopolars_ray.geom import h3ish
+
+                h3[ok] = h3ish.h3ish_cell_id(lon[ok], lat[ok], res=h3_res)
+                col = f"h3ish_r{h3_res}"
             batch = batch.append_column(
-                f"h3ish_r{h3_res}", pa.Array.from_pandas(h3, mask=~ok, type=pa.int64())
+                col, pa.Array.from_pandas(h3, mask=~ok, type=pa.int64())
             )
         return batch
 

@@ -118,16 +118,25 @@ def test_assign_tiles_h3(ray_session):
     import ray
 
     from geopolars_ray.stages.extract import assign_tiles
+    from geopolars_ray.geom import h3 as h3_mod
     from geopolars_ray.geom import h3ish
 
     lon = np.array([0.0, 100.0, np.nan])
     lat = np.array([45.0, -30.0, 10.0])
     t = pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+    # default: canonical Uber H3 ids
     out = ray.data.from_arrow(t).map_batches(
         assign_tiles(h3_res=7), batch_format="pyarrow"
     ).take_all()
-    expect = h3ish.h3ish_cell_id(lon[:2], lat[:2], 7)
-    assert out[0]["h3ish_r7"] == expect[0] and out[1]["h3ish_r7"] == expect[1]
+    expect = h3_mod.latlng_to_cell(lat[:2], lon[:2], 7).view(np.int64)
+    assert out[0]["h3_r7"] == expect[0] and out[1]["h3_r7"] == expect[1]
+    assert out[2]["h3_r7"] is None
+    # legacy kernel stays reachable
+    out = ray.data.from_arrow(t).map_batches(
+        assign_tiles(h3_res=7, h3_canonical=False), batch_format="pyarrow"
+    ).take_all()
+    legacy = h3ish.h3ish_cell_id(lon[:2], lat[:2], 7)
+    assert out[0]["h3ish_r7"] == legacy[0] and out[1]["h3ish_r7"] == legacy[1]
     assert out[2]["h3ish_r7"] is None
 
 
