@@ -690,6 +690,22 @@ def q_geo_h3_tiles(sf_dir: str):
     return hash_aggregate(per_cell, ["c_nationkey"], [("h3_r7", "count", "n_cells")], 4)
 
 
+def q_geo_rasterize(sf_dir: str):
+    """Raster <-> vector round trip (north-star rasterization op): customer
+    points -> per-15-degree-tile 8x8 count grids (`stages/raster.py
+    rasterize_points` — one vectorized np.bincount per tile inside
+    hash_partitioned_map) -> back to one row per non-empty cell
+    (`raster_to_points`). Float-exact oracle: counts are order-independent
+    and cell centers are a single IEEE mul+add on exact tile origins
+    (tile_deg 15, res 8 => cell width 1.875 is an exact double)."""
+    from geopolars_ray.stages.raster import rasterize_points, raster_to_points
+
+    pts = customer_points(sf_dir, with_geometry=False)
+    tiles = rasterize_points(pts, lon_col="x", lat_col="y", tile_deg=15.0,
+                             resolution=8, stat="count", num_partitions=8)
+    return raster_to_points(tiles, tile_deg=15.0, resolution=8)
+
+
 def q_geo_simplify(sf_dir: str):
     """Douglas-Peucker on the per-nation path; counts before/after plus an
     exact checksum of the retained point set.
@@ -2076,7 +2092,10 @@ QUERIES = {
     "rel_anti": q_rel_anti,
     "rel_sliding": q_rel_sliding,
     "rel_group_topk": q_rel_group_topk,
-    "rel_union_distinct": q_rel_union_distinct,
+    # rel_union_distinct was swapped out in r5 for the rasterization gate:
+    # ds.union + distinct-count semantics stay covered by dd_exact_docs'
+    # distinct gate and the function above, and the 50-entry cap is full
+    "geo_rasterize": q_geo_rasterize,
     "rel_sample": q_rel_sample,
     "mm_decode": q_mm_decode,
     "geo_convex_hull": q_geo_convex_hull,
@@ -2281,13 +2300,20 @@ ORACLE_SQL = {
         "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rn "
         "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3"
     ),
-    "rel_union_distinct": (
-        "WITH u AS ("
-        "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY') "
-        "UNION ALL "
-        "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment IN ('MACHINERY','AUTOMOBILE')) "
-        "SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_distinct, count(*) AS n_rows "
-        "FROM u GROUP BY c_mktsegment"
+    "geo_rasterize": (
+        # replay tile id, cell index (astype-trunc == floor: offsets are
+        # non-negative) and exact cell-center arithmetic of stages/raster.py
+        f"WITH pts AS (SELECT {_CX} AS x, {_CY} AS y FROM customer), "
+        "t AS (SELECT x, y, "
+        "CAST(floor((x + 180.0)/15.0)*12 + floor((y + 90.0)/15.0) AS BIGINT) AS tile, "
+        "floor((x + 180.0)/15.0)*15.0 - 180.0 AS lon0, "
+        "floor((y + 90.0)/15.0)*15.0 - 90.0 AS lat0 FROM pts), "
+        "c AS (SELECT tile, lon0, lat0, "
+        "least(greatest(CAST(floor(((x - lon0)/15.0)*8) AS BIGINT), 0), 7) AS cx, "
+        "least(greatest(CAST(floor(((y - lat0)/15.0)*8) AS BIGINT), 0), 7) AS cy FROM t) "
+        "SELECT tile, lon0 + (cx + 0.5)*1.875 AS cell_lon, "
+        "lat0 + (cy + 0.5)*1.875 AS cell_lat, CAST(count(*) AS DOUBLE) AS value "
+        "FROM c GROUP BY tile, lon0, lat0, cx, cy"
     ),
     "rel_q1": (
         "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n_rows, "
