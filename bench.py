@@ -85,7 +85,7 @@ def ensure_pages() -> tuple[str, int]:
     return d, n
 
 
-def run_headline(num_cpus: int) -> dict:
+def run_headline(num_cpus: int, with_h3: bool = False) -> dict:
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, logging_level="ERROR")
@@ -127,8 +127,23 @@ def run_headline(num_cpus: int) -> dict:
         run_flagship_fused(pdir, num_partitions=max(8, num_cpus), out_path=out_dir)
         run = time.time() - t0
         dt = run if dt is None else min(dt, run)
+    # north-star variant: the same fused pipeline keyed on CANONICAL Uber H3
+    # res-7 cells ("point-in-polygon + H3 tile assignment" is the metric's
+    # literal wording). Reported alongside — the s2_l12 headline stays the
+    # cross-round comparable number.
+    h3_dt = None
+    if with_h3:
+        for _ in range(2):
+            shutil.rmtree(out_dir + "_h3", ignore_errors=True)
+            t0 = time.time()
+            run_flagship_fused(pdir, num_partitions=max(8, num_cpus),
+                               out_path=out_dir + "_h3", h3_res=7)
+            run = time.time() - t0
+            h3_dt = run if h3_dt is None else min(h3_dt, run)
     ray.shutdown()
-    return {"sec": dt, "pages_rows": n, "rows_per_s": n / dt, "out_dir": out_dir}
+    return {"sec": dt, "pages_rows": n, "rows_per_s": n / dt, "out_dir": out_dir,
+            "h3_sec": h3_dt,
+            "h3_rows_per_s": (n / h3_dt) if h3_dt else None}
 
 
 def kernel_benchmarks() -> dict:
@@ -648,7 +663,7 @@ def main() -> None:
     # per-run defense: the scaling driver brackets the WHOLE level sweep
     # with its own probes, and per-child retries would skew level symmetry
     probe_before = {} if headline_only else hardware_probe()
-    headline = run_headline(NUM_CPUS)
+    headline = run_headline(NUM_CPUS, with_h3=not headline_only)
     probe_after = {} if headline_only else hardware_probe()
     headline_runs = [round(headline["sec"], 3)]
     probes = [probe_before, probe_after]
@@ -656,7 +671,7 @@ def main() -> None:
         probe_before["slowdown_8_to_16"],
         probe_after["slowdown_8_to_16"]) > CONTENTION_BAR
     if contended:
-        retry = run_headline(NUM_CPUS)
+        retry = run_headline(NUM_CPUS, with_h3=not headline_only)
         probes.append(hardware_probe())
         headline_runs.append(round(retry["sec"], 3))
         if retry["sec"] < headline["sec"]:
@@ -679,6 +694,10 @@ def main() -> None:
                 "num_cpus": NUM_CPUS,
                 "pages_rows": headline["pages_rows"],
                 "rows_per_s": round(headline["rows_per_s"], 1),
+                "flagship_h3_sec": (round(headline["h3_sec"], 3)
+                                    if headline.get("h3_sec") else None),
+                "flagship_h3_rows_per_s": (round(headline["h3_rows_per_s"], 1)
+                                           if headline.get("h3_rows_per_s") else None),
                 "sjoin_1m_x_10k": sjoin_ll,
                 "kernels": kernels,
                 "probe_before": probe_before,

@@ -42,9 +42,11 @@ class FusedPagesGeotag:
     """
 
     def __init__(self, admin: pa.Table, s2_level: int = 12, grid_cell_deg: float = 1.0,
-                 batch_rows: int = 8192, keep_text: bool = False):
+                 batch_rows: int = 8192, keep_text: bool = False,
+                 h3_res: int | None = None):
         self.extract = ExtractGeoTags(keep_text=keep_text)
-        self.tiles = assign_tiles(s2_level=s2_level, grid_cell_deg=grid_cell_deg)
+        self.tiles = assign_tiles(s2_level=s2_level, grid_cell_deg=grid_cell_deg,
+                                  h3_res=h3_res)
         self.join = BroadcastPIPJoin(admin, how="inner")
         self.batch_rows = batch_rows
 
@@ -195,6 +197,7 @@ def run_flagship_fused(
     grid_cell_deg: float = 1.0,
     batch_rows: int = 8192,
     num_partitions: int = 32,
+    h3_res: int | None = None,
 ):
     """Flagship with manual read fusion AND per-shard partial aggregation in
     ONE task-based operator — the scale shape for sharded page directories.
@@ -231,9 +234,12 @@ def run_flagship_fused(
     if not paths:
         raise FileNotFoundError(f"no parquet shards under {pages_dir}")
     fused = FusedPagesGeotag(admin, s2_level=s2_level, grid_cell_deg=grid_cell_deg,
-                             batch_rows=batch_rows)
+                             batch_rows=batch_rows, h3_res=h3_res)
 
-    tcol = f"s2_l{s2_level}"
+    # h3_res switches the rollup key to CANONICAL Uber H3 cells — the north
+    # star's "point-in-polygon + H3 tile assignment" headline shape; default
+    # stays s2_l12 for cross-round bench comparability
+    tcol = f"h3_r{h3_res}" if h3_res is not None else f"s2_l{s2_level}"
 
     def shard_pipeline(batch: pa.Table) -> pa.Table:
         pts = fused(batch)

@@ -181,3 +181,33 @@ def test_fused_flagship_matches_unfused(ray_session, tmp_path):
         ["tile", "admin_id"]).reset_index(drop=True)
     assert (b["sum_lat"].to_numpy() == c["sum_lat"].to_numpy()).all()
     assert (b["sum_lon"].to_numpy() == c["sum_lon"].to_numpy()).all()
+
+
+def test_fused_flagship_h3_variant(ray_session, tmp_path):
+    """h3_res=7 switches the fused flagship's rollup key to CANONICAL Uber
+    H3 res-7 cells: ids are valid cell-mode res-7 indexes that re-derive
+    from the rollup's own mean position, and page counts are conserved
+    against the s2-keyed run."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from geopolars_ray.geom import h3 as h3_mod
+    from geopolars_ray.pipelines.flagship import run_flagship_fused
+    from geopolars_ray.sources.pages import pages_batch
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    pq.write_table(pages_batch(np.arange(0, 20_000, dtype=np.int64)),
+                   str(d / "pages-000000000.parquet"))
+
+    h = run_flagship_fused(str(d), num_partitions=4, h3_res=7).to_pandas()
+    s = run_flagship_fused(str(d), num_partitions=4).to_pandas()
+    assert h["n_pages"].sum() == s["n_pages"].sum()
+    ids = h["tile"].to_numpy().astype(np.uint64)
+    assert (h3_mod.get_resolution(ids) == 7).all()
+    assert (((ids >> np.uint64(59)) & np.uint64(0xF)) == 1).all()  # cell mode
+    # each group's mean point maps back to its own cell (centroid of a
+    # convex-ish cell stays inside; admin split keeps groups sub-cell)
+    mlat = (h["sum_lat"] / h["n_pages"]).to_numpy()
+    mlon = (h["sum_lon"] / h["n_pages"]).to_numpy()
+    back = h3_mod.latlng_to_cell(mlat, mlon, 7)
+    assert (back == ids).mean() > 0.99
