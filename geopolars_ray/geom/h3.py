@@ -558,9 +558,22 @@ def string_to_cells(strs):
                     dtype=np.uint64)
 
 
-def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000):
-    """cells whose center lies inside a (lon, lat) polygon — canonical H3
-    ``polygonToCells`` center-containment semantics.
+def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000,
+                     mode: str = "center"):
+    """cells of a (lon, lat) polygon — canonical H3 ``polygonToCells``.
+
+    ``mode="center"`` (default): cells whose CENTER lies inside the polygon
+    (canonical center-containment semantics).  ``mode="cover"``: a complete
+    superset of every cell that INTERSECTS the polygon — the candidate set
+    for cell-partitioned spatial joins.  Completeness argument: ring edges
+    are sampled every <=0.3 cell pitch, so any cell a ring passes through
+    contains a point within 0.3 pitch of a sample and is therefore the
+    sampled cell itself or one of its immediate neighbors (all included);
+    cells intersecting only the interior have their center inside and are
+    reached by the flood fill (any interior cell connects to a
+    boundary-adjacent seed through center-inside cells, because a
+    center-outside cell on the way must be ring-crossing, making the next
+    center-inside cell a seed again).
 
     ``rings``: list of (N, 2) float arrays of (lon, lat) ring coordinates,
     exterior first, holes after; planar lon/lat containment (split
@@ -569,6 +582,8 @@ def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000):
     fill over the neighbor graph), so cost is O(output), not O(bbox).
     ``max_cells`` is a loud budget guard for runaway res/polygon combos.
     """
+    if mode not in ("center", "cover"):
+        raise ValueError(f"unknown polygon_to_cells mode {mode!r}")
     from .strtree import points_in_polygon_single
 
     rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
@@ -602,8 +617,9 @@ def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000):
 
     # 2. flood fill inward: BFS over inside cells seeded from the boundary
     #    ring and its immediate neighbors
-    seed = np.unique(np.concatenate([boundary,
-                                     cell_to_neighbors(boundary).ravel()]))
+    ring_zone = np.unique(np.concatenate([boundary,
+                                          cell_to_neighbors(boundary).ravel()]))
+    seed = ring_zone
     keep: set[int] = {int(c) for c, ok in zip(seed, inside(seed)) if ok}
     frontier = np.array(sorted(keep), dtype=np.uint64)
     while len(frontier):
@@ -619,4 +635,77 @@ def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000):
             raise ValueError(f"polygon_to_cells exceeded max_cells={max_cells} "
                              f"at res {res}; raise the budget explicitly")
         frontier = new
+    if mode == "cover":
+        keep.update(int(c) for c in ring_zone.tolist())
+        if len(keep) > max_cells:
+            raise ValueError(f"polygon_to_cells exceeded max_cells={max_cells} "
+                             f"at res {res}; raise the budget explicitly")
     return np.array(sorted(keep), dtype=np.uint64)
+
+
+def compact_cells(ids):
+    """H3 ``compactCells``: replace every complete sibling set (7 children,
+    6 for pentagon parents) by its parent, recursively, bottom-up.
+
+    Vectorized per level: group the deepest-resolution cells by parent with
+    one ``np.unique``; a parent whose child count equals its need (6/7) is
+    promoted and re-enters the pool one level up.  Input cells must be
+    unique and valid (duplicates would overcount siblings); output is the
+    canonical minimal multi-resolution cover, order-sorted.
+    """
+    ids = np.unique(np.atleast_1d(np.asarray(ids, dtype=np.uint64)))
+    out = []
+    cur = ids
+    while len(cur):
+        res = get_resolution(cur)
+        top = int(res.max())
+        if top == 0:
+            out.append(cur)
+            break
+        deep = cur[res == top]
+        rest = cur[res != top]
+        par = cell_to_parent(deep, top - 1)
+        up, inv, cnt = np.unique(par, return_inverse=True, return_counts=True)
+        need = np.where(is_pentagon(up), 6, 7)
+        full = cnt == need
+        out.append(deep[~full[inv]])
+        cur = np.concatenate([rest, up[full]]) if full.any() else rest
+        if not full.any():
+            out.append(rest)
+            break
+    return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)
+
+
+def uncompact_cells(ids, res: int, max_cells: int = 10_000_000):
+    """H3 ``uncompactCells``: expand each cell to its ``res`` descendants
+    (pentagon cells have 6 children per level — the K digit is skipped).
+    Vectorized: one level per pass over the whole remaining pool."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    if (get_resolution(ids) > res).any():
+        raise ValueError("uncompact target res must be >= every cell's res")
+    out = []
+    cur = ids
+    total = 0
+    while len(cur):
+        r = get_resolution(cur)
+        done = r == res
+        if done.any():
+            out.append(cur[done])
+            total += int(done.sum())
+            cur = cur[~done]
+            r = r[~done]
+        if not len(cur):
+            break
+        if total + 7 * len(cur) > max_cells:
+            raise ValueError(f"uncompact_cells exceeded max_cells={max_cells}; "
+                             f"raise the budget explicitly")
+        pent = is_pentagon(cur)
+        r1 = (r + 1).astype(np.uint64)
+        shift = np.uint64(3) * (np.uint64(15) - r1)
+        base = (cur & ~np.uint64(0xF << 52)) | (r1 << np.uint64(52))
+        outs = []
+        for d in range(7):
+            nxt = (base & ~(np.uint64(7) << shift)) | (np.uint64(d) << shift)
+            outs.append(nxt if d != K_DIGIT else nxt[~pent])
+        cur = np.concatenate(outs)
+    return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)

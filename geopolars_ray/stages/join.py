@@ -421,9 +421,19 @@ def partitioned_spatial_join(
     num_partitions: int = 64,
     predicate: str = "intersects",
     distance: float | None = None,
+    h3_res: int | None = None,
 ):
     """Large-large PIP join: co-partition both sides by grid cell, hash-join,
     refine exactly. Returns matched point rows + polygon payload columns.
+
+    ``h3_res`` switches the exchange key from lat/lon grid cells to
+    CANONICAL Uber H3 cells at that resolution: each polygon replicates to
+    its complete intersection cover (`geom/h3.py polygon_to_cells
+    mode="cover"` — shape-following, so no dead bbox corners, and
+    equal-area globally, so no polar-cell skew), each point carries its
+    single `latlng_to_cell` id, and the refinement is unchanged. The cover
+    is computed per polygon (one geometry = one unit of work, as in
+    dissolve); intersects-only — use the grid mode for dwithin.
 
     Shuffle plan: polygons replicate to every cell their bbox overlaps
     (flat_map-style batch kernel); points carry their single cell id; a
@@ -445,9 +455,39 @@ def partitioned_spatial_join(
         raise ValueError(f"unsupported partitioned-join predicate {predicate!r}")
     if predicate == "dwithin" and not (distance is not None and distance >= 0):
         raise ValueError("predicate='dwithin' requires distance >= 0")
+    if h3_res is not None and predicate != "intersects":
+        raise ValueError("h3_res exchange supports predicate='intersects' only")
     pad = float(distance) if predicate == "dwithin" and distance else 0.0
 
     ny = int(np.ceil(180.0 / cell_deg))
+
+    def poly_to_h3_cells(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import h3 as h3_mod
+
+        ga = decode_wkb(batch[geometry_col])
+        rows_l, cells_l = [], []
+        for i in range(len(ga.types)):
+            rings = [r for r in _rings_of(ga, i) if len(r) >= 3]
+            if not rings:
+                continue
+            cov = h3_mod.polygon_to_cells(rings, h3_res, mode="cover")
+            rows_l.append(np.full(len(cov), i, dtype=np.int64))
+            cells_l.append(cov.view(np.int64))
+        if not rows_l:
+            return batch.slice(0, 0).append_column("_cell", pa.array([], pa.int64()))
+        out = batch.take(pa.array(np.concatenate(rows_l)))
+        return out.append_column("_cell", pa.array(np.concatenate(cells_l), pa.int64()))
+
+    def point_h3_cell(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import h3 as h3_mod
+
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        cell = h3_mod.latlng_to_cell(np.where(ok, lat, 0.0), np.where(ok, lon, 0.0),
+                                     h3_res).view(np.int64)
+        batch = batch.append_column("_cell", pa.array(np.where(ok, cell, -1), type=pa.int64()))
+        return batch.filter(pa.array(ok))
 
     def poly_to_cells(batch: pa.Table) -> pa.Table:
         # vectorized cell-rectangle expansion: each polygon replicates to
@@ -483,8 +523,12 @@ def partitioned_spatial_join(
 
     from geopolars_ray.stages.hashjoin import hash_join
 
-    pts = points_ds.map_batches(point_cell, batch_format="pyarrow")
-    polys = polygons_ds.map_batches(poly_to_cells, batch_format="pyarrow")
+    if h3_res is not None:
+        pts = points_ds.map_batches(point_h3_cell, batch_format="pyarrow")
+        polys = polygons_ds.map_batches(poly_to_h3_cells, batch_format="pyarrow")
+    else:
+        pts = points_ds.map_batches(point_cell, batch_format="pyarrow")
+        polys = polygons_ds.map_batches(poly_to_cells, batch_format="pyarrow")
     # union-based hash_join, NOT Dataset.join: cell ids are sparse keys and
     # Ray 2.49's native hash-shuffle join crashes when a hash partition
     # receives no rows on one side (see stages/hashjoin.py)

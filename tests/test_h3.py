@@ -207,3 +207,54 @@ def test_polygon_to_cells():
     # budget guard fires loudly
     with pytest.raises(ValueError, match="max_cells"):
         H.polygon_to_cells([sq], 10, max_cells=100)
+
+
+def test_compact_uncompact_cells():
+    sq = np.array([[-122.6, 37.6], [-122.2, 37.6], [-122.2, 37.9],
+                   [-122.6, 37.9], [-122.6, 37.6]])
+    c7 = H.polygon_to_cells([sq], 7)
+    comp = H.compact_cells(c7)
+    assert len(comp) < len(c7)
+    # multi-res: the compact cover mixes resolutions and round-trips exactly
+    assert len(np.unique(H.get_resolution(comp))) >= 2
+    assert (H.uncompact_cells(comp, 7) == c7).all()
+    # all 7 children of a hex cell compact to the parent; pentagon needs 6
+    hexc = H.latlng_to_cell(np.array([37.7]), np.array([-122.4]), 5)
+    ch = H.cell_to_children(hexc, 7)
+    assert len(ch) == 49 and (H.compact_cells(ch) == hexc).all()
+    pent = np.array([(1 << 59) | (5 << 52) | (4 << 45) | ((1 << 30) - 1)],
+                    dtype=np.uint64)
+    assert H.is_pentagon(pent)[0]
+    pch = H.cell_to_children(pent, 6)
+    assert len(pch) == 6 and (H.compact_cells(pch) == pent).all()
+    # an incomplete direct-sibling set (6 of 7 children) does NOT compact
+    ch6 = H.cell_to_children(hexc, 6)
+    assert (H.compact_cells(ch6[1:]) == np.sort(ch6[1:])).all()
+    # dropping one res-7 leaf compacts PARTIALLY: the orphaned parent's 6
+    # remaining children stay at res 7, every other res-6 group promotes
+    part = H.compact_cells(ch[1:])
+    assert len(part) == 12 and (H.uncompact_cells(part, 7) == np.sort(ch[1:])).all()
+    # uncompact refuses upward res and oversized budgets loudly
+    with pytest.raises(ValueError, match="res"):
+        H.uncompact_cells(hexc, 4)
+    with pytest.raises(ValueError, match="max_cells"):
+        H.uncompact_cells(hexc, 12, max_cells=100)
+
+
+def test_polygon_to_cells_cover_mode():
+    from geopolars_ray.geom.strtree import points_in_polygon_single
+    sq = np.array([[-122.6, 37.6], [-122.2, 37.6], [-122.2, 37.9],
+                   [-122.6, 37.9], [-122.6, 37.6]])
+    center = H.polygon_to_cells([sq], 7)
+    cover = H.polygon_to_cells([sq], 7, mode="cover")
+    assert set(center.tolist()) <= set(cover.tolist())
+    # completeness: the cell of EVERY point of a dense in-polygon sample is
+    # in the cover (including points hugging the boundary)
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-122.6, -122.2, 20000)
+    lat = rng.uniform(37.6, 37.9, 20000)
+    inside = points_in_polygon_single(lon, lat, [sq])
+    cells = H.latlng_to_cell(lat[inside], lon[inside], 7)
+    assert set(np.unique(cells).tolist()) <= set(cover.tolist())
+    with pytest.raises(ValueError, match="mode"):
+        H.polygon_to_cells([sq], 7, mode="bogus")

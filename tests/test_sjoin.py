@@ -340,3 +340,38 @@ def test_partitioned_join_dwithin_matches_broadcast(ray_session):
     got_b = set(zip(b["pid"].astype(int), b["admin_id"]))
     got_p = set(zip(p["pid"].astype(int), p["admin_id"]))
     assert got_b == got_p and len(got_b) > 0
+
+
+def test_partitioned_join_h3_exchange_matches_grid(ray_session):
+    """h3_res co-shuffle (canonical H3 covers on the polygon side, one
+    latlng_to_cell id per point) must produce the exact same match set as
+    the grid exchange and the broadcast join — including polygons far from
+    the equator where grid cells distort but H3 cells stay equal-area."""
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join, partitioned_spatial_join
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    lon = rng.uniform(-60, 60, n)
+    lat = rng.uniform(-75, 75, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    polys, ids = [], []
+    for k in range(20):
+        cx = rng.uniform(-55, 55)
+        cy = rng.uniform(-70, 70)  # include high-latitude diamonds
+        r = rng.uniform(1, 5)
+        polys.append(("polygon", [[(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]]))
+        ids.append(f"p{k}")
+    admin = pa.table(
+        {"admin_id": pa.array(ids), "geometry": encode_wkb(GeometryArray.from_pylist(polys))}
+    )
+    b = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner", concurrency=2).to_pandas()
+    h = partitioned_spatial_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(admin), num_partitions=8, h3_res=3
+    ).to_pandas()
+    assert set(zip(b["pid"].astype(int), b["admin_id"])) == set(zip(h["pid"].astype(int), h["admin_id"]))
+    # dwithin stays grid-only, loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="intersects"):
+        partitioned_spatial_join(ray.data.from_arrow(pts), ray.data.from_arrow(admin),
+                                 predicate="dwithin", distance=1.0, h3_res=3)
