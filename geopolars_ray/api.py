@@ -996,6 +996,50 @@ class GeoDataset:
             broadcast_spatial_join(self._ds, polygons, lon_col=lon_col, lat_col=lat_col, how=how, **kw)
         )
 
+    def sjoin_partitioned(
+        self,
+        polygons,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        **kw,
+    ) -> "GeoDataset":
+        """Large-large spatial join: co-partition this POINT dataset and a
+        polygon DATASET by exchange cell, hash-join, refine exactly — the
+        scale path when the polygon side is too big to broadcast
+        (`stages/join.py partitioned_spatial_join`). ``polygons`` may be a
+        ray Dataset, a GeoDataset, or an arrow Table (converted). Keyword
+        passthrough: ``cell_deg`` / ``num_partitions`` tune the lat/lon
+        grid exchange; ``h3_res=<r>`` switches the exchange key to
+        canonical Uber H3 cells (equal-area, shape-following polygon
+        covers); ``predicate="dwithin", distance=d`` for within-distance
+        joins (grid mode only).
+
+        The result is the matched point rows + polygon payload columns, a
+        plain attribute table (``geometry_col=None`` — re-join against the
+        polygon layer to recover geometry)."""
+        import ray.data as rd
+
+        from geopolars_ray.stages.join import partitioned_spatial_join
+
+        if isinstance(polygons, GeoDataset):
+            poly_ds = polygons.dataset
+        elif isinstance(polygons, pa.Table):
+            poly_ds = rd.from_arrow(polygons)
+        else:
+            poly_ds = polygons
+        pts = self._ds
+        geom = kw.get("geometry_col", "geometry")
+        if self.geometry_col == geom:
+            # the exchange joins on lon/lat; a same-named point-side
+            # geometry column (e.g. from from_xy) would collide with the
+            # polygon layer's in the hash join — drop it, loud and lossless
+            pts = pts.map_batches(
+                lambda b, g=geom: b.drop_columns([g]) if g in b.column_names else b,
+                batch_format="pyarrow")
+        out = partitioned_spatial_join(
+            pts, poly_ds, lon_col=lon_col, lat_col=lat_col, **kw)
+        return GeoDataset(out, geometry_col=None, crs=None)
+
     def knn(self, queries: dict, k: int, x_col="lon", y_col="lat", id_col="id", **kw) -> "GeoDataset":
         """Exact kNN of this point dataset against broadcast query points."""
         from geopolars_ray.stages.knn import euclidean_knn

@@ -543,7 +543,11 @@ def partitioned_spatial_join(
         # pattern as BroadcastPIPJoin; no per-row Python
         import pyarrow.compute as pc
 
-        gcol = geometry_col if geometry_col in batch.column_names else geometry_col + "_r"
+        # the polygon geometry is suffixed by hash_join when the POINT side
+        # also carries a same-named column (e.g. from_xy point WKBs) — the
+        # suffixed name, when present, is always the polygon side
+        gcol = (geometry_col + "_r" if geometry_col + "_r" in batch.column_names
+                else geometry_col)
         if batch.num_rows == 0:
             return batch.drop_columns([c for c in ("_cell", gcol) if c in batch.column_names])
         enc = pc.dictionary_encode(batch[gcol].combine_chunks())

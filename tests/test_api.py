@@ -242,3 +242,39 @@ def test_total_bounds(ray_session):
                           coords=np.empty((0, 2)))
     gds2 = GeoDataset(ray.data.from_arrow(pa.table({"geometry": encode_wkb(empty)})))
     assert all(math.isnan(v) for v in gds2.total_bounds())
+
+
+def test_sjoin_partitioned_api(ray_session):
+    """GeoDataset.sjoin_partitioned: grid and canonical-H3 exchange modes
+    both reproduce the broadcast join's match set through the public API,
+    accepting the polygon side as Table / Dataset / GeoDataset."""
+    import ray
+    from geopolars_ray.api import GeoDataset
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    t = pa.table({"pid": pa.array(np.arange(n)),
+                  "lon": pa.array(rng.uniform(-30, 30, n)),
+                  "lat": pa.array(rng.uniform(-30, 30, n))})
+    polys, ids = [], []
+    for k in range(8):
+        cx, cy, r = rng.uniform(-25, 25), rng.uniform(-25, 25), rng.uniform(2, 6)
+        polys.append(("polygon", [[(cx - r, cy), (cx, cy - r), (cx + r, cy),
+                                   (cx, cy + r), (cx - r, cy)]]))
+        ids.append(f"p{k}")
+    admin = pa.table({"admin_id": pa.array(ids),
+                      "geometry": encode_wkb(GeometryArray.from_pylist(polys))})
+
+    gdf = GeoDataset.from_xy(ray.data.from_arrow(t), "lon", "lat")
+    want = gdf.sjoin(admin, how="inner").to_pandas()
+    want_set = set(zip(want["pid"].astype(int), want["admin_id"]))
+    assert len(want_set) > 0
+
+    grid = gdf.sjoin_partitioned(admin, num_partitions=4).to_pandas()
+    assert set(zip(grid["pid"].astype(int), grid["admin_id"])) == want_set
+
+    h3j = gdf.sjoin_partitioned(
+        GeoDataset(ray.data.from_arrow(admin)), num_partitions=4, h3_res=3)
+    assert h3j.geometry_col is None  # attribute table, loudly no geometry
+    h3df = h3j.to_pandas()
+    assert set(zip(h3df["pid"].astype(int), h3df["admin_id"])) == want_set

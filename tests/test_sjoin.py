@@ -375,3 +375,30 @@ def test_partitioned_join_h3_exchange_matches_grid(ray_session):
     with _pytest.raises(ValueError, match="intersects"):
         partitioned_spatial_join(ray.data.from_arrow(pts), ray.data.from_arrow(admin),
                                  predicate="dwithin", distance=1.0, h3_res=3)
+
+
+def test_partitioned_join_point_side_geometry_collision(ray_session):
+    """A point side that carries its own 'geometry' column (e.g. built by
+    from_xy) must not poison the refine: hash_join suffixes the polygon
+    geometry to geometry_r and the refine must pick the SUFFIXED (polygon)
+    column, not the point WKBs."""
+    import ray
+    from geopolars_ray.stages.join import partitioned_spatial_join
+
+    rng = np.random.default_rng(3)
+    n = 1500
+    lon = rng.uniform(-20, 20, n)
+    lat = rng.uniform(-20, 20, n)
+    pt_geom = encode_wkb(GeometryArray.from_points(lon, lat))
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon),
+                    "lat": pa.array(lat), "geometry": pt_geom})
+    sq = [("polygon", [[(-5.0, -5.0), (5.0, -5.0), (5.0, 5.0), (-5.0, 5.0), (-5.0, -5.0)]])]
+    admin = pa.table({"admin_id": pa.array(["center"]),
+                      "geometry": encode_wkb(GeometryArray.from_pylist(sq))})
+    got = partitioned_spatial_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(admin), num_partitions=4
+    ).to_pandas()
+    want = set(np.nonzero((np.abs(lon) <= 5.0) & (np.abs(lat) <= 5.0))[0].tolist())
+    assert set(got["pid"].astype(int)) == want and len(want) > 0
+    # the point side's own geometry column survives untouched
+    assert "geometry" in got.columns
