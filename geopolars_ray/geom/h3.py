@@ -709,3 +709,303 @@ def uncompact_cells(ids, res: int, max_cells: int = 10_000_000):
             outs.append(nxt if d != K_DIGIT else nxt[~pent])
         cur = np.concatenate(outs)
     return np.sort(np.concatenate(out)) if out else np.empty(0, np.uint64)
+
+
+# ---------------------------------------------------------------- boundaries
+#
+# H3 cellToBoundary parity (faceijk.c _faceIjkToCellBoundary /
+# _faceIjkPentToCellBoundary): cell vertices live on a "substrate" grid —
+# two aperture-3 steps below the cell's resolution (pure scale 3, the two
+# steps have opposite chirality so rotations cancel), plus one aperture-7r
+# step for class III (odd) resolutions so the substrate is always class II
+# aligned.  Vertices that spill off the home icosahedron face are relabeled
+# with the same class-II overage used for centers (max_dim tripled; points
+# exactly ON a face edge stay).  Class III cell edges are NOT aligned with
+# icosahedron edges, so an edge whose endpoints land on different faces gets
+# an extra vertex where it crosses the face edge (each face is a different
+# gnomonic projection plane; without the split the edge would kink).
+
+def _down_ap3(i, j, k):
+    # iVec={2,0,1} jVec={1,2,0} kVec={0,1,2}  (scale sqrt3, -30 deg)
+    return _norm3(2 * i + j, 2 * j + k, i + 2 * k)
+
+
+def _down_ap3r(i, j, k):
+    # iVec={2,1,0} jVec={0,2,1} kVec={1,0,2}  (scale sqrt3, +30 deg)
+    return _norm3(2 * i + k, i + 2 * j, j + 2 * k)
+
+
+def _derive_vertex_tables():
+    """Hexagon vertex offsets in the substrate frame, derived (not recalled):
+    each cell vertex is the sum of two CCW-adjacent unit axis directions
+    (class II); the class III offsets are the same vertices expressed through
+    the aperture-7r frame map.  Matches uber/h3 faceijk.c vertsCII/vertsCIII."""
+    ccw_dirs = [4, 6, 2, 3, 1, 5]            # i, i+j, j, j+k, k, k+i digits
+    cii = np.empty((6, 3), dtype=np.int64)
+    for v in range(6):
+        a = _UNIT[ccw_dirs[v]] + _UNIT[ccw_dirs[(v + 1) % 6]]
+        cii[v] = a
+    i3, j3, k3 = _down_ap7r(cii[:, 0], cii[:, 1], cii[:, 2])
+    ciii = np.stack([i3, j3, k3], axis=1)
+    return cii, ciii
+
+
+_VERTS_CII, _VERTS_CIII = _derive_vertex_tables()
+# geometric sanity: class II ring at sqrt(3) @ 30+60v deg, class III at
+# sqrt(21) @ 30+AP7_ROT+60v deg (the down_ap7r frame rotation)
+for _vt, _mag, _ang0 in ((_VERTS_CII, np.sqrt(3.0), np.pi / 6),
+                         (_VERTS_CIII, np.sqrt(21.0), np.pi / 6 + AP7_ROT)):
+    _vx = (_vt[:, 0] - _vt[:, 2]) - 0.5 * (_vt[:, 1] - _vt[:, 2])
+    _vy = (_vt[:, 1] - _vt[:, 2]) * S3_2
+    assert np.allclose(np.hypot(_vx, _vy), _mag)
+    assert np.allclose((np.arctan2(_vy, _vx) - _ang0 - np.arange(6) * np.pi / 3
+                        + np.pi) % (2 * np.pi) - np.pi, 0.0, atol=1e-12)
+
+# dense cross-face maps for the pentagon distortion path: coordinates in
+# face f's frame -> face g's frame (g adjacent to f), and the edge index
+# (0=IJ 1=JK 2=KI) of f that borders g
+_FACE_MAP_ROT = np.full((20, 20), -1, dtype=np.int64)
+_FACE_MAP_T = np.zeros((20, 20, 2), dtype=np.int64)
+for _key, (_n, _t) in T.EDGE_MAPS.items():
+    _f, _g = (int(x) for x in _key.split(","))
+    _FACE_MAP_ROT[_f, _g] = _n
+    _FACE_MAP_T[_f, _g] = _t
+_EDGE_OF = np.full((20, 20), -1, dtype=np.int64)
+for _f in range(20):
+    for _e in range(3):
+        _EDGE_OF[_f, _NBR_FACE[_f, _e]] = _e
+
+
+def _substrate_overage(face, i, j, k, adj_res):
+    """Class-II overage on the substrate grid: max_dim is tripled and points
+    exactly on a face edge stay put (FACE_EDGE).  Returns new (face, i, j, k)
+    plus the on-edge flag.  Mutates its array arguments."""
+    max_dim = 3 * 2 * 7 ** (adj_res // 2)
+    scale = max_dim // 2
+    for _it in range(4):
+        over = (i + j + k) > max_dim
+        if not over.any():
+            break
+        rows = np.where(over)[0]
+        io, jo, ko = i[rows], j[rows], k[rows]
+        fo = face[rows]
+        which = np.where((ko > 0) & (jo > 0), 1, np.where(ko > 0, 2, 0))
+        g = _NBR_FACE[fo, which]
+        nrot = _NBR_ROT[fo, which]
+        t = _NBR_T[fo, which]
+        a = np.stack([io - ko, jo - ko], axis=1)
+        a2 = np.einsum("nij,nj->ni", _AXM_POW[nrot], a) + t * scale
+        zi = np.zeros(len(rows), dtype=np.int64)
+        i[rows], j[rows], k[rows] = _norm3(a2[:, 0], a2[:, 1], zi)
+        face[rows] = g
+    return face, i, j, k, (i + j + k) == max_dim
+
+
+def _hex2d(i, j, k):
+    return (i - k) - 0.5 * (j - k), (j - k) * S3_2
+
+
+def _unproject_substrate(face, x, y, adj_res):
+    """hex2d (substrate frame, class II at adj_res) -> lat/lng degrees."""
+    r2 = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    az = _AZ_I[face] - theta
+    dist = np.arctan(r2 * RES0_U / (3.0 * SQRT7 ** adj_res))
+    cg = _CENTERS[face]
+    dvec = (np.cos(az)[:, None] * _NHAT[face] + np.sin(az)[:, None] * _EHAT[face])
+    p = np.cos(dist)[:, None] * cg + np.sin(dist)[:, None] * dvec
+    lat = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
+    lng = np.degrees(np.arctan2(p[:, 1], p[:, 0]))
+    return lat, lng
+
+
+def _substrate_center(ids, res):
+    """resolved center dropped onto the class-II substrate grid."""
+    face, i, j, k = _resolve_face_ijk(ids, res)
+    i, j, k = _down_ap3(i, j, k)
+    i, j, k = _down_ap3r(i, j, k)
+    class3 = res % 2 == 1
+    if class3:
+        i, j, k = _down_ap7r(i, j, k)
+    adj_res = res + 1 if class3 else res
+    return face, i, j, k, class3, adj_res
+
+
+def _face_corners_2d(adj_res):
+    """icosahedron face triangle corners (i, j, k axes) in substrate hex2d."""
+    md = 2 * 7 ** (adj_res // 2)
+    v0 = np.array([3.0 * md, 0.0])
+    v1 = np.array([-1.5 * md, 3.0 * S3_2 * md])
+    v2 = np.array([-1.5 * md, -3.0 * S3_2 * md])
+    # edge e -> (start, end): 0=IJ (v0,v1)  1=JK (v1,v2)  2=KI (v2,v0)
+    return np.array([[v0, v1], [v1, v2], [v2, v0]])
+
+
+def _seg_line_intersect(p0x, p0y, p1x, p1y, e0, e1):
+    """intersection of line (p0,p1) with line (e0,e1), H3 _v2dIntersect."""
+    s1x, s1y = p1x - p0x, p1y - p0y
+    s2x, s2y = e1[:, 0] - e0[:, 0], e1[:, 1] - e0[:, 1]
+    denom = -s2x * s1y + s1x * s2y
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tt = (s2x * (p0y - e0[:, 1]) - s2y * (p0x - e0[:, 0])) / denom
+    return p0x + tt * s1x, p0y + tt * s1y
+
+
+def _hex_boundary(ids, res):
+    """(lat, lng, valid) slot arrays (n, 12) for hexagon cells of one res.
+    Slot layout: vertex v at slot 2v; the extra face-crossing vertex on edge
+    (v-1 -> v) at slot (2v-1) mod 12 — i.e. ring order v0 i01 v1 i12 ... v5 i50."""
+    n = len(ids)
+    face, i, j, k, class3, adj_res = _substrate_center(ids, res)
+    center_face = face
+    verts = _VERTS_CIII if class3 else _VERTS_CII
+    ox = np.empty((6, n)); oy = np.empty((6, n))
+    pf = np.empty((6, n), np.int64)
+    pe = np.empty((6, n), bool)
+    lat = np.zeros((n, 12)); lng = np.zeros((n, 12))
+    valid = np.zeros((n, 12), bool)
+    for v in range(6):
+        u = verts[v]
+        ii, jj, kk = _norm3(i + u[0], j + u[1], k + u[2])
+        ox[v], oy[v] = _hex2d(ii, jj, kk)
+        f2, i2, j2, k2, edge = _substrate_overage(center_face.copy(), ii, jj, kk, adj_res)
+        pf[v], pe[v] = f2, edge
+        x2, y2 = _hex2d(i2, j2, k2)
+        lat[:, 2 * v], lng[:, 2 * v] = _unproject_substrate(f2, x2, y2, adj_res)
+        valid[:, 2 * v] = True
+    if class3:
+        corners = _face_corners_2d(adj_res)
+        for v in range(6):
+            lv = (v + 5) % 6
+            need = (pf[v] != pf[lv]) & ~pe[lv]
+            if not need.any():
+                continue
+            face2 = np.where(pf[lv] == center_face, pf[v], pf[lv])
+            e = _EDGE_OF[center_face, face2]
+            need &= e >= 0
+            ec = corners[np.clip(e, 0, 2)]
+            ix, iy = _seg_line_intersect(ox[lv], oy[lv], ox[v], oy[v],
+                                         ec[:, 0], ec[:, 1])
+            # a crossing exactly AT a hexagon vertex needs no extra point
+            at_vert = ((ix == ox[lv]) & (iy == oy[lv])) | ((ix == ox[v]) & (iy == oy[v]))
+            need &= ~at_vert & np.isfinite(ix)
+            if not need.any():
+                continue
+            la, lo = _unproject_substrate(center_face[need], ix[need], iy[need], adj_res)
+            slot = (2 * v - 1) % 12
+            lat[need, slot] = la
+            lng[need, slot] = lo
+            valid[need, slot] = True
+    return lat, lng, valid
+
+
+def _pent_boundary(ids, res):
+    """(lat, lng, valid) slot arrays (n, 10) for pentagon cells of one res.
+    Pentagons drop the 6th vertex (the deleted k-axis subsequence); at class
+    III every pentagon edge crosses an icosahedron edge, and the crossing is
+    computed in the PREVIOUS vertex's face frame (both endpoints mapped there)."""
+    n = len(ids)
+    face, i, j, k, class3, adj_res = _substrate_center(ids, res)
+    verts = (_VERTS_CIII if class3 else _VERTS_CII)[:5]
+    pf = np.empty((5, n), np.int64)
+    pa = np.empty((5, n), np.int64)   # axial a = i - k, post-overage
+    pb = np.empty((5, n), np.int64)
+    lat = np.zeros((n, 10)); lng = np.zeros((n, 10))
+    valid = np.zeros((n, 10), bool)
+    for v in range(5):
+        u = verts[v]
+        ii, jj, kk = _norm3(i + u[0], j + u[1], k + u[2])
+        f2, i2, j2, k2, _ = _substrate_overage(face.copy(), ii, jj, kk, adj_res)
+        pf[v] = f2
+        pa[v], pb[v] = i2 - k2, j2 - k2
+        x2, y2 = _hex2d(i2, j2, k2)
+        lat[:, 2 * v], lng[:, 2 * v] = _unproject_substrate(f2, x2, y2, adj_res)
+        valid[:, 2 * v] = True
+    if class3:
+        corners = _face_corners_2d(adj_res)
+        scale = 3 * 7 ** (adj_res // 2)
+        for v in range(5):
+            lv = (v + 4) % 5
+            cf, lf = pf[v], pf[lv]
+            rot = _FACE_MAP_ROT[cf, lf]
+            need = (cf != lf) & (rot >= 0)
+            if not need.any():
+                continue
+            # current vertex coords expressed in the LAST vertex's face frame
+            a = np.stack([pa[v], pb[v]], axis=1)
+            a2 = np.einsum("nij,nj->ni", _AXM_POW[np.clip(rot, 0, 5)], a) \
+                + _FACE_MAP_T[cf, lf] * scale
+            x1 = a2[:, 0] - 0.5 * a2[:, 1]
+            y1 = a2[:, 1] * S3_2
+            x0 = pa[lv] - 0.5 * pb[lv]
+            y0 = pb[lv] * S3_2
+            e = _EDGE_OF[lf, cf]
+            need &= e >= 0
+            ec = corners[np.clip(e, 0, 2)]
+            ix, iy = _seg_line_intersect(x0, y0, x1, y1, ec[:, 0], ec[:, 1])
+            need &= np.isfinite(ix)
+            if not need.any():
+                continue
+            la, lo = _unproject_substrate(lf[need], ix[need], iy[need], adj_res)
+            slot = (2 * v - 1) % 10
+            lat[need, slot] = la
+            lng[need, slot] = lo
+            valid[need, slot] = True
+    return lat, lng, valid
+
+
+def cell_to_boundary(ids):
+    """H3 ``cellToBoundary``: boundary vertices per cell, CCW, including the
+    extra icosahedron-edge crossing vertices of class III cells (up to 12 for
+    hexagons, 10 for pentagons).  Returns ``(offsets, lat, lng)`` ragged
+    arrays — cell ``c``'s ring is ``lat[offsets[c]:offsets[c+1]]`` (degrees,
+    NOT closed; repeat the first vertex to close).  Vectorized per
+    (resolution, pentagon) group."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    n = len(ids)
+    res_all = get_resolution(ids)
+    pent_all = is_pentagon(ids)
+    lat_sl = np.zeros((n, 12)); lng_sl = np.zeros((n, 12))
+    ok = np.zeros((n, 12), bool)
+    for r in np.unique(res_all):
+        for pent in (False, True):
+            m = np.where((res_all == r) & (pent_all == pent))[0]
+            if not len(m):
+                continue
+            fn = _pent_boundary if pent else _hex_boundary
+            la, lo, va = fn(ids[m], int(r))
+            w = la.shape[1]
+            lat_sl[m[:, None], np.arange(w)] = la
+            lng_sl[m[:, None], np.arange(w)] = lo
+            ok[m[:, None], np.arange(w)] = va
+    counts = ok.sum(axis=1)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return offsets, lat_sl[ok], lng_sl[ok]
+
+
+def cells_to_polygons(ids):
+    """Boundary polygons per cell as a ``GeometryArray`` (lng/lat coords,
+    rings closed).  Cells crossing the antimeridian come out with raw
+    longitude jumps (same contract as h3's cellToBoundary)."""
+    from .array import GeometryArray, POLYGON
+    offsets, lat, lng = cell_to_boundary(ids)
+    n = len(offsets) - 1
+    counts = offsets[1:] - offsets[:-1]
+    # closed rings: counts + 1 coords per cell, first vertex repeated
+    ring_off = np.concatenate([[0], np.cumsum(counts + 1)]).astype(np.int64)
+    coords = np.empty((int(ring_off[-1]), 2))
+    src = np.arange(len(lat), dtype=np.int64)
+    dst = src + np.repeat(np.arange(n, dtype=np.int64), counts)
+    coords[dst, 0] = lng
+    coords[dst, 1] = lat
+    close_dst = ring_off[1:] - 1
+    coords[close_dst, 0] = lng[offsets[:-1]]
+    coords[close_dst, 1] = lat[offsets[:-1]]
+    seq = np.arange(n + 1, dtype=np.int64)
+    return GeometryArray(
+        types=np.full(n, POLYGON, dtype=np.int8),
+        geom_offsets=seq,
+        part_offsets=seq,
+        ring_offsets=ring_off,
+        coords=coords,
+    )

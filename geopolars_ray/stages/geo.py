@@ -164,6 +164,59 @@ def to_wkb(geometry_col: str = GEOMETRY) -> Callable[[pa.Table], pa.Table]:
 
     return fn
 
+def _h3_ids_to_polygons(ids: np.ndarray, ok: np.ndarray) -> GeometryArray:
+    """uint64 H3 ids -> one boundary POLYGON per True row (MISSING
+    elsewhere).  Boundaries are computed once per UNIQUE cell
+    (`geom/h3.py cell_to_boundary`) and gathered per row — rollup/point
+    batches repeat the same few hundred cells thousands of times."""
+    from geopolars_ray.geom.array import MISSING, POLYGON
+    from geopolars_ray.geom import h3 as h3_mod
+
+    types = np.where(ok, POLYGON, MISSING).astype(np.int8)
+    geom_offsets = np.concatenate([[0], np.cumsum(ok.astype(np.int64))]).astype(np.int64)
+    if not ok.any():
+        z = np.zeros(1, dtype=np.int64)
+        return GeometryArray(types, geom_offsets, z, z.copy(), np.empty((0, 2)))
+    uniq, inv = np.unique(np.asarray(ids, dtype=np.uint64)[ok], return_inverse=True)
+    offs, blat, blng = h3_mod.cell_to_boundary(uniq)
+    cnt = (offs[1:] - offs[:-1]).astype(np.int64)[inv]  # open-ring verts/row
+    m = int(ok.sum())
+    ring_offsets = np.concatenate([[0], np.cumsum(cnt + 1)]).astype(np.int64)
+    part_offsets = np.arange(m + 1, dtype=np.int64)
+    starts = offs[inv].astype(np.int64)
+    total = int(cnt.sum())
+    excl = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(excl, cnt)
+    src = np.repeat(starts, cnt) + intra
+    dst = np.repeat(ring_offsets[:-1], cnt) + intra
+    coords = np.empty((int(ring_offsets[-1]), 2))
+    coords[dst, 0] = blng[src]
+    coords[dst, 1] = blat[src]
+    coords[ring_offsets[1:] - 1, 0] = blng[starts]   # closing vertex
+    coords[ring_offsets[1:] - 1, 1] = blat[starts]
+    return GeometryArray(types, geom_offsets, part_offsets, ring_offsets, coords)
+
+
+def _h3_cell_polygon(ga: GeometryArray, res: int = 7) -> GeometryArray:
+    """Containing canonical-H3 cell polygon per POINT row — the vector face
+    of H3 tiling (points in, equal-area cell polygons out).  Missing rows
+    pass through; non-point rows are refused (tile a centroid first)."""
+    from geopolars_ray.geom.array import MISSING, POINT
+
+    is_pt = ga.types == POINT
+    if not (is_pt | (ga.types == MISSING)).all():
+        raise NotImplementedError(
+            "h3_cell_polygon supports Point geometries; take centroid() first")
+    from geopolars_ray.geom import h3 as h3_mod
+
+    x, y = K.get_x(ga), K.get_y(ga)
+    valid = is_pt & ~np.isnan(x) & ~np.isnan(y)
+    ids = np.zeros(len(ga), dtype=np.uint64)
+    if valid.any():
+        ids[valid] = h3_mod.latlng_to_cell(y[valid], x[valid], res)
+    return _h3_ids_to_polygons(ids, valid)
+
+
 # name -> (kernel, result kind): 'scalar' appends a column, 'geometry'
 # replaces the geometry column, 'special' has a custom wrapper below
 KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
@@ -245,6 +298,10 @@ KERNELS: dict[str, tuple[Callable[..., Any], str]] = {
         lambda ga, level=12: tiles_mod.quadkey_encode(K.get_x(ga), K.get_y(ga), level),
         "scalar",
     ),
+    # containing canonical H3 cell as a boundary POLYGON (points only) —
+    # the vector face of the tiling; boundaries computed once per unique
+    # cell in the batch (geom/h3.py cell_to_boundary)
+    "h3_cell_polygon": (_h3_cell_polygon, "geometry"),
 }
 
 
