@@ -11,6 +11,13 @@ extent — the exchange format between vector pipelines and raster consumers
   tile (no Ray per-tile overhead).
 - :func:`raster_to_points` — the inverse: tile grids back to one row per
   non-empty cell with the cell-center coordinates and value.
+- :func:`zonal_stats` — per-polygon-zone aggregates of a point dataset
+  (count/sum/mean/min/max): broadcast PIP tag + combiner-first
+  ``hash_aggregate``; the zone table is ``ray.put`` once, never re-shipped.
+- :func:`raster_zonal_stats` — per-zone aggregates of RASTER tiles: each
+  actor tests cell centers against the broadcast prepared zones (built once
+  in ``__init__``), emits per-zone partials per batch, and a tiny
+  ``hash_aggregate`` merges them — the dense grids never cross the shuffle.
 
 Partitioning assumption: one tile's raster (H*W doubles) fits comfortably
 in a block; tiles are independent, so this scales linearly with tile count.
@@ -22,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 
 from geopolars_ray.geom import tiles as tiles_mod
-from geopolars_ray.stages.agg import hash_partitioned_map
+from geopolars_ray.stages.agg import hash_aggregate, hash_partitioned_map
 
 
 def rasterize_points(
@@ -139,3 +146,210 @@ def raster_to_points(raster_ds, tile_deg: float = 15.0, resolution: int = 32):
         )
 
     return raster_ds.map_batches(explode, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# zonal statistics (vector zones x points, vector zones x raster tiles)
+# --------------------------------------------------------------------------
+
+_ZONAL_STATS = ("count", "sum", "mean", "min", "max")
+
+
+def _zonal_spec(value_col, stats):
+    stats = list(stats)
+    bad = [s for s in stats if s not in _ZONAL_STATS]
+    if bad:
+        raise ValueError(f"unknown zonal stats {bad}; supported: {_ZONAL_STATS}")
+    if value_col is None and any(s != "count" for s in stats):
+        raise ValueError("sum/mean/min/max need value_col")
+    spec = []
+    for s in stats:
+        if s == "count":
+            spec.append((value_col or "_zid", "count", "n"))
+        else:
+            spec.append((value_col, s, f"{s}_value"))
+    return spec
+
+
+def zonal_stats(
+    points_ds,
+    zones: pa.Table,
+    zone_id_col: str = "zone_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str | None = None,
+    stats=("count", "sum", "mean"),
+    geometry_col: str = "geometry",
+    num_partitions: int = 16,
+    concurrency=(1, 4),
+    batch_size: int = 65536,
+):
+    """Per-zone aggregates of a point Dataset against broadcast polygon zones.
+
+    Composition of the two scale primitives: ``broadcast_spatial_join`` (the
+    zone table + prepared polygon index built ONCE per actor) tags each point
+    with its zone id, then ``hash_aggregate`` reduces combiner-first — the
+    shuffle carries one partial row per (block, zone), never points.  Points
+    outside every zone are dropped (classic zonal-stats semantics); a point
+    inside k overlapping zones counts in each of the k.
+    """
+    from geopolars_ray.stages.join import broadcast_spatial_join
+
+    zt = zones.select([zone_id_col, geometry_col])
+    if geometry_col != "geometry":
+        zt = zt.rename_columns([zone_id_col, "geometry"])
+    tagged = broadcast_spatial_join(
+        points_ds,
+        zt,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        how="inner",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+    _zonal_spec(value_col, stats)  # validate BEFORE substituting the count column
+    return hash_aggregate(tagged, [zone_id_col],
+                          _zonal_spec(value_col or lon_col, stats), num_partitions)
+
+
+class _RasterZonalPartials:
+    """Actor stage: raster-tile batches -> per-zone (n, sum, min, max) partials.
+
+    Prepared zones + grid index are built once per actor from a broadcast
+    object ref (``BroadcastPIPJoin`` pattern, stages/join.py:276).  Each batch
+    expands its tiles' grids to cell centers VECTORIZED (one arange per batch,
+    not per tile), PIP-refines grouped by zone, and emits one partial row per
+    zone — the dense rasters stay inside the actor.
+    """
+
+    def __init__(self, zones, zone_id_col, tile_deg, resolution, skip_empty):
+        import ray
+        from geopolars_ray.geom import decode_wkb
+        from geopolars_ray.geom.strtree import GridIndex, PreparedPolygons
+
+        table = ray.get(zones) if isinstance(zones, ray.ObjectRef) else zones
+        ga = decode_wkb(table["geometry"])
+        self.prep = PreparedPolygons.from_geometry_array(ga)
+        self.grid = GridIndex(self.prep.bounds)
+        self.zone_ids = table[zone_id_col]
+        self.zone_id_col = zone_id_col
+        self.tile_deg = float(tile_deg)
+        self.res = int(resolution)
+        self.skip_empty = bool(skip_empty)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = self.res
+        tiles = batch["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grids = np.asarray(
+            [np.asarray(g, dtype=np.float64) for g in batch["raster"].to_pylist()]
+        ).reshape(len(tiles), res * res)
+        lon0, lat0, _, _ = tiles_mod.grid_tile_bounds(tiles, cell_deg=self.tile_deg)
+        cw = self.tile_deg / res
+        cell = np.arange(res * res)
+        cx = (cell % res + 0.5) * cw
+        cy = (cell // res + 0.5) * cw
+        lon = (lon0[:, None] + cx[None, :]).ravel()
+        lat = (lat0[:, None] + cy[None, :]).ravel()
+        val = grids.ravel()
+        if self.skip_empty:
+            keep = val != 0.0
+            lon, lat, val = lon[keep], lat[keep], val[keep]
+        pidx, items = self.grid.candidates_for_points(lon, lat)
+        zid_idx: list[np.ndarray] = []
+        zval: list[np.ndarray] = []
+        if len(pidx):
+            order = np.argsort(items, kind="stable")
+            items_s, pidx_s = items[order], pidx[order]
+            cut = np.nonzero(np.diff(items_s))[0] + 1
+            for grp_items, grp_pts in zip(np.split(items_s, cut), np.split(pidx_s, cut)):
+                poly = int(grp_items[0])
+                inside = self.prep.contains_points(poly, lon[grp_pts], lat[grp_pts])
+                sel = grp_pts[inside]
+                if len(sel):
+                    zid_idx.append(np.full(len(sel), poly, dtype=np.int64))
+                    zval.append(val[sel])
+        if not zid_idx:
+            return pa.table({
+                self.zone_id_col: self.zone_ids.slice(0, 0),
+                "_n": pa.array([], pa.int64()),
+                "_sum": pa.array([], pa.float64()),
+                "_min": pa.array([], pa.float64()),
+                "_max": pa.array([], pa.float64()),
+            })
+        zi = np.concatenate(zid_idx)
+        zv = np.concatenate(zval)
+        uniq, inv = np.unique(zi, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.bincount(inv, weights=zv, minlength=len(uniq))
+        mn = np.full(len(uniq), np.inf)
+        np.minimum.at(mn, inv, zv)
+        mx = np.full(len(uniq), -np.inf)
+        np.maximum.at(mx, inv, zv)
+        return pa.table({
+            self.zone_id_col: self.zone_ids.take(pa.array(uniq)),
+            "_n": pa.array(n),
+            "_sum": pa.array(s),
+            "_min": pa.array(mn),
+            "_max": pa.array(mx),
+        })
+
+
+def raster_zonal_stats(
+    raster_ds,
+    zones: pa.Table,
+    zone_id_col: str = "zone_id",
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    stats=("count", "sum", "mean", "min", "max"),
+    skip_empty: bool = False,
+    num_partitions: int = 8,
+    concurrency=(1, 4),
+):
+    """Per-zone aggregates over raster tiles (raster -> vector analytics).
+
+    A raster cell belongs to a zone iff its CENTER is inside the zone polygon
+    (the standard all-touched=False rasterio/GDAL convention).  ``skip_empty``
+    drops 0-valued cells first (sparse semantics — matches what
+    ``raster_to_points`` + :func:`zonal_stats` would compute); the default
+    keeps them, the honest dense-raster semantics.
+
+    Scale shape: partials are one row per (batch, zone) — the shuffle after
+    the actor stage is zone-cardinality-sized regardless of raster size.
+    """
+    import ray
+
+    bad = [s for s in stats if s not in _ZONAL_STATS]
+    if bad:
+        raise ValueError(f"unknown zonal stats {bad}; supported: {_ZONAL_STATS}")
+    ref = ray.put(zones)
+    partials = raster_ds.map_batches(
+        _RasterZonalPartials,
+        fn_constructor_kwargs=dict(zones=ref, zone_id_col=zone_id_col,
+                                   tile_deg=tile_deg, resolution=resolution,
+                                   skip_empty=skip_empty),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = hash_aggregate(
+        partials, [zone_id_col],
+        [("_n", "sum", "n"), ("_sum", "sum", "sum_value"),
+         ("_min", "min", "min_value"), ("_max", "max", "max_value")],
+        num_partitions,
+    )
+
+    want = list(stats)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols = {zone_id_col: batch[zone_id_col]}
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        for s in want:
+            if s == "count":
+                cols["n"] = batch["n"]
+            elif s == "mean":
+                sv = batch["sum_value"].to_numpy(zero_copy_only=False)
+                cols["mean_value"] = pa.array(sv / np.maximum(n, 1.0))
+            else:
+                cols[f"{s}_value"] = batch[f"{s}_value"]
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
