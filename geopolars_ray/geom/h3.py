@@ -375,13 +375,18 @@ def cell_to_parent(ids, parent_res):
 
 
 def cell_to_children(ids, child_res=None):
-    """children one level down (or at child_res) of a single cell id."""
-    h = int(np.atleast_1d(np.asarray(ids, dtype=np.uint64))[0])
-    res = int((h >> 52) & 0xF)
+    """children one level down (or at ``child_res``) of the given cell ids.
+
+    Accepts an array (all ids must share one resolution); the output is the
+    sorted union of every input cell's children."""
+    cur = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    res_all = get_resolution(cur)
+    res = int(res_all[0])
+    if (res_all != res).any():
+        raise ValueError("cell_to_children needs cells at one resolution")
     target = res + 1 if child_res is None else int(child_res)
     if target < res:
         raise ValueError("child_res must be >= cell resolution")
-    cur = np.array([h], dtype=np.uint64)
     for r in range(res + 1, target + 1):
         pent = is_pentagon(cur)
         outs = []
@@ -1009,3 +1014,159 @@ def cells_to_polygons(ids):
         ring_offsets=ring_off,
         coords=coords,
     )
+
+
+# --------------------------------------------------------------------------
+# grid algebra: distance, paths, cell measures
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_KM = 6371.007180918475   # libh3 constants.h (authalic sphere)
+
+
+def grid_distance(a, b, max_k: int = 256):
+    """minimum grid steps between cell pairs (libh3 ``gridDistance``).
+
+    Vectorized-BFS per pair over :func:`cell_to_neighbors` — no local-IJ
+    tables needed, pentagon-safe by construction.  Cost is O(d^2) lattice
+    cells per pair (the filled BFS disk), so this is for NEARBY cells:
+    ``max_k`` is a loud budget, not a soft cap (libh3 itself fails across
+    pentagon-adjacent base cells; we succeed there but charge the disk).
+    Pairs at different resolutions raise, matching libh3's error contract.
+    """
+    a = np.atleast_1d(np.asarray(a, dtype=np.uint64))
+    b = np.atleast_1d(np.asarray(b, dtype=np.uint64))
+    if a.shape != b.shape:
+        raise ValueError("a and b must have the same shape")
+    if (get_resolution(a) != get_resolution(b)).any():
+        raise ValueError("grid_distance needs cells at the same resolution")
+    out = np.empty(len(a), dtype=np.int64)
+    for n in range(len(a)):
+        src, dst = int(a[n]), int(b[n])
+        if src == dst:
+            out[n] = 0
+            continue
+        seen = {src}
+        frontier = np.array([src], dtype=np.uint64)
+        d = 0
+        while True:
+            d += 1
+            if d > max_k:
+                raise ValueError(
+                    f"grid_distance exceeded max_k={max_k} between "
+                    f"{src:x} and {dst:x}; raise max_k if this is intended"
+                )
+            nb = cell_to_neighbors(frontier).ravel()
+            fresh = {int(x) for x in nb} - seen
+            if dst in fresh:
+                out[n] = d
+                break
+            if not fresh:
+                raise ValueError(f"no grid path between {src:x} and {dst:x}")
+            seen |= fresh
+            frontier = np.fromiter(fresh, dtype=np.uint64)
+    return out
+
+
+def grid_path_cells(a, b, max_k: int = 256):
+    """a minimal-length cell path from ``a`` to ``b`` inclusive (uint64 array).
+
+    BFS depth map from ``b`` then deterministic greedy descent from ``a``
+    (smallest cell id among depth-1 neighbors).  The path LENGTH always
+    equals ``grid_distance(a, b) + 1``; the particular minimal path may
+    differ from libh3's local-IJ line (which is one arbitrary choice among
+    equally-minimal paths, per its own docs).
+    """
+    src = int(np.uint64(np.atleast_1d(np.asarray(a, dtype=np.uint64))[0]))
+    dst = int(np.uint64(np.atleast_1d(np.asarray(b, dtype=np.uint64))[0]))
+    if get_resolution(np.array([src], np.uint64))[0] != get_resolution(np.array([dst], np.uint64))[0]:
+        raise ValueError("grid_path_cells needs cells at the same resolution")
+    if src == dst:
+        return np.array([src], dtype=np.uint64)
+    depth = {dst: 0}
+    frontier = np.array([dst], dtype=np.uint64)
+    d = 0
+    while src not in depth:
+        d += 1
+        if d > max_k:
+            raise ValueError(f"grid_path_cells exceeded max_k={max_k}")
+        nb = cell_to_neighbors(frontier).ravel()
+        fresh = {int(x) for x in nb} - depth.keys()
+        if not fresh:
+            raise ValueError(f"no grid path between {src:x} and {dst:x}")
+        for x in fresh:
+            depth[x] = d
+        frontier = np.fromiter(fresh, dtype=np.uint64)
+    path = [src]
+    cur = src
+    while cur != dst:
+        want = depth[cur] - 1
+        nxt = min(
+            int(x)
+            for x in cell_to_neighbors(np.array([cur], np.uint64)).ravel()
+            if depth.get(int(x), -1) == want
+        )
+        path.append(nxt)
+        cur = nxt
+    return np.array(path, dtype=np.uint64)
+
+
+def _tri_excess(ca, cb, cc):
+    """spherical excess of unit-vector triangles (l'Huilier), vectorized."""
+
+    def arc(u, v):
+        return 2.0 * np.arcsin(np.clip(
+            0.5 * np.linalg.norm(u - v, axis=-1), 0.0, 1.0))
+
+    la, lb, lc = arc(cb, cc), arc(ca, cc), arc(ca, cb)
+    s = 0.5 * (la + lb + lc)
+    t = (np.tan(0.5 * s) * np.tan(0.5 * (s - la))
+         * np.tan(0.5 * (s - lb)) * np.tan(0.5 * (s - lc)))
+    return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+
+
+def cell_area(ids, unit: str = "km^2"):
+    """exact spherical area per cell (libh3 ``cellAreaKm2``/``cellAreaM2``
+    semantics: triangle fan from the cell center over the boundary,
+    spherical excess per triangle, authalic radius).  Vectorized: one fan
+    per boundary edge across ALL cells at once."""
+    if unit not in ("km^2", "m^2", "rads^2"):
+        raise ValueError(f"unknown unit {unit!r}")
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    offsets, blat, blng = cell_to_boundary(ids)
+    clat, clng = cell_to_latlng(ids)
+    v = _ll2xyz(np.radians(blat), np.radians(blng))
+    c = _ll2xyz(np.radians(clat), np.radians(clng))
+    counts = offsets[1:] - offsets[:-1]
+    owner = np.repeat(np.arange(len(ids)), counts)
+    # edge i -> i+1 (wrapping within each cell's ring)
+    nxt = np.arange(len(blat)) + 1
+    ends = offsets[1:] - 1
+    nxt[ends] = offsets[:-1]
+    ex = _tri_excess(c[owner], v, v[nxt])
+    area = np.zeros(len(ids))
+    np.add.at(area, owner, ex)
+    if unit == "rads^2":
+        return area
+    r2 = EARTH_RADIUS_KM ** 2 if unit == "km^2" else (EARTH_RADIUS_KM * 1000.0) ** 2
+    return area * r2
+
+
+def cell_perimeter(ids, unit: str = "km"):
+    """great-circle boundary length per cell (sum over boundary arcs)."""
+    if unit not in ("km", "m", "rads"):
+        raise ValueError(f"unknown unit {unit!r}")
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    offsets, blat, blng = cell_to_boundary(ids)
+    v = _ll2xyz(np.radians(blat), np.radians(blng))
+    nxt = np.arange(len(blat)) + 1
+    ends = offsets[1:] - 1
+    nxt[ends] = offsets[:-1]
+    arcs = 2.0 * np.arcsin(np.clip(
+        0.5 * np.linalg.norm(v - v[nxt], axis=-1), 0.0, 1.0))
+    counts = offsets[1:] - offsets[:-1]
+    owner = np.repeat(np.arange(len(ids)), counts)
+    per = np.zeros(len(ids))
+    np.add.at(per, owner, arcs)
+    if unit == "rads":
+        return per
+    return per * (EARTH_RADIUS_KM if unit == "km" else EARTH_RADIUS_KM * 1000.0)
