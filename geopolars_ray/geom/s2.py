@@ -210,3 +210,181 @@ def cell_center_lonlat(cell_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     lon = np.degrees(np.arctan2(y, x))
     lat = np.degrees(np.arctan2(z, np.hypot(x, y)))
     return lon, lat
+
+
+def face_uv_to_xyz(face: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """(face, u, v) -> unit-cube XYZ (not normalized), vectorized."""
+    face = np.asarray(face, np.int64)
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    one = np.ones_like(u)
+    x = np.choose(face, [one, -u, -u, -one, v, v])
+    y = np.choose(face, [u, one, -v, -v, -one, u])
+    z = np.choose(face, [v, v, one, -u, -u, -one])
+    return x, y, z
+
+
+# ------------------------------------------------------------------ hierarchy
+
+
+def cell_to_children(cell_id: np.ndarray) -> np.ndarray:
+    """The 4 children of each cell, as an (N, 4) uint64 array in Hilbert
+    order (s2geometry ``S2CellId::child``: id + (2k-3) * (lsb >> 2))."""
+    cell_id = np.atleast_1d(np.asarray(cell_id, np.uint64))
+    if (cell_level(cell_id) >= MAX_LEVEL).any():
+        raise ValueError("leaf cells have no children")
+    lsb = cell_id & (~cell_id + np.uint64(1))
+    new_lsb = lsb >> np.uint64(2)
+    ks = np.arange(4, dtype=np.int64)
+    deltas = ((2 * ks - 3)[None, :] * new_lsb.astype(np.int64)[:, None])
+    return (cell_id[:, None].astype(np.int64) + deltas).astype(np.uint64)
+
+
+def cell_id_range(cell_id: np.ndarray):
+    """(range_min, range_max) leaf ids covered by each cell — the Hilbert
+    interval used for containment tests and range joins."""
+    cell_id = np.asarray(cell_id, np.uint64)
+    lsb = cell_id & (~cell_id + np.uint64(1))
+    return cell_id - (lsb - np.uint64(1)), cell_id + (lsb - np.uint64(1))
+
+
+def cell_contains(parent: np.ndarray, child: np.ndarray) -> np.ndarray:
+    """containment via Hilbert ranges (works across any level pair)."""
+    lo, hi = cell_id_range(parent)
+    c = np.asarray(child, np.uint64)
+    return (c >= lo) & (c <= hi)
+
+
+# ------------------------------------------------------------------ geometry
+
+
+def cell_to_boundary(cell_id: np.ndarray):
+    """The 4 corner vertices per cell as (lon, lat) arrays of shape (N, 4),
+    CCW in (s, t) order: (lo,lo) (hi,lo) (hi,hi) (lo,hi).
+
+    Exact cube-face corners through the quadratic projection — matches
+    ``S2Cell::GetVertex`` geometry (normalized there; same direction)."""
+    cell_id = np.atleast_1d(np.asarray(cell_id, np.uint64))
+    face, i, j = cellid_to_face_ij(cell_id)
+    level = cell_level(cell_id)
+    size = (np.int64(1) << (MAX_LEVEL - level)).astype(np.int64)
+    i0 = (i & ~(size - 1)).astype(np.float64)
+    j0 = (j & ~(size - 1)).astype(np.float64)
+    scale = 1.0 / (1 << MAX_LEVEL)
+    s_lo, s_hi = i0 * scale, (i0 + size) * scale
+    t_lo, t_hi = j0 * scale, (j0 + size) * scale
+    lon = np.empty((len(cell_id), 4))
+    lat = np.empty((len(cell_id), 4))
+    corners = ((s_lo, t_lo), (s_hi, t_lo), (s_hi, t_hi), (s_lo, t_hi))
+    for c, (s, t) in enumerate(corners):
+        x, y, z = face_uv_to_xyz(face, _st_to_uv(s), _st_to_uv(t))
+        lon[:, c] = np.degrees(np.arctan2(y, x))
+        lat[:, c] = np.degrees(np.arctan2(z, np.hypot(x, y)))
+    return lon, lat
+
+
+def edge_neighbors(cell_id: np.ndarray) -> np.ndarray:
+    """The 4 edge-adjacent cells at the SAME level, (N, 4) uint64 —
+    s2geometry ``GetEdgeNeighbors`` via FromFaceIJWrap (down, right, up,
+    left in (i, j); cross-face wraps relabel through linear-uv -> XYZ)."""
+    cell_id = np.atleast_1d(np.asarray(cell_id, np.uint64))
+    face, i, j = cellid_to_face_ij(cell_id)
+    level = cell_level(cell_id)
+    size = (np.int64(1) << (MAX_LEVEL - level)).astype(np.int64)
+    # center-leaf coords snapped to the cell origin
+    i0 = i & ~(size - 1)
+    j0 = j & ~(size - 1)
+    out = np.empty((len(cell_id), 4), dtype=np.uint64)
+    steps = ((0, -1), (1, 0), (0, 1), (-1, 0))
+    max_size = np.int64(1) << MAX_LEVEL
+    for c, (di, dj) in enumerate(steps):
+        ni = i0 + di * size
+        nj = j0 + dj * size
+        inside = (ni >= 0) & (ni < max_size) & (nj >= 0) & (nj < max_size)
+        leaf = np.empty(len(cell_id), dtype=np.uint64)
+        if inside.any():
+            leaf[inside] = cellid_from_face_ij(
+                face[inside].astype(np.uint64),
+                ni[inside].astype(np.uint64),
+                nj[inside].astype(np.uint64),
+            )
+        wrap = ~inside
+        if wrap.any():
+            # FromFaceIJWrap: linear uv just past the face edge -> XYZ ->
+            # true face uv -> LINEAR st -> ij (matches s2geometry exactly)
+            iw = np.clip(ni[wrap], -1, max_size)
+            jw = np.clip(nj[wrap], -1, max_size)
+            k_scale = 1.0 / float(max_size)
+            limit = np.nextafter(1.0, 2.0)
+            uw = np.clip(k_scale * (2.0 * (iw - max_size // 2) + 1.0), -limit, limit)
+            vw = np.clip(k_scale * (2.0 * (jw - max_size // 2) + 1.0), -limit, limit)
+            x, y, z = face_uv_to_xyz(face[wrap], uw, vw)
+            f2, u2, v2 = xyz_to_face_uv(x, y, z)
+            leaf[wrap] = cellid_from_face_ij(
+                f2.astype(np.uint64),
+                _st_to_ij(0.5 * (u2 + 1.0)).astype(np.uint64),
+                _st_to_ij(0.5 * (v2 + 1.0)).astype(np.uint64),
+            )
+        out[:, c] = leaf
+    # snap leaves back to the cell level (vectorized over the level groups)
+    for lv in np.unique(level):
+        m = level == lv
+        out[m] = parent_at_level(out[m], int(lv))
+    return out
+
+
+def rect_covering(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
+                  level: int = 12, max_cells: int = 100_000) -> np.ndarray:
+    """All level-``level`` cells whose closed (s,t) rectangle intersects the
+    lat/lng rectangle — BFS flood from the center cell over edge neighbors,
+    keeping cells whose corner quad's lon/lat bbox overlaps the query box.
+
+    Conservative (bbox-of-corners test can keep a grazing cell) but never
+    misses: level-L cells tile the sphere and the BFS frontier only stops at
+    cells fully outside.  ``max_cells`` is a loud budget for 100 TB safety.
+    Boxes crossing the antimeridian must be split by the caller.
+    """
+    if lon_lo > lon_hi or lat_lo > lat_hi:
+        raise ValueError("empty rectangle")
+    seed = s2_cell_id(np.array([(lon_lo + lon_hi) / 2.0]),
+                      np.array([(lat_lo + lat_hi) / 2.0]), level)
+
+    def hits(ids: np.ndarray) -> np.ndarray:
+        lon, lat = cell_to_boundary(ids)
+        # pole/seam-safe bbox: a cell spanning the antimeridian has a huge
+        # lon range; treat it as overlapping any lon window (conservative).
+        # Cells near +/-180 are tested modulo 360 as well (a cell whose
+        # corners sit at [176, 180] also contains lon = -180).
+        lon_min, lon_max = lon.min(axis=1), lon.max(axis=1)
+        seam = (lon_max - lon_min) > 180.0
+
+        def ov(shift):
+            return (lon_max + shift >= lon_lo) & (lon_min + shift <= lon_hi)
+
+        lon_ok = seam | ov(0.0) | ov(360.0) | ov(-360.0)
+        # cell edges are great-circle arcs that bulge poleward of their
+        # corner chord by <= (edge arc)^2 / 8 radians; pad the lat test so
+        # grazing cells at coarse levels are kept (conservative)
+        edge = (np.pi / 2.0) / (1 << level)
+        pad = np.degrees(edge * edge / 8.0) * 2.0
+        lat_ok = (lat.max(axis=1) >= lat_lo - pad) & (lat.min(axis=1) <= lat_hi + pad)
+        return lon_ok & lat_ok
+
+    seen = {int(seed[0])}
+    keep: list[int] = []
+    frontier = seed
+    while len(frontier):
+        m = hits(frontier)
+        kept = frontier[m]
+        keep.extend(int(x) for x in kept)
+        if len(keep) > max_cells:
+            raise ValueError(
+                f"rect_covering exceeded max_cells={max_cells} at level {level}; "
+                "use a coarser level or raise the budget")
+        if not len(kept):
+            break
+        nb = edge_neighbors(kept).ravel()
+        fresh = {int(x) for x in nb} - seen
+        seen |= fresh
+        frontier = np.fromiter(fresh, dtype=np.uint64) if fresh else np.empty(0, np.uint64)
+    return np.array(sorted(keep), dtype=np.uint64)
