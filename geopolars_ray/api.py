@@ -1109,3 +1109,29 @@ class GeoDataset:
             rasterize_points(self._ds, lon_col=lon_col, lat_col=lat_col, value_col=value_col,
                              tile_deg=tile_deg, resolution=resolution, stat=stat, **kw)
         )
+
+    def zonal_stats(self, zones: pa.Table, zone_id_col: str = "zone_id",
+                    lon_col="lon", lat_col="lat", value_col=None,
+                    stats=("count", "sum", "mean"), **kw) -> "GeoDataset":
+        """Per-polygon-zone aggregates of this point dataset (broadcast PIP
+        tag + combiner-first hash aggregate; ``stages/raster.py zonal_stats``)."""
+        from geopolars_ray.stages.raster import zonal_stats
+
+        return GeoDataset(
+            zonal_stats(self._ds, zones, zone_id_col=zone_id_col, lon_col=lon_col,
+                        lat_col=lat_col, value_col=value_col, stats=stats, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def focal(self, stat: str = "mean", kernel: int = 3, tile_deg: float = 15.0,
+              resolution: int = 32, **kw) -> "GeoDataset":
+        """Focal (neighborhood) aggregate over raster tiles produced by
+        :meth:`rasterize` — windows cross tile boundaries via a distributed
+        halo exchange (``stages/raster.py focal_aggregate``)."""
+        from geopolars_ray.stages.raster import focal_aggregate
+
+        return GeoDataset(
+            focal_aggregate(self._ds, tile_deg=tile_deg, resolution=resolution,
+                            kernel=kernel, stat=stat, **kw),
+            geometry_col=None, crs=None,
+        )

@@ -353,3 +353,128 @@ def raster_zonal_stats(
         return pa.table(cols)
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# focal (neighborhood) raster ops with distributed halo exchange
+# --------------------------------------------------------------------------
+
+
+def focal_aggregate(
+    raster_ds,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    kernel: int = 3,
+    stat: str = "mean",
+    num_partitions: int = 16,
+):
+    """Sliding-window (focal) aggregate over raster tiles — mean/sum/min/max
+    over each cell's ``kernel`` x ``kernel`` neighborhood, ACROSS tile
+    boundaries, via an explicit distributed halo exchange:
+
+    1. map_batches: each tile emits its own grid plus the h-wide edge/corner
+       strips its 8 grid neighbors need (h = kernel//2) — the halo traffic
+       is O(res·h) per tile, never the full grid, so the exchange stays a
+       small fraction of the data at any scale.
+    2. ``hash_partitioned_map`` on the TARGET tile id: each partition
+       assembles padded (res+2h)^2 value+presence arrays per tile and
+       reduces every window vectorized (``sliding_window_view``).
+
+    Cells whose window reaches past the data (no neighbor tile) aggregate
+    over the present cells only (masked mean; sum treats absent as 0;
+    min/max ignore absent).  X tiles do not wrap at the antimeridian (the
+    planar grid-id contract of ``geom/tiles.py grid_tile_id``).
+    """
+    if stat not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unknown focal stat {stat!r}")
+    if kernel < 1 or kernel % 2 == 0:
+        raise ValueError("kernel must be odd and >= 1")
+    res = int(resolution)
+    h = kernel // 2
+    if h >= res:
+        raise ValueError("kernel halo must be smaller than the tile resolution")
+    ny = int(np.ceil(180.0 / tile_deg))
+    nx = int(np.ceil(360.0 / tile_deg))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_t, out_dx, out_dy, out_v = [], [], [], []
+        for row, g in enumerate(batch["raster"].to_pylist()):
+            t = int(tiles[row])
+            grid = np.asarray(g, dtype=np.float64).reshape(res, res)
+            ix, iy = t // ny, t % ny
+            out_t.append(t); out_dx.append(0); out_dy.append(0)
+            out_v.append(np.asarray(g, dtype=np.float64))
+            for dx in (-1, 0, 1):
+                for dy in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    jx, jy = ix + dx, iy + dy
+                    if not (0 <= jx < nx and 0 <= jy < ny):
+                        continue
+                    # the strip of MY grid facing neighbor (dx, dy):
+                    # rows are y (grid index cell//res), cols are x
+                    ys = slice(res - h, res) if dy > 0 else (slice(0, h) if dy < 0 else slice(None))
+                    xs = slice(res - h, res) if dx > 0 else (slice(0, h) if dx < 0 else slice(None))
+                    out_t.append(jx * ny + jy)
+                    out_dx.append(-dx)       # position relative to the TARGET
+                    out_dy.append(-dy)
+                    out_v.append(grid[ys, xs].ravel())
+        return pa.table({
+            "tile": pa.array(out_t, pa.int64()),
+            "_dx": pa.array(out_dx, pa.int8()),
+            "_dy": pa.array(out_dy, pa.int8()),
+            "_vals": pa.array([v.tolist() for v in out_v], pa.list_(pa.float64())),
+        })
+
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def assemble(part: pa.Table) -> pa.Table:
+        t = part["tile"].to_numpy(zero_copy_only=False)
+        dx = part["_dx"].to_numpy(zero_copy_only=False)
+        dy = part["_dy"].to_numpy(zero_copy_only=False)
+        vals = part["_vals"].to_pylist()
+        order = np.argsort(t, kind="stable")
+        cut = np.nonzero(np.diff(t[order]))[0] + 1
+        out_tiles, out_grids = [], []
+        pad = res + 2 * h
+        for rows in np.split(order, cut):
+            tid = int(t[rows[0]])
+            drows = {(int(dx[r]), int(dy[r])): r for r in rows}
+            if (0, 0) not in drows:
+                continue          # halo strips for an absent tile: no output
+            v = np.zeros((pad, pad))
+            m = np.zeros((pad, pad), dtype=bool)
+
+            def place(r, ys, xs):
+                block = np.asarray(vals[r], dtype=np.float64)
+                v[ys, xs] = block.reshape(ys.stop - ys.start, xs.stop - xs.start)
+                m[ys, xs] = True
+
+            place(drows[(0, 0)], slice(h, h + res), slice(h, h + res))
+            for (sdx, sdy), r in drows.items():
+                if sdx == 0 and sdy == 0:
+                    continue
+                ys = slice(0, h) if sdy < 0 else (slice(h + res, pad) if sdy > 0 else slice(h, h + res))
+                xs = slice(0, h) if sdx < 0 else (slice(h + res, pad) if sdx > 0 else slice(h, h + res))
+                place(r, ys, xs)
+            wv = sliding_window_view(v, (kernel, kernel))
+            wm = sliding_window_view(m, (kernel, kernel))
+            cnt = wm.sum(axis=(2, 3))
+            if stat == "sum":
+                g = (wv * wm).sum(axis=(2, 3))
+            elif stat == "mean":
+                g = (wv * wm).sum(axis=(2, 3)) / np.maximum(cnt, 1)
+            elif stat == "min":
+                g = np.where(wm, wv, np.inf).min(axis=(2, 3))
+            else:
+                g = np.where(wm, wv, -np.inf).max(axis=(2, 3))
+            out_tiles.append(tid)
+            out_grids.append(g.ravel())
+        return pa.table({
+            "tile": pa.array(out_tiles, pa.int64()),
+            "raster": pa.array([g.tolist() for g in out_grids], pa.list_(pa.float64())),
+        })
+
+    exchanged = raster_ds.map_batches(emit, batch_format="pyarrow")
+    return hash_partitioned_map(exchanged, ["tile"], assemble, num_partitions)

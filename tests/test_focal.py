@@ -1,0 +1,101 @@
+"""Tests: focal (neighborhood) raster aggregates with halo exchange.
+
+Oracle: a dense global mosaic of all tiles + masked sliding windows in
+numpy — the distributed per-tile outputs must match it bit-for-bit,
+including cells whose windows cross tile boundaries (the halo path).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from numpy.lib.stride_tricks import sliding_window_view
+
+
+def _mosaic_oracle(tp, res, deg, k, stat):
+    ny = int(np.ceil(180 / deg))
+    h = k // 2
+    ids = tp["tile"].to_numpy()
+    ix, iy = ids // ny, ids % ny
+    gx0, gy0 = ix.min(), iy.min()
+    W = (ix.max() - gx0 + 1) * res
+    H = (iy.max() - gy0 + 1) * res
+    V = np.zeros((H + 2 * h, W + 2 * h))
+    M = np.zeros((H + 2 * h, W + 2 * h), bool)
+    for t, g in zip(ids, tp["raster"]):
+        x0 = (t // ny - gx0) * res + h
+        y0 = (t % ny - gy0) * res + h
+        V[y0:y0 + res, x0:x0 + res] = np.asarray(g).reshape(res, res)
+        M[y0:y0 + res, x0:x0 + res] = True
+    wv = sliding_window_view(V, (k, k))
+    wm = sliding_window_view(M, (k, k))
+    cnt = wm.sum(axis=(2, 3))
+    if stat == "sum":
+        G = (wv * wm).sum(axis=(2, 3))
+    elif stat == "mean":
+        G = (wv * wm).sum(axis=(2, 3)) / np.maximum(cnt, 1)
+    elif stat == "min":
+        G = np.where(wm, wv, np.inf).min(axis=(2, 3))
+    else:
+        G = np.where(wm, wv, -np.inf).max(axis=(2, 3))
+    return G, ny, gx0, gy0
+
+
+@pytest.mark.parametrize("stat,k", [("mean", 3), ("sum", 3), ("min", 3), ("max", 3), ("mean", 5)])
+def test_focal_matches_dense_mosaic(ray_session, stat, k):
+    import ray
+    from geopolars_ray.stages.raster import focal_aggregate, rasterize_points
+
+    rng = np.random.default_rng(11)
+    n = 40000
+    res, deg = 8, 15.0
+    pts = pa.table({"lon": pa.array(rng.uniform(0, 60, n)),
+                    "lat": pa.array(rng.uniform(-30, 30, n))})
+    tiles = rasterize_points(ray.data.from_arrow(pts).repartition(4), tile_deg=deg,
+                             resolution=res, num_partitions=4).materialize()
+    out = focal_aggregate(tiles, tile_deg=deg, resolution=res, kernel=k,
+                          stat=stat).to_pandas()
+    tp = tiles.to_pandas()
+    assert len(out) == len(tp) == 16  # 4x4 tile block: every halo is interior
+    G, ny, gx0, gy0 = _mosaic_oracle(tp, res, deg, k, stat)
+    for t, g in zip(out["tile"], out["raster"]):
+        x0 = (t // ny - gx0) * res
+        y0 = (t % ny - gy0) * res
+        np.testing.assert_allclose(np.asarray(g).reshape(res, res),
+                                   G[y0:y0 + res, x0:x0 + res], rtol=1e-12)
+
+
+def test_focal_missing_neighbors(ray_session):
+    # a lone tile: every boundary window aggregates over present cells only
+    import ray
+    from geopolars_ray.stages.raster import focal_aggregate
+
+    res = 4
+    grid = np.arange(res * res, dtype=np.float64)
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array([60], pa.int64()),  # ix=5, iy=0 (corner of y range)
+        "raster": pa.array([grid.tolist()], pa.list_(pa.float64())),
+    }))
+    out = focal_aggregate(tiles, tile_deg=15.0, resolution=res, kernel=3,
+                          stat="mean").to_pandas()
+    g = np.asarray(out["raster"][0]).reshape(res, res)
+    G = grid.reshape(res, res)
+    # corner cell (0,0): mean over its 2x2 present block
+    np.testing.assert_allclose(g[0, 0], G[:2, :2].mean())
+    # interior cell: full 3x3
+    np.testing.assert_allclose(g[2, 2], G[1:4, 1:4].mean())
+
+
+def test_focal_rejects_bad_args(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import focal_aggregate
+
+    empty = ray.data.from_arrow(pa.table({
+        "tile": pa.array([], pa.int64()),
+        "raster": pa.array([], pa.list_(pa.float64())),
+    }))
+    with pytest.raises(ValueError, match="odd"):
+        focal_aggregate(empty, kernel=4)
+    with pytest.raises(ValueError, match="unknown focal"):
+        focal_aggregate(empty, stat="median")
+    with pytest.raises(ValueError, match="halo"):
+        focal_aggregate(empty, resolution=1, kernel=3)
