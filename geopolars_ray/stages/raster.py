@@ -360,39 +360,25 @@ def raster_zonal_stats(
 # --------------------------------------------------------------------------
 
 
-def focal_aggregate(
-    raster_ds,
-    tile_deg: float = 15.0,
-    resolution: int = 32,
-    kernel: int = 3,
-    stat: str = "mean",
-    num_partitions: int = 16,
-):
-    """Sliding-window (focal) aggregate over raster tiles — mean/sum/min/max
-    over each cell's ``kernel`` x ``kernel`` neighborhood, ACROSS tile
-    boundaries, via an explicit distributed halo exchange:
+def _halo_exchange_map(raster_ds, tile_deg, resolution, halo, per_tile,
+                       num_partitions=16):
+    """Generic halo-exchange raster transform.
 
-    1. map_batches: each tile emits its own grid plus the h-wide edge/corner
-       strips its 8 grid neighbors need (h = kernel//2) — the halo traffic
-       is O(res·h) per tile, never the full grid, so the exchange stays a
-       small fraction of the data at any scale.
-    2. ``hash_partitioned_map`` on the TARGET tile id: each partition
-       assembles padded (res+2h)^2 value+presence arrays per tile and
-       reduces every window vectorized (``sliding_window_view``).
+    1. map_batches: each tile emits its own grid plus the ``halo``-wide
+       edge/corner strips its 8 grid neighbors need — halo traffic is
+       O(res·halo) per tile, never the full grid.
+    2. ``hash_partitioned_map`` on the TARGET tile id: assemble padded
+       (res+2h)^2 value + presence arrays per tile and call
+       ``per_tile(values, mask) -> dict[col, (res, res) array]``; one list
+       column per dict key.
 
-    Cells whose window reaches past the data (no neighbor tile) aggregate
-    over the present cells only (masked mean; sum treats absent as 0;
-    min/max ignore absent).  X tiles do not wrap at the antimeridian (the
-    planar grid-id contract of ``geom/tiles.py grid_tile_id``).
+    X tiles do not wrap at the antimeridian (the planar grid-id contract
+    of ``geom/tiles.py grid_tile_id``).
     """
-    if stat not in ("mean", "sum", "min", "max"):
-        raise ValueError(f"unknown focal stat {stat!r}")
-    if kernel < 1 or kernel % 2 == 0:
-        raise ValueError("kernel must be odd and >= 1")
     res = int(resolution)
-    h = kernel // 2
-    if h >= res:
-        raise ValueError("kernel halo must be smaller than the tile resolution")
+    h = int(halo)
+    if not 0 < h < res:
+        raise ValueError("kernel halo must be >= 1 and smaller than the tile resolution")
     ny = int(np.ceil(180.0 / tile_deg))
     nx = int(np.ceil(360.0 / tile_deg))
 
@@ -404,7 +390,7 @@ def focal_aggregate(
             grid = np.asarray(g, dtype=np.float64).reshape(res, res)
             ix, iy = t // ny, t % ny
             out_t.append(t); out_dx.append(0); out_dy.append(0)
-            out_v.append(np.asarray(g, dtype=np.float64))
+            out_v.append(grid.ravel())
             for dx in (-1, 0, 1):
                 for dy in (-1, 0, 1):
                     if dx == 0 and dy == 0:
@@ -427,8 +413,6 @@ def focal_aggregate(
             "_vals": pa.array([v.tolist() for v in out_v], pa.list_(pa.float64())),
         })
 
-    from numpy.lib.stride_tricks import sliding_window_view
-
     def assemble(part: pa.Table) -> pa.Table:
         t = part["tile"].to_numpy(zero_copy_only=False)
         dx = part["_dx"].to_numpy(zero_copy_only=False)
@@ -436,8 +420,9 @@ def focal_aggregate(
         vals = part["_vals"].to_pylist()
         order = np.argsort(t, kind="stable")
         cut = np.nonzero(np.diff(t[order]))[0] + 1
-        out_tiles, out_grids = [], []
         pad = res + 2 * h
+        out_tiles: list[int] = []
+        out_cols: dict[str, list] = {}
         for rows in np.split(order, cut):
             tid = int(t[rows[0]])
             drows = {(int(dx[r]), int(dy[r])): r for r in rows}
@@ -458,23 +443,129 @@ def focal_aggregate(
                 ys = slice(0, h) if sdy < 0 else (slice(h + res, pad) if sdy > 0 else slice(h, h + res))
                 xs = slice(0, h) if sdx < 0 else (slice(h + res, pad) if sdx > 0 else slice(h, h + res))
                 place(r, ys, xs)
-            wv = sliding_window_view(v, (kernel, kernel))
-            wm = sliding_window_view(m, (kernel, kernel))
-            cnt = wm.sum(axis=(2, 3))
-            if stat == "sum":
-                g = (wv * wm).sum(axis=(2, 3))
-            elif stat == "mean":
-                g = (wv * wm).sum(axis=(2, 3)) / np.maximum(cnt, 1)
-            elif stat == "min":
-                g = np.where(wm, wv, np.inf).min(axis=(2, 3))
-            else:
-                g = np.where(wm, wv, -np.inf).max(axis=(2, 3))
+            got = per_tile(v, m)
             out_tiles.append(tid)
-            out_grids.append(g.ravel())
-        return pa.table({
-            "tile": pa.array(out_tiles, pa.int64()),
-            "raster": pa.array([g.tolist() for g in out_grids], pa.list_(pa.float64())),
-        })
+            for name, arr in got.items():
+                out_cols.setdefault(name, []).append(np.asarray(arr, dtype=np.float64).ravel())
+        cols = {"tile": pa.array(out_tiles, pa.int64())}
+        for name, grids in out_cols.items():
+            cols[name] = pa.array([g.tolist() for g in grids], pa.list_(pa.float64()))
+        return pa.table(cols)
 
     exchanged = raster_ds.map_batches(emit, batch_format="pyarrow")
     return hash_partitioned_map(exchanged, ["tile"], assemble, num_partitions)
+
+
+def focal_aggregate(
+    raster_ds,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    kernel: int = 3,
+    stat: str = "mean",
+    num_partitions: int = 16,
+):
+    """Sliding-window (focal) aggregate over raster tiles — mean/sum/min/max
+    over each cell's ``kernel`` x ``kernel`` neighborhood, ACROSS tile
+    boundaries, via the distributed halo exchange of
+    :func:`_halo_exchange_map`.  Cells whose window reaches past the data
+    (no neighbor tile) aggregate over the present cells only (masked mean;
+    sum treats absent as 0; min/max ignore absent)."""
+    if stat not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unknown focal stat {stat!r}")
+    if kernel < 1 or kernel % 2 == 0:
+        raise ValueError("kernel must be odd and >= 1")
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_tile(v, m):
+        wv = sliding_window_view(v, (kernel, kernel))
+        wm = sliding_window_view(m, (kernel, kernel))
+        if stat == "sum":
+            g = (wv * wm).sum(axis=(2, 3))
+        elif stat == "mean":
+            g = (wv * wm).sum(axis=(2, 3)) / np.maximum(wm.sum(axis=(2, 3)), 1)
+        elif stat == "min":
+            g = np.where(wm, wv, np.inf).min(axis=(2, 3))
+        else:
+            g = np.where(wm, wv, -np.inf).max(axis=(2, 3))
+        return {"raster": g}
+
+    return _halo_exchange_map(raster_ds, tile_deg, resolution, kernel // 2,
+                              per_tile, num_partitions)
+
+
+def focal_convolve(
+    raster_ds,
+    weights,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    normalize: bool = True,
+    num_partitions: int = 16,
+):
+    """Arbitrary-kernel masked convolution over raster tiles (Gaussian blur,
+    Laplacian sharpen, ...), windows crossing tile boundaries via halo
+    exchange.  ``weights`` is an odd square 2D array.  ``normalize=True``
+    renormalizes by the weight mass actually present under each window
+    (the standard nodata-aware convolution); ``False`` treats absent cells
+    as 0 and applies raw weights."""
+    w = np.asarray(weights, dtype=np.float64)
+    if w.ndim != 2 or w.shape[0] != w.shape[1] or w.shape[0] % 2 == 0:
+        raise ValueError("weights must be an odd square 2D array")
+    k = w.shape[0]
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_tile(v, m):
+        wv = sliding_window_view(v, (k, k))
+        wm = sliding_window_view(m, (k, k))
+        num = np.einsum("abij,ij->ab", wv * wm, w)
+        if normalize:
+            den = np.einsum("abij,ij->ab", wm.astype(np.float64), np.abs(w))
+            tot = np.abs(w).sum()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                g = np.where(den > 0, num * (tot / np.maximum(den, 1e-300)), 0.0)
+        else:
+            g = num
+        return {"raster": g}
+
+    return _halo_exchange_map(raster_ds, tile_deg, resolution, k // 2,
+                              per_tile, num_partitions)
+
+
+def raster_slope(
+    raster_ds,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    cellsize: float | None = None,
+    num_partitions: int = 16,
+):
+    """Slope + aspect per cell (Horn's 3x3 method, the GDAL ``gdaldem``
+    algorithm), gradients crossing tile boundaries via halo exchange.
+
+    ``cellsize`` is the ground distance per cell in the raster's value
+    units (default: the cell width in degrees, ``tile_deg/resolution`` —
+    pass a metric size when the values are metric elevations).  Output
+    columns: ``slope`` (degrees, NaN where the 3x3 window is incomplete)
+    and ``aspect`` (degrees clockwise from north, NaN on flat cells and
+    incomplete windows)."""
+    cs = float(cellsize) if cellsize is not None else tile_deg / resolution
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_tile(v, m):
+        wv = sliding_window_view(v, (3, 3))
+        wm = sliding_window_view(m, (3, 3))
+        full = wm.all(axis=(2, 3))
+        # Horn weights; grid row 0 is SOUTH (lat increases with y index)
+        gx = ((wv[..., 0, 2] + 2 * wv[..., 1, 2] + wv[..., 2, 2])
+              - (wv[..., 0, 0] + 2 * wv[..., 1, 0] + wv[..., 2, 0])) / (8.0 * cs)
+        gy = ((wv[..., 2, 0] + 2 * wv[..., 2, 1] + wv[..., 2, 2])
+              - (wv[..., 0, 0] + 2 * wv[..., 0, 1] + wv[..., 0, 2])) / (8.0 * cs)
+        slope = np.degrees(np.arctan(np.hypot(gx, gy)))
+        # aspect: direction of steepest DESCENT (-gx, -gy) in (east, north),
+        # degrees clockwise from north
+        aspect = np.mod(np.degrees(np.arctan2(-gx, -gy)), 360.0)
+        flat = (gx == 0) & (gy == 0)
+        slope = np.where(full, slope, np.nan)
+        aspect = np.where(full & ~flat, aspect, np.nan)
+        return {"slope": slope, "aspect": aspect}
+
+    return _halo_exchange_map(raster_ds, tile_deg, resolution, 1,
+                              per_tile, num_partitions)

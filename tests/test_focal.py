@@ -99,3 +99,68 @@ def test_focal_rejects_bad_args(ray_session):
         focal_aggregate(empty, stat="median")
     with pytest.raises(ValueError, match="halo"):
         focal_aggregate(empty, resolution=1, kernel=3)
+
+
+def test_raster_slope_analytic_plane(ray_session):
+    import ray
+    from geopolars_ray.geom import tiles as tiles_mod
+    from geopolars_ray.stages.raster import raster_slope
+
+    res, deg = 8, 15.0
+    ny = int(np.ceil(180 / deg))
+    ids, grids = [], []
+    for ix in (12, 13):          # 2x2 tile mosaic; inner seams need halos
+        for iy in (6, 7):
+            t = ix * ny + iy
+            lon0, lat0, _, _ = tiles_mod.grid_tile_bounds(np.array([t]), cell_deg=deg)
+            cw = deg / res
+            cell = np.arange(res * res)
+            lon = lon0[0] + (cell % res + 0.5) * cw
+            lat = lat0[0] + (cell // res + 0.5) * cw
+            ids.append(t)
+            grids.append((2.0 * lon + 3.0 * lat).tolist())
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array(ids, pa.int64()),
+        "raster": pa.array(grids, pa.list_(pa.float64())),
+    }))
+    out = raster_slope(tiles, tile_deg=deg, resolution=res).to_pandas()
+    exp_slope = np.degrees(np.arctan(np.hypot(2.0, 3.0)))
+    exp_aspect = np.mod(np.degrees(np.arctan2(-2.0, -3.0)), 360.0)
+    nan_cells = 0
+    for _, r in out.iterrows():
+        s = np.asarray(r["slope"])
+        a = np.asarray(r["aspect"])
+        np.testing.assert_allclose(s[~np.isnan(s)], exp_slope, rtol=1e-9)
+        np.testing.assert_allclose(a[~np.isnan(a)], exp_aspect, rtol=1e-9)
+        nan_cells += int(np.isnan(s).sum())
+    # NaN only on the OUTER boundary of the 16x16 mosaic: 2*16 + 2*14
+    assert nan_cells == 60
+
+
+def test_focal_convolve_identity_and_blur(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import focal_aggregate, focal_convolve
+
+    res, deg = 8, 15.0
+    rng = np.random.default_rng(7)
+    ny = int(np.ceil(180 / deg))
+    ids = [10 * ny + 5, 11 * ny + 5]
+    grids = [rng.uniform(0, 9, res * res).tolist() for _ in ids]
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array(ids, pa.int64()),
+        "raster": pa.array(grids, pa.list_(pa.float64())),
+    }))
+    ident = np.zeros((3, 3)); ident[1, 1] = 1.0
+    out = focal_convolve(tiles, ident, tile_deg=deg, resolution=res).to_pandas()
+    orig = dict(zip(ids, grids))
+    for _, r in out.iterrows():
+        np.testing.assert_allclose(np.asarray(r["raster"]), orig[r["tile"]], rtol=1e-12)
+    # normalized box blur == focal mean (masked edges included)
+    blur = focal_convolve(tiles, np.ones((3, 3)) / 9.0, tile_deg=deg,
+                          resolution=res).to_pandas().sort_values("tile")
+    mean = focal_aggregate(tiles, tile_deg=deg, resolution=res, kernel=3,
+                           stat="mean").to_pandas().sort_values("tile")
+    for (_, b), (_, m) in zip(blur.iterrows(), mean.iterrows()):
+        np.testing.assert_allclose(np.asarray(b["raster"]), np.asarray(m["raster"]), rtol=1e-12)
+    with pytest.raises(ValueError, match="odd square"):
+        focal_convolve(tiles, np.ones((2, 2)))
