@@ -424,6 +424,27 @@ def kernel_benchmarks() -> dict:
                    rng.uniform(0.5, 4, npoly))
     out["relate_poly_pairs_mrows_s"] = round(
         best_rate(lambda: predicate(pga, pgb, "intersects"), npoly) / 1e6, 3)
+
+    # late-r5: H3 grid measures, S2 covering, focal-window reduce
+    hsub = hcells[:200_000]
+    out["h3_cell_area_mrows_s"] = round(
+        best_rate(lambda: h3c.cell_area(hsub), len(hsub)) / 1e6, 2)
+    out["s2_rect_covering_cells_s"] = round(
+        best_rate(lambda: s2_mod.rect_covering(-20.0, 30.0, 20.0, 55.0, level=8),
+                  len(s2_mod.rect_covering(-20.0, 30.0, 20.0, 55.0, level=8))), 1)
+    from numpy.lib.stride_tricks import sliding_window_view as _swv
+
+    fres = 256
+    fv = rng.uniform(0, 10, (fres + 2, fres + 2))
+    fm = np.ones_like(fv, dtype=bool)
+
+    def focal_window_mean():
+        wv = _swv(fv, (3, 3))
+        wm = _swv(fm, (3, 3))
+        (wv * wm).sum(axis=(2, 3)) / np.maximum(wm.sum(axis=(2, 3)), 1)
+
+    out["focal_mean_mcells_s"] = round(
+        best_rate(focal_window_mean, fres * fres) / 1e6, 2)
     return out
 
 
