@@ -569,3 +569,86 @@ def raster_slope(
 
     return _halo_exchange_map(raster_ds, tile_deg, resolution, 1,
                               per_tile, num_partitions)
+
+
+def raster_hillshade(
+    raster_ds,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    cellsize: float | None = None,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    num_partitions: int = 16,
+):
+    """Hillshade (0-255) per cell from Horn gradients — the ``gdaldem
+    hillshade`` model: illumination = cos(zenith)·cos(slope) +
+    sin(zenith)·sin(slope)·cos(azimuth - aspect).  NaN where the 3x3
+    window is incomplete.  Shares the halo exchange with
+    :func:`raster_slope`."""
+    cs = float(cellsize) if cellsize is not None else tile_deg / resolution
+    az = np.radians(azimuth_deg)
+    zen = np.radians(90.0 - altitude_deg)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def per_tile(v, m):
+        wv = sliding_window_view(v, (3, 3))
+        wm = sliding_window_view(m, (3, 3))
+        full = wm.all(axis=(2, 3))
+        gx = ((wv[..., 0, 2] + 2 * wv[..., 1, 2] + wv[..., 2, 2])
+              - (wv[..., 0, 0] + 2 * wv[..., 1, 0] + wv[..., 2, 0])) / (8.0 * cs) * z_factor
+        gy = ((wv[..., 2, 0] + 2 * wv[..., 2, 1] + wv[..., 2, 2])
+              - (wv[..., 0, 0] + 2 * wv[..., 0, 1] + wv[..., 0, 2])) / (8.0 * cs) * z_factor
+        slope = np.arctan(np.hypot(gx, gy))
+        aspect = np.arctan2(-gx, -gy)          # descent, cw from north (rad)
+        shade = (np.cos(zen) * np.cos(slope)
+                 + np.sin(zen) * np.sin(slope) * np.cos(az - aspect))
+        out = np.clip(shade, 0.0, 1.0) * 255.0
+        return {"hillshade": np.where(full, out, np.nan)}
+
+    return _halo_exchange_map(raster_ds, tile_deg, resolution, 1,
+                              per_tile, num_partitions)
+
+
+def resample_tiles(raster_ds, resolution: int, factor: int, how: str = "mean"):
+    """Change raster resolution per tile — ``factor`` > 0 downsamples by
+    aggregating factor x factor blocks (mean/sum/min/max), ``factor`` < 0
+    upsamples by nearest-neighbor repetition.  Pure per-tile map_batches:
+    no exchange, scales linearly with tile count."""
+    if how not in ("mean", "sum", "min", "max"):
+        raise ValueError(f"unknown resample stat {how!r}")
+    res = int(resolution)
+    f = int(factor)
+    if f in (-1, 0, 1):
+        raise ValueError("factor must be >= 2 (down) or <= -2 (up)")
+    if f >= 2:
+        if res % f:
+            raise ValueError("downsample factor must divide resolution")
+        new_res = res // f
+    else:
+        new_res = res * (-f)
+
+    def resample(batch: pa.Table) -> pa.Table:
+        grids = batch["raster"].to_pylist()
+        outs = []
+        for g in grids:
+            a = np.asarray(g, dtype=np.float64).reshape(res, res)
+            if f >= 2:
+                b = a.reshape(new_res, f, new_res, f)
+                if how == "mean":
+                    o = b.mean(axis=(1, 3))
+                elif how == "sum":
+                    o = b.sum(axis=(1, 3))
+                elif how == "min":
+                    o = b.min(axis=(1, 3))
+                else:
+                    o = b.max(axis=(1, 3))
+            else:
+                o = np.repeat(np.repeat(a, -f, axis=0), -f, axis=1)
+            outs.append(o.ravel().tolist())
+        return pa.table({
+            "tile": batch["tile"],
+            "raster": pa.array(outs, pa.list_(pa.float64())),
+        })
+
+    return raster_ds.map_batches(resample, batch_format="pyarrow")

@@ -164,3 +164,63 @@ def test_focal_convolve_identity_and_blur(ray_session):
         np.testing.assert_allclose(np.asarray(b["raster"]), np.asarray(m["raster"]), rtol=1e-12)
     with pytest.raises(ValueError, match="odd square"):
         focal_convolve(tiles, np.ones((2, 2)))
+
+
+def test_hillshade_flat_and_plane(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import raster_hillshade
+
+    res, deg = 8, 15.0
+    ny = int(np.ceil(180 / deg))
+    flat = np.full(res * res, 5.0)
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array([10 * ny + 5], pa.int64()),
+        "raster": pa.array([flat.tolist()], pa.list_(pa.float64())),
+    }))
+    out = raster_hillshade(tiles, tile_deg=deg, resolution=res,
+                           altitude_deg=45.0).to_pandas()
+    hs = np.asarray(out["hillshade"][0])
+    good = hs[~np.isnan(hs)]
+    # flat terrain: cos(zenith) * 255 = cos(45 deg) * 255 everywhere
+    np.testing.assert_allclose(good, np.cos(np.radians(45.0)) * 255.0, rtol=1e-12)
+    # a slope facing the light is brighter than one facing away
+    cell = np.arange(res * res)
+    east_up = (cell % res).astype(np.float64)  # rises to the east
+    t2 = ray.data.from_arrow(pa.table({
+        "tile": pa.array([10 * ny + 5], pa.int64()),
+        "raster": pa.array([east_up.tolist()], pa.list_(pa.float64())),
+    }))
+    lit = raster_hillshade(t2, tile_deg=deg, resolution=res, cellsize=1.0,
+                           azimuth_deg=270.0).to_pandas()   # light from west
+    dark = raster_hillshade(t2, tile_deg=deg, resolution=res, cellsize=1.0,
+                            azimuth_deg=90.0).to_pandas()   # light from east
+    li = np.asarray(lit["hillshade"][0]); da = np.asarray(dark["hillshade"][0])
+    m = ~np.isnan(li)
+    assert li[m].mean() > da[m].mean()
+
+
+def test_resample_tiles_round_trip(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import resample_tiles
+
+    res = 8
+    rng = np.random.default_rng(13)
+    g = rng.uniform(0, 9, res * res)
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array([77], pa.int64()),
+        "raster": pa.array([g.tolist()], pa.list_(pa.float64())),
+    }))
+    down = resample_tiles(tiles, resolution=res, factor=2, how="mean").to_pandas()
+    dg = np.asarray(down["raster"][0]).reshape(res // 2, res // 2)
+    np.testing.assert_allclose(dg, g.reshape(4, 2, 4, 2).mean(axis=(1, 3)), rtol=1e-12)
+    s = resample_tiles(tiles, resolution=res, factor=2, how="sum").to_pandas()
+    np.testing.assert_allclose(np.asarray(s["raster"][0]).sum(), g.sum(), rtol=1e-12)
+    up = resample_tiles(tiles, resolution=res, factor=-2).to_pandas()
+    ug = np.asarray(up["raster"][0]).reshape(2 * res, 2 * res)
+    np.testing.assert_allclose(ug[::2, ::2], g.reshape(res, res), rtol=0)
+    np.testing.assert_allclose(ug[1::2, 1::2], g.reshape(res, res), rtol=0)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="factor"):
+        resample_tiles(tiles, resolution=res, factor=1)
+    with _pt.raises(ValueError, match="divide"):
+        resample_tiles(tiles, resolution=res, factor=3)
