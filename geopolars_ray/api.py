@@ -1135,3 +1135,41 @@ class GeoDataset:
                             kernel=kernel, stat=stat, **kw),
             geometry_col=None, crs=None,
         )
+
+    def convolve(self, weights, tile_deg: float = 15.0, resolution: int = 32,
+                 **kw) -> "GeoDataset":
+        """Masked convolution over raster tiles (``focal_convolve``)."""
+        from geopolars_ray.stages.raster import focal_convolve
+
+        return GeoDataset(
+            focal_convolve(self._ds, weights, tile_deg=tile_deg,
+                           resolution=resolution, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def slope(self, tile_deg: float = 15.0, resolution: int = 32, **kw) -> "GeoDataset":
+        """Horn slope/aspect over raster tiles (``raster_slope``)."""
+        from geopolars_ray.stages.raster import raster_slope
+
+        return GeoDataset(
+            raster_slope(self._ds, tile_deg=tile_deg, resolution=resolution, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def hillshade(self, tile_deg: float = 15.0, resolution: int = 32, **kw) -> "GeoDataset":
+        """gdaldem-model hillshade over raster tiles (``raster_hillshade``)."""
+        from geopolars_ray.stages.raster import raster_hillshade
+
+        return GeoDataset(
+            raster_hillshade(self._ds, tile_deg=tile_deg, resolution=resolution, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def resample(self, resolution: int, factor: int, how: str = "mean") -> "GeoDataset":
+        """Per-tile raster resolution change (``resample_tiles``)."""
+        from geopolars_ray.stages.raster import resample_tiles
+
+        return GeoDataset(
+            resample_tiles(self._ds, resolution=resolution, factor=factor, how=how),
+            geometry_col=None, crs=None,
+        )
