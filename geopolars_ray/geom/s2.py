@@ -388,3 +388,108 @@ def rect_covering(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
         seen |= fresh
         frontier = np.fromiter(fresh, dtype=np.uint64) if fresh else np.empty(0, np.uint64)
     return np.array(sorted(keep), dtype=np.uint64)
+
+
+def compact_cells(cell_id: np.ndarray) -> np.ndarray:
+    """Replace every complete 4-sibling set by its parent, recursively —
+    ``S2CellUnion::Normalize`` semantics.  Input cells must be unique and
+    non-overlapping; output is the minimal multi-level union, sorted."""
+    ids = np.unique(np.asarray(cell_id, np.uint64))
+    if not len(ids):
+        return ids
+    out: list[np.ndarray] = []
+    levels = cell_level(ids)
+    pool = {int(lv): ids[levels == lv] for lv in np.unique(levels)}
+    for lv in range(MAX_LEVEL, 0, -1):
+        cur = pool.pop(lv, None)
+        if cur is None or not len(cur):
+            continue
+        par = parent_at_level(cur, lv - 1)
+        uniq, cnt = np.unique(par, return_counts=True)
+        done = np.isin(par, uniq[cnt < 4])
+        out.append(cur[done])
+        promoted = uniq[cnt == 4]
+        if len(promoted):
+            prev = pool.get(lv - 1)
+            pool[lv - 1] = (np.concatenate([prev, promoted])
+                            if prev is not None and len(prev) else promoted)
+    for rest in pool.values():
+        if len(rest):
+            out.append(rest)
+    return np.sort(np.concatenate(out)) if out else ids[:0]
+
+
+def polygon_covering(rings, level: int = 12, max_cells: int = 2_000_000,
+                     mode: str = "center"):
+    """level-``level`` cells of a (lon, lat) polygon — the S2 counterpart of
+    ``geom/h3.py polygon_to_cells`` (same algorithm, same contract).
+
+    ``mode="center"``: cells whose CENTER lies inside the polygon.
+    ``mode="cover"``: a complete superset of every cell that INTERSECTS the
+    polygon — the candidate set for cell-partitioned spatial joins.
+    Completeness: ring edges are sampled every <=0.3 of a conservative
+    minimum cell width (the quadratic projection's d(uv)/d(st) >= 4/3 and
+    angular metric >= 1/3 per uv give width >= 4/(9*2^level) rad), so any
+    cell the ring passes through is the sampled cell or within its 8-cell
+    neighborhood (edge neighbors of edge neighbors for the corner cases);
+    interior cells are center-inside and 4-connected through re-seeding
+    ring-zone cells, so the flood fill reaches them all.
+
+    ``rings``: list of (N, 2) (lon, lat) arrays, exterior first, holes
+    after; planar containment — split transmeridian polygons first.  Cost
+    is O(output), not O(bbox); ``max_cells`` is a loud budget.
+    """
+    if mode not in ("center", "cover"):
+        raise ValueError(f"unknown polygon_covering mode {mode!r}")
+    from .strtree import points_in_polygon_single
+
+    rings = [np.asarray(r, dtype=np.float64) for r in rings if len(r) >= 3]
+    if not rings:
+        return np.empty(0, dtype=np.uint64)
+    pitch_deg = np.degrees(4.0 / (9.0 * (1 << level)))
+
+    def inside(cells):
+        lo, la = cell_center_lonlat(cells)
+        return points_in_polygon_single(lo, la, rings)
+
+    pts_lon, pts_lat = [], []
+    for ring in rings:
+        a = ring
+        b = np.roll(ring, -1, axis=0)
+        seg = np.hypot((b[:, 0] - a[:, 0]) * np.cos(np.radians((a[:, 1] + b[:, 1]) / 2)),
+                       b[:, 1] - a[:, 1])
+        nstep = np.maximum(1, np.ceil(seg / (0.3 * pitch_deg)).astype(np.int64))
+        for s in range(len(a)):
+            t = np.linspace(0.0, 1.0, int(nstep[s]) + 1)
+            pts_lon.append(a[s, 0] + t * (b[s, 0] - a[s, 0]))
+            pts_lat.append(a[s, 1] + t * (b[s, 1] - a[s, 1]))
+    lon = np.concatenate(pts_lon)
+    lat = np.concatenate(pts_lat)
+    if len(lon) > 50 * max_cells:
+        raise ValueError(f"polygon_covering: boundary tracing needs {len(lon)} "
+                         f"samples (> 50*max_cells); raise max_cells or lower level")
+    boundary = np.unique(s2_cell_id(lon, lat, level))
+    nb1 = np.unique(edge_neighbors(boundary).ravel())
+    ring_zone = np.unique(np.concatenate(
+        [boundary, nb1, edge_neighbors(nb1).ravel()]))
+
+    keep: set[int] = {int(c) for c, ok in zip(ring_zone, inside(ring_zone)) if ok}
+    frontier = np.array(sorted(keep), dtype=np.uint64)
+    while len(frontier):
+        nb = np.unique(edge_neighbors(frontier).ravel())
+        fresh = np.array([c for c in nb.tolist() if c not in keep], dtype=np.uint64)
+        if not len(fresh):
+            break
+        ok = inside(fresh)
+        new = fresh[ok]
+        keep.update(int(c) for c in new.tolist())
+        if len(keep) > max_cells:
+            raise ValueError(f"polygon_covering exceeded max_cells={max_cells} "
+                             f"at level {level}; raise the budget explicitly")
+        frontier = new
+    if mode == "cover":
+        keep.update(int(c) for c in ring_zone.tolist())
+        if len(keep) > max_cells:
+            raise ValueError(f"polygon_covering exceeded max_cells={max_cells} "
+                             f"at level {level}; raise the budget explicitly")
+    return np.array(sorted(keep), dtype=np.uint64)

@@ -101,3 +101,54 @@ def test_rect_covering_antimeridian_edge():
     lon = np.full(41, -180.0)
     lat = np.linspace(-85.0, -45.0, 41)
     assert set(s2.s2_cell_id(lon, lat, 8).tolist()) <= cov
+
+
+def test_polygon_covering_modes_and_completeness():
+    rng = np.random.default_rng(21)
+    ring = np.array([[0.0, -8.0], [10.0, 0.0], [0.0, 8.0], [-10.0, 0.0], [0.0, -8.0]])
+    cov = s2.polygon_covering([ring], level=8, mode="cover")
+    cen = s2.polygon_covering([ring], level=8, mode="center")
+    assert set(cen.tolist()) <= set(cov.tolist())
+    # completeness: the cell of every interior point is in the cover
+    u = rng.uniform(-1, 1, (20000, 2)) * [10, 8]
+    m = (np.abs(u[:, 0]) / 10 + np.abs(u[:, 1]) / 8) < 1
+    assert set(s2.s2_cell_id(u[m, 0], u[m, 1], 8).tolist()) <= set(cov.tolist())
+    # center-mode semantics: centers inside
+    lo, la = s2.cell_center_lonlat(cen)
+    assert ((np.abs(lo) / 10 + np.abs(la) / 8) <= 1 + 1e-9).all()
+    # hole support: ring with a hole removes interior cells
+    hole = ring * 0.4
+    cen_h = s2.polygon_covering([ring, hole], level=8, mode="center")
+    lo_h, la_h = s2.cell_center_lonlat(cen_h)
+    assert ((np.abs(lo_h) / 4 + np.abs(la_h) / 3.2) >= 1 - 1e-9).all()
+    assert len(cen_h) < len(cen)
+    with pytest.raises(ValueError, match="max_cells"):
+        s2.polygon_covering([ring], level=12, max_cells=50)
+    with pytest.raises(ValueError, match="mode"):
+        s2.polygon_covering([ring], level=8, mode="exact")
+
+
+def test_compact_cells_round_trip():
+    ring = np.array([[0.0, -8.0], [10.0, 0.0], [0.0, 8.0], [-10.0, 0.0], [0.0, -8.0]])
+    cen = s2.polygon_covering([ring], level=8, mode="center")
+    comp = s2.compact_cells(cen)
+    assert len(comp) < len(cen)
+    levels = s2.cell_level(comp)
+    assert levels.max() <= 8
+    # expanding every compacted cell back to level 8 reproduces the set
+    exp = []
+    for c, lv in zip(comp, levels):
+        cur = np.array([c], np.uint64)
+        for _ in range(int(lv), 8):
+            cur = s2.cell_to_children(cur).ravel()
+        exp.append(cur)
+    assert (np.sort(np.concatenate(exp)) == np.sort(cen)).all()
+    # no complete sibling set survives
+    for lv in np.unique(levels):
+        lv = int(lv)
+        if lv == 0:
+            continue
+        sub = comp[levels == lv]
+        _, cnt = np.unique(s2.parent_at_level(sub, lv - 1), return_counts=True)
+        assert (cnt < 4).all()
+    assert len(s2.compact_cells(np.array([], np.uint64))) == 0
