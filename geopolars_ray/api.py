@@ -1011,7 +1011,8 @@ class GeoDataset:
         passthrough: ``cell_deg`` / ``num_partitions`` tune the lat/lon
         grid exchange; ``h3_res=<r>`` switches the exchange key to
         canonical Uber H3 cells (equal-area, shape-following polygon
-        covers); ``predicate="dwithin", distance=d`` for within-distance
+        covers); ``s2_level=<L>`` to S2 cells (hierarchical Hilbert keys);
+        ``predicate="dwithin", distance=d`` for within-distance
         joins (grid mode only).
 
         The result is the matched point rows + polygon payload columns, a

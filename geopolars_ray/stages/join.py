@@ -422,6 +422,7 @@ def partitioned_spatial_join(
     predicate: str = "intersects",
     distance: float | None = None,
     h3_res: int | None = None,
+    s2_level: int | None = None,
 ):
     """Large-large PIP join: co-partition both sides by grid cell, hash-join,
     refine exactly. Returns matched point rows + polygon payload columns.
@@ -434,6 +435,11 @@ def partitioned_spatial_join(
     single `latlng_to_cell` id, and the refinement is unchanged. The cover
     is computed per polygon (one geometry = one unit of work, as in
     dissolve); intersects-only — use the grid mode for dwithin.
+
+    ``s2_level`` is the same exchange on S2 cells (`geom/s2.py
+    polygon_covering mode="cover"` per polygon, `s2_cell_id` per point) —
+    hierarchical Hilbert keys, near-equal-area. Mutually exclusive with
+    ``h3_res``; intersects-only.
 
     Shuffle plan: polygons replicate to every cell their bbox overlaps
     (flat_map-style batch kernel); points carry their single cell id; a
@@ -455,8 +461,10 @@ def partitioned_spatial_join(
         raise ValueError(f"unsupported partitioned-join predicate {predicate!r}")
     if predicate == "dwithin" and not (distance is not None and distance >= 0):
         raise ValueError("predicate='dwithin' requires distance >= 0")
-    if h3_res is not None and predicate != "intersects":
-        raise ValueError("h3_res exchange supports predicate='intersects' only")
+    if h3_res is not None and s2_level is not None:
+        raise ValueError("h3_res and s2_level are mutually exclusive")
+    if (h3_res is not None or s2_level is not None) and predicate != "intersects":
+        raise ValueError("cell-id exchanges support predicate='intersects' only")
     pad = float(distance) if predicate == "dwithin" and distance else 0.0
 
     ny = int(np.ceil(180.0 / cell_deg))
@@ -486,6 +494,34 @@ def partitioned_spatial_join(
         ok = ~(np.isnan(lon) | np.isnan(lat))
         cell = h3_mod.latlng_to_cell(np.where(ok, lat, 0.0), np.where(ok, lon, 0.0),
                                      h3_res).view(np.int64)
+        batch = batch.append_column("_cell", pa.array(np.where(ok, cell, -1), type=pa.int64()))
+        return batch.filter(pa.array(ok))
+
+    def poly_to_s2_cells(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import s2 as s2_mod
+
+        ga = decode_wkb(batch[geometry_col])
+        rows_l, cells_l = [], []
+        for i in range(len(ga.types)):
+            rings = [r for r in _rings_of(ga, i) if len(r) >= 3]
+            if not rings:
+                continue
+            cov = s2_mod.polygon_covering(rings, s2_level, mode="cover")
+            rows_l.append(np.full(len(cov), i, dtype=np.int64))
+            cells_l.append(cov.view(np.int64))
+        if not rows_l:
+            return batch.slice(0, 0).append_column("_cell", pa.array([], pa.int64()))
+        out = batch.take(pa.array(np.concatenate(rows_l)))
+        return out.append_column("_cell", pa.array(np.concatenate(cells_l), pa.int64()))
+
+    def point_s2_cell(batch: pa.Table) -> pa.Table:
+        from geopolars_ray.geom import s2 as s2_mod
+
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        cell = s2_mod.s2_cell_id(np.where(ok, lon, 0.0), np.where(ok, lat, 0.0),
+                                 s2_level).view(np.int64)
         batch = batch.append_column("_cell", pa.array(np.where(ok, cell, -1), type=pa.int64()))
         return batch.filter(pa.array(ok))
 
@@ -526,6 +562,9 @@ def partitioned_spatial_join(
     if h3_res is not None:
         pts = points_ds.map_batches(point_h3_cell, batch_format="pyarrow")
         polys = polygons_ds.map_batches(poly_to_h3_cells, batch_format="pyarrow")
+    elif s2_level is not None:
+        pts = points_ds.map_batches(point_s2_cell, batch_format="pyarrow")
+        polys = polygons_ds.map_batches(poly_to_s2_cells, batch_format="pyarrow")
     else:
         pts = points_ds.map_batches(point_cell, batch_format="pyarrow")
         polys = polygons_ds.map_batches(poly_to_cells, batch_format="pyarrow")

@@ -402,3 +402,39 @@ def test_partitioned_join_point_side_geometry_collision(ray_session):
     assert set(got["pid"].astype(int)) == want and len(want) > 0
     # the point side's own geometry column survives untouched
     assert "geometry" in got.columns
+
+
+def test_partitioned_join_s2_exchange_matches_grid(ray_session):
+    """s2_level co-shuffle (S2 polygon_covering covers on the polygon side,
+    one s2_cell_id per point) must produce the exact same match set as the
+    broadcast join — same contract as the H3 exchange."""
+    import ray
+    from geopolars_ray.stages.join import broadcast_spatial_join, partitioned_spatial_join
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    lon = rng.uniform(-60, 60, n)
+    lat = rng.uniform(-75, 75, n)
+    pts = pa.table({"pid": pa.array(np.arange(n)), "lon": pa.array(lon), "lat": pa.array(lat)})
+    polys, ids = [], []
+    for k in range(20):
+        cx = rng.uniform(-55, 55)
+        cy = rng.uniform(-70, 70)
+        r = rng.uniform(1, 5)
+        polys.append(("polygon", [[(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r), (cx - r, cy)]]))
+        ids.append(f"p{k}")
+    admin = pa.table(
+        {"admin_id": pa.array(ids), "geometry": encode_wkb(GeometryArray.from_pylist(polys))}
+    )
+    b = broadcast_spatial_join(ray.data.from_arrow(pts), admin, how="inner", concurrency=2).to_pandas()
+    s = partitioned_spatial_join(
+        ray.data.from_arrow(pts), ray.data.from_arrow(admin), num_partitions=8, s2_level=6
+    ).to_pandas()
+    assert set(zip(b["pid"].astype(int), b["admin_id"])) == set(zip(s["pid"].astype(int), s["admin_id"]))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        partitioned_spatial_join(ray.data.from_arrow(pts), ray.data.from_arrow(admin),
+                                 h3_res=3, s2_level=6)
+    with _pytest.raises(ValueError, match="intersects"):
+        partitioned_spatial_join(ray.data.from_arrow(pts), ray.data.from_arrow(admin),
+                                 predicate="dwithin", distance=1.0, s2_level=6)
