@@ -183,31 +183,49 @@ def zonal_stats(
     num_partitions: int = 16,
     concurrency=(1, 4),
     batch_size: int = 65536,
+    broadcast: bool = True,
+    cell_deg: float = 5.0,
 ):
-    """Per-zone aggregates of a point Dataset against broadcast polygon zones.
+    """Per-zone aggregates of a point Dataset against polygon zones.
 
-    Composition of the two scale primitives: ``broadcast_spatial_join`` (the
-    zone table + prepared polygon index built ONCE per actor) tags each point
+    Composition of the two scale primitives: a spatial join tags each point
     with its zone id, then ``hash_aggregate`` reduces combiner-first — the
     shuffle carries one partial row per (block, zone), never points.  Points
     outside every zone are dropped (classic zonal-stats semantics); a point
     inside k overlapping zones counts in each of the k.
-    """
-    from geopolars_ray.stages.join import broadcast_spatial_join
 
-    zt = zones.select([zone_id_col, geometry_col])
-    if geometry_col != "geometry":
-        zt = zt.rename_columns([zone_id_col, "geometry"])
-    tagged = broadcast_spatial_join(
-        points_ds,
-        zt,
-        lon_col=lon_col,
-        lat_col=lat_col,
-        how="inner",
-        concurrency=concurrency,
-        batch_size=batch_size,
-    )
+    ``broadcast=True`` (default) ships the zone table once per actor
+    (``broadcast_spatial_join``) — right whenever the zones fit in a worker
+    heap.  ``broadcast=False`` takes the large-large path instead: ``zones``
+    may then be a ray Dataset (or a Table, wrapped), co-partitioned with the
+    points by grid cell (``partitioned_spatial_join``, tune ``cell_deg``).
+    """
     _zonal_spec(value_col, stats)  # validate BEFORE substituting the count column
+    if broadcast:
+        from geopolars_ray.stages.join import broadcast_spatial_join
+
+        zt = zones.select([zone_id_col, geometry_col])
+        if geometry_col != "geometry":
+            zt = zt.rename_columns([zone_id_col, "geometry"])
+        tagged = broadcast_spatial_join(
+            points_ds,
+            zt,
+            lon_col=lon_col,
+            lat_col=lat_col,
+            how="inner",
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+    else:
+        import ray.data as rd
+
+        from geopolars_ray.stages.join import partitioned_spatial_join
+
+        zds = rd.from_arrow(zones) if isinstance(zones, pa.Table) else zones
+        tagged = partitioned_spatial_join(
+            points_ds, zds, cell_deg=cell_deg, lon_col=lon_col, lat_col=lat_col,
+            geometry_col=geometry_col, num_partitions=max(num_partitions, 16),
+        )
     return hash_aggregate(tagged, [zone_id_col],
                           _zonal_spec(value_col or lon_col, stats), num_partitions)
 

@@ -186,3 +186,25 @@ def test_zonal_stats_rejects_bad_spec(ray_session):
         zonal_stats(pts, _rect_zones(RECTS), stats=("sum",))
     with pytest.raises(ValueError, match="unknown zonal"):
         zonal_stats(pts, _rect_zones(RECTS), stats=("median",))
+
+
+def test_zonal_stats_partitioned_matches_broadcast(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import zonal_stats
+
+    rng = np.random.default_rng(61)
+    n = 20000
+    pts = pa.table({"lon": pa.array(rng.uniform(-50, 50, n)),
+                    "lat": pa.array(rng.uniform(-50, 50, n)),
+                    "v": pa.array(rng.uniform(0, 5, n))})
+    zones = _rect_zones(RECTS)
+    kw = dict(value_col="v", stats=("count", "sum", "mean"))
+    b = (zonal_stats(ray.data.from_arrow(pts).repartition(4), zones, **kw)
+         .to_pandas().sort_values("zone_id").reset_index(drop=True))
+    p = (zonal_stats(ray.data.from_arrow(pts).repartition(4), zones,
+                     broadcast=False, cell_deg=10.0, **kw)
+         .to_pandas().sort_values("zone_id").reset_index(drop=True))
+    assert b["zone_id"].tolist() == p["zone_id"].tolist()
+    assert b["n"].tolist() == p["n"].tolist()
+    np.testing.assert_allclose(b["sum_value"], p["sum_value"], rtol=1e-12)
+    np.testing.assert_allclose(b["mean_value"], p["mean_value"], rtol=1e-12)
