@@ -670,3 +670,119 @@ def resample_tiles(raster_ds, resolution: int, factor: int, how: str = "mean"):
         })
 
     return raster_ds.map_batches(resample, batch_format="pyarrow")
+
+
+def idw_rasterize(
+    points_ds,
+    value_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    power: float = 2.0,
+    radius_deg: float = 2.0,
+    num_partitions: int = 16,
+    max_points_per_tile: int = 2_000_000,
+):
+    """Inverse-distance-weighted interpolation: scattered point values ->
+    per-tile raster surfaces (the classic vector->raster gridding op).
+
+    Distributed shape: each point replicates to its own tile plus any of
+    the 8 neighbor tiles whose extent lies within ``radius_deg`` of it —
+    O(1) replication bounded by the radius — then one
+    ``hash_partitioned_map`` on the tile id grids every tile from exactly
+    the points that can influence it.  Per tile the (cells x points)
+    distance block is fully vectorized; ``max_points_per_tile`` is a loud
+    budget against pathological densities (at 100 TB, pre-aggregate with
+    :func:`rasterize_points` ``stat="mean"`` first if a tile's raw points
+    exceed it).
+
+    Cells with no point within ``radius_deg`` are NaN.  A cell whose
+    center coincides with a point takes that point's value exactly.
+    ``radius_deg`` must be <= ``tile_deg`` (one-ring replication).
+    """
+    if radius_deg <= 0 or radius_deg > tile_deg:
+        raise ValueError("radius_deg must be in (0, tile_deg]")
+    res = int(resolution)
+    ny = int(np.ceil(180.0 / tile_deg))
+    nx = int(np.ceil(360.0 / tile_deg))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(lon) | np.isnan(lat))
+        idx0 = np.nonzero(ok)[0]
+        lon, lat = lon[idx0], lat[idx0]
+        ix = np.floor((lon + 180.0) / tile_deg).astype(np.int64)
+        iy = np.floor((lat + 90.0) / tile_deg).astype(np.int64)
+        rows_l, tiles_l = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                inb = (jx >= 0) & (jx < nx) & (jy >= 0) & (jy < ny)
+                # within radius of tile (jx, jy)'s bbox?
+                lo0 = jx * tile_deg - 180.0
+                la0 = jy * tile_deg - 90.0
+                dlon = np.maximum(np.maximum(lo0 - lon, lon - (lo0 + tile_deg)), 0.0)
+                dlat = np.maximum(np.maximum(la0 - lat, lat - (la0 + tile_deg)), 0.0)
+                near = (dlon * dlon + dlat * dlat) <= radius_deg * radius_deg
+                keep = inb & near
+                if keep.any():
+                    rows_l.append(idx0[keep])
+                    tiles_l.append((jx[keep] * ny + jy[keep]))
+        if not rows_l:
+            return batch.slice(0, 0).append_column("_tile", pa.array([], pa.int64()))
+        out = batch.take(pa.array(np.concatenate(rows_l)))
+        return out.append_column("_tile", pa.array(np.concatenate(tiles_l), pa.int64()))
+
+    def grid_tiles(part: pa.Table) -> pa.Table:
+        t = part["_tile"].to_numpy(zero_copy_only=False)
+        lon = part[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = part[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = part[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(t, kind="stable")
+        t, lon, lat, val = t[order], lon[order], lat[order], val[order]
+        cut = np.nonzero(np.diff(t))[0] + 1
+        cw = tile_deg / res
+        cell = np.arange(res * res)
+        ox = (cell % res + 0.5) * cw
+        oy = (cell // res + 0.5) * cw
+        out_t, out_g, out_n = [], [], []
+        for sl in np.split(np.arange(len(t)), cut) if len(t) else []:
+            tid = int(t[sl[0]])
+            if len(sl) > max_points_per_tile:
+                raise ValueError(
+                    f"idw_rasterize: tile {tid} has {len(sl)} candidate points "
+                    f"(> max_points_per_tile={max_points_per_tile}); pre-aggregate "
+                    "with rasterize_points(stat='mean') or raise the budget")
+            lo0 = (tid // ny) * tile_deg - 180.0
+            la0 = (tid % ny) * tile_deg - 90.0
+            cx = lo0 + ox
+            cy = la0 + oy
+            dx = cx[:, None] - lon[sl][None, :]
+            dy = cy[:, None] - lat[sl][None, :]
+            d2 = dx * dx + dy * dy
+            within = d2 <= radius_deg * radius_deg
+            exact = d2 <= 1e-24
+            with np.errstate(divide="ignore"):
+                w = np.where(within, 1.0 / np.power(np.maximum(d2, 1e-300),
+                                                    power / 2.0), 0.0)
+            wsum = w.sum(axis=1)
+            vsum = (w * val[sl][None, :]).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                g = np.where(wsum > 0, vsum / wsum, np.nan)
+            hit = exact.any(axis=1)
+            if hit.any():
+                first = np.argmax(exact[hit], axis=1)
+                g[hit] = val[sl][first]
+            out_t.append(tid)
+            out_g.append(g)
+            out_n.append(len(sl))
+        return pa.table({
+            "tile": pa.array(out_t, pa.int64()),
+            "raster": pa.array([g.tolist() for g in out_g], pa.list_(pa.float64())),
+            "n_points": pa.array(out_n, pa.int64()),
+        })
+
+    replicated = points_ds.map_batches(replicate, batch_format="pyarrow")
+    return hash_partitioned_map(replicated, ["_tile"], grid_tiles, num_partitions)

@@ -208,3 +208,56 @@ def test_zonal_stats_partitioned_matches_broadcast(ray_session):
     assert b["n"].tolist() == p["n"].tolist()
     np.testing.assert_allclose(b["sum_value"], p["sum_value"], rtol=1e-12)
     np.testing.assert_allclose(b["mean_value"], p["mean_value"], rtol=1e-12)
+
+
+def test_idw_rasterize_matches_brute_force(ray_session):
+    """IDW gridding vs a global brute force — the engine only sees the
+    radius-replicated candidates per tile, so agreement proves the
+    cross-tile replication is complete (NaN patterns included)."""
+    import ray
+    from geopolars_ray.stages.raster import idw_rasterize
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    lon = rng.uniform(0, 30, n)
+    lat = rng.uniform(0, 15, n)
+    val = np.sin(lon / 5.0) + np.cos(lat / 4.0)
+    pts = pa.table({"lon": pa.array(lon), "lat": pa.array(lat), "v": pa.array(val)})
+    res, deg, rad, pw = 8, 15.0, 2.0, 2.0
+    out = idw_rasterize(ray.data.from_arrow(pts).repartition(4), "v", tile_deg=deg,
+                        resolution=res, radius_deg=rad, power=pw,
+                        num_partitions=4).to_pandas()
+    assert len(out) == 12       # 2 data tiles + every radius-reachable neighbor
+    ny = int(np.ceil(180 / deg))
+    checked = 0
+    for _, r in out.iterrows():
+        t = r["tile"]
+        lo0 = (t // ny) * deg - 180.0
+        la0 = (t % ny) * deg - 90.0
+        cw = deg / res
+        cell = np.arange(res * res)
+        cx = lo0 + (cell % res + 0.5) * cw
+        cy = la0 + (cell // res + 0.5) * cw
+        d2 = (cx[:, None] - lon[None, :]) ** 2 + (cy[:, None] - lat[None, :]) ** 2
+        within = d2 <= rad * rad
+        w = np.where(within, 1.0 / np.maximum(d2, 1e-300) ** (pw / 2), 0.0)
+        ws = w.sum(axis=1)
+        exp = np.where(ws > 0, (w * val[None, :]).sum(axis=1) / np.maximum(ws, 1e-300), np.nan)
+        got = np.asarray(r["raster"])
+        assert (np.isnan(got) == np.isnan(exp)).all()
+        m = ~np.isnan(exp)
+        np.testing.assert_allclose(got[m], exp[m], rtol=1e-12)
+        checked += int(m.sum())
+    assert checked > 150
+
+    # exact-hit: a cell-center point takes its own value
+    c_lon, c_lat = 0.0 + (0 + 0.5) * (deg / res) + deg * 12 - 180.0, (0 + 0.5) * (deg / res) + deg * 6 - 90.0
+    one = pa.table({"lon": pa.array([c_lon]), "lat": pa.array([c_lat]), "v": pa.array([42.0])})
+    g = idw_rasterize(ray.data.from_arrow(one), "v", tile_deg=deg, resolution=res,
+                      radius_deg=1.0, num_partitions=2).to_pandas()
+    core = g[g["tile"] == 12 * ny + 6].iloc[0]
+    assert np.asarray(core["raster"])[0] == 42.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="radius_deg"):
+        idw_rasterize(ray.data.from_arrow(one), "v", tile_deg=deg, radius_deg=deg * 2)
