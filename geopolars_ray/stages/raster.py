@@ -786,3 +786,145 @@ def idw_rasterize(
 
     replicated = points_ds.map_batches(replicate, batch_format="pyarrow")
     return hash_partitioned_map(replicated, ["_tile"], grid_tiles, num_partitions)
+
+
+# --------------------------------------------------------------------------
+# contour extraction (marching squares, seam-consistent across tiles)
+# --------------------------------------------------------------------------
+
+# segment table per marching-squares case: pairs of edge ids with edges
+# 0=bottom (c00-c10), 1=right (c10-c11), 2=top (c01-c11), 3=left (c00-c01);
+# corner bits: 1=c00, 2=c10, 4=c11, 8=c01 (inside = value >= level).
+# Saddles (5, 10) use a FIXED rule so every tile resolves them identically.
+_MS_SEGS = {
+    1: [(3, 0)], 2: [(0, 1)], 3: [(3, 1)], 4: [(1, 2)],
+    5: [(3, 0), (1, 2)], 6: [(0, 2)], 7: [(3, 2)], 8: [(3, 2)],
+    9: [(0, 2)], 10: [(0, 1), (3, 2)], 11: [(1, 2)], 12: [(3, 1)],
+    13: [(0, 1)], 14: [(3, 0)],
+}
+
+
+def _marching_squares(v, m, level, x0, y0, cw, i_lo, i_hi, j_lo, j_hi):
+    """Vectorized marching squares over squares whose lower-left corner index
+    is in [i_lo, i_hi) x [j_lo, j_hi) of grid ``v`` (rows=y).  Returns a flat
+    float64 array [ax, ay, bx, by, ...]; ``x0``/``y0`` are the coordinates of
+    grid index (0, 0) and ``cw`` the cell pitch.  Squares with any absent
+    corner (mask ``m``) emit nothing."""
+    z00 = v[j_lo:j_hi, i_lo:i_hi]
+    z10 = v[j_lo:j_hi, i_lo + 1:i_hi + 1]
+    z01 = v[j_lo + 1:j_hi + 1, i_lo:i_hi]
+    z11 = v[j_lo + 1:j_hi + 1, i_lo + 1:i_hi + 1]
+    ok = (m[j_lo:j_hi, i_lo:i_hi] & m[j_lo:j_hi, i_lo + 1:i_hi + 1]
+          & m[j_lo + 1:j_hi + 1, i_lo:i_hi] & m[j_lo + 1:j_hi + 1, i_lo + 1:i_hi + 1])
+    case = (
+        (z00 >= level).astype(np.int8)
+        + 2 * (z10 >= level).astype(np.int8)
+        + 4 * (z11 >= level).astype(np.int8)
+        + 8 * (z01 >= level).astype(np.int8)
+    )
+    case = np.where(ok, case, 0)
+    jj, ii = np.nonzero((case > 0) & (case < 15))
+    if not len(jj):
+        return np.empty(0, dtype=np.float64)
+    c = case[jj, ii]
+    gi = ii + i_lo          # grid indices of the square's lower-left corner
+    gj = jj + j_lo
+    za, zb, zc, zd = v[gj, gi], v[gj, gi + 1], v[gj + 1, gi + 1], v[gj + 1, gi]
+
+    def edge_point(eid):
+        # returns (x, y) of the level crossing on edge ``eid`` per square
+        if eid == 0:      # bottom: c00 -> c10
+            t = (level - za) / (zb - za)
+            return x0 + (gi + t) * cw, y0 + gj * cw
+        if eid == 1:      # right: c10 -> c11
+            t = (level - zb) / (zc - zb)
+            return x0 + (gi + 1) * cw, y0 + (gj + t) * cw
+        if eid == 2:      # top: c01 -> c11
+            t = (level - zd) / (zc - zd)
+            return x0 + (gi + t) * cw, y0 + (gj + 1) * cw
+        t = (level - za) / (zd - za)  # left: c00 -> c01
+        return x0 + gi * cw, y0 + (gj + t) * cw
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pts = {e: edge_point(e) for e in range(4)}
+    out = []
+    for cc, segs in _MS_SEGS.items():
+        sel = c == cc
+        if not sel.any():
+            continue
+        for ea, eb in segs:
+            ax, ay = pts[ea][0][sel], pts[ea][1][sel]
+            bx, by = pts[eb][0][sel], pts[eb][1][sel]
+            out.append(np.stack([ax, ay, bx, by], axis=1).ravel())
+    return np.concatenate(out) if out else np.empty(0, dtype=np.float64)
+
+
+def contour_lines(
+    raster_ds,
+    levels,
+    tile_deg: float = 15.0,
+    resolution: int = 32,
+    num_partitions: int = 16,
+):
+    """Iso-contour line segments per raster tile (marching squares on the
+    cell-center lattice), SEAM-CONSISTENT across tiles via a 1-cell halo:
+    each tile computes exactly the squares whose lower-left cell center it
+    owns, with neighbor values from the halo exchange, so the union over
+    tiles equals a single global marching-squares pass (fixed saddle rule).
+
+    Output: one row per (tile, level) with ``segments`` — a flat
+    ``list<double>`` of [ax, ay, bx, by, ...] in lon/lat.  Stitch with
+    :func:`geopolars_ray.geom.polygonize` / line_merge downstream if closed
+    polylines are needed; segments are the exchange-stable primitive.
+    """
+    levels = [float(l) for l in np.atleast_1d(levels)]
+    if not levels:
+        raise ValueError("need at least one contour level")
+    res = int(resolution)
+    cw = tile_deg / res
+    ny = int(np.ceil(180.0 / tile_deg))
+    h = 1
+
+    # _halo_exchange_map's per_tile doesn't see the tile id, so compute in
+    # TILE-LOCAL coordinates and shift per tile afterwards — marching
+    # squares is translation-equivariant, so local coords + origin shift is
+    # a single float add per coordinate.  A tile owns exactly the squares
+    # whose lower-left cell center is one of its own cells, so the union
+    # over tiles equals one global pass (no duplicates, no gaps).
+    def per_tile(v, m):
+        out = {}
+        x0 = -(h - 0.5) * cw    # local frame: tile origin at (0, 0)
+        y0 = -(h - 0.5) * cw
+        for lv in levels:
+            segs = _marching_squares(v, m, lv, x0, y0, cw,
+                                     h, h + res, h, h + res)
+            out[f"segments_{lv}"] = segs
+        return out
+
+    local = _halo_exchange_map(raster_ds, tile_deg, resolution, h,
+                               per_tile, num_partitions)
+
+    def shift_and_melt(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile"].to_numpy(zero_copy_only=False)
+        out_t, out_lv, out_seg = [], [], []
+        for row in range(len(tiles)):
+            t = int(tiles[row])
+            lo0 = (t // ny) * tile_deg - 180.0
+            la0 = (t % ny) * tile_deg - 90.0
+            for lv in levels:
+                segs = np.asarray(batch[f"segments_{lv}"][row].as_py(),
+                                  dtype=np.float64)
+                if len(segs):
+                    segs = segs.copy()
+                    segs[0::2] += lo0
+                    segs[1::2] += la0
+                out_t.append(t)
+                out_lv.append(lv)
+                out_seg.append(segs.tolist())
+        return pa.table({
+            "tile": pa.array(out_t, pa.int64()),
+            "level": pa.array(out_lv, pa.float64()),
+            "segments": pa.array(out_seg, pa.list_(pa.float64())),
+        })
+
+    return local.map_batches(shift_and_melt, batch_format="pyarrow")

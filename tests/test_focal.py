@@ -224,3 +224,66 @@ def test_resample_tiles_round_trip(ray_session):
         resample_tiles(tiles, resolution=res, factor=1)
     with _pt.raises(ValueError, match="divide"):
         resample_tiles(tiles, resolution=res, factor=3)
+
+
+def test_contour_lines_match_global_pass(ray_session):
+    """Distributed per-tile marching squares (1-cell halo, lower-left-cell
+    square ownership) must produce EXACTLY the segment set of a single
+    global pass over the merged mosaic — seams, saddle rule and all."""
+    import ray
+    from geopolars_ray.stages.raster import _marching_squares, contour_lines
+
+    res, deg = 8, 15.0
+    ny = int(np.ceil(180 / deg))
+    cw = deg / res
+    ids, grids = [], []
+    for ix in (12, 13):
+        for iy in (6, 7):
+            t = ix * ny + iy
+            lo0 = ix * deg - 180.0
+            la0 = iy * deg - 90.0
+            cell = np.arange(res * res)
+            cx = lo0 + (cell % res + 0.5) * cw
+            cy = la0 + (cell // res + 0.5) * cw
+            z = np.hypot(cx - 15.0, cy - 15.0)
+            ids.append(t)
+            grids.append(z.tolist())
+    tiles = ray.data.from_arrow(pa.table({
+        "tile": pa.array(ids, pa.int64()),
+        "raster": pa.array(grids, pa.list_(pa.float64())),
+    }))
+    levels = [5.0, 10.0]
+    out = contour_lines(tiles, levels, tile_deg=deg, resolution=res).to_pandas()
+    assert set(out["level"]) == set(levels)
+
+    V = np.zeros((2 * res, 2 * res))
+    M = np.ones_like(V, bool)
+    for t, g in zip(ids, grids):
+        x0 = (t // ny - 12) * res
+        y0 = (t % ny - 6) * res
+        V[y0:y0 + res, x0:x0 + res] = np.asarray(g).reshape(res, res)
+    gx0 = 12 * deg - 180.0 + 0.5 * cw
+    gy0 = 6 * deg - 90.0 + 0.5 * cw
+
+    def segset(flat):
+        s = np.asarray(flat).reshape(-1, 4).round(6)
+        return {tuple(sorted([(a, b), (c, d)])) for a, b, c, d in s}
+
+    for lv in levels:
+        glob = segset(_marching_squares(V, M, lv, gx0, gy0, cw,
+                                        0, 2 * res - 1, 0, 2 * res - 1))
+        dist = set()
+        for _, r in out[out["level"] == lv].iterrows():
+            dist |= segset(r["segments"])
+        assert glob == dist and len(glob) > 0
+    # every endpoint lies ON the iso-level (linear interpolation invariant):
+    # for the radial field, |dist to center| at an endpoint is within one
+    # cell pitch of the level (interpolation error bound)
+    for _, r in out[out["level"] == 5.0].iterrows():
+        s = np.asarray(r["segments"]).reshape(-1, 2)
+        if len(s):
+            d = np.hypot(s[:, 0] - 15.0, s[:, 1] - 15.0)
+            assert (np.abs(d - 5.0) < cw).all()
+    import pytest as _pt
+    with _pt.raises(ValueError, match="level"):
+        contour_lines(tiles, [], tile_deg=deg, resolution=res)
