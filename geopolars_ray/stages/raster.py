@@ -928,3 +928,74 @@ def contour_lines(
         })
 
     return local.map_batches(shift_and_melt, batch_format="pyarrow")
+
+
+def raster_math(
+    a_ds,
+    b_ds,
+    op: str = "add",
+    fill: float = 0.0,
+    num_partitions: int = 16,
+):
+    """Cell-wise algebra between two tile-aligned raster datasets (band
+    math: NDVI-style ratios, differences, masking).  ``op``: add | sub |
+    mul | div | min | max.  Tiles present on only one side pair with a
+    constant ``fill`` grid.  Shuffle plan: tag each side, union, one
+    ``hash_partitioned_map`` on the tile id — each tile's pair meets in
+    exactly one partition; grids never cross a second exchange.
+    """
+    _OPS = {
+        "add": np.add, "sub": np.subtract, "mul": np.multiply,
+        "div": lambda a, b: np.divide(a, b, out=np.full_like(a, np.nan),
+                                      where=b != 0),
+        "min": np.minimum, "max": np.maximum,
+    }
+    if op not in _OPS:
+        raise ValueError(f"unknown raster op {op!r}; supported: {sorted(_OPS)}")
+    fn = _OPS[op]
+
+    def tag(side):
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "tile": batch["tile"],
+                "raster": batch["raster"],
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+            })
+        return do
+
+    both = a_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(1), batch_format="pyarrow"))
+
+    def combine(part: pa.Table) -> pa.Table:
+        t = part["tile"].to_numpy(zero_copy_only=False)
+        side = part["_side"].to_numpy(zero_copy_only=False)
+        grids = part["raster"].to_pylist()
+        order = np.argsort(t, kind="stable")
+        cut = np.nonzero(np.diff(t[order]))[0] + 1
+        out_t, out_g = [], []
+        for rows in np.split(order, cut) if len(t) else []:
+            tid = int(t[rows[0]])
+            ga = gb = None
+            for r in rows:
+                g = np.asarray(grids[r], dtype=np.float64)
+                if side[r] == 0:
+                    ga = g if ga is None else ga + g   # duplicate tiles sum
+                else:
+                    gb = g if gb is None else gb + g
+            ref = ga if ga is not None else gb
+            if ga is None:
+                ga = np.full_like(ref, fill)
+            if gb is None:
+                gb = np.full_like(ref, fill)
+            if len(ga) != len(gb):
+                raise ValueError(
+                    f"raster_math: tile {tid} has mismatched resolutions "
+                    f"({len(ga)} vs {len(gb)} cells); resample first")
+            out_t.append(tid)
+            out_g.append(fn(ga, gb))
+        return pa.table({
+            "tile": pa.array(out_t, pa.int64()),
+            "raster": pa.array([g.tolist() for g in out_g], pa.list_(pa.float64())),
+        })
+
+    return hash_partitioned_map(both, ["tile"], combine, num_partitions)

@@ -287,3 +287,41 @@ def test_contour_lines_match_global_pass(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="level"):
         contour_lines(tiles, [], tile_deg=deg, resolution=res)
+
+
+def test_raster_math_ops_and_fill(ray_session):
+    import ray
+    from geopolars_ray.stages.raster import raster_math
+
+    rng = np.random.default_rng(17)
+    res = 4
+    ga = rng.uniform(1, 9, res * res)
+    gb = rng.uniform(1, 9, res * res)
+    gc = rng.uniform(1, 9, res * res)
+    a = ray.data.from_arrow(pa.table({
+        "tile": pa.array([100, 101], pa.int64()),
+        "raster": pa.array([ga.tolist(), gc.tolist()], pa.list_(pa.float64())),
+    }))
+    b = ray.data.from_arrow(pa.table({
+        "tile": pa.array([100], pa.int64()),
+        "raster": pa.array([gb.tolist()], pa.list_(pa.float64())),
+    }))
+    for op, fn in [("add", np.add), ("sub", np.subtract), ("mul", np.multiply),
+                   ("min", np.minimum), ("max", np.maximum)]:
+        out = raster_math(a, b, op=op, fill=0.0, num_partitions=2).to_pandas()
+        got = {t: np.asarray(g) for t, g in zip(out["tile"], out["raster"])}
+        np.testing.assert_allclose(got[100], fn(ga, gb), rtol=1e-12)
+        np.testing.assert_allclose(got[101], fn(gc, np.zeros_like(gc)), rtol=1e-12)
+    # div: zero denominators -> NaN, not inf
+    bz = ray.data.from_arrow(pa.table({
+        "tile": pa.array([100], pa.int64()),
+        "raster": pa.array([np.where(gb > 5, gb, 0.0).tolist()], pa.list_(pa.float64())),
+    }))
+    d = raster_math(a, bz, op="div", num_partitions=2).to_pandas()
+    gd = {t: np.asarray(g) for t, g in zip(d["tile"], d["raster"])}[100]
+    zeros = gb <= 5
+    assert np.isnan(gd[zeros]).all()
+    np.testing.assert_allclose(gd[~zeros], ga[~zeros] / gb[~zeros], rtol=1e-12)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown raster op"):
+        raster_math(a, b, op="pow")
