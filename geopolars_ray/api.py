@@ -1174,3 +1174,39 @@ class GeoDataset:
             resample_tiles(self._ds, resolution=resolution, factor=factor, how=how),
             geometry_col=None, crs=None,
         )
+
+    def idw(self, value_col: str, lon_col="lon", lat_col="lat",
+            tile_deg: float = 15.0, resolution: int = 32, **kw) -> "GeoDataset":
+        """IDW-interpolate this point dataset onto per-tile raster surfaces
+        (``idw_rasterize``; radius-bounded cross-tile replication)."""
+        from geopolars_ray.stages.raster import idw_rasterize
+
+        return GeoDataset(
+            idw_rasterize(self._ds, value_col, lon_col=lon_col, lat_col=lat_col,
+                          tile_deg=tile_deg, resolution=resolution, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def contours(self, levels, tile_deg: float = 15.0, resolution: int = 32,
+                 **kw) -> "GeoDataset":
+        """Iso-contour segments from raster tiles (``contour_lines``;
+        seam-consistent marching squares)."""
+        from geopolars_ray.stages.raster import contour_lines
+
+        return GeoDataset(
+            contour_lines(self._ds, levels, tile_deg=tile_deg,
+                          resolution=resolution, **kw),
+            geometry_col=None, crs=None,
+        )
+
+    def cut_to_tiles(self, tile_deg: float = 1.0, **kw) -> "GeoDataset":
+        """Clip this geometry layer into per-tile pieces
+        (``stages/tilecut.py``); result keeps the geometry column plus a
+        ``tile`` id, ready for partitioned writes."""
+        from geopolars_ray.stages.tilecut import cut_to_tiles
+
+        return GeoDataset(
+            cut_to_tiles(self._ds, tile_deg=tile_deg,
+                         geometry_col=self.geometry_col or "geometry", **kw),
+            geometry_col=self.geometry_col or "geometry", crs=self.crs,
+        )
