@@ -1175,6 +1175,15 @@ class GeoDataset:
             geometry_col=None, crs=None,
         )
 
+    def band_math(self, other, op: str = "add", fill: float = 0.0, **kw) -> "GeoDataset":
+        """Cell-wise algebra between this raster-tile dataset and another
+        (``raster_math``); ``other`` may be a GeoDataset or ray Dataset."""
+        from geopolars_ray.stages.raster import raster_math
+
+        ods = other.dataset if isinstance(other, GeoDataset) else other
+        return GeoDataset(raster_math(self._ds, ods, op=op, fill=fill, **kw),
+                          geometry_col=None, crs=None)
+
     def idw(self, value_col: str, lon_col="lon", lat_col="lat",
             tile_deg: float = 15.0, resolution: int = 32, **kw) -> "GeoDataset":
         """IDW-interpolate this point dataset onto per-tile raster surfaces
