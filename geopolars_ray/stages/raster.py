@@ -906,16 +906,17 @@ def contour_lines(
 
     def shift_and_melt(batch: pa.Table) -> pa.Table:
         tiles = batch["tile"].to_numpy(zero_copy_only=False)
+        # one bulk gather per level column (not per-row .as_py() — see
+        # stages/extract.py:54 for the measured cost of scalar gathers)
+        seg_cols = {lv: batch[f"segments_{lv}"].to_pylist() for lv in levels}
         out_t, out_lv, out_seg = [], [], []
         for row in range(len(tiles)):
             t = int(tiles[row])
             lo0 = (t // ny) * tile_deg - 180.0
             la0 = (t % ny) * tile_deg - 90.0
             for lv in levels:
-                segs = np.asarray(batch[f"segments_{lv}"][row].as_py(),
-                                  dtype=np.float64)
+                segs = np.asarray(seg_cols[lv][row], dtype=np.float64)
                 if len(segs):
-                    segs = segs.copy()
                     segs[0::2] += lo0
                     segs[1::2] += la0
                 out_t.append(t)
