@@ -1170,3 +1170,45 @@ def cell_perimeter(ids, unit: str = "km"):
     if unit == "rads":
         return per
     return per * (EARTH_RADIUS_KM if unit == "km" else EARTH_RADIUS_KM * 1000.0)
+
+
+def grid_disk_batch(ids, k: int = 1):
+    """k-disks of MANY cells at once: returns ``(owner_idx, cell)`` int64/
+    uint64 arrays where ``owner_idx`` indexes the input and ``cell`` ranges
+    over every cell within ``k`` grid steps of that input (self included).
+    Vectorized BFS across the whole batch (one ``cell_to_neighbors`` call
+    per ring, batch-wide dedupe via a packed (owner, cell) unique)."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    owner = np.arange(len(ids), dtype=np.int64)
+    all_owner = [owner]
+    all_cell = [ids]
+    seen_keys = None
+
+    def pack(o, c):
+        # (owner, cell) -> single sortable uint64 pair key; cells use bits
+        # 0-63 and owners a second array — unique over a (n, 2) view
+        a = np.empty((len(o), 2), dtype=np.uint64)
+        a[:, 0] = o.astype(np.uint64)
+        a[:, 1] = c
+        return a.view([("o", np.uint64), ("c", np.uint64)]).ravel()
+
+    seen_keys = pack(owner, ids)
+    frontier_o, frontier_c = owner, ids
+    for _ in range(int(k)):
+        if not len(frontier_c):
+            break
+        nb = cell_to_neighbors(frontier_c)                # (m, 6)
+        no = np.repeat(frontier_o, 6)
+        nc = nb.ravel()
+        keys = pack(no, nc)
+        fresh = ~np.isin(keys, seen_keys)
+        keys_f = keys[fresh]
+        if not len(keys_f):
+            break
+        uniq, idx = np.unique(keys_f, return_index=True)
+        sel = np.nonzero(fresh)[0][idx]
+        frontier_o, frontier_c = no[sel], nc[sel]
+        seen_keys = np.concatenate([seen_keys, uniq])
+        all_owner.append(frontier_o)
+        all_cell.append(frontier_c)
+    return np.concatenate(all_owner), np.concatenate(all_cell)

@@ -7,6 +7,7 @@ pentagons per resolution, and the published res-7 mean edge scale.
 """
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from geopolars_ray.geom import h3
@@ -103,3 +104,48 @@ def test_cell_to_children_array_contract():
         h3.cell_to_children(np.array([r0[0], h3.cell_to_children(r0[:1])[0]], np.uint64))
     kids = h3.cell_to_children(r0[:3])
     assert (np.unique(h3.cell_to_parent(kids, 0)) == np.sort(r0[:3])).all()
+
+
+def test_grid_disk_batch_matches_grid_disk():
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-60, 60, 30)
+    lng = rng.uniform(-170, 170, 30)
+    ids = h3.latlng_to_cell(lat, lng, 6)
+    o, c = h3.grid_disk_batch(ids, 2)
+    for i in range(len(ids)):
+        assert (np.sort(c[o == i]) == h3.grid_disk(ids[i:i + 1], 2)).all()
+    # k=0 is the identity
+    o0, c0 = h3.grid_disk_batch(ids, 0)
+    assert (c0 == ids).all() and (o0 == np.arange(len(ids))).all()
+
+
+def test_h3_neighborhood_aggregate_oracle(ray_session):
+    import ray
+    from geopolars_ray.stages.hexfocal import h3_neighborhood_aggregate
+
+    rng = np.random.default_rng(5)
+    center = h3.latlng_to_cell(np.array([48.0]), np.array([2.0]), 6)
+    cells = h3.grid_disk(center, 4)
+    vals = rng.uniform(0, 10, len(cells))
+    t = pa.table({"h3": pa.array(cells.view(np.int64)), "value": pa.array(vals)})
+    out = h3_neighborhood_aggregate(
+        ray.data.from_arrow(t).repartition(3), k=2,
+        stats=("count", "sum", "mean", "min", "max")).to_pandas()
+    assert len(out) == len(cells)
+    got = {int(r): (n, s, mn, mx) for r, n, s, mn, mx in zip(
+        out["h3"], out["n"], out["sum_value"], out["min_value"], out["max_value"])}
+    for c in cells:
+        d = h3.grid_distance(np.full(len(cells), c, np.uint64), cells)
+        m = d <= 2
+        gn, gs, gmn, gmx = got[int(np.int64(c))]
+        assert gn == int(m.sum())
+        np.testing.assert_allclose(gs, vals[m].sum(), rtol=1e-12)
+        assert gmn == vals[m].min() and gmx == vals[m].max()
+    # open variant: the k-halo appears as extra targets
+    open_out = h3_neighborhood_aggregate(ray.data.from_arrow(t), k=1,
+                                         restrict_to_input=False).to_pandas()
+    assert len(open_out) == len(h3.grid_disk(center, 5))
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="unknown stats"):
+        h3_neighborhood_aggregate(ray.data.from_arrow(t), stats=("median",))
