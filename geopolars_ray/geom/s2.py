@@ -493,3 +493,31 @@ def polygon_covering(rings, level: int = 12, max_cells: int = 2_000_000,
             raise ValueError(f"polygon_covering exceeded max_cells={max_cells} "
                              f"at level {level}; raise the budget explicitly")
     return np.array(sorted(keep), dtype=np.uint64)
+
+
+def cell_area(cell_id: np.ndarray, radius_km: float = 6371.0088) -> np.ndarray:
+    """Exact spherical area per cell in km^2 (``S2Cell::ExactArea``
+    semantics: the cell is a geodesic quad — its edges are great-circle
+    arcs — so the area is the spherical excess of its two corner
+    triangles).  ``radius_km`` defaults to the IUGG mean Earth radius;
+    pass 1.0 for steradians."""
+    cell_id = np.atleast_1d(np.asarray(cell_id, np.uint64))
+    lon, lat = cell_to_boundary(cell_id)
+    lo = np.radians(lon)
+    la = np.radians(lat)
+    cl = np.cos(la)
+    v = np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)], axis=-1)
+
+    def tri(a, b, c):
+        def arc(u, w):
+            return 2.0 * np.arcsin(np.clip(
+                0.5 * np.linalg.norm(u - w, axis=-1), 0.0, 1.0))
+
+        la_, lb, lc = arc(b, c), arc(a, c), arc(a, b)
+        s = 0.5 * (la_ + lb + lc)
+        t = (np.tan(0.5 * s) * np.tan(0.5 * (s - la_))
+             * np.tan(0.5 * (s - lb)) * np.tan(0.5 * (s - lc)))
+        return 4.0 * np.arctan(np.sqrt(np.maximum(t, 0.0)))
+
+    ex = tri(v[:, 0], v[:, 1], v[:, 2]) + tri(v[:, 0], v[:, 2], v[:, 3])
+    return ex * radius_km * radius_km

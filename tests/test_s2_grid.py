@@ -152,3 +152,20 @@ def test_compact_cells_round_trip():
         _, cnt = np.unique(s2.parent_at_level(sub, lv - 1), return_counts=True)
         assert (cnt < 4).all()
     assert len(s2.compact_cells(np.array([], np.uint64))) == 0
+
+
+def test_cell_area_partitions_sphere():
+    R = 6371.0088
+    sphere = 4.0 * np.pi * R * R
+    faces = np.array([(f << s2.POS_BITS) | (1 << (s2.POS_BITS - 1))
+                      for f in range(6)], np.uint64)
+    cur = faces
+    for level in range(4):
+        np.testing.assert_allclose(s2.cell_area(cur).sum(), sphere, rtol=1e-12)
+        if level < 3:
+            cur = s2.cell_to_children(cur).ravel()
+    # steradians via radius 1; level-12 cells are ~3-7 km^2
+    _, _, ids = _sample(n=200, level=12)
+    a = s2.cell_area(ids)
+    assert (a > 2.0).all() and (a < 8.0).all()
+    np.testing.assert_allclose(s2.cell_area(ids, radius_km=1.0) * R * R, a, rtol=1e-12)
