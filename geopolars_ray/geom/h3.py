@@ -1212,3 +1212,78 @@ def grid_disk_batch(ids, k: int = 1):
         all_owner.append(frontier_o)
         all_cell.append(frontier_c)
     return np.concatenate(all_owner), np.concatenate(all_cell)
+
+
+# --------------------------------------------------------------------------
+# directed edges (H3 mode-2 indexes)
+# --------------------------------------------------------------------------
+
+_MODE_MASK = np.uint64(0xF) << np.uint64(59)
+_MODE_CELL = np.uint64(1) << np.uint64(59)
+_MODE_EDGE = np.uint64(2) << np.uint64(59)
+_EDGE_DIR_MASK = np.uint64(0x7) << np.uint64(56)
+
+
+def origin_to_directed_edges(ids):
+    """All directed edges from each cell, (N, 6) uint64 — H3
+    ``originToDirectedEdges`` (mode-2 ids: origin cell + direction 1-6 in
+    bits 56-58).  Pentagons have no K-axis (direction 1) edge: that slot
+    is 0, matching libh3's sparse output."""
+    ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
+    base = (ids & ~_MODE_MASK) | _MODE_EDGE
+    out = np.empty((len(ids), 6), dtype=np.uint64)
+    for d in range(1, 7):
+        out[:, d - 1] = (base & ~_EDGE_DIR_MASK) | (np.uint64(d) << np.uint64(56))
+    pent = is_pentagon(ids)
+    if pent.any():
+        out[pent, 0] = 0
+    return out
+
+
+def is_valid_directed_edge(edge_ids):
+    edge_ids = np.atleast_1d(np.asarray(edge_ids, dtype=np.uint64))
+    mode_ok = (edge_ids & _MODE_MASK) == _MODE_EDGE
+    d = (edge_ids & _EDGE_DIR_MASK) >> np.uint64(56)
+    dir_ok = (d >= 1) & (d <= 6)
+    cell_ok = is_valid_cell(get_directed_edge_origin(edge_ids))
+    pent_k = is_pentagon(get_directed_edge_origin(edge_ids)) & (d == K_DIGIT)
+    return mode_ok & dir_ok & cell_ok & ~pent_k
+
+
+def get_directed_edge_origin(edge_ids):
+    """origin cell of each directed edge (mode -> cell, direction bits
+    cleared — cell ids carry 0 in bits 56-58)."""
+    edge_ids = np.atleast_1d(np.asarray(edge_ids, dtype=np.uint64))
+    return (edge_ids & ~_MODE_MASK & ~_EDGE_DIR_MASK) | _MODE_CELL
+
+
+def get_directed_edge_destination(edge_ids):
+    """destination cell: the origin's neighbor in the edge's direction."""
+    edge_ids = np.atleast_1d(np.asarray(edge_ids, dtype=np.uint64))
+    origin = get_directed_edge_origin(edge_ids)
+    d = ((edge_ids & _EDGE_DIR_MASK) >> np.uint64(56)).astype(np.int64)
+    nb = cell_to_neighbors(origin)
+    return nb[np.arange(len(edge_ids)), d - 1]
+
+
+def directed_edge_to_cells(edge_ids):
+    """(origin, destination) cell arrays per edge."""
+    return (get_directed_edge_origin(edge_ids),
+            get_directed_edge_destination(edge_ids))
+
+
+def cells_to_directed_edge(origins, destinations):
+    """the directed edge from each origin to each (adjacent) destination —
+    H3 ``cellsToDirectedEdge``.  Raises if any pair is not edge-adjacent."""
+    origins = np.atleast_1d(np.asarray(origins, dtype=np.uint64))
+    destinations = np.atleast_1d(np.asarray(destinations, dtype=np.uint64))
+    nb = cell_to_neighbors(origins)
+    match = nb == destinations[:, None]
+    ok = match.any(axis=1)
+    if not ok.all():
+        bad = np.nonzero(~ok)[0][0]
+        raise ValueError(
+            f"cells are not neighbors: {origins[bad]:x} -> {destinations[bad]:x}")
+    d = np.argmax(match, axis=1) + 1                   # first matching direction
+    base = (origins & ~_MODE_MASK) | _MODE_EDGE
+    return (base & ~_EDGE_DIR_MASK) | (d.astype(np.uint64) << np.uint64(56))

@@ -149,3 +149,31 @@ def test_h3_neighborhood_aggregate_oracle(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown stats"):
         h3_neighborhood_aggregate(ray.data.from_arrow(t), stats=("median",))
+
+
+def test_directed_edges_round_trip():
+    rng = np.random.default_rng(1)
+    ids = h3.latlng_to_cell(rng.uniform(-60, 60, 100), rng.uniform(-170, 170, 100), 7)
+    edges = h3.origin_to_directed_edges(ids)
+    live = edges[edges != 0]
+    assert h3.is_valid_directed_edge(live).all()
+    assert not h3.is_valid_directed_edge(ids).any()      # cells aren't edges
+    o, dst = h3.directed_edge_to_cells(live)
+    assert (h3.grid_distance(o, dst) == 1).all()         # edges connect neighbors
+    assert (h3.cells_to_directed_edge(o, dst) == live).all()
+    rev = h3.cells_to_directed_edge(dst, o)              # reverse edge exists
+    ro, rd = h3.directed_edge_to_cells(rev)
+    assert (ro == dst).all() and (rd == o).all()
+    with pytest.raises(ValueError, match="not neighbors"):
+        far = h3.latlng_to_cell(np.array([-40.0]), np.array([150.0]), 7)
+        h3.cells_to_directed_edge(ids[:1], far)
+
+
+def test_directed_edges_pentagon_has_five():
+    r0 = _res0()
+    p = h3.cell_to_children(r0[h3.is_pentagon(r0)][:1], 3)
+    p = p[h3.is_pentagon(p)][:1]
+    pe = h3.origin_to_directed_edges(p)
+    assert pe[0, 0] == 0 and (pe[0, 1:] != 0).all()
+    dsts = h3.get_directed_edge_destination(pe[0, 1:])
+    assert len(np.unique(dsts)) == 5
