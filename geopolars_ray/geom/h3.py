@@ -1227,8 +1227,11 @@ _EDGE_DIR_MASK = np.uint64(0x7) << np.uint64(56)
 def origin_to_directed_edges(ids):
     """All directed edges from each cell, (N, 6) uint64 — H3
     ``originToDirectedEdges`` (mode-2 ids: origin cell + direction 1-6 in
-    bits 56-58).  Pentagons have no K-axis (direction 1) edge: that slot
-    is 0, matching libh3's sparse output."""
+    bits 56-58).  Pentagons have only 5 distinct neighbors: the direction
+    whose destination duplicates an earlier direction's is zeroed (sparse
+    slot, matching libh3's 5-edge output; the FIRST direction to a given
+    neighbor is the canonical one, consistent with
+    :func:`cells_to_directed_edge`)."""
     ids = np.atleast_1d(np.asarray(ids, dtype=np.uint64))
     base = (ids & ~_MODE_MASK) | _MODE_EDGE
     out = np.empty((len(ids), 6), dtype=np.uint64)
@@ -1236,18 +1239,31 @@ def origin_to_directed_edges(ids):
         out[:, d - 1] = (base & ~_EDGE_DIR_MASK) | (np.uint64(d) << np.uint64(56))
     pent = is_pentagon(ids)
     if pent.any():
-        out[pent, 0] = 0
+        rows = np.nonzero(pent)[0]
+        nb = cell_to_neighbors(ids[rows])
+        for r, row in enumerate(rows):
+            _, first = np.unique(nb[r], return_index=True)
+            dup = np.setdiff1d(np.arange(6), first)
+            out[row, dup] = 0
     return out
 
 
 def is_valid_directed_edge(edge_ids):
+    """True where the id is a well-formed mode-2 edge whose (origin,
+    direction) slot actually exists (pentagon duplicate slots are not
+    valid edges)."""
     edge_ids = np.atleast_1d(np.asarray(edge_ids, dtype=np.uint64))
     mode_ok = (edge_ids & _MODE_MASK) == _MODE_EDGE
     d = (edge_ids & _EDGE_DIR_MASK) >> np.uint64(56)
     dir_ok = (d >= 1) & (d <= 6)
-    cell_ok = is_valid_cell(get_directed_edge_origin(edge_ids))
-    pent_k = is_pentagon(get_directed_edge_origin(edge_ids)) & (d == K_DIGIT)
-    return mode_ok & dir_ok & cell_ok & ~pent_k
+    origin = get_directed_edge_origin(edge_ids)
+    cell_ok = mode_ok & dir_ok & is_valid_cell(origin)
+    out = cell_ok.copy()
+    chk = np.nonzero(cell_ok)[0]
+    if len(chk):
+        edges = origin_to_directed_edges(origin[chk])
+        out[chk] = edges[np.arange(len(chk)), d[chk].astype(np.int64) - 1] == edge_ids[chk]
+    return out
 
 
 def get_directed_edge_origin(edge_ids):

@@ -174,6 +174,15 @@ def test_directed_edges_pentagon_has_five():
     p = h3.cell_to_children(r0[h3.is_pentagon(r0)][:1], 3)
     p = p[h3.is_pentagon(p)][:1]
     pe = h3.origin_to_directed_edges(p)
-    assert pe[0, 0] == 0 and (pe[0, 1:] != 0).all()
-    dsts = h3.get_directed_edge_destination(pe[0, 1:])
-    assert len(np.unique(dsts)) == 5
+    live = pe[0][pe[0] != 0]
+    assert len(live) == 5                               # exactly one sparse slot
+    dsts = h3.get_directed_edge_destination(live)
+    assert len(np.unique(dsts)) == 5                    # all distinct neighbors
+    assert h3.is_valid_directed_edge(live).all()
+    dead = pe[0][pe[0] == 0]
+    assert len(dead) == 1
+    # the zeroed (duplicate) slot is NOT a valid edge id even if forged
+    d_live = (live & (np.uint64(0x7) << np.uint64(56))) >> np.uint64(56)
+    missing = (set(range(1, 7)) - {int(x) for x in d_live}).pop()
+    forged = (live[0] & ~(np.uint64(0x7) << np.uint64(56))) | (np.uint64(missing) << np.uint64(56))
+    assert not h3.is_valid_directed_edge(np.array([forged], np.uint64))[0]
