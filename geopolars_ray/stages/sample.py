@@ -164,3 +164,46 @@ def stratified_sample_n(ds, key_col: str, strata_col: str, n_per_stratum: int,
         return t.filter(pa.array(rank < n_per_stratum)).drop_columns(["_h"])
 
     return hash_partitioned_map(ds, [strata_col], per_partition, num_partitions)
+
+
+def spatial_split(ds, cell_col: str, test_frac: float = 0.2, seed: int = 0,
+                  fold_col: str = "fold", n_folds: int | None = None):
+    """Leakage-safe spatial split: assign every row a fold by hashing its
+    CELL id (H3/S2/grid tile), so all rows of a cell — and therefore all
+    spatially co-located records — land in the same fold.  This is the
+    standard guard against spatial autocorrelation leaking between train
+    and test (spatial cross-validation / block CV).
+
+    Two modes:
+    - ``n_folds=None`` (default): binary split; ``fold`` is 0 (train) or 1
+      (test) with P(test) = ``test_frac`` over cells.
+    - ``n_folds=k``: k-fold assignment; ``fold`` in [0, k) uniform over
+      cells (use for block k-fold CV); ``test_frac`` is ignored.
+
+    Deterministic (same cells -> same folds for a given seed), stateless,
+    and shuffle-free: one hash per row inside ``map_batches``.
+
+    Hash note: cell ids vary in their HIGH bits (coarse H3 ids share all
+    their low filler bits), which the SQL-replayable ``_knuth_hash32``
+    (mod 2^32) is blind to — it collapses to a constant on res<=5 H3
+    columns.  This op therefore uses splitmix64 (full 64-bit avalanche,
+    `stages/agg.py _splitmix`), trading SQL replayability for uniformity.
+    """
+    if n_folds is None and not 0.0 < test_frac < 1.0:
+        raise ValueError("test_frac must be in (0, 1)")
+    if n_folds is not None and n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    from geopolars_ray.stages.agg import _splitmix
+
+    seed_u = _splitmix(np.atleast_1d(np.uint64(int(seed) & 0xFFFFFFFFFFFFFFFF)))[0]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        k = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        h = _splitmix(k ^ seed_u)
+        if n_folds is not None:
+            fold = (h % np.uint64(n_folds)).astype(np.int64)
+        else:
+            fold = (h < np.uint64(int(test_frac * 2.0 ** 64))).astype(np.int64)
+        return batch.append_column(fold_col, pa.array(fold))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
