@@ -36,6 +36,13 @@ def _knuth_hash32(col: pa.ChunkedArray, seed: int) -> np.ndarray:
     silently lose low bits). Negative keys map by two's complement
     (``view(np.uint64)``), the multiply wraps mod 2^64 — both replayable in
     SQL with HUGEINT (module docstring has the exact form).
+
+    CAVEAT: the final mod 2^32 makes this hash BLIND to any key bit >= 32
+    whenever the low 32 bits are constant across keys (k = hi*2^33 + c
+    gives hi*KNUTH*2^33 ≡ 0 mod 2^32).  Coarse H3 ids are exactly that
+    shape (shared low filler bits) — use :func:`spatial_split` /
+    splitmix64 for cell-id keys, and keep this hash for row-id keys where
+    the SQL replay matters.
     """
     k = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
     # map the seed into the ring explicitly: np.uint64(-7) raises on NumPy>=2
