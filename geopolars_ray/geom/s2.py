@@ -370,24 +370,25 @@ def rect_covering(lon_lo: float, lat_lo: float, lon_hi: float, lat_hi: float,
         lat_ok = (lat.max(axis=1) >= lat_lo - pad) & (lat.min(axis=1) <= lat_hi + pad)
         return lon_ok & lat_ok
 
-    seen = {int(seed[0])}
-    keep: list[int] = []
+    # BFS with fully-vectorized visited bookkeeping (sorted array +
+    # np.isin) — no Python sets, so million-cell covers stay numpy-speed
+    seen = np.sort(seed)
+    keep = np.empty(0, dtype=np.uint64)
     frontier = seed
     while len(frontier):
-        m = hits(frontier)
-        kept = frontier[m]
-        keep.extend(int(x) for x in kept)
+        kept = frontier[hits(frontier)]
+        keep = np.concatenate([keep, kept])
         if len(keep) > max_cells:
             raise ValueError(
                 f"rect_covering exceeded max_cells={max_cells} at level {level}; "
                 "use a coarser level or raise the budget")
         if not len(kept):
             break
-        nb = edge_neighbors(kept).ravel()
-        fresh = {int(x) for x in nb} - seen
-        seen |= fresh
-        frontier = np.fromiter(fresh, dtype=np.uint64) if fresh else np.empty(0, np.uint64)
-    return np.array(sorted(keep), dtype=np.uint64)
+        nb = np.unique(edge_neighbors(kept).ravel())
+        fresh = nb[~np.isin(nb, seen, assume_unique=True)]
+        seen = np.sort(np.concatenate([seen, fresh]))
+        frontier = fresh
+    return np.sort(keep)
 
 
 def compact_cells(cell_id: np.ndarray) -> np.ndarray:
@@ -473,26 +474,30 @@ def polygon_covering(rings, level: int = 12, max_cells: int = 2_000_000,
     ring_zone = np.unique(np.concatenate(
         [boundary, nb1, edge_neighbors(nb1).ravel()]))
 
-    keep: set[int] = {int(c) for c, ok in zip(ring_zone, inside(ring_zone)) if ok}
-    frontier = np.array(sorted(keep), dtype=np.uint64)
+    # BFS with vectorized bookkeeping: ``visited`` tracks every TESTED cell
+    # (so outside cells are PIP-tested once, not once per adjacent frontier),
+    # ``keep`` accumulates the inside ones; both sorted arrays + np.isin.
+    keep = ring_zone[inside(ring_zone)]
+    visited = ring_zone                      # already unique-sorted
+    frontier = keep
     while len(frontier):
         nb = np.unique(edge_neighbors(frontier).ravel())
-        fresh = np.array([c for c in nb.tolist() if c not in keep], dtype=np.uint64)
+        fresh = nb[~np.isin(nb, visited, assume_unique=True)]
         if not len(fresh):
             break
-        ok = inside(fresh)
-        new = fresh[ok]
-        keep.update(int(c) for c in new.tolist())
+        visited = np.sort(np.concatenate([visited, fresh]))
+        new = fresh[inside(fresh)]
+        keep = np.concatenate([keep, new])
         if len(keep) > max_cells:
             raise ValueError(f"polygon_covering exceeded max_cells={max_cells} "
                              f"at level {level}; raise the budget explicitly")
         frontier = new
     if mode == "cover":
-        keep.update(int(c) for c in ring_zone.tolist())
+        keep = np.unique(np.concatenate([keep, ring_zone]))
         if len(keep) > max_cells:
             raise ValueError(f"polygon_covering exceeded max_cells={max_cells} "
                              f"at level {level}; raise the budget explicitly")
-    return np.array(sorted(keep), dtype=np.uint64)
+    return np.unique(keep)
 
 
 def cell_area(cell_id: np.ndarray, radius_km: float = 6371.0088) -> np.ndarray:
