@@ -624,28 +624,30 @@ def polygon_to_cells(rings, res: int, max_cells: int = 2_000_000,
     #    ring and its immediate neighbors
     ring_zone = np.unique(np.concatenate([boundary,
                                           cell_to_neighbors(boundary).ravel()]))
-    seed = ring_zone
-    keep: set[int] = {int(c) for c, ok in zip(seed, inside(seed)) if ok}
-    frontier = np.array(sorted(keep), dtype=np.uint64)
+    # BFS with vectorized bookkeeping (sorted arrays + np.isin; ``visited``
+    # tracks every TESTED cell so outside cells are PIP-tested once) —
+    # same pattern as geom/s2.py polygon_covering
+    keep = ring_zone[inside(ring_zone)]
+    visited = ring_zone
+    frontier = keep
     while len(frontier):
         nb = np.unique(cell_to_neighbors(frontier).ravel())
-        fresh = np.array([c for c in nb.tolist() if c not in keep],
-                         dtype=np.uint64)
+        fresh = nb[~np.isin(nb, visited, assume_unique=True)]
         if not len(fresh):
             break
-        ok = inside(fresh)
-        new = fresh[ok]
-        keep.update(int(c) for c in new.tolist())
+        visited = np.sort(np.concatenate([visited, fresh]))
+        new = fresh[inside(fresh)]
+        keep = np.concatenate([keep, new])
         if len(keep) > max_cells:
             raise ValueError(f"polygon_to_cells exceeded max_cells={max_cells} "
                              f"at res {res}; raise the budget explicitly")
         frontier = new
     if mode == "cover":
-        keep.update(int(c) for c in ring_zone.tolist())
+        keep = np.unique(np.concatenate([keep, ring_zone]))
         if len(keep) > max_cells:
             raise ValueError(f"polygon_to_cells exceeded max_cells={max_cells} "
                              f"at res {res}; raise the budget explicitly")
-    return np.array(sorted(keep), dtype=np.uint64)
+    return np.unique(keep)
 
 
 def compact_cells(ids):
